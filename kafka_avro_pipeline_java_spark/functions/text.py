@@ -1,0 +1,80 @@
+"""Text-analysis column expressions for training-data pipelines.
+
+Everything here is built-in-function composition (split/transform/filter/
+aggregate) — JVM-side, codegen-friendly, no Python in the hot path. Each
+helper has a DuckDB-oracle-expressible definition so the driver harness can
+verify it (see plans/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic English stopword list used by the language heuristic.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    in_set = F.filter(toks, lambda t: t.isin(*stopwords))
+    return F.size(in_set) / F.size(toks)
+
+
+def avg_token_len(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    non_space = F.length(F.regexp_replace(F.trim(c), r"\s+", ""))
+    return non_space / token_count(c)
+
+
+def non_alnum_ratio(col: Column | str) -> Column:
+    """Share of characters that are not [a-zA-Z0-9 ] — crude noise measure."""
+    c = F.col(col) if isinstance(col, str) else col
+    bad = F.length(c) - F.length(F.regexp_replace(c, "[^a-zA-Z0-9 ]", ""))
+    return bad / F.length(c)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic 0..1 quality heuristic: rewards mid-length docs and
+    low symbol noise. Formula is arbitrary but fixed; oracle-checkable."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c).cast("double")
+    length_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    noise_term = F.lit(1.0) - non_alnum_ratio(c)
+    return F.round(F.lit(0.5) * length_term + F.lit(0.5) * noise_term, 4)
+
+
+def lang_guess(col: Column | str, threshold: float = 0.05) -> Column:
+    """'en' if the English stopword ratio clears the threshold."""
+    return F.when(stopword_ratio(col) >= threshold, F.lit("en")).otherwise(F.lit("unknown"))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    (first 16 hex chars). Stable across engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    return F.substring(F.md5(normalized), 1, 16)
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles of lowercased text as array<string>.
+    Documents with fewer than k tokens yield an empty array."""
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]),
+    )
+    return F.when(F.size(toks) >= k, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )

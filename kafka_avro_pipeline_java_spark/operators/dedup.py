@@ -1,0 +1,259 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all shuffle-aware:
+
+- exact:        hash-groupBy on a normalized key (one shuffle)
+- ngram-jaccard: candidate pairs via shared-shingle equi-join (inverted
+                 index pattern — never a cross product), Jaccard filter
+- MinHash+LSH:  shingle → K minhashes → B bands → bucket equi-join;
+                 candidate verification by full signature similarity
+- SimHash:      64-bit signed-projection fingerprint; near-dups = small
+                 Hamming distance within same band buckets
+- embedding:    cosine near-dup pairs (brute pair join here; the scale
+                 path buckets by LSH hyperplane signs first)
+
+Hashes in oracle-checked paths use the md5-derived ``portable_hash64``;
+scale-only internals may use the cheaper native ``xxhash64``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64
+from ..functions.text import word_shingles
+from ..functions.vectors import cosine_similarity, norm
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest id per distinct text; report the multiplicity."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias("kept_id"), F.count("*").alias("n_copies")
+    )
+
+
+def shingle_table(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) inverted-index rows; distinct shingles per doc."""
+    return (
+        df.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh"))
+        .select("id", F.explode("sh").alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Near-duplicate pairs by k-word-shingle Jaccard similarity.
+
+    Join on shingle (inverted index) → count shared shingles per pair →
+    Jaccard = |∩| / (|A| + |B| - |∩|). The equi-join on shingle is the
+    standard scalable candidate generation: cost is Σ bucket² over shingle
+    buckets, not n². Skewed (ultra-common) shingles would be dropped by a
+    document-frequency cap at real scale; at test scale none qualify.
+    """
+    sh = shingle_table(df, text_col, id_col, k).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """MinHash signature per doc: for permutation i, min over shingles of
+    hash(shingle XOR seed_i). Computed as one explode + groupBy (single
+    shuffle); signature is an array<bigint> column."""
+    sh = shingle_table(df, text_col, id_col, k)
+    hashed = sh.withColumn("h", portable_hash64("shingle"))
+    mins = hashed.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select("id", F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` rows-per-band groups,
+    hash each band, equi-join on (band, band_hash) for candidates, then
+    verify candidates by estimated Jaccard = fraction of matching minhashes.
+
+    Scale: candidates come from an equi-join on band buckets — no pairwise
+    scan. The verify step compares two fixed-width arrays: O(1) per pair.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    banded = sig.select(
+        "id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("signature", b * rows_per_band + j + 1)
+                              for j in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "signature", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    ) / F.lit(num_hashes)
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """SimHash fingerprint: sign-sum of per-token hash bits.
+
+    token hash → for each bit position, +1 if set else -1; sum over tokens;
+    fingerprint bit = 1 if sum > 0. Expressed as explode + groupBy(sum) over
+    a bit-position array — one shuffle, no UDFs.
+    """
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, 1)).alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+
+    def bit_mask(i: int) -> int:
+        # bit 63 as a signed-long literal (1 << 63 overflows LongType)
+        return (1 << i) if i < 63 else -(1 << 63)
+
+    bit_cols = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(bit_mask(i)).cast("long")) != 0, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = toks.groupBy("id").agg(*bit_cols)
+    fp = sums.select(
+        "id",
+        sum(
+            (F.when(F.col(f"b{i}") > 0, F.lit(bit_mask(i)).cast("long")).otherwise(F.lit(0).cast("long")))
+            for i in range(bits)
+        ).alias("simhash"),
+    )
+    return fp
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Candidates via 4 16-bit band buckets (pigeonhole: any pair within
+    Hamming 3 shares a band; wider radii still catch most) — equi-join, not
+    a cross product; verified with exact popcount via bit_count.
+    """
+    fp = simhash(df, text_col, id_col)
+    banded = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_pairs(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    Test-scale implementation is the exact pair join; at 100 TB the same
+    plan is preceded by an LSH bucketing (random-hyperplane signs, see
+    similarity.lsh_bucketed_knn) so the self-join becomes per-bucket.
+    Norms are precomputed once (projection) before the join.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), norm(vec_col).alias("nrm")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    from ..functions.vectors import dot as vdot
+
+    cos = vdot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

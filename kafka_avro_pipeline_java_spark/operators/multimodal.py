@@ -1,0 +1,96 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+The container has no image/audio codecs, so the decode step is a
+deterministic fake behind ``decode_stub`` (clearly marked). Everything
+Spark-side is real and tested: schema, Arrow batching via ``mapInPandas``,
+partition-preserving iteration, and metadata extraction with built-ins.
+
+At 100 TB this is the pattern for media processing: binary column stays
+opaque through shuffles; per-batch Python touches only the rows of its
+Arrow batch (no collect, no driver data path).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),  # image|audio|video
+        StructField("payload", BinaryType()),
+        StructField("meta_width", IntegerType()),
+        StructField("meta_height", IntegerType()),
+        StructField("meta_duration_ms", IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload_len", LongType()),
+        StructField("payload_md5", StringType()),
+        StructField("feat_dim", IntegerType()),
+        StructField("feature_norm", StringType()),
+    ]
+)
+
+
+def text_as_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Manufacture a media-shaped table from text payloads (test stand-in:
+    real deployments read binary files via ``spark.read.format('binaryFile')``)."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        (F.when(F.col(id_col) % 3 == 0, "image")
+         .when(F.col(id_col) % 3 == 1, "audio")
+         .otherwise("video")).alias("media_type"),
+        F.col(text_col).cast("binary").alias("payload"),
+        (F.pmod(F.col(id_col), 1920) + 1).cast("int").alias("meta_width"),
+        (F.pmod(F.col(id_col), 1080) + 1).cast("int").alias("meta_height"),
+        (F.pmod(F.col(id_col), 60000) + 1).cast("int").alias("meta_duration_ms"),
+    )
+
+
+def decode_stub(payload: bytes, media_type: str) -> dict:
+    """STUB — real decode needs PIL/ffmpeg/torchaudio, absent here.
+
+    Deterministic fake: derives a pseudo 'feature vector norm' from the
+    payload bytes so tests can assert exact values end-to-end.
+    """
+    checksum = sum(payload) % 997
+    return {"feat_dim": 64, "feature_norm": f"{checksum / 997.0:.6f}"}
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            feats = [decode_stub(p, t) for p, t in zip(pdf["payload"], pdf["media_type"])]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload_len": [len(p) for p in pdf["payload"]],
+                    "payload_md5": [hashlib.md5(p).hexdigest() for p in pdf["payload"]],
+                    "feat_dim": [f["feat_dim"] for f in feats],
+                    "feature_norm": [f["feature_norm"] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)

@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``brute_force_knn``: exact cosine top-k against a query vector. The query
+  side is a 1-row broadcast; scoring is JVM-side ``zip_with``/``aggregate``
+  inside codegen; top-k is a ``row_number``-free global sort-limit (Spark
+  runs takeOrdered — no full sort materialization).
+- ``lsh_bucketed_knn``: approximate variant — random-hyperplane sign
+  buckets shrink the candidate set; probes the query's bucket (plus
+  multi-probe neighbors at Hamming distance 1). At 100 TB, the bucket join
+  replaces the full scan; recall is tunable by planes/probes.
+- ``ivf_knn``: IVF-style — k-means-ish coarse centroids picked by
+  deterministic sampling, vectors assigned to nearest centroid (one pass),
+  query probes the ``n_probe`` nearest centroids only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine_similarity, dot, norm
+
+
+def _query_df(spark: SparkSession, query_vec: list[float]):
+    return F.broadcast(
+        spark.createDataFrame([(query_vec,)], schema="q array<double>")
+    )
+
+
+def brute_force_knn(
+    spark: SparkSession,
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 5,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    q = _query_df(spark, query_vec)
+    scored = df.crossJoin(q).select(
+        F.col(id_col),
+        *(extra_cols or []),
+        F.round(cosine_similarity(F.col(vec_col), F.col("q")), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def hyperplane_signature(vec_col, planes: list[list[float]]):
+    """Bit signature: sign of dot(v, plane_i) per random hyperplane."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        d = dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col, F.array(*[F.lit(x) for x in p]))
+        sig = sig + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def lsh_bucketed_knn(
+    spark: SparkSession,
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    planes: list[list[float]],
+    k: int = 5,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose hyperplane-sign bucket
+    matches the query's (or differs by one bit with multiprobe)."""
+    bucketed = df.withColumn("__bucket", hyperplane_signature(vec_col, planes))
+    qsig = 0
+    import math
+
+    for i, p in enumerate(planes):
+        d = sum(a * b for a, b in zip(query_vec, p))
+        if d > 0:
+            qsig |= 1 << i
+    probes = [qsig]
+    if multiprobe:
+        # probe all buckets within Hamming distance 2 of the query signature
+        nb = len(planes)
+        probes += [qsig ^ (1 << i) for i in range(nb)]
+        probes += [qsig ^ (1 << i) ^ (1 << j) for i in range(nb) for j in range(i + 1, nb)]
+    cand = bucketed.filter(F.col("__bucket").isin(probes))
+    return brute_force_knn(spark, cand, vec_col, id_col, query_vec, k)
+
+
+def ivf_knn(
+    spark: SparkSession,
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF: centroids = deterministic sample of the data itself (cheap,
+    one job over a tiny sample); assignment + probe are broadcast joins."""
+    cents = [
+        (i, r[0])
+        for i, r in enumerate(
+            df.select(vec_col).orderBy(F.xxhash64(F.col(id_col) + seed)).limit(n_centroids).collect()
+        )
+    ]
+    cent_df = F.broadcast(
+        spark.createDataFrame([(i, [float(x) for x in v]) for i, v in cents],
+                              schema="cid int, cvec array<double>")
+    )
+    # assign every vector to its nearest centroid (argmax cosine)
+    assigned = (
+        df.crossJoin(cent_df)
+        .withColumn("__sim", cosine_similarity(F.col(vec_col), F.col("cvec")))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__sim", "__rn", "cvec")
+    )
+    # rank centroids for the query, keep n_probe nearest
+    import math
+
+    def cos(a, b):
+        da = math.sqrt(sum(x * x for x in a))
+        db = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (da * db) if da and db else 0.0
+
+    probe_ids = [
+        cid for cid, _ in sorted(
+            ((i, cos(query_vec, [float(x) for x in v])) for i, v in cents),
+            key=lambda t: -t[1],
+        )[:n_probe]
+    ]
+    cand = assigned.filter(F.col("cid").isin(probe_ids)).drop("cid")
+    return brute_force_knn(spark, cand, vec_col, id_col, query_vec, k)

@@ -1,0 +1,113 @@
+"""Event-stream analytics over the ``events`` table (batch forms of the
+streaming patterns in streaming/ — tumbling windows, sessionization, lag,
+as-of join)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.asof import asof_join
+from ..sources import load_table
+from .registry import query
+
+
+@query(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+
+
+@query(
+    "events_lag_per_user",
+    oracle="""
+    SELECT event_id, user_id, value,
+           LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+    FROM events
+    """,
+)
+def events_lag_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id", "value", F.lag("value").over(w).alias("prev_value")
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM x
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a >30-min silence starts a new session.
+    Streaming equivalent: ``session_window(ts, '30 minutes')`` (streaming/)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    return (
+        e.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@query(
+    "events_asof_last_click",
+    oracle="""
+    WITH err AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ), clk AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+    ), j AS (
+      SELECT e.event_id, c.value,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM err e JOIN clk c ON c.user_id = e.user_id AND c.ts <= e.ts
+    )
+    SELECT e.event_id, e.user_id, j.value AS last_click_value
+    FROM err e LEFT JOIN (SELECT event_id, value FROM j WHERE rn = 1) j
+      ON j.event_id = e.event_id
+    """,
+)
+def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each error event, the value of the same user's most
+    recent click at-or-before it. Uses the union+window asof operator
+    (single shuffle — no per-key cross product; see operators/asof.py)."""
+    e = load_table(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clk = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("last_click_value")
+    )
+    joined = asof_join(
+        err, clk, on="user_id", ts="ts", value_cols=["last_click_value"], tiebreak="event_id"
+    )
+    return joined.select("event_id", "user_id", "last_click_value")

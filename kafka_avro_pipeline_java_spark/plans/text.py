@@ -1,0 +1,121 @@
+"""Text-analysis + deduplication queries over the ``documents`` table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import dedup
+from ..sources import load_table
+from .registry import query
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in T.EN_STOPWORDS)
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           ROUND(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                 / CAST(len(toks) AS DOUBLE), 4) AS avg_tok_len,
+           CASE WHEN len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                     x -> x IN ({_STOP_SQL})))
+                     / CAST(len(toks) AS DOUBLE) >= 0.05
+                THEN 'en' ELSE 'unknown' END AS lang_guess,
+           substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 16)
+             AS fingerprint
+    FROM t
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.round(T.avg_token_len("text"), 4).alias("avg_tok_len"),
+        T.lang_guess("text").alias("lang_guess"),
+        T.fingerprint("text").alias("fingerprint"),
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle="""
+    SELECT doc_id,
+           ROUND(0.5 * least(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                             / 100.0, 1.0)
+               + 0.5 * (1.0 - (length(text)
+                               - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                              / CAST(length(text) AS DOUBLE)), 4) AS quality
+    FROM documents
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.quality_score("text").alias("quality"))
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT text, MIN(doc_id) AS kept_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "text", "doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             ts[i.i] || ' ' || ts[i.i + 1] || ' ' || ts[i.i + 2] AS shingle
+      FROM tok, UNNEST(range(1, len(ts) - 1)) AS i(i)
+      WHERE len(ts) >= 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(i.n_common / CAST(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE ROUND(i.n_common / CAST(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE), 4) >= 0.1
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.1)
+
+
+# MinHash-LSH and SimHash internals use Spark-native xxhash64 — not
+# expressible in DuckDB SQL, so the driver runs its weaker rows-only check.
+# tests/test_dedup.py verifies them against exact Jaccard / Hamming oracles.
+@query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, "text", "doc_id", k=3, num_hashes=32, bands=8,
+                                   threshold=0.3)
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(d, "text", "doc_id", max_hamming=4)

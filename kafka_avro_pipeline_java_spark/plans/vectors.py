@@ -1,0 +1,107 @@
+"""Similarity-search queries over the ``embeddings`` table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity
+from ..sources import load_table
+from .registry import query
+
+
+@query(
+    "knn_cosine_bruteforce",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)) AS dp,
+             SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)) AS na,
+             SUM(CAST(q.qv[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)) AS nb
+      FROM embeddings e, q, UNNEST(range(1, len(e.embedding) + 1)) AS i(i)
+      GROUP BY e.vec_id, e.label
+    )
+    SELECT vec_id, label, ROUND(dp / (SQRT(na) * SQRT(nb)), 6) AS cos_sim
+    FROM scored
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 5
+    """,
+)
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 to the vec_id=0 embedding. Query vector is read
+    from the table itself (1-row broadcast), so the plan is fully
+    distributed — no driver-side vector math."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q")))
+    from ..functions.vectors import cosine_similarity
+
+    return (
+        e.crossJoin(q)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_similarity(F.col("embedding"), F.col("q")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH ex AS (SELECT vec_id, embedding FROM embeddings),
+    norms AS (
+      SELECT vec_id,
+             SQRT(SUM(CAST(embedding[i.i] AS DOUBLE) * CAST(embedding[i.i] AS DOUBLE))) AS nrm
+      FROM ex, UNNEST(range(1, len(embedding) + 1)) AS i(i)
+      GROUP BY vec_id
+    ), dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) AS dp
+      FROM ex a JOIN ex b ON a.vec_id < b.vec_id,
+           UNNEST(range(1, len(a.embedding) + 1)) AS i(i)
+      GROUP BY 1, 2
+    )
+    SELECT d.id_a, d.id_b, ROUND(d.dp / (na.nrm * nb.nrm), 6) AS cos_sim
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.id_a
+    JOIN norms nb ON nb.vec_id = d.id_b
+    WHERE ROUND(d.dp / (na.nrm * nb.nrm), 6) >= 0.9
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= 0.9)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_pairs(e, "embedding", "vec_id", threshold=0.9)
+
+
+# Approximate ANN paths (LSH buckets / IVF probes) use engine-internal
+# sampling and hyperplanes — rows-only driver check; exactness vs the brute
+# oracle is asserted by recall tests in tests/test_similarity.py.
+@query("knn_cosine_lsh")
+def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    dim = len(qv)
+    # deterministic pseudo-random hyperplanes (LCG), no numpy RNG state.
+    # 5 planes + Hamming-2 multiprobe measures ~0.8 recall at ~50% candidate
+    # fraction on these (uniform-random, worst-case-for-LSH) embeddings;
+    # clustered real-world embeddings support more planes / fewer probes.
+    planes, state = [], 42
+    for _ in range(5):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append((state >> 33) / float(1 << 31) - 1.0)
+        planes.append(row)
+    return similarity.lsh_bucketed_knn(spark, e, "embedding", "vec_id", qv, planes, k=5)
+
+
+@query("knn_cosine_ivf")
+def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.ivf_knn(spark, e, "embedding", "vec_id", qv, n_centroids=16,
+                              n_probe=4, k=5)

@@ -1,0 +1,63 @@
+"""Parquet table catalog over the driver-provided TPC-H-ish testdata.
+
+Scale notes: ``spark.read.parquet`` gives Catalyst the native vectorized
+parquet scan — predicate pushdown, column pruning and partition pruning all
+apply automatically as long as callers express filters/projections on the
+returned DataFrame (they do; see plans/). ``region`` and ``nation`` are
+bounded-size dimensions (5 / 25 rows by schema definition), so they are
+always safe to broadcast; helper exposes that hint.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions whose cardinality is bounded by the data model itself (TPC-H
+# fixes them at 5 and 25 rows regardless of scale factor) — broadcast always.
+ALWAYS_BROADCAST = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
+        # timestamp type; read it as a long and truncate to microseconds
+        # (matching DuckDB's TIMESTAMP_NS → TIMESTAMP truncation).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    if name in ALWAYS_BROADCAST:
+        df = broadcast(df)
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    names = names or TABLE_NAMES
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so plans can also be written in SQL."""
+    for n in TABLE_NAMES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

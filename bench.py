@@ -1,0 +1,100 @@
+"""Benchmark harness — runs the headline query suite at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (collect of the already-small result,
+or count for row-heavy outputs) so the measured time covers scan + shuffle +
+compute, not plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kafka_avro_pipeline_java_spark.plans import QUERIES
+from kafka_avro_pipeline_java_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline suite: every operator family, weighted toward what dominates at
+# 100 TB (scans+aggs, multi-way joins, windows, dedup joins, vector scoring).
+# Queries returning many rows are driven by .count(); small results collect.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "join_range_price_tiers",
+    "agg_cube_flag_status",
+    "window_rank_top_orders",
+    "window_running_customer_spend",
+    "events_sessionize",
+    "events_asof_last_click",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_stats",
+    "knn_cosine_bruteforce",
+    "knn_cosine_ivf",
+    "multimodal_binary_meta",
+]
+
+# Results small enough to collect (bounded by construction); others count().
+COLLECT_THRESHOLD_QUERIES = {
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "join_range_price_tiers",
+    "agg_cube_flag_status",
+    "knn_cosine_bruteforce",
+    "knn_cosine_ivf",
+}
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    # warm the JVM + parquet footers once so per-query times measure the
+    # query, not first-touch JIT (the driver compares totals across rounds)
+    QUERIES["q6_forecast_revenue"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        if name in COLLECT_THRESHOLD_QUERIES:
+            df.collect()
+        else:
+            df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

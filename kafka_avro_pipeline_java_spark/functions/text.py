@@ -67,10 +67,14 @@ def fingerprint(col: Column | str) -> Column:
     return F.substring(F.md5(normalized), 1, 16)
 
 
-def word_shingles(col: Column | str, k: int = 3) -> Column:
-    """Distinct k-word shingles of lowercased text as array<string>.
-    Documents with fewer than k tokens yield an empty array."""
-    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+def shingles_from_tokens(tok_col: Column | str, k: int) -> Column:
+    """Distinct k-word shingles from an ALREADY MATERIALIZED token-array
+    column. Keep the token array an attribute (separate projection /
+    exchange), not an inline ``split``: lambda bodies in higher-order
+    functions are interpreted without common-subexpression elimination, so
+    an inline split would be re-evaluated per element access — O(tokens²)
+    per document."""
+    toks = F.col(tok_col) if isinstance(tok_col, str) else tok_col
     sh = F.transform(
         F.sequence(F.lit(0), F.size(toks) - k),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]),
@@ -78,3 +82,13 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     return F.when(F.size(toks) >= k, F.array_distinct(sh)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles of lowercased text as array<string>.
+    Documents with fewer than k tokens yield an empty array.
+
+    NOTE: single-expression form — fine for small k over short text, but
+    for bulk shingling use ``operators.dedup.shingle_table``, which
+    materializes the token array first (see ``shingles_from_tokens``)."""
+    return shingles_from_tokens(tokens(F.lower(F.col(col) if isinstance(col, str) else col)), k)

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import partition_for_key
 from ..operators.multimodal import extract_features, text_as_media
 from ..sources import load_table
+from ..sources.schema_dsl import struct_to_avro
 from .registry import query
 
 
@@ -35,10 +36,56 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "payload_len", "payload_md5")
 
 
+@query(
+    "pipeline_avro_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def pipeline_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro serde proof: documents → Confluent-framed Avro binary (pure-
+    Python codec, reference wire format AvroProducer.java:48-50) → decode →
+    identical rows. The oracle is the untouched table: any codec bug breaks
+    the value hash."""
+    from ..streaming.avro_codec import decode_df, encode_df
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    schema = struct_to_avro("documents", d.schema)
+    return decode_df(encode_df(d, schema, schema_id=1), schema)
+
+
+@query(
+    "pipeline_generated_workload",
+    oracle=None,  # rand()-based — domains unit-tested in tests/test_generate.py
+)
+def pipeline_generated_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference producer workload shape (3 schemas × 1,500 msgs,
+    02-producer config.properties:5,8): per-topic message count and
+    per-key partition spread under the keyed-partitioning invariant."""
+    from ..generate import generate_dataset
+    from ..sources.schema_dsl import dsl_to_avro
+
+    dsl = [
+        {"name": f"dataset{i}", "fields": {f"key_field{i}": "string",
+                                           f"timestamp_field{i}": "long",
+                                           f"string_field{i}": "string"}}
+        for i in (1, 2, 3)
+    ]
+    out = None
+    for schema in dsl_to_avro(dsl):
+        key = schema["fields"][0]["name"]
+        g = generate_dataset(spark, schema, 1500, seed=42).select(
+            F.lit(schema["name"]).alias("topic"),
+            partition_for_key(F.col(key).cast("string"), 3).alias("partition"),
+        )
+        out = g if out is None else out.unionByName(g)
+    return out.groupBy("topic", "partition").agg(F.count("*").alias("n_messages"))
+
+
 # Keyed-partition invariant (reference AvroProducer.java:81-83: same key →
 # same partition). java_string_hashcode isn't expressible in DuckDB SQL —
 # rows-only check here; exactness vs java.lang.String.hashCode is unit-
-# tested in tests/test_hashing.py.
+# tested in tests/test_generate.py.
 @query("pipeline_key_partitions")
 def pipeline_key_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

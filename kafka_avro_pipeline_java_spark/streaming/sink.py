@@ -1,0 +1,150 @@
+"""Exactly-once sinks for ``foreachBatch``.
+
+The reference achieves exactly-once into MySQL with a per-record JDBC
+transaction that writes the row AND upserts its offset into a
+``kafka_offsets`` table atomically (reference
+``03-consumer/src/main/java/com/exam/worker/AvroConsumer.java:157-194``;
+upsert ``MySQLProcessData.java:65-92``). Structured Streaming gives the
+same external guarantee at micro-batch granularity: the checkpoint records
+source offsets per batch, and the sink below makes the write idempotent on
+``batch_id``, so replays after a crash cannot double-apply
+(SURVEY.md §7.3 item 2 documents the granularity difference).
+
+Two sinks, one contract:
+
+- ``ExactlyOnceDbSink`` — one DB transaction **per partition per batch**:
+  rows + a ``(sink_table, batch_id, partition_id)`` ledger row commit
+  together; a replayed partition sees its ledger row and skips. Takes a
+  DB-API connection factory, so it works with any driver (MySQL at parity,
+  sqlite in tests) without Spark-side changes; executes on executors via
+  ``foreachPartition`` — no data moves through the driver.
+- ``exactly_once_parquet_sink`` — files variant: batch output written to a
+  staging dir, atomically renamed to ``batch_id=N/``; replay sees the
+  final dir and skips.
+
+Offsets mirroring (the reference's ``kafka_offsets`` table) is provided by
+``offsets_mirror_sql`` for Kafka-sourced frames carrying
+topic/partition/offset metadata.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable, Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+
+# --------------------------------------------------------------------------
+# DB sink (DB-API; MySQL in production-parity, sqlite in tests)
+# --------------------------------------------------------------------------
+LEDGER_DDL = (
+    "CREATE TABLE IF NOT EXISTS stream_commits ("
+    "sink_table VARCHAR(64) NOT NULL, batch_id BIGINT NOT NULL, "
+    "partition_id INT NOT NULL, n_rows BIGINT, "
+    "PRIMARY KEY (sink_table, batch_id, partition_id))"
+)
+
+
+class ExactlyOnceDbSink:
+    """``foreachBatch`` callable writing rows + commit ledger atomically.
+
+    ``connection_factory`` must return a DB-API 2.0 connection; it is
+    called on the EXECUTOR (inside foreachPartition), so it must be
+    picklable and must not capture driver-only state.
+    """
+
+    def __init__(
+        self,
+        connection_factory: Callable[[], Any],
+        table: str,
+        columns: list[str],
+        paramstyle: str = "qmark",  # qmark '?' (sqlite) | format '%s' (mysql)
+    ) -> None:
+        self.connection_factory = connection_factory
+        self.table = table
+        self.columns = list(columns)
+        self.placeholder = "?" if paramstyle == "qmark" else "%s"
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        factory, table, cols, ph = (
+            self.connection_factory,
+            self.table,
+            self.columns,
+            self.placeholder,
+        )
+        insert_sql = (
+            f"INSERT INTO {table} ({', '.join(cols)}) "
+            f"VALUES ({', '.join([ph] * len(cols))})"
+        )
+        ledger_probe = (
+            f"SELECT 1 FROM stream_commits WHERE sink_table = {ph} "
+            f"AND batch_id = {ph} AND partition_id = {ph}"
+        )
+        ledger_insert = (
+            f"INSERT INTO stream_commits (sink_table, batch_id, partition_id, n_rows) "
+            f"VALUES ({ph}, {ph}, {ph}, {ph})"
+        )
+
+        def write_partition(rows: Iterator) -> None:
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            conn = factory()
+            try:
+                cur = conn.cursor()
+                cur.execute(LEDGER_DDL)
+                cur.execute(ledger_probe, (table, batch_id, pid))
+                if cur.fetchone() is not None:
+                    return  # replayed partition — already committed
+                data = [tuple(r[c] for c in cols) for r in rows]
+                cur.executemany(insert_sql, data)
+                cur.execute(ledger_insert, (table, batch_id, pid, len(data)))
+                conn.commit()  # rows + ledger row commit atomically
+            except Exception:
+                conn.rollback()
+                raise
+            finally:
+                conn.close()
+
+        batch_df.select(*cols).foreachPartition(write_partition)
+
+
+def offsets_mirror_sql(paramstyle: str = "format") -> tuple[str, str]:
+    """(DDL, upsert) for mirroring Structured Streaming progress into the
+    reference's ``kafka_offsets`` table (DataPipeline.java:152-158;
+    upsert MySQLProcessData.java:67-73). MySQL dialect."""
+    ph = "?" if paramstyle == "qmark" else "%s"
+    ddl = (
+        "CREATE TABLE IF NOT EXISTS kafka_offsets ("
+        "topic VARCHAR(50) NOT NULL, partition INT NOT NULL, "
+        "consumer_group VARCHAR(50), offset BIGINT, "
+        "PRIMARY KEY (topic, partition, consumer_group))"
+    )
+    upsert = (
+        f"INSERT INTO kafka_offsets (topic, partition, consumer_group, offset) "
+        f"VALUES ({ph}, {ph}, {ph}, {ph}) "
+        f"ON DUPLICATE KEY UPDATE offset = VALUES(offset)"
+    )
+    return ddl, upsert
+
+
+# --------------------------------------------------------------------------
+# Parquet sink (atomic-rename idempotence; no external DB needed)
+# --------------------------------------------------------------------------
+def exactly_once_parquet_sink(base_path: str) -> Callable[[DataFrame, int], None]:
+    """Batch output lands in ``base_path/batch_id=N/`` via staging dir +
+    atomic rename; a replayed batch sees the final dir and skips."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        final = os.path.join(base_path, f"batch_id={batch_id}")
+        if os.path.exists(final):
+            return  # replay — already committed
+        staging = os.path.join(base_path, f"_staging_batch_{batch_id}")
+        shutil.rmtree(staging, ignore_errors=True)
+        batch_df.write.mode("overwrite").parquet(staging)
+        os.rename(staging, final)
+
+    return sink

@@ -1,0 +1,134 @@
+"""Event-time streaming operators: watermarks, tumbling/sliding/session
+windows, streaming dedup, and a custom stateful operator.
+
+The reference has no event-time processing (records carry epoch-millis
+longs as plain data, reference AvroProducer.java:104; SURVEY.md §2B) —
+these are the Structured Streaming operators the BASELINE.json north star
+mandates. Each builder takes a STREAMING DataFrame (from the Kafka source
+in production; the file source in tests) and returns the transformed
+streaming frame; callers attach sinks/triggers.
+
+Scale: windowed aggregations are hash aggs keyed by (window, keys) — one
+shuffle; state store size is bounded by the watermark horizon. Session
+windows merge in the state store. ``transformWithStateInPandas``-style
+custom state is expressed with ``applyInPandasWithState`` (Arrow-batched,
+partitioned by key — state scales horizontally with executors).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def with_watermark(events: DataFrame, ts_col: str = "ts", delay: str = "2 hours") -> DataFrame:
+    """Late-data horizon: rows later than ``delay`` behind the max seen
+    event time are dropped from stateful operators; state older than the
+    horizon is evicted (bounded state at any input scale)."""
+    return events.withWatermark(ts_col, delay)
+
+
+def tumbling_counts(
+    events: DataFrame, *, window: str = "1 hour", watermark: str = "2 hours",
+    ts_col: str = "ts", type_col: str = "event_type",
+) -> DataFrame:
+    e = with_watermark(events, ts_col, watermark)
+    return (
+        e.groupBy(F.window(ts_col, window).alias("win"), type_col)
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"), type_col, "n_events", "total_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame, *, window: str = "1 hour", slide: str = "30 minutes",
+    watermark: str = "2 hours", ts_col: str = "ts",
+) -> DataFrame:
+    e = with_watermark(events, ts_col, watermark)
+    return (
+        e.groupBy(F.window(ts_col, window, slide).alias("win"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"), "n_events")
+    )
+
+
+def session_counts(
+    events: DataFrame, *, gap: str = "30 minutes", watermark: str = "2 hours",
+    ts_col: str = "ts", key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows: a >gap silence closes the session — the streaming
+    form of plans/events.py::events_sessionize (same gap semantics)."""
+    e = with_watermark(events, ts_col, watermark)
+    return (
+        e.groupBy(F.session_window(ts_col, gap).alias("win"), key_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(key_col, F.col("win.start").alias("session_start"),
+                F.col("win.end").alias("session_end"), "n_events")
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str], *, watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: duplicates arriving within
+    the watermark horizon are dropped; state evicts beyond it."""
+    return with_watermark(events, ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+RUNNING_STATE_SCHEMA = StructType([StructField("n", LongType())])
+RUNNING_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("batch_max_ts", TimestampType()),
+        StructField("running_events", LongType()),
+    ]
+)
+
+
+def running_count_per_user(
+    events: DataFrame, *, watermark: str = "2 hours", ts_col: str = "ts",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a running
+    per-user event count that survives across micro-batches (the shape of
+    any bespoke per-key accumulator the built-in aggs can't express).
+    State: one long per user; timeout = watermark eviction."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        prev = state.get[0] if state.exists else 0
+        n_new, max_ts = 0, None
+        for pdf in pdfs:
+            n_new += len(pdf)
+            m = pdf[ts_col].max()
+            max_ts = m if max_ts is None else max(max_ts, m)
+        total = prev + n_new
+        state.update((total,))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "batch_max_ts": [max_ts], "running_events": [total]}
+        )
+
+    e = with_watermark(events, ts_col, watermark)
+    return e.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_OUT_SCHEMA,
+        stateStructType=RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,122 @@
+"""Event-time streaming operator tests.
+
+Drives the real Structured Streaming engine (file source → availableNow →
+memory sink) and checks windowed results against independently computed
+batch equivalents over the same events data.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_avro_pipeline_java_spark.sources import load_table
+from kafka_avro_pipeline_java_spark.streaming import windows as W
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+@pytest.fixture(scope="module")
+def spool(spark, sf_dir, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("events_spool"))
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(p)
+    return p
+
+
+def _stream(spark, spool):
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(spool)
+
+
+def _run_complete(df, name):
+    q = (
+        df.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    return name
+
+
+def test_tumbling_counts_match_batch(spark, sf_dir, spool):
+    stream = W.tumbling_counts(_stream(spark, spool), window="1 hour")
+    name = _run_complete(stream, "tumbling_t")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM tumbling_t").collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+    )
+    want = {(r["h"], r["event_type"]): (r["n"], r["v"]) for r in batch.collect()}
+    assert got == want
+
+
+def test_sliding_windows_overlap(spark, spool):
+    stream = W.sliding_counts(_stream(spark, spool), window="1 hour", slide="30 minutes")
+    name = _run_complete(stream, "sliding_t")
+    rows = spark.sql(f"SELECT * FROM sliding_t").collect()
+    assert rows, "sliding windows produced nothing"
+    # every event lands in exactly 2 overlapping 1h/30m windows
+    total = sum(r["n_events"] for r in rows)
+    n_events = spark.sql("SELECT 1").sparkSession.read.schema(EVENTS_SCHEMA).parquet(spool).count()
+    assert total == 2 * n_events
+
+
+def test_session_windows_match_batch_sessionize(spark, sf_dir, spool):
+    stream = W.session_counts(_stream(spark, spool), gap="30 minutes")
+    name = _run_complete(stream, "session_t")
+    got = spark.sql(
+        "SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events "
+        f"FROM session_t GROUP BY user_id"
+    )
+    from kafka_avro_pipeline_java_spark.plans import QUERIES
+
+    want = (
+        QUERIES["events_sessionize"](spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events"))
+    )
+    gm = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in got.collect()}
+    wm = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in want.collect()}
+    assert gm == wm
+
+
+def test_dedup_within_watermark(spark, spool, tmp_path):
+    # duplicate the stream by spooling the same data twice
+    dup = str(tmp_path / "dup_spool")
+    df = spark.read.schema(EVENTS_SCHEMA).parquet(spool)
+    df.write.mode("overwrite").parquet(dup)
+    df.write.mode("append").parquet(dup)
+
+    stream = W.dedup_within_watermark(
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(dup), keys=["event_id"],
+        watermark="10 days",
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("dedup_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("SELECT COUNT(DISTINCT event_id) c, COUNT(*) n FROM dedup_t").first()
+    assert n["n"] == n["c"] == df.count()
+
+
+def test_stateful_running_count(spark, spool):
+    stream = W.running_count_per_user(_stream(spark, spool))
+    q = (
+        stream.writeStream.format("memory").queryName("running_t")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT user_id, MAX(running_events) AS n FROM running_t GROUP BY user_id"
+    )
+    want = (
+        spark.read.schema(EVENTS_SCHEMA).parquet(spool)
+        .groupBy("user_id").agg(F.count("*").alias("n"))
+    )
+    gm = {r["user_id"]: r["n"] for r in got.collect()}
+    wm = {r["user_id"]: r["n"] for r in want.collect()}
+    assert gm == wm

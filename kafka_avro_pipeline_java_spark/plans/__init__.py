@@ -8,5 +8,6 @@ from . import events as events_plans  # noqa: E402,F401
 from . import text as text_plans  # noqa: E402,F401
 from . import vectors as vector_plans  # noqa: E402,F401
 from . import pipeline as pipeline_plans  # noqa: E402,F401
+from . import sampling as sampling_plans  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

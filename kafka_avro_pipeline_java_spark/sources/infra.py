@@ -1,0 +1,111 @@
+"""Infra setup: schema pipeline + topic/table DDL (reference module 01).
+
+Reference flow (``01-infra/src/main/java/Main.java:19-45``):
+DSL json → Avro schemas → dump → Kafka topics (delete-if-exists, create,
+verify) → MySQL database/tables. Here the same steps are plain driver-side
+Python around the schema_dsl translators; Kafka admin operations are gated
+on a client library being importable (none is baked into this container)
+and DDL strings are produced for any JDBC executor to run.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any
+
+from .schema_dsl import (
+    OFFSETS_TABLE_DDL,
+    avro_to_create_table,
+    dsl_to_avro,
+)
+
+
+def build_setup_plan(dsl: list[dict[str, Any]] | str, *, database: str = "bank") -> dict:
+    """Everything the reference's infra module produces, as data:
+    Avro schemas, topic names, and the full DDL script (database +
+    kafka_offsets + one table per schema, reference DataPipeline.java:
+    141-208). Callers feed `ddl` to JDBC and `topics` to the admin client."""
+    schemas = dsl_to_avro(dsl)
+    ddl = [
+        f"DROP DATABASE IF EXISTS {database}",
+        f"CREATE DATABASE {database}",
+        f"USE {database}",
+        OFFSETS_TABLE_DDL,
+    ] + [avro_to_create_table(s) for s in schemas]
+    return {
+        "avro_schemas": schemas,
+        "avro_schemas_json": json.dumps(schemas),
+        "topics": [s["name"] for s in schemas],
+        "ddl": ddl,
+    }
+
+
+def kafka_admin_available() -> bool:
+    try:
+        import confluent_kafka.admin  # noqa: F401
+
+        return True
+    except ImportError:
+        try:
+            import kafka.admin  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+
+
+def recreate_topics(
+    brokers: str,
+    topics: list[str],
+    *,
+    partitions: int = 3,
+    replication_factor: int = 3,
+    poll_interval_s: float = 3.0,
+    timeout_s: float = 60.0,
+) -> None:
+    """Delete-if-exists → poll until gone → create → verify (reference
+    DataPipeline.java:80-126, including the 3s existence-poll loop).
+    Requires confluent-kafka (preferred) or kafka-python."""
+    if not kafka_admin_available():
+        raise RuntimeError(
+            "no Kafka admin client library available (install confluent-kafka)"
+        )
+    from confluent_kafka.admin import AdminClient, NewTopic
+
+    admin = AdminClient({"bootstrap.servers": brokers})
+    existing = set(admin.list_topics(timeout=10).topics)
+    doomed = [t for t in topics if t in existing]
+    if doomed:
+        for f in admin.delete_topics(doomed).values():
+            f.result()
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            if not set(admin.list_topics(timeout=10).topics) & set(doomed):
+                break
+            time.sleep(poll_interval_s)
+    futures = admin.create_topics(
+        [NewTopic(t, num_partitions=partitions, replication_factor=replication_factor)
+         for t in topics]
+    )
+    for f in futures.values():
+        f.result()
+
+
+def register_schemas(registry_url: str, schemas: list[dict], *, timeout: int = 10) -> dict[str, int]:
+    """Register value schemas with a Confluent Schema Registry over its
+    REST API (subject = ``<topic>-value``). Pure stdlib HTTP."""
+    import urllib.request
+
+    ids = {}
+    for schema in schemas:
+        subject = f"{schema['name']}-value"
+        body = json.dumps({"schema": json.dumps(schema)}).encode()
+        req = urllib.request.Request(
+            f"{registry_url}/subjects/{subject}/versions",
+            data=body,
+            headers={"Content-Type": "application/vnd.schemaregistry.v1+json"},
+        )
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            ids[subject] = json.load(resp)["id"]
+    return ids

@@ -1,0 +1,41 @@
+"""Error bounds for the approximate/sampled operators vs exact values."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_avro_pipeline_java_spark.plans import QUERIES
+from kafka_avro_pipeline_java_spark.sources import load_table
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    got = {
+        r["o_orderpriority"]: r["n_customers_approx"]
+        for r in QUERIES["approx_distinct_customers"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for k, e in exact.items():
+        assert abs(got[k] - e) <= max(3, 0.1 * e), (k, got[k], e)
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    got = {r["l_returnflag"]: (r["p50_approx"], r["p95_approx"])
+           for r in QUERIES["approx_percentile_prices"](spark, sf_dir).collect()}
+    exact = {r["l_returnflag"]: (r["p50"], r["p95"])
+             for r in QUERIES["agg_percentiles"](spark, sf_dir).collect()}
+    for k, (p50, p95) in exact.items():
+        assert abs(got[k][0] - p50) / p50 < 0.05
+        assert abs(got[k][1] - p95) / p95 < 0.05
+
+
+def test_sample_fraction_and_determinism(spark, sf_dir):
+    n_total = load_table(spark, sf_dir, "lineitem").count()
+    a = QUERIES["sample_lineitem"](spark, sf_dir).agg(F.sum("n_sampled")).first()[0]
+    b = QUERIES["sample_lineitem"](spark, sf_dir).agg(F.sum("n_sampled")).first()[0]
+    assert a == b  # seeded → deterministic
+    assert 0.05 * n_total < a < 0.15 * n_total

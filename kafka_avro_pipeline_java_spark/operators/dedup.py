@@ -146,7 +146,16 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("id", "signature", "bb.band", "bb.bucket")
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("a.signature"), F.col("b.signature"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    ) / F.lit(num_hashes)
+    # verify INSIDE the join projection, before the pair-dedup shuffle —
+    # rejected candidates never shuffle (cheap O(num_hashes) compare vs
+    # moving full signature pairs)
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -156,20 +165,10 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
+            F.round(est, 4).alias("est_jaccard"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
-        )
-    ) / F.lit(num_hashes)
-    return (
-        cand.withColumn("est_jaccard", F.round(est, 4))
         .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -241,8 +240,9 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: i
             F.col("b.id").alias("id_b"),
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # filter BEFORE the dedup shuffle: rejected candidates never move
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -1,0 +1,38 @@
+"""Physical-plan audit: prints Exchange/Join/Scan/PushedFilters lines for
+selected queries (default: the headline set). Usage:
+    python tools/explain_audit.py [query ...]
+"""
+import re
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from kafka_avro_pipeline_java_spark.plans import QUERIES
+from kafka_avro_pipeline_java_spark.session import get_spark
+
+DEFAULT = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "window_rank_top_orders", "events_asof_last_click",
+    "dedup_ngram_jaccard", "knn_cosine_bruteforce",
+]
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT
+    spark = get_spark("audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.1"
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    for q in names:
+        df = QUERIES[q](spark, sf)
+        s = df._jdf.queryExecution().explainString(mode)
+        print(f"===== {q} =====")
+        for line in s.splitlines():
+            if re.search(r"Exchange|Join|Scan parquet|PushedFilters|ReadSchema", line):
+                print(line[:220])
+        print()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

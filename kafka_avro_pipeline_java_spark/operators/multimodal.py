@@ -94,3 +94,68 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stub over image rows. Real impl decodes with PIL and
+    re-encodes (absent here) — the STUB produces a deterministic payload
+    (truncated/padded to width*height bytes) so the Spark plumbing
+    (schema, batching, binary in/out) is fully exercised and testable."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in it:
+            imgs = pdf[pdf["media_type"] == "image"]
+            resized = [
+                bytes(p[:target]).ljust(target, b"\x00") for p in imgs["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": imgs["media_id"],
+                    "payload": resized,
+                    "out_width": width,
+                    "out_height": height,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling stub over video rows: real impl seeks keyframes via
+    ffmpeg; the STUB slices the payload every ``every_n_bytes`` (1 row out
+    per sampled frame — the fan-out shape real frame extraction has)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vids = pdf[pdf["media_type"] == "video"]
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(vids["media_id"], vids["payload"]):
+                for i in range(min(max_frames, max(1, len(p) // every_n_bytes))):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(bytes(p[i * every_n_bytes:(i + 1) * every_n_bytes]))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_index": idxs, "frame_payload": frames}
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -30,6 +30,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Projection + filter (the minimal scan shape: pruned columns, pushed
+# predicate — ReadSchema shows only the 4 referenced columns)
+# --------------------------------------------------------------------------
+@query(
+    "filter_project_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    WHERE l_quantity >= 45 AND l_returnflag = 'R'
+    """,
+)
+def filter_project_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-row IEEE arithmetic is bit-identical across engines — no rounding
+    # needed (rounding would actually INTRODUCE nondeterminism: the 2dp×2dp
+    # product ties exactly at .xx5, where float repr decides the direction)
+    l = _t(spark, sf_dir, "lineitem")
+    return l.filter((F.col("l_quantity") >= 45) & (F.col("l_returnflag") == "R")).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Aggregation: TPC-H Q1 style pricing summary (filter + hash agg, 8 measures)
 # --------------------------------------------------------------------------
 @query(

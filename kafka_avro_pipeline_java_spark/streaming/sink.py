@@ -112,6 +112,65 @@ class ExactlyOnceDbSink:
         batch_df.select(*cols).foreachPartition(write_partition)
 
 
+class OffsetsMirror:
+    """Mirror Structured Streaming progress into the reference's
+    ``kafka_offsets`` table (checkpoints remain the source of truth; the
+    mirror reproduces the observable table of DataPipeline.java:152-158).
+
+    Call inside ``foreachBatch`` with a frame carrying Kafka metadata
+    (topic, partition, offset): upserts max(offset)+1 per (topic,
+    partition) under the consumer group — the reference's "next offset"
+    convention (AvroConsumer.java:168: offset+1).
+    """
+
+    def __init__(self, connection_factory, consumer_group: str,
+                 dialect: str = "mysql") -> None:
+        self.connection_factory = connection_factory
+        self.consumer_group = consumer_group
+        self.dialect = dialect
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        progress = (
+            batch_df.groupBy("topic", "partition")
+            .agg((F.max("offset") + 1).alias("next_offset"))
+            .collect()  # tiny: one row per topic-partition
+        )
+        if not progress:
+            return
+        ph = "%s" if self.dialect == "mysql" else "?"
+        ddl, _ = offsets_mirror_sql("format" if self.dialect == "mysql" else "qmark")
+        if self.dialect == "mysql":
+            upsert = (
+                f"INSERT INTO kafka_offsets (topic, partition, consumer_group, offset) "
+                f"VALUES ({ph}, {ph}, {ph}, {ph}) "
+                f"ON DUPLICATE KEY UPDATE offset = VALUES(offset)"
+            )
+        else:  # sqlite / standard
+            upsert = (
+                f"INSERT INTO kafka_offsets (topic, partition, consumer_group, offset) "
+                f"VALUES ({ph}, {ph}, {ph}, {ph}) "
+                f"ON CONFLICT (topic, partition, consumer_group) "
+                f"DO UPDATE SET offset = excluded.offset"
+            )
+        conn = self.connection_factory()
+        try:
+            cur = conn.cursor()
+            cur.execute(ddl)
+            cur.executemany(
+                upsert,
+                [(r["topic"], r["partition"], self.consumer_group, r["next_offset"])
+                 for r in progress],
+            )
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.close()
+
+
 def offsets_mirror_sql(paramstyle: str = "format") -> tuple[str, str]:
     """(DDL, upsert) for mirroring Structured Streaming progress into the
     reference's ``kafka_offsets`` table (DataPipeline.java:152-158;

@@ -1,0 +1,116 @@
+"""Operator-level quality tests: as-of edge cases, MinHash estimate
+quality vs exact Jaccard, multimodal resize/frame-sample plumbing, and the
+kafka_offsets mirror."""
+
+import sqlite3
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_avro_pipeline_java_spark.operators import dedup
+from kafka_avro_pipeline_java_spark.operators.asof import asof_join
+from kafka_avro_pipeline_java_spark.operators.multimodal import (
+    resize_images,
+    sample_frames,
+    text_as_media,
+)
+from kafka_avro_pipeline_java_spark.streaming.sink import OffsetsMirror
+
+
+# --------------------------------------------------------------------------
+# as-of join edge cases
+# --------------------------------------------------------------------------
+def test_asof_equal_ts_and_no_match(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (2, 5, 102)], "k long, ts long, event_id long"
+    )
+    right = spark.createDataFrame(
+        # k=1: quotes at ts=10 (two, tiebreak by event_id), ts=15
+        [(1, 10, 1, 1.0), (1, 10, 2, 2.0), (1, 15, 3, 3.0), (3, 1, 4, 9.9)],
+        "k long, ts long, event_id long, px double",
+    )
+    out = asof_join(left, right, on="k", ts="ts", value_cols=["px"], tiebreak="event_id")
+    got = {r["event_id"]: r["px"] for r in out.collect()}
+    assert got[100] == 2.0   # equal ts counts ("at or before"); max event_id wins
+    assert got[101] == 3.0   # latest quote before ts=20
+    assert got[102] is None  # key 2 has no quotes at all
+
+
+def test_asof_does_not_leak_across_keys(spark):
+    left = spark.createDataFrame([(1, 100, 1)], "k long, ts long, event_id long")
+    right = spark.createDataFrame([(2, 50, 9, 7.0)], "k long, ts long, event_id long, px double")
+    out = asof_join(left, right, on="k", ts="ts", value_cols=["px"], tiebreak="event_id")
+    assert out.first()["px"] is None
+
+
+# --------------------------------------------------------------------------
+# MinHash estimate quality: candidates found by LSH should estimate close
+# to the exact Jaccard of the same pair
+# --------------------------------------------------------------------------
+def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):
+    from kafka_avro_pipeline_java_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.0
+                                           ).collect()
+    }
+    est = dedup.minhash_lsh_pairs(
+        d, "text", "doc_id", k=3, num_hashes=64, bands=16, threshold=0.3
+    ).collect()
+    assert est, "MinHash-LSH found no candidate pairs"
+    errs = [abs(r["est_jaccard"] - exact.get((r["id_a"], r["id_b"]), 0.0)) for r in est]
+    # 64 hashes → stderr ≈ sqrt(j(1-j)/64) ≤ 0.0625; allow 3σ
+    assert sum(errs) / len(errs) < 0.1
+    assert max(errs) < 0.25
+
+
+# --------------------------------------------------------------------------
+# multimodal resize / frame-sample stubs
+# --------------------------------------------------------------------------
+def test_resize_and_frame_sample(spark, sf_dir):
+    from kafka_avro_pipeline_java_spark.sources import load_table
+
+    media = text_as_media(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    resized = resize_images(media, 8, 4)
+    rows = resized.collect()
+    n_images = media.filter(F.col("media_type") == "image").count()
+    assert len(rows) == n_images
+    assert all(len(r["payload"]) == 32 for r in rows)
+    assert all((r["out_width"], r["out_height"]) == (8, 4) for r in rows)
+
+    frames = sample_frames(media, every_n_bytes=64, max_frames=4)
+    fcounts = frames.groupBy("media_id").count().collect()
+    n_videos = media.filter(F.col("media_type") == "video").count()
+    assert len(fcounts) == n_videos
+    assert all(1 <= r["count"] <= 4 for r in fcounts)
+    assert frames.filter(F.length("frame_payload") > 64).count() == 0
+
+
+# --------------------------------------------------------------------------
+# kafka_offsets mirror (sqlite dialect)
+# --------------------------------------------------------------------------
+def test_offsets_mirror_upsert(spark, tmp_path):
+    db = str(tmp_path / "offsets.db")
+
+    def factory(path=db):
+        return sqlite3.connect(path, timeout=30)
+
+    mirror = OffsetsMirror(factory, consumer_group="group-dataset1", dialect="sqlite")
+    batch1 = spark.createDataFrame(
+        [("dataset1", 0, 10), ("dataset1", 1, 4)], "topic string, partition int, offset long"
+    )
+    batch2 = spark.createDataFrame(
+        [("dataset1", 0, 25), ("dataset1", 2, 7)], "topic string, partition int, offset long"
+    )
+    mirror(batch1, 0)
+    mirror(batch2, 1)
+    con = sqlite3.connect(db)
+    rows = dict(
+        ((t, p), o)
+        for t, p, g, o in con.execute("SELECT * FROM kafka_offsets").fetchall()
+    )
+    con.close()
+    # next-offset convention: max(offset)+1, later batch overwrites
+    assert rows == {("dataset1", 0): 26, ("dataset1", 1): 5, ("dataset1", 2): 8}

@@ -108,19 +108,19 @@ def ivf_knn(
         spark.createDataFrame([(i, [float(x) for x in v]) for i, v in cents],
                               schema="cid int, cvec array<double>")
     )
-    # assign every vector to its nearest centroid (argmax cosine)
-    assigned = (
-        df.crossJoin(cent_df)
-        .withColumn("__sim", cosine_similarity(F.col(vec_col), F.col("cvec")))
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cid"))
-            ),
-        )
-        .filter(F.col("__rn") == 1)
-        .drop("__sim", "__rn", "cvec")
+    # assign every vector to its nearest centroid — argmax via max_by over
+    # a (sim, -cid) struct: one hash agg, no window sort-shuffle. The
+    # broadcast keeps assignment shuffle-free except the final groupBy.
+    scored = df.crossJoin(cent_df).withColumn(
+        "__sim", cosine_similarity(F.col(vec_col), F.col("cvec"))
     )
+    other_cols = [c for c in df.columns if c != id_col]
+    assigned = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct("cid", *other_cols),
+            F.struct(F.col("__sim"), -F.col("cid")),
+        ).alias("__best")
+    ).select(id_col, "__best.*")
     # rank centroids for the query, keep n_probe nearest
     import math
 

@@ -61,6 +61,46 @@ def test_replayed_batch_is_skipped(spark, tmp_path):
     assert read_sink_output(spark, out).count() == 50
 
 
+def test_bounded_microbatch_admission(spark, tmp_path):
+    """Reference backpressure parity (SURVEY §2A op #22): the consumer
+    never admits more than a bounded amount of work per cycle
+    (max.poll.records=10 there; maxFilesPerTrigger here — same pull-based
+    admission knob family as maxOffsetsPerTrigger on the Kafka source).
+    Each producer run below writes >=1 file; bounding to 1 file per batch
+    must yield multiple micro-batches, each within the bound."""
+    spool, out, ckpt = str(tmp_path / "spool"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    for seed in (1, 2, 3):
+        produce_to_dir(spark, SCHEMA, 50, spool, seed=seed)
+
+    from kafka_avro_pipeline_java_spark.streaming.avro_codec import decode_df
+    from kafka_avro_pipeline_java_spark.streaming.sink import exactly_once_parquet_sink
+
+    raw = (
+        spark.readStream.schema("key binary, value binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(spool)
+    )
+    q = (
+        decode_df(raw, SCHEMA)
+        .writeStream.foreachBatch(exactly_once_parquet_sink(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    import os
+
+    batches = [d for d in os.listdir(out) if d.startswith("batch_id=")]
+    assert len(batches) >= 3, f"expected >=3 bounded micro-batches, got {batches}"
+    total = read_sink_output(spark, out).count()
+    assert total == 150
+    # no single batch exceeded one file's worth of rows
+    per_batch = (
+        read_sink_output(spark, out).groupBy("batch_id").count().collect()
+    )
+    assert max(r["count"] for r in per_batch) <= 50
+
+
 def test_db_sink_exactly_once_with_sqlite(spark, tmp_path):
     """ExactlyOnceDbSink: rows + ledger commit atomically; replaying the
     same batch_id writes nothing. sqlite stands in for MySQL (same DB-API

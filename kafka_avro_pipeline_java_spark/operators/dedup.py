@@ -187,17 +187,19 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
         # bit 63 as a signed-long literal (1 << 63 overflows LongType)
         return (1 << i) if i < 63 else -(1 << 63)
 
+    # sign-sum via counting: sum(±1) = 2*count_set - n, so aggregate the
+    # branch-free bit extraction (h>>i)&1 plus one count — cheaper per row
+    # than 64 conditional expressions
     bit_cols = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(bit_mask(i)).cast("long")) != 0, 1).otherwise(-1)
-        ).alias(f"b{i}")
+        F.sum(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1).cast("long"))).alias(f"c{i}")
         for i in range(bits)
     ]
-    sums = toks.groupBy("id").agg(*bit_cols)
+    sums = toks.groupBy("id").agg(F.count("*").alias("n"), *bit_cols)
     fp = sums.select(
         "id",
         sum(
-            (F.when(F.col(f"b{i}") > 0, F.lit(bit_mask(i)).cast("long")).otherwise(F.lit(0).cast("long")))
+            F.when(2 * F.col(f"c{i}") > F.col("n"), F.lit(bit_mask(i)).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
             for i in range(bits)
         ).alias("simhash"),
     )

@@ -200,3 +200,48 @@ def decode_df(df: DataFrame, avro_schema: dict, value_col: str = "value") -> Dat
             yield pd.DataFrame(rows, columns=[n for n, _ in ftypes])
 
     return df.mapInPandas(dec, schema=out_schema)
+
+
+def decode_df_multi(
+    df: DataFrame, schemas_by_id: dict[int, dict], value_col: str = "value"
+) -> DataFrame:
+    """Decode a topic carrying MULTIPLE schema versions (SURVEY §7.3 hard
+    part 1: per-id dispatch on the Confluent header). All versions must
+    share a common output shape — the output schema is the UNION of fields
+    across versions (missing fields null), so v1 records surface alongside
+    v2 after a schema evolution. Unknown schema ids raise (loud failure,
+    per our no-silent-skips rule)."""
+    per_id_fields = {sid: _field_types(s) for sid, s in schemas_by_id.items()}
+    # union of fields, first-seen order, types must agree where shared
+    union_fields: list[tuple[str, str]] = []
+    for fts in per_id_fields.values():
+        for name, ftype in fts:
+            existing = dict(union_fields)
+            if name in existing:
+                if existing[name] != ftype:
+                    raise ValueError(
+                        f"field {name!r} has conflicting types across versions: "
+                        f"{existing[name]} vs {ftype}"
+                    )
+            else:
+                union_fields.append((name, ftype))
+    out_schema = avro_to_struct(
+        {"fields": [{"name": n, "type": t} for n, t in union_fields]}
+    )
+    cols = [n for n, _ in union_fields]
+
+    def dec(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for p in pdf[value_col]:
+                sid, body = unframe_confluent(bytes(p))
+                if sid not in per_id_fields:
+                    raise ValueError(f"unknown schema id {sid} in Confluent header")
+                fts = per_id_fields[sid]
+                vals = dict(zip([n for n, _ in fts], decode_record(fts, body)))
+                rows.append([vals.get(c) for c in cols])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(dec, schema=out_schema)

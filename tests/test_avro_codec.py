@@ -87,6 +87,36 @@ def test_dataframe_passthrough_partition(spark):
     assert 0 <= row["partition"] < 3
 
 
+def test_multi_schema_version_decode(spark):
+    """Schema evolution on one topic: v1 (3 fields) and v2 (adds a field)
+    interleaved; decode dispatches on the Confluent schema id and yields
+    the union shape with nulls for missing v1 fields."""
+    v1 = {"name": "d", "fields": [{"name": "k", "type": "string"},
+                                  {"name": "ts", "type": "long"},
+                                  {"name": "x", "type": "double"}]}
+    v2 = {"name": "d", "fields": [{"name": "k", "type": "string"},
+                                  {"name": "ts", "type": "long"},
+                                  {"name": "x", "type": "double"},
+                                  {"name": "note", "type": "string"}]}
+    f1 = [(f["name"], f["type"]) for f in v1["fields"]]
+    f2 = [(f["name"], f["type"]) for f in v2["fields"]]
+    payloads = [
+        (C.frame_confluent(C.encode_record(f1, ["a", 1, 0.5]), 1),),
+        (C.frame_confluent(C.encode_record(f2, ["b", 2, 0.25, "hello"]), 2),),
+    ]
+    df = spark.createDataFrame(payloads, "value binary")
+    out = C.decode_df_multi(df, {1: v1, 2: v2})
+    rows = {r["k"]: r for r in out.collect()}
+    assert rows["a"]["note"] is None and rows["a"]["x"] == 0.5
+    assert rows["b"]["note"] == "hello" and rows["b"]["ts"] == 2
+
+    bad = spark.createDataFrame(
+        [(C.frame_confluent(C.encode_record(f1, ["c", 3, 0.1]), 99),)], "value binary"
+    )
+    with pytest.raises(Exception, match="unknown schema id|PythonException"):
+        C.decode_df_multi(bad, {1: v1, 2: v2}).collect()
+
+
 def test_jvm_probe_is_safe(spark):
     # container has no spark-avro jar: probe must return False, not raise
     assert C.jvm_avro_available(spark) in (True, False)

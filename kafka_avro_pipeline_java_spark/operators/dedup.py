@@ -248,6 +248,71 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: i
     )
 
 
+def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                         max_iterations: int = 20) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate GROUPS: (id, component) where
+    component = min id reachable through the pair graph. This is the step
+    that turns pairwise similarity into an actual keep-one-per-group dedup.
+
+    Algorithm: iterative min-label propagation (alternating large-star/
+    small-star style) — each round joins current labels across edges and
+    takes the min; converges in O(log n) rounds for real near-dup graphs
+    (shallow components). DataFrame-only: every round is one join + one
+    groupBy; localCheckpoint truncates the growing lineage.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("id"), F.col("src").alias("component"))
+    )
+    for _ in range(max_iterations):
+        # candidate label for each node: min over neighbors' labels
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_one(df: DataFrame, pairs: DataFrame, id_col: str,
+                   id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Drop near-duplicates: keep each row whose id is its component's min
+    (rows in no pair survive untouched)."""
+    comp = connected_components(pairs, id_a, id_b)
+    doomed = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(doomed, id_col, "left_anti")
+
+
 def embedding_near_pairs(
     df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95
 ) -> DataFrame:

@@ -105,6 +105,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.1)
 
 
+from .registry import ORACLES as _ORACLES  # noqa: E402  (registered above)
+
+
+@query(
+    "dedup_near_dup_groups",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_ORACLES['dedup_ngram_jaccard']}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    walk(id, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, w.comp FROM edges e JOIN walk w ON w.id = e.dst
+    )
+    SELECT id, MIN(comp) AS component FROM walk GROUP BY id
+    """,
+)
+def dedup_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs resolved into duplicate groups (connected
+    components, min-id canonical representative) — the keep-one-per-group
+    step of an actual dedup pipeline. Oracle = recursive CTE reachability."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.1)
+    return dedup.connected_components(pairs)
+
+
 # MinHash-LSH and SimHash internals use Spark-native xxhash64 — not
 # expressible in DuckDB SQL, so the driver runs its weaker rows-only check.
 # tests/test_dedup.py verifies them against exact Jaccard / Hamming oracles.

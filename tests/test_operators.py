@@ -67,6 +67,63 @@ def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# connected components / keep-one dedup
+# --------------------------------------------------------------------------
+def test_connected_components_vs_union_find(spark):
+    import random
+
+    rng = random.Random(42)
+    n, m = 300, 260
+    pair_list = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(m)})
+
+    # python union-find ground truth
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pair_list:
+        parent[find(a)] = find(b)
+    truth = {}
+    for x in range(n):
+        r = find(x)
+        truth.setdefault(r, set()).add(x)
+    want = {x: min(g) for g in truth.values() for x in g if len(g) > 1 or x in dict(pair_list)}
+
+    pairs = spark.createDataFrame(pair_list, "id_a long, id_b long")
+    got = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    # compare only nodes that appear in pairs (isolated nodes aren't labeled)
+    nodes_in_pairs = {x for p in pair_list for x in p}
+    for x in nodes_in_pairs:
+        assert got[x] == min(truth[find(x)]), f"node {x}"
+
+
+def test_dedup_keep_one(spark, sf_dir):
+    from kafka_avro_pipeline_java_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.1)
+    kept = dedup.dedup_keep_one(d, pairs, "doc_id")
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        assert kept.count() == d.count()
+    else:
+        comp = dedup.connected_components(pairs)
+        n_dropped = comp.filter(F.col("id") != F.col("component")).count()
+        assert kept.count() == d.count() - n_dropped
+        # every component's min id survives
+        mins = {r["component"] for r in comp.collect()}
+        kept_ids = {r["doc_id"] for r in kept.collect()}
+        assert mins <= kept_ids
+
+
+# --------------------------------------------------------------------------
 # multimodal resize / frame-sample stubs
 # --------------------------------------------------------------------------
 def test_resize_and_frame_sample(spark, sf_dir):

@@ -1,0 +1,66 @@
+"""Physical-plan property tests — lock in the optimizations the engine
+relies on at scale so refactors can't silently regress them."""
+
+import re
+
+import pytest
+
+from kafka_avro_pipeline_java_spark.plans import QUERIES
+
+
+def _formatted_plan(spark, name, sf_dir) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    plan = _formatted_plan(spark, "q6_forecast_revenue", sf_dir)
+    pushed = re.search(r"PushedFilters: \[(.*)\]", plan).group(1)
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_q1_prunes_columns(spark, sf_dir):
+    plan = _formatted_plan(spark, "q1_pricing_summary", sf_dir)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = m.group(1)
+    # 7 referenced columns only — never the full 11-column lineitem
+    assert "l_orderkey" not in cols and "l_partkey" not in cols
+    assert "l_quantity" in cols and "l_returnflag" in cols
+
+
+def test_q5_broadcasts_bounded_dims(spark, sf_dir):
+    plan = _formatted_plan(spark, "q5_local_supplier_volume", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # at test SF everything fits broadcast
+
+
+def test_filter_project_reads_minimal_schema(spark, sf_dir):
+    plan = _formatted_plan(spark, "filter_project_lineitem", sf_dir)
+    cols = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert sorted(c.split(":")[0] for c in cols.split(",")) == [
+        "l_discount", "l_extendedprice", "l_linenumber", "l_orderkey",
+        "l_quantity", "l_returnflag",
+    ]
+
+
+def test_window_queries_single_shuffle(spark, sf_dir):
+    plan = _formatted_plan(spark, "window_rank_top_orders", sf_dir)
+    # one hash-partitioning exchange for the window, nothing else
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan[:1500]
+
+
+def test_no_python_udfs_in_relational_plans(spark, sf_dir):
+    """Relational queries must stay JVM-side end-to-end (no
+    BatchEvalPython / ArrowEvalPython nodes)."""
+    for name in ["q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+                 "window_rank_top_orders", "dedup_ngram_jaccard", "knn_cosine_bruteforce",
+                 "events_asof_last_click", "text_stats"]:
+        plan = _formatted_plan(spark, name, sf_dir)
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_asof_join_has_no_cartesian(spark, sf_dir):
+    plan = _formatted_plan(spark, "events_asof_last_click", sf_dir)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

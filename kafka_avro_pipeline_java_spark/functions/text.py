@@ -84,6 +84,35 @@ def shingles_from_tokens(tok_col: Column | str, k: int) -> Column:
     )
 
 
+# GPT-2-flavored pre-tokenizer shape: word pieces, numbers, punctuation
+# runs, and whitespace-attached apostrophe contractions each count as one
+# token — a cheap proxy for LLM token counts without a vocab file.
+BPE_ISH_PATTERN = r"'[a-z]+|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    # idx=0 → whole-match extraction (the pattern has no capture groups)
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def rolling_hash(col: Column | str, *, base: int = 257, modulus: int = (1 << 31) - 1) -> Column:
+    """Polynomial rolling hash of the token sequence (order-sensitive —
+    unlike the md5 fingerprint, equal token MULTISETS in different orders
+    hash differently): h = Σ tok_hash_i · base^(n-1-i) mod M, folded
+    left-to-right with ``aggregate``. JVM-side, no UDF. M is the Mersenne
+    prime 2^31-1 so h·base + tok stays well inside a long."""
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    # fold: h = (h*base + hash(tok)) mod M ; xxhash64 folded into [0, M)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda h, t: F.pmod(
+            h * base + F.pmod(F.xxhash64(t), F.lit(modulus)), F.lit(modulus)
+        ),
+    )
+
+
 def word_shingles(col: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles of lowercased text as array<string>.
     Documents with fewer than k tokens yield an empty array.

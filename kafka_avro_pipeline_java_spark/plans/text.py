@@ -46,6 +46,35 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text,
+                '''[a-z]+|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS INT) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a GPT-2-flavored
+    pre-tokenizer regex (LLM token-count proxy without a vocab file)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("ws_tokens"),
+        T.bpe_ish_token_count("text").alias("bpe_ish_tokens"),
+    )
+
+
+# rolling_hash uses xxhash64 → not DuckDB-expressible; rows-only check,
+# order-sensitivity unit-tested in tests/test_text_functions.py
+@query("text_rolling_fingerprint")
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.rolling_hash("text").alias("rolling_fp"))
+
+
+@query(
     "text_quality_scores",
     oracle="""
     SELECT doc_id,

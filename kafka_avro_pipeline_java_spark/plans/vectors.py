@@ -77,6 +77,70 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_pairs(e, "embedding", "vec_id", threshold=0.9)
 
 
+@query(
+    "knn_all_pairs_top3",
+    oracle="""
+    WITH ex AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+    norms AS (
+      SELECT vec_id,
+             SQRT(SUM(CAST(embedding[i.i] AS DOUBLE) * CAST(embedding[i.i] AS DOUBLE))) AS nrm
+      FROM ex, UNNEST(range(1, len(embedding) + 1)) AS i(i)
+      GROUP BY vec_id
+    ), dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) AS dp
+      FROM ex a JOIN ex b ON a.vec_id <> b.vec_id,
+           UNNEST(range(1, len(a.embedding) + 1)) AS i(i)
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT d.id_a AS vec_id, d.id_b AS neighbor_id,
+             ROUND(d.dp / (na.nrm * nb.nrm), 6) AS cos_sim
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.id_a
+      JOIN norms nb ON nb.vec_id = d.id_b
+    )
+    SELECT vec_id, neighbor_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def knn_all_pairs_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN: 3 nearest neighbors for EVERY vector (restricted to
+    vec_id<200 to bound the oracle's n² work). Exact pair scoring +
+    per-vector top-k window; the 100 TB path runs the same final window
+    over IVF/LSH candidate pairs instead of all pairs."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import dot, norm
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    base = e.select("vec_id", F.col("embedding").alias("v"), norm("embedding").alias("nrm"))
+    a = base.alias("a")
+    b = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bnrm"),
+    ).alias("b")
+    scored = (
+        a.join(b, F.col("a.vec_id") != F.col("b.neighbor_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            "neighbor_id",
+            F.round(
+                dot(F.col("a.v"), F.col("bv")) / (F.col("a.nrm") * F.col("bnrm")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
 # Approximate ANN paths (LSH buckets / IVF probes) use engine-internal
 # sampling and hyperplanes — rows-only driver check; exactness vs the brute
 # oracle is asserted by recall tests in tests/test_similarity.py.

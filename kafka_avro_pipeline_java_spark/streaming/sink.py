@@ -62,11 +62,24 @@ class ExactlyOnceDbSink:
         table: str,
         columns: list[str],
         paramstyle: str = "qmark",  # qmark '?' (sqlite) | format '%s' (mysql)
+        offsets_cols: tuple[str, str, str] | None = None,
+        consumer_group: str | None = None,
     ) -> None:
+        """With ``offsets_cols=(topic, partition, offset)`` naming Kafka
+        metadata columns present in the batch, each partition transaction
+        ALSO upserts max(offset)+1 per (topic, partition) into
+        ``kafka_offsets`` — data and offsets commit atomically, the exact
+        shape of the reference's per-record transaction
+        (AvroConsumer.java:157-194) at partition granularity."""
         self.connection_factory = connection_factory
         self.table = table
         self.columns = list(columns)
         self.placeholder = "?" if paramstyle == "qmark" else "%s"
+        self.paramstyle = paramstyle
+        self.offsets_cols = offsets_cols
+        self.consumer_group = consumer_group
+        if offsets_cols is not None and consumer_group is None:
+            raise ValueError("offsets_cols requires consumer_group")
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         factory, table, cols, ph = (
@@ -75,6 +88,21 @@ class ExactlyOnceDbSink:
             self.columns,
             self.placeholder,
         )
+        offsets_cols, group = self.offsets_cols, self.consumer_group
+        offsets_ddl, _ = offsets_mirror_sql(self.paramstyle)
+        if self.paramstyle == "format":
+            offsets_upsert = (
+                f"INSERT INTO kafka_offsets (topic, partition, consumer_group, offset) "
+                f"VALUES ({ph}, {ph}, {ph}, {ph}) "
+                f"ON DUPLICATE KEY UPDATE offset = GREATEST(offset, VALUES(offset))"
+            )
+        else:
+            offsets_upsert = (
+                f"INSERT INTO kafka_offsets (topic, partition, consumer_group, offset) "
+                f"VALUES ({ph}, {ph}, {ph}, {ph}) "
+                f"ON CONFLICT (topic, partition, consumer_group) "
+                f"DO UPDATE SET offset = MAX(offset, excluded.offset)"
+            )
         insert_sql = (
             f"INSERT INTO {table} ({', '.join(cols)}) "
             f"VALUES ({', '.join([ph] * len(cols))})"
@@ -99,17 +127,32 @@ class ExactlyOnceDbSink:
                 cur.execute(ledger_probe, (table, batch_id, pid))
                 if cur.fetchone() is not None:
                     return  # replayed partition — already committed
+                rows = list(rows)
                 data = [tuple(r[c] for c in cols) for r in rows]
                 cur.executemany(insert_sql, data)
+                if offsets_cols is not None and rows:
+                    tcol, pcol, ocol = offsets_cols
+                    progress: dict[tuple, int] = {}
+                    for r in rows:
+                        k = (r[tcol], r[pcol])
+                        progress[k] = max(progress.get(k, -1), r[ocol])
+                    cur.execute(offsets_ddl)
+                    cur.executemany(
+                        offsets_upsert,
+                        [(t, p, group, o + 1) for (t, p), o in progress.items()],
+                    )
                 cur.execute(ledger_insert, (table, batch_id, pid, len(data)))
-                conn.commit()  # rows + ledger row commit atomically
+                conn.commit()  # rows + offsets + ledger commit atomically
             except Exception:
                 conn.rollback()
                 raise
             finally:
                 conn.close()
 
-        batch_df.select(*cols).foreachPartition(write_partition)
+        select_cols = list(cols)
+        if offsets_cols is not None:
+            select_cols += [c for c in offsets_cols if c not in select_cols]
+        batch_df.select(*select_cols).foreachPartition(write_partition)
 
 
 class OffsetsMirror:

@@ -138,6 +138,41 @@ def test_db_sink_exactly_once_with_sqlite(spark, tmp_path):
     assert ledger == [(0, 80), (1, 80)]
 
 
+def test_db_sink_atomic_offsets(spark, tmp_path):
+    """Data + kafka_offsets in ONE transaction (the reference's
+    AvroConsumer.java:157-194 guarantee at partition granularity)."""
+    import sqlite3
+
+    db = str(tmp_path / "sink3.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE dataset1 (key_field1 TEXT, timestamp_field1 INT)")
+    con.commit(); con.close()
+
+    def factory(path=db):
+        import sqlite3 as sq
+        return sq.connect(path, timeout=60)
+
+    sink = ExactlyOnceDbSink(
+        factory, "dataset1", ["key_field1", "timestamp_field1"],
+        offsets_cols=("topic", "partition", "offset"),
+        consumer_group="group-dataset1",
+    )
+    batch = spark.createDataFrame(
+        [("a", 1, "dataset1", 0, 10), ("b", 2, "dataset1", 0, 11),
+         ("c", 3, "dataset1", 1, 5)],
+        "key_field1 string, timestamp_field1 long, topic string, "
+        "partition int, offset long",
+    ).coalesce(1)
+    sink(batch, batch_id=0)
+    sink(batch, batch_id=0)  # replay → no-op for BOTH data and offsets
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT count(*) FROM dataset1").fetchone()[0] == 3
+    offs = dict(((t, p), o) for t, p, g, o in
+                con.execute("SELECT * FROM kafka_offsets").fetchall())
+    con.close()
+    assert offs == {("dataset1", 0): 12, ("dataset1", 1): 6}
+
+
 def test_db_sink_rolls_back_on_failure(spark, tmp_path):
     """A failing partition write must leave neither rows nor ledger entry."""
     import sqlite3

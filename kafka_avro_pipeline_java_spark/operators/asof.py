@@ -26,12 +26,17 @@ def asof_join(
     ts: str,
     value_cols: list[str],
     tiebreak: str | None = None,
+    tolerance: Column | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right-side ``value_cols`` with
     ``right[ts] <= left[ts]`` for the same ``on`` key.
 
     ``tiebreak``: optional unique column (on both sides) ordering rows with
     equal timestamps deterministically.
+    ``tolerance``: optional maximum staleness (e.g. ``F.expr("INTERVAL 10
+    MINUTES")`` for timestamps, or a number for numeric ``ts``): matches
+    older than ``left[ts] - tolerance`` are nulled out — pandas
+    ``merge_asof(tolerance=...)`` semantics, still one shuffle.
     """
     lcols = left.columns
     l = left.withColumn("__side", F.lit(1))
@@ -53,9 +58,23 @@ def asof_join(
     if tiebreak is not None:
         order.append(F.col(tiebreak).asc())
     w = Window.partitionBy(on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    carried_cols = [
+        F.last(F.when(F.col("__side") == 0, F.col(v)), ignorenulls=True).over(w).alias(v)
+        for v in value_cols
+    ]
+    # the matched right row's ts, carried alongside for tolerance checks
+    match_ts = F.last(
+        F.when(F.col("__side") == 0, F.col(ts)), ignorenulls=True
+    ).over(w).alias("__match_ts")
     carried = merged.select(
-        *[c for c in merged.columns if c not in value_cols],
-        *[F.last(F.when(F.col("__side") == 0, F.col(v)), ignorenulls=True).over(w).alias(v)
-          for v in value_cols],
+        *[c for c in merged.columns if c not in value_cols], match_ts, *carried_cols
     )
-    return carried.filter(F.col("__side") == 1).drop("__side")
+    out = carried.filter(F.col("__side") == 1).drop("__side")
+    if tolerance is not None:
+        stale = F.col("__match_ts") < (F.col(ts) - tolerance)
+        out = out.select(
+            *[c for c in out.columns if c not in value_cols and c != "__match_ts"],
+            *[F.when(stale, F.lit(None)).otherwise(F.col(v)).alias(v) for v in value_cols],
+        )
+        return out
+    return out.drop("__match_ts")

@@ -36,6 +36,22 @@ def test_asof_equal_ts_and_no_match(spark):
     assert got[102] is None  # key 2 has no quotes at all
 
 
+def test_asof_tolerance(spark):
+    import pyspark.sql.functions as F2
+
+    left = spark.createDataFrame(
+        [(1, 100, 1), (1, 200, 2)], "k long, ts long, event_id long"
+    )
+    right = spark.createDataFrame(
+        [(1, 95, 10, 5.0), (1, 120, 11, 6.0)], "k long, ts long, event_id long, px double"
+    )
+    out = asof_join(left, right, on="k", ts="ts", value_cols=["px"],
+                    tiebreak="event_id", tolerance=F2.lit(10))
+    got = {r["event_id"]: r["px"] for r in out.collect()}
+    assert got[1] == 5.0    # match at ts=95, staleness 5 <= 10
+    assert got[2] is None   # latest match ts=120, staleness 80 > 10 → nulled
+
+
 def test_asof_does_not_leak_across_keys(spark):
     left = spark.createDataFrame([(1, 100, 1)], "k long, ts long, event_id long")
     right = spark.createDataFrame([(2, 50, 9, 7.0)], "k long, ts long, event_id long, px double")

@@ -17,7 +17,8 @@ from .registry import query
     "events_hourly_rollup",
     oracle="""
     SELECT date_trunc('hour', ts) AS hour_start, event_type,
-           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+           COUNT(*) AS n_events,
+           ROUND(SUM(ROUND(value * 1000000, 0)) / 1000000.0, 2) AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -25,7 +26,10 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return e.groupBy(
         F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
-    ).agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.round(F.col("value") * 1000000, 0)) / 1000000.0, 2).alias("total_value"),
+    )
 
 
 @query(

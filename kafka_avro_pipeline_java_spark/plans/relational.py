@@ -62,9 +62,9 @@ def filter_project_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(SUM(ROUND(l_extendedprice * 100, 0)) / 100.0, 2)      AS sum_base_price,
+           ROUND(SUM(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)) / 10000.0, 2) AS sum_disc_price,
+           ROUND(SUM(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000, 0)) / 1000000.0, 2) AS sum_charge,
            ROUND(AVG(l_quantity), 2)                                   AS avg_qty,
            ROUND(AVG(l_extendedprice), 2)                              AS avg_price,
            ROUND(AVG(l_discount), 4)                                   AS avg_disc,
@@ -82,9 +82,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(F.round(F.col("l_extendedprice") * 100, 0)) / 100.0, 2).alias("sum_base_price"),
+            F.round(F.sum(F.round(disc_price * 10000, 0)) / 10000.0, 2).alias("sum_disc_price"),
+            F.round(F.sum(F.round(disc_price * (1 + F.col("l_tax")) * 1000000, 0)) / 1000000.0, 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -100,7 +100,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND(SUM(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)) / 10000.0, 2) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -126,9 +126,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0))
+                / 10000.0, 2,
+            ).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -143,7 +144,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           ROUND(SUM(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)) / 10000.0, 2) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -174,9 +175,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0))
+                / 10000.0, 2,
+            ).alias("revenue")
         )
     )
 
@@ -187,7 +189,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT ROUND(SUM(ROUND(l_extendedprice * l_discount * 10000, 0)) / 10000.0, 2) AS revenue,
            COUNT(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -206,7 +208,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000, 0))
+                / 10000.0, 2,
+            ).alias("revenue"),
             F.count("*").alias("n_rows"),
         )
     )
@@ -257,7 +262,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o.o_totalprice), 2) AS total_sales
+           ROUND(SUM(ROUND(o.o_totalprice * 100, 0)) / 100.0, 2) AS total_sales
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -270,7 +275,7 @@ def join_inner_segment_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_sales"),
+            F.round(F.sum(F.round(F.col("o_totalprice") * 100, 0)) / 100.0, 2).alias("total_sales"),
         )
     )
 
@@ -332,7 +337,8 @@ _TIERS = [
 @query(
     "join_range_price_tiers",
     oracle="""
-    SELECT t.tier, COUNT(*) AS n_orders, ROUND(SUM(o.o_totalprice), 2) AS total_sales
+    SELECT t.tier, COUNT(*) AS n_orders,
+           ROUND(SUM(ROUND(o.o_totalprice * 100, 0)) / 100.0, 2) AS total_sales
     FROM orders o
     JOIN (VALUES (0.0, 100000.0, 'small'),
                  (100000.0, 250000.0, 'medium'),
@@ -351,7 +357,7 @@ def join_range_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tier")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_sales"),
+            F.round(F.sum(F.round(F.col("o_totalprice") * 100, 0)) / 100.0, 2).alias("total_sales"),
         )
     )
 
@@ -380,7 +386,8 @@ def agg_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_rollup_year_status",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderstatus,
-           COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_sales
+           COUNT(*) AS n_orders,
+           ROUND(SUM(ROUND(o_totalprice * 100, 0)) / 100.0, 2) AS total_sales
     FROM orders
     GROUP BY ROLLUP (CAST(year(o_orderdate) AS INT), o_orderstatus)
     """,
@@ -389,7 +396,7 @@ def agg_rollup_year_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").withColumn("o_year", F.year("o_orderdate"))
     return o.rollup("o_year", "o_orderstatus").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_sales"),
+        F.round(F.sum(F.round(F.col("o_totalprice") * 100, 0)) / 100.0, 2).alias("total_sales"),
     )
 
 
@@ -414,7 +421,8 @@ def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_grouping_sets",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_sales
+           COUNT(*) AS n_orders,
+           ROUND(SUM(ROUND(o_totalprice * 100, 0)) / 100.0, 2) AS total_sales
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -425,7 +433,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
-               COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_sales
+               COUNT(*) AS n_orders,
+               ROUND(SUM(ROUND(o_totalprice * 100, 0)) / 100.0, 2) AS total_sales
         FROM __orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -463,9 +472,9 @@ def window_rank_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_customer_spend",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           ROUND(SUM(o_totalprice) OVER (
+           ROUND(SUM(ROUND(o_totalprice * 100, 0)) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0, 2) AS running_spend
     FROM orders
     """,
 )
@@ -479,7 +488,7 @@ def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.round(F.sum(F.round(F.col("o_totalprice") * 100, 0)).over(w) / 100.0, 2).alias("running_spend"),
     )
 
 

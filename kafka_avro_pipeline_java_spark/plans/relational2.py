@@ -24,7 +24,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 @query(
     "subquery_below_avg_quantity",
     oracle="""
-    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT ROUND(SUM(ROUND(l.l_extendedprice * 100, 0)) / 100.0 / 7.0, 2) AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#13'
@@ -44,7 +44,11 @@ def subquery_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(p, l.l_partkey == p.p_partkey)
         .join(avg_qty, "l_partkey")
         .filter(F.col("l_quantity") < F.col("half_avg"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(F.sum(F.round(F.col("l_extendedprice") * 100, 0)) / 100.0 / 7.0, 2).alias(
+                "avg_yearly"
+            )
+        )
     )
 
 
@@ -316,7 +320,8 @@ def set_union_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q22_global_sales_opportunity",
     oracle="""
-    SELECT n.n_name, COUNT(*) AS n_custs, ROUND(SUM(c.c_acctbal), 2) AS total_bal
+    SELECT n.n_name, COUNT(*) AS n_custs,
+           ROUND(SUM(ROUND(c.c_acctbal * 100, 0)) / 100.0, 2) AS total_bal
     FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
     WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
@@ -336,5 +341,8 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .join(n, F.col("c_nationkey") == n.n_nationkey)
         .groupBy("n_name")
-        .agg(F.count("*").alias("n_custs"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum(F.round(F.col("c_acctbal") * 100, 0)) / 100.0, 2).alias("total_bal"),
+        )
     )

@@ -109,7 +109,7 @@ def explode_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_discounted_revenue",
     oracle="""
-    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    SELECT ROUND(SUM(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)) / 10000.0, 2) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11
@@ -136,9 +136,10 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            & F.col("p_size").between(1, 15))
     )
     return j.filter(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        F.round(
+            F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0))
+            / 10000.0, 2,
+        ).alias("revenue"),
         F.count("*").alias("n_items"),
     )
 

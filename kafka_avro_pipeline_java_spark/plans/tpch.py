@@ -186,7 +186,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND(SUM(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0))
+                 / 10000.0, 2) AS revenue,
            ROUND(c.c_acctbal, 2) AS c_acctbal, n.n_name
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -214,9 +215,15 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n, c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            # sum exact integer ten-thousandths (2dp price × ≤2dp discount
+            # factor = exactly 4 decimals per term) — order-independent and
+            # engine-independent, unlike summing the raw doubles and
+            # rounding at a possible .xx5 boundary
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0))
+                / 10000.0,
+                2,
+            ).alias("revenue")
         )
         .select(
             "c_custkey", "c_name", "revenue",

@@ -23,7 +23,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "q7_volume_shipping",
     oracle="""
     SELECT supp_nation, cust_nation, l_year,
-           ROUND(SUM(volume), 2) AS revenue
+           ROUND(SUM(ROUND(volume * 10000, 0)) / 10000.0, 2) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l.l_shipdate) AS INT) AS l_year,
@@ -73,7 +73,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .agg(F.round(F.sum(F.round(F.col("volume") * 10000, 0)) / 10000.0, 2).alias("revenue"))
     )
 
 
@@ -81,8 +81,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle="""
     SELECT o_year,
-           ROUND(SUM(CASE WHEN nation = 'BRAZIL' THEN volume ELSE 0 END)
-                 / SUM(volume), 6) AS mkt_share
+           ROUND(SUM(CASE WHEN nation = 'BRAZIL'
+                          THEN ROUND(volume * 10000, 0) ELSE 0 END)
+                 / SUM(ROUND(volume * 10000, 0)), 6) AS mkt_share
     FROM (
       SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
              l.l_extendedprice * (1 - l.l_discount) AS volume,
@@ -130,8 +131,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             F.round(
-                F.sum(F.when(F.col("nation") == "BRAZIL", F.col("volume")).otherwise(0.0))
-                / F.sum("volume"),
+                F.sum(
+                    F.when(F.col("nation") == "BRAZIL",
+                           F.round(F.col("volume") * 10000, 0)).otherwise(0.0)
+                )
+                / F.sum(F.round(F.col("volume") * 10000, 0)),
                 6,
             ).alias("mkt_share")
         )
@@ -141,7 +145,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q9_product_profit",
     oracle="""
-    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    SELECT nation, o_year,
+           ROUND(SUM(ROUND(amount * 10000, 0)) / 10000.0, 2) AS sum_profit
     FROM (
       SELECT n.n_name AS nation,
              CAST(year(o.o_orderdate) AS INT) AS o_year,
@@ -178,7 +183,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.select(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"), amount)
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .agg(F.round(F.sum(F.round(F.col("amount") * 10000, 0)) / 10000.0, 2).alias("sum_profit"))
     )
 
 
@@ -280,9 +285,10 @@ def q12_shipping_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_revenue",
     oracle="""
     SELECT ROUND(100.00 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
-                                   THEN l.l_extendedprice * (1 - l.l_discount)
+                                   THEN ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
                                    ELSE 0 END)
-                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue
+                 / SUM(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)), 4)
+             AS promo_revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
       AND l.l_shipdate <  TIMESTAMP '1996-04-01'
@@ -294,12 +300,12 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     p = _t(spark, sf_dir, "part")
-    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    net_scaled = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0)
     return l.join(p, l.l_partkey == p.p_partkey).agg(
         F.round(
             100.0
-            * F.sum(F.when(F.col("p_type").like("PROMO%"), net).otherwise(0.0))
-            / F.sum(net),
+            * F.sum(F.when(F.col("p_type").like("PROMO%"), net_scaled).otherwise(0.0))
+            / F.sum(net_scaled),
             4,
         ).alias("promo_revenue")
     )

@@ -428,14 +428,17 @@ def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
     o = _t(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("__orders_gs")
+    view = f"orders_gs_{uuid.uuid4().hex[:8]}"  # collision-free temp view
+    o.createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n_orders,
                ROUND(SUM(ROUND(o_totalprice * 100, 0)) / 100.0, 2) AS total_sales
-        FROM __orders_gs
+        FROM {view}
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )

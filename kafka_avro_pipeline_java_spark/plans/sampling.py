@@ -39,6 +39,39 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "profile_orders",
+    oracle="""
+    SELECT COUNT(*)                                        AS n_rows,
+           COUNT(o_custkey)                                AS custkey_nonnull,
+           COUNT(DISTINCT o_custkey)                       AS custkey_distinct,
+           COUNT(DISTINCT o_orderstatus)                   AS status_distinct,
+           ROUND(MIN(o_totalprice), 2)                     AS price_min,
+           ROUND(MAX(o_totalprice), 2)                     AS price_max,
+           ROUND(AVG(o_totalprice), 2)                     AS price_avg,
+           CAST(MIN(o_orderdate) AS TIMESTAMP)             AS date_min,
+           CAST(MAX(o_orderdate) AS TIMESTAMP)             AS date_max
+    FROM orders
+    """,
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiling (the data-quality screen every
+    training-data ingest runs): null/distinct counts, ranges — one scan,
+    one aggregate, no shuffle of raw rows."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_custkey").alias("custkey_nonnull"),
+        F.countDistinct("o_custkey").alias("custkey_distinct"),
+        F.countDistinct("o_orderstatus").alias("status_distinct"),
+        F.round(F.min("o_totalprice"), 2).alias("price_min"),
+        F.round(F.max("o_totalprice"), 2).alias("price_max"),
+        F.round(F.avg("o_totalprice"), 2).alias("price_avg"),
+        F.min("o_orderdate").alias("date_min"),
+        F.max("o_orderdate").alias("date_max"),
+    )
+
+
 @query("sample_lineitem")
 def sample_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sample + aggregate — the scan-reduction primitive

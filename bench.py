@@ -31,6 +31,9 @@ BENCH_QUERIES = [
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
     "join_range_price_tiers",
     "agg_cube_flag_status",
     "window_rank_top_orders",

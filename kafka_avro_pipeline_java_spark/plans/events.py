@@ -33,6 +33,59 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_tumbling_window_fn",
+    oracle="""
+    SELECT make_timestamp(CAST(floor(epoch_us(ts) / 1800000000) * 1800000000 AS BIGINT))
+             AS window_start,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def events_tumbling_window_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming ``window()`` function exercised in batch mode (same
+    epoch-aligned bucketing the streaming tumbling aggregation uses);
+    oracle reproduces the bucket arithmetic on epoch microseconds."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "30 minutes").alias("win"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "n_events")
+    )
+
+
+@query(
+    "sort_nulls_first",
+    oracle="""
+    SELECT c.c_custkey, b.n_big
+    FROM customer c
+    LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS n_big FROM orders
+      WHERE o_totalprice > 300000 GROUP BY o_custkey
+    ) b ON b.o_custkey = c.c_custkey
+    ORDER BY b.n_big ASC NULLS FIRST, c.c_custkey
+    LIMIT 50
+    """,
+)
+def sort_nulls_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit null-ordering coverage: engines disagree on default null
+    placement (Spark NULLS FIRST asc, DuckDB NULLS LAST), so the ordering
+    is pinned explicitly on both sides."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big = (
+        o.filter(F.col("o_totalprice") > 300000)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_big"))
+    )
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left")
+        .select("c_custkey", "n_big")
+        .orderBy(F.col("n_big").asc_nulls_first(), F.col("c_custkey").asc())
+        .limit(50)
+    )
+
+
+@query(
     "events_lag_per_user",
     oracle="""
     SELECT event_id, user_id, value,

@@ -54,6 +54,95 @@ def test_stream_stream_click_then_purchase(spark, sf_dir, spool):
     assert want.count() > 0, "fixture produced no joinable pairs — test is vacuous"
 
 
+def test_stream_stream_left_outer(spark, sf_dir, spool):
+    """Left-outer: every click appears exactly once OR once per matched
+    purchase; unmatched clicks carry nulls."""
+
+    def side(tp):
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA).parquet(spool)
+            .filter(F.col("event_type") == tp)
+            .select("event_id", "ts", "user_id")
+        )
+
+    joined = J.stream_stream_left_outer(
+        side("click"), side("purchase"), key="user_id", within="1 hour",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ssl_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT l_event_id, r_event_id FROM ssl_t")
+    e = load_table(spark, sf_dir, "events")
+    n_clicks = e.filter(F.col("event_type") == "click").count()
+    # null-padded emission for a left row requires a batch to run AFTER the
+    # watermark passes ts+within; rows near the stream end stay buffered
+    # when availableNow stops (the final watermark update never fires a
+    # batch) — so all but a bounded tail of clicks must be represented
+    distinct_clicks = got.select("l_event_id").distinct().count()
+    assert n_clicks - 10 <= distinct_clicks <= n_clicks
+    matched = got.filter(F.col("r_event_id").isNotNull()).count()
+    unmatched = got.filter(F.col("r_event_id").isNull()).count()
+    assert matched > 0 and unmatched > 0
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics: rows older than the checkpointed watermark are
+    dropped from stateful aggregation. Run A advances the watermark to
+    11:30 and stops; a 10:00 event then arrives; run B (same checkpoint)
+    must NOT count it — its window never appears."""
+    import datetime
+
+    spool = str(tmp_path / "late_spool")
+    ckpt = str(tmp_path / "late_ckpt")
+    schema = "event_id long, ts timestamp, user_id long"
+    t0 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(spool)
+
+    from kafka_avro_pipeline_java_spark.streaming.windows import tumbling_counts
+
+    def run(out_dir):
+        # foreachBatch sink (memory sink can't recover from a checkpoint);
+        # update mode: watermark drops late input and evicts state
+        # (complete mode deliberately KEEPS late data — not usable here)
+        stream = (
+            spark.readStream.schema(schema).parquet(spool)
+            .withColumn("event_type", F.lit("x"))
+            .withColumn("value", F.lit(1.0))
+        )
+        agg = tumbling_counts(stream, window="10 minutes", watermark="30 minutes")
+
+        def sink(batch_df, batch_id, out=out_dir):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    out_a, out_b = str(tmp_path / "out_a"), str(tmp_path / "out_b")
+    # run A: events at 12:00 and 11:55 → checkpointed watermark 11:30
+    write_batch([(1, t0, 7), (2, t0 - datetime.timedelta(minutes=5), 7)])
+    run(out_a)
+    # while the query is down: a 2-hours-late event + a fresh one
+    write_batch([(3, t0 - datetime.timedelta(hours=2), 7),
+                 (4, t0 + datetime.timedelta(hours=1), 7)])
+    run(out_b)
+
+    # run B's update output contains only windows it (re)aggregated: the
+    # fresh 13:00 window — the 10:00 window of the late event must be absent
+    rows = spark.read.parquet(out_b).collect()
+    assert rows, "run B emitted nothing"
+    assert not any(r["window_start"].hour == 10 for r in rows), rows
+    assert any(r["window_start"].hour == 13 for r in rows), rows
+
+
 def test_stream_static_enrich(spark, sf_dir, spool):
     dim = spark.createDataFrame(
         [("click", "engagement"), ("purchase", "revenue"), ("view", "engagement"),

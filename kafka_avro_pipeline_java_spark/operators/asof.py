@@ -38,6 +38,14 @@ def asof_join(
     older than ``left[ts] - tolerance`` are nulled out — pandas
     ``merge_asof(tolerance=...)`` semantics, still one shuffle.
     """
+    for side, df, needed in (("left", left, [on, ts]),
+                             ("right", right, [on, ts, *value_cols])):
+        missing = [c for c in needed if c not in df.columns]
+        if missing:
+            raise ValueError(f"asof_join: {side} side is missing columns {missing}")
+    if tiebreak is not None and (tiebreak not in left.columns or tiebreak not in right.columns):
+        raise ValueError(f"asof_join: tiebreak column {tiebreak!r} must exist on both sides")
+
     lcols = left.columns
     l = left.withColumn("__side", F.lit(1))
     r = right.select(

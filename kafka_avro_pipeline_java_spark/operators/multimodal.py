@@ -49,6 +49,35 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def read_media_dir(spark, path: str, *, pattern: str = "*") -> DataFrame:
+    """Ingest real media files as a media-shaped table via Spark's
+    ``binaryFile`` source (path, modificationTime, length, content).
+    Media type is inferred from the extension; metadata fields default to
+    0 until a real decoder fills them (decode_stub here)."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+    )
+    from pyspark.sql import functions as F2
+
+    ext = F2.lower(F2.element_at(F2.split(F2.col("path"), r"\."), -1))
+    media_type = (
+        F2.when(ext.isin("jpg", "jpeg", "png", "gif", "bmp"), "image")
+        .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
+        .when(ext.isin("mp4", "avi", "mkv", "webm"), "video")
+        .otherwise("unknown")
+    )
+    return raw.select(
+        F2.xxhash64("path").alias("media_id"),
+        media_type.alias("media_type"),
+        F2.col("content").alias("payload"),
+        F2.lit(0).cast("int").alias("meta_width"),
+        F2.lit(0).cast("int").alias("meta_height"),
+        F2.lit(0).cast("int").alias("meta_duration_ms"),
+    )
+
+
 def text_as_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Manufacture a media-shaped table from text payloads (test stand-in:
     real deployments read binary files via ``spark.read.format('binaryFile')``)."""

@@ -161,6 +161,48 @@ def test_resize_and_frame_sample(spark, sf_dir):
     assert frames.filter(F.length("frame_payload") > 64).count() == 0
 
 
+def test_read_media_dir_binaryfile_source(spark, tmp_path):
+    """Real-file ingestion path: binaryFile source → media table →
+    feature extraction, byte-exact payloads."""
+    import hashlib
+    import os
+
+    from kafka_avro_pipeline_java_spark.operators.multimodal import (
+        extract_features,
+        read_media_dir,
+    )
+
+    media_dir = tmp_path / "media"
+    media_dir.mkdir()
+    payloads = {
+        "a.jpg": b"\xff\xd8fakejpegbytes",
+        "b.wav": b"RIFFfakewav",
+        "c.mp4": b"\x00\x00fakevid",
+    }
+    for name, data in payloads.items():
+        (media_dir / name).write_bytes(data)
+
+    media = read_media_dir(spark, str(media_dir))
+    rows = {bytes(r["payload"]): r["media_type"] for r in media.collect()}
+    assert rows[payloads["a.jpg"]] == "image"
+    assert rows[payloads["b.wav"]] == "audio"
+    assert rows[payloads["c.mp4"]] == "video"
+
+    feats = extract_features(media).collect()
+    got_md5 = {r["payload_md5"] for r in feats}
+    want_md5 = {hashlib.md5(p).hexdigest() for p in payloads.values()}
+    assert got_md5 == want_md5
+
+
+def test_asof_validates_columns(spark):
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame([(1, 5, 1.0)], "k long, ts long, px double")
+    with pytest.raises(ValueError, match="missing columns"):
+        asof_join(left, right, on="k", ts="ts", value_cols=["nope"])
+    with pytest.raises(ValueError, match="tiebreak"):
+        asof_join(left, right, on="k", ts="ts", value_cols=["px"], tiebreak="eid")
+
+
 # --------------------------------------------------------------------------
 # kafka_offsets mirror (sqlite dialect)
 # --------------------------------------------------------------------------

@@ -172,6 +172,93 @@ def minhash_lsh_pairs(
     )
 
 
+# Portable MinHash: md5-derived base hash + linear-congruential permutations
+# mod the Mersenne prime 2^31-1 — every step expressible identically in
+# DuckDB SQL (see plans/text.py::dedup_minhash_portable oracle), unlike the
+# fast path's engine-native xxhash64. a*h31 < 2^62 so no BIGINT overflow
+# in DuckDB (which checks) and no wrap in Spark.
+MINHASH_P = 2147483647
+MINHASH_A = [(1103515245 * (i + 1)) % MINHASH_P for i in range(64)]
+MINHASH_B = [(12345 * (i + 7)) % MINHASH_P for i in range(64)]
+
+
+def minhash_signatures_portable(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """Signature columns mh_0..mh_{n-1} per doc, portable arithmetic."""
+    sh = shingle_table(df, text_col, id_col, k)
+    h31 = F.pmod(portable_hash64("shingle"), F.lit(MINHASH_P))
+    hashed = sh.withColumn("h31", h31)
+    return hashed.groupBy("id").agg(
+        *[
+            F.min(
+                F.pmod(F.lit(MINHASH_A[i]) * F.col("h31") + F.lit(MINHASH_B[i]),
+                       F.lit(MINHASH_P))
+            ).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Oracle-checkable LSH dedup: band buckets are md5 of the band's
+    minhash values (portable string combine); candidates verified by the
+    fraction of matching minhashes across the full signature."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures_portable(df, text_col, id_col, k, num_hashes).cache()
+    band_rows = [
+        sig.select(
+            "id",
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"mh_{b * rows_per_band + j}").cast("string")
+                      for j in range(rows_per_band)],
+                ).cast("binary")
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = band_rows[0]
+    for br in band_rows[1:]:
+        banded = banded.unionByName(br)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("id").alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)])
+    sb = sig.select(F.col("id").alias("id_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)])
+    matches = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(matches / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
     """SimHash fingerprint: sign-sum of per-token hash bits.
 

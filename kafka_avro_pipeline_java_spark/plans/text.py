@@ -163,9 +163,77 @@ def dedup_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
-# MinHash-LSH and SimHash internals use Spark-native xxhash64 — not
-# expressible in DuckDB SQL, so the driver runs its weaker rows-only check.
-# tests/test_dedup.py verifies them against exact Jaccard / Hamming oracles.
+def _minhash_portable_oracle(num_hashes: int = 32, bands: int = 8,
+                             threshold: float = 0.5) -> str:
+    """Generate the DuckDB SQL mirroring minhash_lsh_pairs_portable —
+    same md5-derived base hash, same LCG permutation constants, same
+    md5-of-band bucket keys."""
+    from ..operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    rpb = num_hashes // bands
+    mh_cols = ",\n             ".join(
+        f"MIN(({MINHASH_A[i]} * h31 + {MINHASH_B[i]}) % {MINHASH_P}) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        f"""      SELECT doc_id, {b} AS band,
+             md5(concat_ws(',', {", ".join(f"CAST(mh_{b*rpb+j} AS VARCHAR)" for j in range(rpb))}))
+               AS bucket FROM sig"""
+        for b in range(bands)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             ts[i.i] || ' ' || ts[i.i + 1] || ' ' || ts[i.i + 2] AS shingle
+      FROM tok, UNNEST(range(1, len(ts) - 1)) AS i(i)
+      WHERE len(ts) >= 3
+    ), h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {MINHASH_P} AS h31
+      FROM sh
+    ), sig AS (
+      SELECT doc_id,
+             {mh_cols}
+      FROM h GROUP BY doc_id
+    ), banded AS (
+{band_selects}
+    ), cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(({match_sum}) / {float(num_hashes)}, 4) AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b
+    WHERE ROUND(({match_sum}) / {float(num_hashes)}, 4) >= {threshold}
+    """
+
+
+@query("dedup_minhash_portable", oracle=_minhash_portable_oracle())
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with FULLY portable hashing (md5 base
+    hash + LCG permutations mod 2^31-1, md5 band buckets) — the complete
+    minhash pipeline verified value-for-value against the DuckDB oracle.
+    The default `dedup_minhash_lsh` keeps the faster xxhash64 internals."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs_portable(
+        d, "text", "doc_id", k=3, num_hashes=32, bands=8, threshold=0.5
+    )
+
+
+# The fast-path MinHash-LSH and SimHash internals use Spark-native
+# xxhash64 — not expressible in DuckDB SQL, so the driver runs its weaker
+# rows-only check on them; dedup_minhash_portable above is the
+# oracle-verified variant, and tests bound estimate error vs exact Jaccard.
 @query("dedup_minhash_lsh")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

@@ -293,6 +293,64 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     return fp
 
 
+SIMHASH_PORTABLE_BITS = 60  # portable base hash is 60 bits (15 md5 hex chars)
+
+
+def simhash_portable(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """60-bit SimHash with the portable md5-derived token hash — every
+    step (bit extraction, sign sums, fingerprint assembly) expressible in
+    DuckDB SQL (see plans/text.py::dedup_simhash_portable oracle)."""
+    toks = shingle_table(df, text_col, id_col, k=1).withColumnRenamed("shingle", "tok")
+    hashed = toks.withColumn("h", portable_hash64("tok"))
+    bit_cols = [
+        F.sum(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1).cast("long"))).alias(f"c{i}")
+        for i in range(SIMHASH_PORTABLE_BITS)
+    ]
+    sums = hashed.groupBy("id").agg(F.count("*").alias("n"), *bit_cols)
+    return sums.select(
+        "id",
+        sum(
+            F.when(2 * F.col(f"c{i}") > F.col("n"), F.lit(1 << i).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            for i in range(SIMHASH_PORTABLE_BITS)
+        ).alias("simhash"),
+    )
+
+
+def simhash_near_pairs_portable(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 4
+) -> DataFrame:
+    """Oracle-checkable SimHash near-dup pairs: 4 15-bit band buckets for
+    candidates, exact popcount Hamming verify."""
+    fp = simhash_portable(df, text_col, id_col)
+    band_rows = [
+        fp.select(
+            "id", "simhash", F.lit(b).alias("band"),
+            F.shiftrightunsigned("simhash", b * 15).bitwiseAND(F.lit(0x7FFF)).alias("bucket"),
+        )
+        for b in range(4)
+    ]
+    banded = band_rows[0]
+    for br in band_rows[1:]:
+        banded = banded.unionByName(br)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8) -> DataFrame:
     """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
 

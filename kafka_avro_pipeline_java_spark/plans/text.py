@@ -245,3 +245,50 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(d, "text", "doc_id", max_hamming=4)
+
+
+def _simhash_portable_oracle(max_hamming: int = 4) -> str:
+    from ..operators.dedup import SIMHASH_PORTABLE_BITS
+
+    bit_sums = ",\n             ".join(
+        f"SUM((h >> {i}) & 1) AS c{i}" for i in range(SIMHASH_PORTABLE_BITS)
+    )
+    fp_sum = " + ".join(
+        f"CASE WHEN 2 * c{i} > n THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(SIMHASH_PORTABLE_BITS)
+    )
+    bands = "\n      UNION ALL\n".join(
+        f"      SELECT id, simhash, {b} AS band, (simhash >> {b * 15}) & 32767 AS bucket FROM fp"
+        for b in range(4)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id AS id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      FROM documents
+    ), h AS (
+      SELECT id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok
+    ), sums AS (
+      SELECT id, COUNT(*) AS n,
+             {bit_sums}
+      FROM h GROUP BY id
+    ), fp AS (
+      SELECT id, {fp_sum} AS simhash FROM sums
+    ), banded AS (
+{bands}
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    GROUP BY 1, 2, 3
+    """
+
+
+@query("dedup_simhash_portable", oracle=_simhash_portable_oracle())
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash near-dup pairs with fully portable hashing — the
+    complete pipeline (token hash, sign sums, fingerprint, band buckets,
+    Hamming verify) value-checked against the DuckDB oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs_portable(d, "text", "doc_id", max_hamming=4)

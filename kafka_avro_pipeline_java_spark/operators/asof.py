@@ -14,7 +14,7 @@ per key. At equal timestamps the right row sorts BEFORE the left row, i.e.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 

@@ -63,11 +63,14 @@ def ngram_jaccard_pairs(
     """
     # join on a 64-bit shingle hash, not the string: the shuffle moves 8-byte
     # keys instead of ~20-char strings and the join compares longs (collision
-    # probability over even 10^9 distinct shingles is ~1e-10 — negligible)
-    sh = (
-        shingle_table(df, text_col, id_col, k)
-        .select("id", F.xxhash64("shingle").alias("shingle"))
-        .cache()
+    # probability over even 10^9 distinct shingles is ~1e-10 — negligible).
+    # No .cache(): the repartition exchange under shingle_table is reused by
+    # every consumer in the plan (a / b / sizes), so the shingle explode runs
+    # once per action anyway, and a session-lifetime cache would leak
+    # executor storage across repeated dedup calls (measured: identical
+    # runtime with and without the cache at sf0.01).
+    sh = shingle_table(df, text_col, id_col, k).select(
+        "id", F.xxhash64("shingle").alias("shingle")
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -212,8 +215,11 @@ def minhash_lsh_pairs_portable(
     """Oracle-checkable LSH dedup: band buckets are md5 of the band's
     minhash values (portable string combine); candidates verified by the
     fraction of matching minhashes across the full signature."""
+    # no .cache(): sig's groupBy exchange is reused by all band projections
+    # and the two verify sides within one action; caching would leak storage
+    # across calls in a long-lived session (see ngram_jaccard_pairs note)
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures_portable(df, text_col, id_col, k, num_hashes).cache()
+    sig = minhash_signatures_portable(df, text_col, id_col, k, num_hashes)
     band_rows = [
         sig.select(
             "id",
@@ -416,6 +422,14 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         .distinct()
         .select(F.col("src").alias("id"), F.col("src").alias("component"))
     )
+    # Convergence check: labels only ever DECREASE (monotone min-propagation),
+    # so Σ component strictly decreases iff any label changed this round. A
+    # single-column agg over the just-checkpointed (block-resident) labels is
+    # one trivial job — vs the previous per-round self-join + limit+count.
+    # decimal(38,0) so the checksum can't overflow at any realistic id scale.
+    prev_sum = labels.agg(
+        F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+    ).first()["s"]
     for _ in range(max_iterations):
         # candidate label for each node: min over neighbors' labels
         neighbor_min = (
@@ -434,16 +448,13 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 

@@ -120,6 +120,27 @@ def test_connected_components_vs_union_find(spark):
         assert got[x] == min(truth[find(x)]), f"node {x}"
 
 
+def test_dedup_pair_generation_leaves_no_persistent_storage(spark, sf_dir):
+    """Repeated dedup calls in one session must not grow executor storage
+    (the shingle/signature tables rely on exchange reuse, not .cache())."""
+    from kafka_avro_pipeline_java_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def persistent_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+    before = persistent_ids()
+    for _ in range(2):
+        dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.1).count()
+        dedup.minhash_lsh_pairs_portable(d, "text", "doc_id").count()
+        dedup.simhash_near_pairs_portable(d, "text", "doc_id").count()
+    # only NEW persistent entries count as a leak (the async ContextCleaner
+    # may concurrently drop entries left by earlier tests)
+    leaked = persistent_ids() - before
+    assert not leaked, f"dedup calls registered new persistent RDDs: {leaked}"
+
+
 def test_dedup_keep_one(spark, sf_dir):
     from kafka_avro_pipeline_java_spark.sources import load_table
 

@@ -97,31 +97,26 @@ def ivf_knn(
     seed: int = 42,
 ) -> DataFrame:
     """IVF: centroids = deterministic sample of the data itself (cheap,
-    one job over a tiny sample); assignment + probe are broadcast joins."""
+    one job over a tiny sample); assignment is a PER-ROW argmax over a
+    literal centroid array — zero row expansion, zero shuffle: the plan is
+    scan → project(argmax) → filter(probed cids) → top-k. At 100 TB the
+    candidate filter drops (1 - n_probe/n_centroids) of the data before
+    any exchange."""
     cents = [
-        (i, r[0])
+        (i, [float(x) for x in r[0]])
         for i, r in enumerate(
             df.select(vec_col).orderBy(F.xxhash64(F.col(id_col) + seed)).limit(n_centroids).collect()
         )
     ]
-    cent_df = F.broadcast(
-        spark.createDataFrame([(i, [float(x) for x in v]) for i, v in cents],
-                              schema="cid int, cvec array<double>")
+    # literal array<array<double>> of centroids, evaluated inside codegen —
+    # per-row similarity to all centroids, argmax = position of the max
+    # (first occurrence on ties ≙ lowest cid, deterministic)
+    cent_lit = F.array(*[F.array(*[F.lit(x) for x in v]) for _, v in cents])
+    sims = F.transform(cent_lit, lambda c: cosine_similarity(F.col(vec_col), c))
+    assigned = df.withColumn(
+        "__cid", (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
     )
-    # assign every vector to its nearest centroid — argmax via max_by over
-    # a (sim, -cid) struct: one hash agg, no window sort-shuffle. The
-    # broadcast keeps assignment shuffle-free except the final groupBy.
-    scored = df.crossJoin(cent_df).withColumn(
-        "__sim", cosine_similarity(F.col(vec_col), F.col("cvec"))
-    )
-    other_cols = [c for c in df.columns if c != id_col]
-    assigned = scored.groupBy(id_col).agg(
-        F.max_by(
-            F.struct("cid", *other_cols),
-            F.struct(F.col("__sim"), -F.col("cid")),
-        ).alias("__best")
-    ).select(id_col, "__best.*")
-    # rank centroids for the query, keep n_probe nearest
+    # rank centroids for the query driver-side (tiny), keep n_probe nearest
     import math
 
     def cos(a, b):
@@ -131,9 +126,9 @@ def ivf_knn(
 
     probe_ids = [
         cid for cid, _ in sorted(
-            ((i, cos(query_vec, [float(x) for x in v])) for i, v in cents),
+            ((i, cos(query_vec, v)) for i, v in cents),
             key=lambda t: -t[1],
         )[:n_probe]
     ]
-    cand = assigned.filter(F.col("cid").isin(probe_ids)).drop("cid")
+    cand = assigned.filter(F.col("__cid").isin(probe_ids)).drop("__cid")
     return brute_force_knn(spark, cand, vec_col, id_col, query_vec, k)

@@ -64,3 +64,17 @@ def test_no_python_udfs_in_relational_plans(spark, sf_dir):
 def test_asof_join_has_no_cartesian(spark, sf_dir):
     plan = _formatted_plan(spark, "events_asof_last_click", sf_dir)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_assignment_is_shuffle_free(spark, sf_dir):
+    """IVF centroid assignment must be a per-row argmax over a literal
+    centroid array: no row expansion (no join against a centroid table) and
+    no shuffle Exchange anywhere before the candidate filter — the only
+    exchanges allowed in the whole plan are broadcasts of the 1-row query."""
+    plan = _formatted_plan(spark, "knn_cosine_ivf", sf_dir)
+    shuffle_exchanges = [
+        l for l in plan.splitlines()
+        if re.search(r"\(\d+\) Exchange", l)  # BroadcastExchange doesn't match
+    ]
+    assert not shuffle_exchanges, shuffle_exchanges
+    assert "array_position" in plan  # the literal-array argmax survived

@@ -1,0 +1,130 @@
+"""ANN recall regression tests: the approximate paths (LSH hyperplane
+buckets, IVF coarse probes) must keep finding most of the true neighbors.
+
+Recall here = |approx top-k ∩ exact top-k| / k against the same query.
+
+Two data regimes:
+- the driver's sf0.01 embeddings (uniform-random — the WORST case for
+  locality-sensitive methods, no cluster structure to exploit): floors are
+  conservative (LSH measured 0.8, IVF 0.8 at 16/4 over 500 vectors);
+- seeded CLUSTERED vectors (the regime ANN indexes are built for): both
+  paths must reach ≥ 0.7 at the registered configurations.
+
+sf0.01 is pinned here (not the sf0.001 unit-test default): 16 centroids
+over sf0.001's ~50 vectors is degenerate, and sf0.01 is the scale the
+driver actually grades at.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_avro_pipeline_java_spark.operators import similarity
+from kafka_avro_pipeline_java_spark.plans import QUERIES
+
+RECALL_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _top_ids(df) -> list[int]:
+    return [r["vec_id"] for r in df.collect()]
+
+
+@pytest.fixture(scope="module")
+def exact_top5(spark):
+    return _top_ids(QUERIES["knn_cosine_bruteforce"](spark, RECALL_SF_DIR))
+
+
+def test_lsh_recall_floor_uniform(spark, exact_top5):
+    """5 hyperplanes + Hamming-2 multiprobe: measured 0.8 recall on the
+    uniform-random driver embeddings; assert a 0.6 floor (3 of 5)."""
+    approx = _top_ids(QUERIES["knn_cosine_lsh"](spark, RECALL_SF_DIR))
+    recall = len(set(approx) & set(exact_top5)) / len(exact_top5)
+    assert recall >= 0.6, f"LSH recall {recall} (approx={approx}, exact={exact_top5})"
+
+
+def test_ivf_recall_floor_uniform(spark, exact_top5):
+    """16 centroids / 4 probes: measured 0.8 on the driver embeddings;
+    assert a 0.6 floor."""
+    approx = _top_ids(QUERIES["knn_cosine_ivf"](spark, RECALL_SF_DIR))
+    recall = len(set(approx) & set(exact_top5)) / len(exact_top5)
+    assert recall >= 0.6, f"IVF recall {recall} (approx={approx}, exact={exact_top5})"
+
+
+def test_lsh_scores_match_exact_for_found_neighbors(spark):
+    """Approximation must only SUBSET the candidates, never change scores:
+    any (vec_id, cos_sim) the LSH path returns must equal the exact score."""
+    exact = {r["vec_id"]: r["cos_sim"]
+             for r in QUERIES["knn_cosine_bruteforce"](spark, RECALL_SF_DIR).collect()}
+    for r in QUERIES["knn_cosine_lsh"](spark, RECALL_SF_DIR).collect():
+        if r["vec_id"] in exact:
+            assert r["cos_sim"] == exact[r["vec_id"]]
+
+
+# --------------------------------------------------------------------------
+# clustered-data recall: the regime ANN indexes exist for
+# --------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """400 vectors in 8 well-separated clusters (seeded), dim 16. The query
+    is a member of cluster 0, so its true neighbors are cluster-0 mates."""
+    rng = random.Random(7)
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(8)]
+    rows = []
+    for vid in range(400):
+        c = centers[vid % 8]
+        rows.append((vid, [x + rng.gauss(0, 0.05) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qv = rows[0][1]
+    return df, qv
+
+
+def test_ivf_recall_clustered(spark, clustered):
+    df, qv = clustered
+    exact = [r["vec_id"] for r in
+             similarity.brute_force_knn(spark, df, "embedding", "vec_id", qv, 5).collect()]
+    approx = [r["vec_id"] for r in
+              similarity.ivf_knn(spark, df, "embedding", "vec_id", qv,
+                                 n_centroids=16, n_probe=4, k=5).collect()]
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.7, f"IVF clustered recall {recall}"
+
+
+def test_lsh_recall_clustered(spark, clustered):
+    df, qv = clustered
+    exact = [r["vec_id"] for r in
+             similarity.brute_force_knn(spark, df, "embedding", "vec_id", qv, 5).collect()]
+    # same deterministic LCG plane generation as the registered query
+    planes, state = [], 42
+    for _ in range(5):
+        row = []
+        for _ in range(16):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append((state >> 33) / float(1 << 31) - 1.0)
+        planes.append(row)
+    approx = [r["vec_id"] for r in
+              similarity.lsh_bucketed_knn(spark, df, "embedding", "vec_id", qv,
+                                          planes, k=5).collect()]
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.7, f"LSH clustered recall {recall}"
+
+
+def test_ivf_probes_restrict_candidates(spark):
+    """IVF with fewer probes must score a subset of what more probes score
+    (sanity: the probe knob actually prunes), and probing every cell
+    degenerates to the exact full scan."""
+    from kafka_avro_pipeline_java_spark.sources import load_table
+
+    e = load_table(spark, RECALL_SF_DIR, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    def candidates(n_probe):
+        return set(
+            _top_ids(similarity.ivf_knn(spark, e, "embedding", "vec_id", qv,
+                                        n_centroids=16, n_probe=n_probe, k=10**6))
+        )
+
+    c1, c4, c16 = candidates(1), candidates(4), candidates(16)
+    assert c1 <= c4 <= c16
+    assert len(c1) < len(c16)  # pruning actually happened
+    assert len(c16) == e.count()

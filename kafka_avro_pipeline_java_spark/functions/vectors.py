@@ -28,6 +28,20 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def lcg_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1)^dim via a 64-bit
+    LCG — no numpy RNG state, reproducible across engines, and the exact
+    float values can be embedded as literals in an oracle SQL string."""
+    planes, state = [], seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append((state >> 33) / float(1 << 31) - 1.0)
+        planes.append(row)
+    return planes
+
+
 def l2_distance(a: Column | str, b: Column | str) -> Column:
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
     diff_sq = F.zip_with(

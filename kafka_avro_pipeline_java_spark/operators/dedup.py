@@ -472,11 +472,12 @@ def dedup_keep_one(df: DataFrame, pairs: DataFrame, id_col: str,
 def embedding_near_pairs(
     df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs.
+    """Embedding-cosine near-duplicate pairs — EXACT all-pairs variant.
 
-    Test-scale implementation is the exact pair join; at 100 TB the same
-    plan is preceded by an LSH bucketing (random-hyperplane signs, see
-    similarity.lsh_bucketed_knn) so the self-join becomes per-bucket.
+    O(n²) pair join: correct at oracle scale, and the ground truth the
+    bucketed variant below is measured against. At 100 TB use
+    ``embedding_near_pairs_bucketed`` — same verify step, but the self-join
+    runs per hyperplane-sign bucket instead of globally.
     Norms are precomputed once (projection) before the join.
     """
     base = df.select(
@@ -493,5 +494,73 @@ def embedding_near_pairs(
             F.col("b.id").alias("id_b"),
             F.round(cos, 6).alias("cos_sim"),
         )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_near_pairs_bucketed(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    planes: list[list[float]],
+    threshold: float = 0.95,
+    bands: int = 2,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs with an LSH-bucket prefilter — the
+    100 TB path for ``embedding_near_pairs``.
+
+    Each vector gets a ``len(planes)``-bit hyperplane-sign signature, split
+    into ``bands`` bands; candidate pairs are generated by an EQUI-JOIN on
+    (band, band-bits) — cost Σ bucket², never n² — then verified with the
+    exact cosine. Near-identical vectors agree on almost every hyperplane
+    sign (collision prob per plane = 1 - θ/π), so a pair at cosine ≥ 0.9
+    shares at least one 4-bit band with ~95%+ probability; recall vs the
+    exact operator is measured in tests/test_similarity.py and SCALE.md.
+
+    Output is a SUBSET of ``embedding_near_pairs(threshold)`` — identical
+    verify expression (round(cos, 6) ≥ threshold), fewer candidate pairs.
+    """
+    from .similarity import hyperplane_signature
+
+    bits = len(planes)
+    per_band = bits // bands
+    mask = (1 << per_band) - 1
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(vec_col).alias("nrm"),
+        hyperplane_signature(vec_col, planes).alias("sig"),
+    )
+    band_rows = [
+        base.select(
+            "id",
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned("sig", b * per_band).bitwiseAND(F.lit(mask)).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = band_rows[0]
+    for br in band_rows[1:]:
+        banded = banded.unionByName(br)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    from ..functions.vectors import dot as vdot
+
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = vdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )

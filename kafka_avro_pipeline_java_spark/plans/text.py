@@ -163,6 +163,39 @@ def dedup_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+@query(
+    "dedup_keep_one_e2e",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_ORACLES['dedup_ngram_jaccard']}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    walk(id, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, w.comp FROM edges e JOIN walk w ON w.id = e.dst
+    ),
+    comp AS (SELECT id, MIN(comp) AS component FROM walk GROUP BY id),
+    doomed AS (SELECT id FROM comp WHERE id <> component)
+    SELECT d.doc_id, CAST(length(d.text) AS INT) AS text_len
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id FROM doomed)
+    """,
+)
+def dedup_keep_one_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE dedup pipeline as one query: shingle near-dup pairs →
+    connected components → drop every non-canonical group member — i.e.
+    the surviving-document set a training-data pipeline would feed
+    downstream. Oracle = the same pipeline via recursive-CTE reachability
+    + anti-join in DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.1)
+    kept = dedup.dedup_keep_one(d, pairs, "doc_id")
+    return kept.select("doc_id", F.length("text").cast("int").alias("text_len"))
+
+
 def _minhash_portable_oracle(num_hashes: int = 32, bands: int = 8,
                              threshold: float = 0.5) -> str:
     """Generate the DuckDB SQL mirroring minhash_lsh_pairs_portable —

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.vectors import lcg_planes
 from ..operators import dedup, similarity
 from ..sources import load_table
 from .registry import query
@@ -68,13 +69,16 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dots d
     JOIN norms na ON na.vec_id = d.id_a
     JOIN norms nb ON nb.vec_id = d.id_b
-    WHERE ROUND(d.dp / (na.nrm * nb.nrm), 6) >= 0.9
+    WHERE ROUND(d.dp / (na.nrm * nb.nrm), 6) >= 0.4
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs (cosine >= 0.9)."""
+    """Embedding near-duplicate pairs. Threshold 0.4 (not the production
+    0.9+): the test embeddings are uniform-random with max pairwise cosine
+    ~0.51, so 0.4 is what exercises a NON-EMPTY result (59 pairs at sf0.01)
+    through the whole pair-join + verify path."""
     e = load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_pairs(e, "embedding", "vec_id", threshold=0.9)
+    return dedup.embedding_near_pairs(e, "embedding", "vec_id", threshold=0.4)
 
 
 @query(
@@ -141,25 +145,98 @@ def knn_all_pairs_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Bucketed embedding near-dup: the 100 TB path for dedup_embedding_cosine.
+# The hyperplanes are deterministic literals (LCG), so the ENTIRE pipeline —
+# signature, banding, candidate equi-join, cosine verify — is expressible in
+# DuckDB SQL and fully oracle-checked, not just recall-tested.
+# --------------------------------------------------------------------------
+_EMB_DIM = 64          # driver test embeddings (TESTDATA.md)
+_EMB_PLANES = lcg_planes(8, _EMB_DIM, seed=42)
+_EMB_BANDS = 2
+
+
+def _bucketed_embedding_oracle(planes: list[list[float]], bands: int,
+                               threshold: float) -> str:
+    bits = len(planes)
+    per_band = bits // bands
+    mask = (1 << per_band) - 1
+    dot_cols = ",\n             ".join(
+        f"SUM(CAST(embedding[i.i] AS DOUBLE) * CAST(([{', '.join(repr(x) for x in p)}])[i.i] AS DOUBLE)) AS d{j}"
+        for j, p in enumerate(planes)
+    )
+    sig_sum = " + ".join(
+        f"(CASE WHEN d{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        f"      SELECT vec_id, sig, nrm, {b} AS band, (sig // {1 << (b * per_band)}) % {mask + 1} AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH ex AS (SELECT vec_id, embedding FROM embeddings),
+    dots AS (
+      SELECT vec_id,
+             {dot_cols},
+             SUM(CAST(embedding[i.i] AS DOUBLE) * CAST(embedding[i.i] AS DOUBLE)) AS nsq
+      FROM ex, UNNEST(range(1, len(embedding) + 1)) AS i(i)
+      GROUP BY vec_id
+    ), sig AS (
+      SELECT vec_id, SQRT(nsq) AS nrm, {sig_sum} AS sig FROM dots
+    ), banded AS (
+{band_selects}
+    ), cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ), pair_dots AS (
+      SELECT c.id_a, c.id_b,
+             SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) AS dp
+      FROM cand c
+      JOIN ex a ON a.vec_id = c.id_a
+      JOIN ex b ON b.vec_id = c.id_b,
+           UNNEST(range(1, len(a.embedding) + 1)) AS i(i)
+      GROUP BY 1, 2
+    )
+    SELECT p.id_a, p.id_b, ROUND(p.dp / (na.nrm * nb.nrm), 6) AS cos_sim
+    FROM pair_dots p
+    JOIN sig na ON na.vec_id = p.id_a
+    JOIN sig nb ON nb.vec_id = p.id_b
+    WHERE ROUND(p.dp / (na.nrm * nb.nrm), 6) >= {threshold}
+    """
+
+
+@query(
+    "dedup_embedding_bucketed",
+    oracle=_bucketed_embedding_oracle(_EMB_PLANES, _EMB_BANDS, 0.4),
+)
+def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via the LSH-bucket prefilter (8 hyperplane
+    signs, 2 bands of 4 bits) + exact cosine verify — the scale path whose
+    candidate join is Σ bucket² instead of n². Value-checked against a
+    DuckDB oracle computing the identical signatures from the same literal
+    hyperplanes. Threshold 0.4 mirrors dedup_embedding_cosine (the test
+    embeddings have no pairs above ~0.51); at the production near-dup
+    regime (cos ≥ 0.9, θ ≤ 26°) the 4-bit-band collision probability is
+    ~0.95+ — recall is measured on clustered data in
+    tests/test_similarity.py and SCALE.md."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_pairs_bucketed(
+        e, "embedding", "vec_id", _EMB_PLANES, threshold=0.4, bands=_EMB_BANDS
+    )
+
+
 # Approximate ANN paths (LSH buckets / IVF probes) use engine-internal
-# sampling and hyperplanes — rows-only driver check; exactness vs the brute
-# oracle is asserted by recall tests in tests/test_similarity.py.
+# sampling and hyperplanes — rows-only driver check; recall floors vs the
+# brute-force path are asserted in tests/test_similarity.py.
 @query("knn_cosine_lsh")
 def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    dim = len(qv)
-    # deterministic pseudo-random hyperplanes (LCG), no numpy RNG state.
     # 5 planes + Hamming-2 multiprobe measures ~0.8 recall at ~50% candidate
     # fraction on these (uniform-random, worst-case-for-LSH) embeddings;
     # clustered real-world embeddings support more planes / fewer probes.
-    planes, state = [], 42
-    for _ in range(5):
-        row = []
-        for _ in range(dim):
-            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-            row.append((state >> 33) / float(1 << 31) - 1.0)
-        planes.append(row)
+    planes = lcg_planes(5, len(qv), seed=42)
     return similarity.lsh_bucketed_knn(spark, e, "embedding", "vec_id", qv, planes, k=5)
 
 

@@ -109,6 +109,28 @@ def test_lsh_recall_clustered(spark, clustered):
     assert recall >= 0.7, f"LSH clustered recall {recall}"
 
 
+def test_bucketed_embedding_near_dup_recall_clustered(spark, clustered):
+    """In the regime the operator exists for (true near-dups, cos >= 0.9),
+    the LSH-bucket prefilter must keep nearly every real pair: each cluster
+    mate pair agrees on almost every hyperplane sign, so recall vs the
+    exact O(n^2) operator must be >= 0.9 (theory: ~0.95+ per 4-bit band)."""
+    from kafka_avro_pipeline_java_spark.functions.vectors import lcg_planes
+    from kafka_avro_pipeline_java_spark.operators import dedup
+
+    df, _ = clustered
+    planes = lcg_planes(8, 16, seed=42)
+    exact = {(r["id_a"], r["id_b"]) for r in
+             dedup.embedding_near_pairs(df, "embedding", "vec_id", threshold=0.9).collect()}
+    bucketed = {(r["id_a"], r["id_b"]) for r in
+                dedup.embedding_near_pairs_bucketed(
+                    df, "embedding", "vec_id", planes, threshold=0.9, bands=2
+                ).collect()}
+    assert exact, "clustered fixture produced no true near-dup pairs"
+    assert bucketed <= exact  # never invents pairs; same verify expression
+    recall = len(bucketed & exact) / len(exact)
+    assert recall >= 0.9, f"bucketed near-dup recall {recall} over {len(exact)} pairs"
+
+
 def test_ivf_probes_restrict_candidates(spark):
     """IVF with fewer probes must score a subset of what more probes score
     (sanity: the probe knob actually prunes), and probing every cell

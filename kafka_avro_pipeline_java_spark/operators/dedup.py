@@ -50,16 +50,49 @@ def shingle_table(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Data
     return toks.select("id", F.explode(shingles_from_tokens("toks", k)).alias("shingle"))
 
 
+def cap_doc_freq(sh: DataFrame, max_doc_freq: int | None) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_doc_freq`` —
+    THE skew guard for inverted-index candidate joins: an ultra-common
+    shingle (boilerplate, stop-phrase) appearing in d documents contributes
+    d² candidate pairs; one shingle in 1M docs is 10¹² pairs, a guaranteed
+    straggler at 100 TB. Hot shingles carry no dedup signal anyway (they
+    connect UNrelated documents), so dropping them trades a sliver of
+    recall for bounded bucket sizes.
+
+    The hot set is tiny by construction (heavy hitters), so the subtraction
+    is a broadcast anti-join — no extra shuffle on the big table beyond the
+    df groupBy. ``None`` disables the cap (oracle-checked paths keep exact
+    semantics).
+    """
+    if max_doc_freq is None:
+        return sh
+    # sh is distinct per (id, shingle), so count(*) per shingle == doc freq
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by k-word-shingle Jaccard similarity.
 
     Join on shingle (inverted index) → count shared shingles per pair →
     Jaccard = |∩| / (|A| + |B| - |∩|). The equi-join on shingle is the
     standard scalable candidate generation: cost is Σ bucket² over shingle
-    buckets, not n². Skewed (ultra-common) shingles would be dropped by a
-    document-frequency cap at real scale; at test scale none qualify.
+    buckets, not n². With ``max_doc_freq`` set, ultra-common shingles are
+    dropped BEFORE the join (see ``cap_doc_freq``) and the Jaccard is
+    computed over the capped shingle sets — self-consistent sizes and
+    intersections.
     """
     # join on a 64-bit shingle hash, not the string: the shuffle moves 8-byte
     # keys instead of ~20-char strings and the join compares longs (collision
@@ -72,6 +105,7 @@ def ngram_jaccard_pairs(
     sh = shingle_table(df, text_col, id_col, k).select(
         "id", F.xxhash64("shingle").alias("shingle")
     )
+    sh = cap_doc_freq(sh, max_doc_freq)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -96,12 +130,14 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3, num_hashes: int = 32
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, num_hashes: int = 32,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """MinHash signature per doc: for permutation i, min over shingles of
     hash(shingle XOR seed_i). Computed as one explode + groupBy (single
-    shuffle); signature is an array<bigint> column."""
-    sh = shingle_table(df, text_col, id_col, k)
+    shuffle); signature is an array<bigint> column. ``max_doc_freq`` drops
+    ultra-common shingles before signing (see ``cap_doc_freq``)."""
+    sh = cap_doc_freq(shingle_table(df, text_col, id_col, k), max_doc_freq)
     hashed = sh.withColumn("h", portable_hash64("shingle"))
     mins = hashed.groupBy("id").agg(
         *[
@@ -120,6 +156,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` rows-per-band groups,
     hash each band, equi-join on (band, band_hash) for candidates, then
@@ -129,7 +166,7 @@ def minhash_lsh_pairs(
     scan. The verify step compares two fixed-width arrays: O(1) per pair.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes, max_doc_freq)
     banded = sig.select(
         "id",
         "signature",
@@ -186,10 +223,11 @@ MINHASH_B = [(12345 * (i + 7)) % MINHASH_P for i in range(64)]
 
 
 def minhash_signatures_portable(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3, num_hashes: int = 32
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, num_hashes: int = 32,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Signature columns mh_0..mh_{n-1} per doc, portable arithmetic."""
-    sh = shingle_table(df, text_col, id_col, k)
+    sh = cap_doc_freq(shingle_table(df, text_col, id_col, k), max_doc_freq)
     h31 = F.pmod(portable_hash64("shingle"), F.lit(MINHASH_P))
     hashed = sh.withColumn("h31", h31)
     return hashed.groupBy("id").agg(
@@ -211,6 +249,7 @@ def minhash_lsh_pairs_portable(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Oracle-checkable LSH dedup: band buckets are md5 of the band's
     minhash values (portable string combine); candidates verified by the
@@ -219,7 +258,7 @@ def minhash_lsh_pairs_portable(
     # and the two verify sides within one action; caching would leak storage
     # across calls in a long-lived session (see ngram_jaccard_pairs note)
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures_portable(df, text_col, id_col, k, num_hashes)
+    sig = minhash_signatures_portable(df, text_col, id_col, k, num_hashes, max_doc_freq)
     band_rows = [
         sig.select(
             "id",

@@ -120,6 +120,36 @@ def test_connected_components_vs_union_find(spark):
         assert got[x] == min(truth[find(x)]), f"node {x}"
 
 
+def test_df_cap_kills_boilerplate_pairs_but_keeps_planted_near_dups(spark):
+    """Skew guard: a shingle shared by EVERY doc (boilerplate header) must
+    not generate candidate pairs once df > max_doc_freq, while a planted
+    near-dup pair connected by RARE shingles must survive the cap."""
+    boiler = "terms of service apply to all content here"
+    rows = [(i, f"{boiler} item {i} alpha{i} beta{i} gamma{i} delta{i}")
+            for i in range(40)]
+    # planted near-dups: long shared unique tail, df=2 shingles
+    tail = "zebra quokka axolotl pangolin capuchin marmoset tarsier loris"
+    rows += [(100, f"{boiler} {tail} one"), (101, f"{boiler} {tail} two")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.01)
+    capped = dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.01,
+                                       max_doc_freq=10)
+    n_uncapped = uncapped.count()
+    capped_pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    # without the cap, boilerplate shingles connect every doc pair
+    assert n_uncapped > 100
+    # with the cap, ONLY the planted pair remains — and with high Jaccard
+    # (its rare shared shingles dominate its capped shingle sets)
+    assert set(capped_pairs) == {(100, 101)}
+    assert capped_pairs[(100, 101)] > 0.5
+
+    # same survival property through the MinHash-LSH path
+    mh = dedup.minhash_lsh_pairs_portable(d, "text", "doc_id", threshold=0.5,
+                                          max_doc_freq=10)
+    assert (100, 101) in {(r["id_a"], r["id_b"]) for r in mh.collect()}
+
+
 def test_dedup_pair_generation_leaves_no_persistent_storage(spark, sf_dir):
     """Repeated dedup calls in one session must not grow executor storage
     (the shingle/signature tables rely on exchange reuse, not .cache())."""

@@ -132,3 +132,76 @@ def ivf_knn(
     ]
     cand = assigned.filter(F.col("__cid").isin(probe_ids)).drop("__cid")
     return brute_force_knn(spark, cand, vec_col, id_col, query_vec, k)
+
+
+def bucketed_topk_neighbors(
+    spark: SparkSession,
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    planes: list[list[float]],
+    k: int = 3,
+    bands: int = 2,
+) -> DataFrame:
+    """Batch approximate kNN: top-k neighbors for EVERY vector, scored only
+    over LSH band-bucket candidate pairs — the scale path for the exact
+    all-pairs + window query (``plans/vectors.py::knn_all_pairs_top3``).
+
+    Same final per-vector ``row_number`` window; the O(n²) self-join is
+    replaced by an equi-join on (band, band-bits of the hyperplane-sign
+    signature), so pair generation is Σ bucket² and the window input is the
+    candidate set, not all pairs. Recall is tunable by planes/bands.
+    """
+    from ..functions.vectors import dot, norm
+
+    bits = len(planes)
+    per_band = bits // bands
+    mask = (1 << per_band) - 1
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(vec_col).alias("nrm"),
+        hyperplane_signature(vec_col, planes).alias("sig"),
+    )
+    band_rows = [
+        base.select(
+            "id", "v", "nrm",
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned("sig", b * per_band).bitwiseAND(F.lit(mask)).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = band_rows[0]
+    for br in band_rows[1:]:
+        banded = banded.unionByName(br)
+    a, b = banded.alias("a"), banded.alias("b")
+    # directed candidate pairs (each side of a colliding pair needs the
+    # other as a neighbor candidate); distinct across bands BEFORE scoring
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("vec_id"),
+            F.col("b.id").alias("neighbor_id"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+            F.col("a.nrm").alias("na"),
+            F.col("b.nrm").alias("nb"),
+        )
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "vec_id",
+        "neighbor_id",
+        F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

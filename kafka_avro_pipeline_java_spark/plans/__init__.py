@@ -34,6 +34,7 @@ _PRIORITY = [
     # --- similarity search (north star) ---
     "knn_cosine_bruteforce",
     "knn_all_pairs_top3",
+    "knn_topk_bucketed",
     "knn_cosine_lsh",
     "knn_cosine_ivf",
     # --- text analysis (north star) ---
@@ -75,7 +76,6 @@ _PRIORITY = [
     "scalar_json_events",
     "subquery_in_top_nations",
     "pivot_status_by_priority",
-    "explode_doc_tokens",
     "profile_orders",
 ]
 

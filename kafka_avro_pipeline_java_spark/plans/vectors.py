@@ -156,8 +156,10 @@ _EMB_PLANES = lcg_planes(8, _EMB_DIM, seed=42)
 _EMB_BANDS = 2
 
 
-def _bucketed_embedding_oracle(planes: list[list[float]], bands: int,
-                               threshold: float) -> str:
+def _sig_banded_ctes(planes: list[list[float]], bands: int) -> str:
+    """Shared oracle fragment: per-vector hyperplane-sign signature + band
+    buckets, computed from the same literal plane values the Spark plan
+    embeds (so both engines derive identical buckets)."""
     bits = len(planes)
     per_band = bits // bands
     mask = (1 << per_band) - 1
@@ -172,8 +174,7 @@ def _bucketed_embedding_oracle(planes: list[list[float]], bands: int,
         f"      SELECT vec_id, sig, nrm, {b} AS band, (sig // {1 << (b * per_band)}) % {mask + 1} AS bucket FROM sig"
         for b in range(bands)
     )
-    return f"""
-    WITH ex AS (SELECT vec_id, embedding FROM embeddings),
+    return f"""ex AS (SELECT vec_id, embedding FROM embeddings),
     dots AS (
       SELECT vec_id,
              {dot_cols},
@@ -184,7 +185,13 @@ def _bucketed_embedding_oracle(planes: list[list[float]], bands: int,
       SELECT vec_id, SQRT(nsq) AS nrm, {sig_sum} AS sig FROM dots
     ), banded AS (
 {band_selects}
-    ), cand AS (
+    )"""
+
+
+def _bucketed_embedding_oracle(planes: list[list[float]], bands: int,
+                               threshold: float) -> str:
+    return f"""
+    WITH {_sig_banded_ctes(planes, bands)}, cand AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -206,6 +213,36 @@ def _bucketed_embedding_oracle(planes: list[list[float]], bands: int,
     """
 
 
+def _bucketed_topk_oracle(planes: list[list[float]], bands: int, k: int) -> str:
+    return f"""
+    WITH {_sig_banded_ctes(planes, bands)}, cand AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      GROUP BY 1, 2
+    ), pair_dots AS (
+      SELECT c.vec_id, c.neighbor_id,
+             SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) AS dp
+      FROM cand c
+      JOIN ex a ON a.vec_id = c.vec_id
+      JOIN ex b ON b.vec_id = c.neighbor_id,
+           UNNEST(range(1, len(a.embedding) + 1)) AS i(i)
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT p.vec_id, p.neighbor_id,
+             ROUND(p.dp / (na.nrm * nb.nrm), 6) AS cos_sim
+      FROM pair_dots p
+      JOIN sig na ON na.vec_id = p.vec_id
+      JOIN sig nb ON nb.vec_id = p.neighbor_id
+    )
+    SELECT vec_id, neighbor_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= {k}
+    """
+
+
 @query(
     "dedup_embedding_bucketed",
     oracle=_bucketed_embedding_oracle(_EMB_PLANES, _EMB_BANDS, 0.4),
@@ -223,6 +260,24 @@ def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return dedup.embedding_near_pairs_bucketed(
         e, "embedding", "vec_id", _EMB_PLANES, threshold=0.4, bands=_EMB_BANDS
+    )
+
+
+@query(
+    "knn_topk_bucketed",
+    oracle=_bucketed_topk_oracle(_EMB_PLANES, _EMB_BANDS, 3),
+)
+def knn_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch approximate kNN over ALL vectors: the scale path for
+    knn_all_pairs_top3 — the same per-vector top-k window, but run over
+    LSH band-bucket candidate pairs (Σ bucket² join) instead of the O(n²)
+    self-join. Deterministic literal hyperplanes make the whole pipeline
+    DuckDB-expressible, so candidates AND scores are oracle-checked
+    value-for-value; recall vs the exact window is measured in
+    tests/test_similarity.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.bucketed_topk_neighbors(
+        spark, e, "embedding", "vec_id", _EMB_PLANES, k=3, bands=_EMB_BANDS
     )
 
 

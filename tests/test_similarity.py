@@ -131,6 +131,41 @@ def test_bucketed_embedding_near_dup_recall_clustered(spark, clustered):
     assert recall >= 0.9, f"bucketed near-dup recall {recall} over {len(exact)} pairs"
 
 
+def test_bucketed_topk_recall_clustered(spark, clustered):
+    """Batch approximate kNN (LSH candidate pairs + window) must find most
+    true top-3 neighbors when the data is clustered: cluster mates agree on
+    nearly every hyperplane sign, so mean recall must be >= 0.9."""
+    from kafka_avro_pipeline_java_spark.functions.vectors import lcg_planes
+    from kafka_avro_pipeline_java_spark.operators.similarity import bucketed_topk_neighbors
+
+    df, _ = clustered
+    rows = {r["vec_id"]: r["embedding"] for r in df.collect()}
+
+    import math
+
+    def cos(a, b):
+        da = math.sqrt(sum(x * x for x in a))
+        db = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (da * db)
+
+    exact_top3 = {}
+    for vid, v in rows.items():
+        scored = sorted(
+            ((cos(v, w), -wid) for wid, w in rows.items() if wid != vid), reverse=True
+        )[:3]
+        exact_top3[vid] = {-negid for _, negid in scored}
+
+    planes = lcg_planes(8, 16, seed=42)
+    approx = bucketed_topk_neighbors(spark, df, "embedding", "vec_id", planes,
+                                     k=3, bands=2).collect()
+    found = {}
+    for r in approx:
+        found.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    recalls = [len(found.get(vid, set()) & exact_top3[vid]) / 3 for vid in rows]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.9, f"bucketed batch-kNN mean recall {mean_recall}"
+
+
 def test_ivf_probes_restrict_candidates(spark):
     """IVF with fewer probes must score a subset of what more probes score
     (sanity: the probe knob actually prunes), and probing every cell

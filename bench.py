@@ -44,9 +44,12 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_keep_one_e2e",
+    "dedup_embedding_bucketed",
     "text_stats",
     "knn_cosine_bruteforce",
     "knn_cosine_ivf",
+    "knn_topk_bucketed",
     "multimodal_binary_meta",
 ]
 
@@ -61,6 +64,7 @@ COLLECT_THRESHOLD_QUERIES = {
     "agg_cube_flag_status",
     "knn_cosine_bruteforce",
     "knn_cosine_ivf",
+    "dedup_embedding_bucketed",
 }
 
 

@@ -572,7 +572,7 @@ def embedding_near_pairs_bucketed(
     )
     band_rows = [
         base.select(
-            "id",
+            "id", "v", "nrm", "sig",
             F.lit(b).alias("band"),
             F.shiftrightunsigned("sig", b * per_band).bitwiseAND(F.lit(mask)).alias("bucket"),
         )
@@ -581,25 +581,40 @@ def embedding_near_pairs_bucketed(
     banded = band_rows[0]
     for br in band_rows[1:]:
         banded = banded.unionByName(br)
+    # spread the verify join across every core (see similarity.py note):
+    # broadcast self-joins parallelize by stream-side partitions, and a
+    # single-file source would otherwise run the whole Σ bucket² scoring
+    # in one or two tasks
+    banded = banded.repartition(df.sparkSession.sparkContext.defaultParallelism)
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    from ..functions.vectors import dot as vdot
+
+    # pair-dedup WITHOUT a shuffle: a pair colliding in several bands is
+    # kept only in its LOWEST matching band (expression filter — both sigs
+    # are in hand), and the cosine verify runs INSIDE the join projection,
+    # so rejected candidates never reach an exchange
+    def _band_bits(col, bb):
+        return F.shiftrightunsigned(col, bb * per_band).bitwiseAND(F.lit(mask))
+
+    lowest_band = F.lit(True)
+    for bb in range(bands - 1):
+        lowest_band = lowest_band & (
+            (F.col("a.band") <= bb)
+            | (_band_bits(F.col("a.sig"), bb) != _band_bits(F.col("b.sig"), bb))
+        )
+    cos = vdot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") < F.col("b.id"))
+            & lowest_band,
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    from ..functions.vectors import dot as vdot
-
-    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    cos = vdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= threshold)
     )

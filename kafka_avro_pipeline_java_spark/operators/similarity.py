@@ -165,7 +165,7 @@ def bucketed_topk_neighbors(
     )
     band_rows = [
         base.select(
-            "id", "v", "nrm",
+            "id", "v", "nrm", "sig",
             F.lit(b).alias("band"),
             F.shiftrightunsigned("sig", b * per_band).bitwiseAND(F.lit(mask)).alias("bucket"),
         )
@@ -174,30 +174,42 @@ def bucketed_topk_neighbors(
     banded = band_rows[0]
     for br in band_rows[1:]:
         banded = banded.unionByName(br)
+    # spread the scoring join across every core: the source is often a few
+    # parquet splits, and a broadcast self-join parallelizes by STREAM-side
+    # partitions (scoring work follows stream rows, so round-robin spread
+    # survives bucket skew; at SMJ scale AQE skew-split takes over)
+    banded = banded.repartition(df.sparkSession.sparkContext.defaultParallelism)
     a, b = banded.alias("a"), banded.alias("b")
-    # directed candidate pairs (each side of a colliding pair needs the
-    # other as a neighbor candidate); distinct across bands BEFORE scoring
-    cand = (
+
+    # pair-dedup WITHOUT a shuffle: a pair colliding in several bands is
+    # kept only in its LOWEST matching band — an expression filter inside
+    # the join (both sigs are in hand), replacing a dropDuplicates exchange
+    # that would move full vector payloads per candidate pair
+    def _band_bits(col, bb):
+        return F.shiftrightunsigned(col, bb * per_band).bitwiseAND(F.lit(mask))
+
+    lowest_band = F.lit(True)
+    for bb in range(bands - 1):
+        lowest_band = lowest_band & (
+            (F.col("a.band") <= bb)
+            | (_band_bits(F.col("a.sig"), bb) != _band_bits(F.col("b.sig"), bb))
+        )
+    # score INSIDE the join projection: rejected pairs never shuffle
+    scored = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") != F.col("b.id")),
+            & (F.col("a.id") != F.col("b.id"))
+            & lowest_band,
         )
         .select(
             F.col("a.id").alias("vec_id"),
             F.col("b.id").alias("neighbor_id"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-            F.col("a.nrm").alias("na"),
-            F.col("b.nrm").alias("nb"),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+            ).alias("cos_sim"),
         )
-        .dropDuplicates(["vec_id", "neighbor_id"])
-    )
-    scored = cand.select(
-        "vec_id",
-        "neighbor_id",
-        F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

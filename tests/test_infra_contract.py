@@ -1,0 +1,163 @@
+"""Contract tests for the broker-gated admin paths, run against an
+embedded fake admin client — verifies the reference's orchestration
+protocol (delete-if-exists → poll-until-gone → create → verify futures;
+reference 01-infra DataPipeline.java:80-126) without a live broker, and
+the Schema Registry REST registration against a fake HTTP endpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import types
+
+import pytest
+
+from kafka_avro_pipeline_java_spark.sources import infra
+
+
+class _FakeFuture:
+    def __init__(self, log, tag):
+        self.log, self.tag = log, tag
+        self.resolved = False
+
+    def result(self):
+        self.resolved = True
+        self.log.append(("future_resolved", self.tag))
+
+
+class _FakeMetadata:
+    def __init__(self, topics):
+        self.topics = {t: object() for t in topics}
+
+
+class _FakeAdminClient:
+    """Mimics confluent_kafka.admin.AdminClient: topics exist until one
+    poll AFTER the delete call (so the poll-until-gone loop must actually
+    loop), then creation makes them visible again."""
+
+    instances: list["_FakeAdminClient"] = []
+
+    def __init__(self, conf):
+        self.conf = conf
+        self.log = []
+        self.topics = {"orders_avro", "unrelated_topic"}
+        self._deleting = set()
+        _FakeAdminClient.instances.append(self)
+
+    def list_topics(self, timeout=None):
+        self.log.append(("list_topics", frozenset(self.topics)))
+        if self._deleting:  # deletion completes one poll later
+            self.topics -= self._deleting
+            self._deleting = set()
+        return _FakeMetadata(self.topics)
+
+    def delete_topics(self, topics):
+        self.log.append(("delete_topics", tuple(topics)))
+        self._deleting = set(topics)
+        return {t: _FakeFuture(self.log, f"delete:{t}") for t in topics}
+
+    def create_topics(self, new_topics):
+        names = [nt.topic for nt in new_topics]
+        self.log.append(
+            ("create_topics",
+             tuple((nt.topic, nt.num_partitions, nt.replication_factor)
+                   for nt in new_topics))
+        )
+        self.topics |= set(names)
+        return {t: _FakeFuture(self.log, f"create:{t}") for t in names}
+
+
+class _FakeNewTopic:
+    def __init__(self, topic, num_partitions, replication_factor):
+        self.topic = topic
+        self.num_partitions = num_partitions
+        self.replication_factor = replication_factor
+
+
+@pytest.fixture()
+def fake_admin(monkeypatch):
+    """Install a fake confluent_kafka.admin module; uninstall afterwards."""
+    _FakeAdminClient.instances = []
+    mod_root = types.ModuleType("confluent_kafka")
+    mod_admin = types.ModuleType("confluent_kafka.admin")
+    mod_admin.AdminClient = _FakeAdminClient
+    mod_admin.NewTopic = _FakeNewTopic
+    mod_root.admin = mod_admin
+    monkeypatch.setitem(sys.modules, "confluent_kafka", mod_root)
+    monkeypatch.setitem(sys.modules, "confluent_kafka.admin", mod_admin)
+    return _FakeAdminClient
+
+
+def test_recreate_topics_protocol(fake_admin):
+    """Existing topic is deleted, polled until gone, then both topics are
+    created with the requested partition/replication settings and every
+    future is awaited — the reference's exact sequencing."""
+    infra.recreate_topics(
+        "broker:9092",
+        ["orders_avro", "customers_avro"],
+        partitions=3,
+        replication_factor=3,
+        poll_interval_s=0.001,
+        timeout_s=1.0,
+    )
+    client = fake_admin.instances[-1]
+    ops = [op for op, _ in client.log]
+
+    # only the EXISTING topic is deleted (customers_avro isn't)
+    deletes = [args for op, args in client.log if op == "delete_topics"]
+    assert deletes == [("orders_avro",)]
+    # delete happens before create; at least one poll in between
+    assert ops.index("delete_topics") < ops.index("create_topics")
+    polls_between = ops[ops.index("delete_topics"): ops.index("create_topics")].count("list_topics")
+    assert polls_between >= 1
+    # both topics created with the requested settings
+    creates = [args for op, args in client.log if op == "create_topics"][0]
+    assert sorted(creates) == [("customers_avro", 3, 3), ("orders_avro", 3, 3)]
+    # every future (delete + create) was awaited
+    resolved = {tag for op, tag in client.log if op == "future_resolved"}
+    assert resolved == {"delete:orders_avro", "create:orders_avro",
+                        "create:customers_avro"}
+
+
+def test_recreate_topics_no_admin_client_raises(monkeypatch):
+    monkeypatch.setattr(infra, "kafka_admin_available", lambda: False)
+    with pytest.raises(RuntimeError, match="admin client"):
+        infra.recreate_topics("broker:9092", ["t"])
+
+
+def test_register_schemas_rest_contract(monkeypatch):
+    """Subjects are named <topic>-value, payload wraps the schema as a JSON
+    string, and returned ids are mapped back (Confluent REST protocol)."""
+    calls = []
+
+    class _Resp:
+        def __init__(self, body):
+            self._body = body
+
+        def read(self):
+            return self._body
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(req, timeout=None):
+        body = json.loads(req.data)
+        calls.append((req.full_url, body, dict(req.headers)))
+        return _Resp(json.dumps({"id": 100 + len(calls)}).encode())
+
+    import urllib.request
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    schemas = [
+        {"type": "record", "name": "orders_avro", "fields": []},
+        {"type": "record", "name": "customers_avro", "fields": []},
+    ]
+    ids = infra.register_schemas("http://registry:8081", schemas)
+    assert ids == {"orders_avro-value": 101, "customers_avro-value": 102}
+    assert calls[0][0] == "http://registry:8081/subjects/orders_avro-value/versions"
+    # schema is embedded as a JSON STRING (registry protocol), not an object
+    assert json.loads(calls[0][1]["schema"])["name"] == "orders_avro"

@@ -325,3 +325,80 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming verify) value-checked against the DuckDB oracle."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs_portable(d, "text", "doc_id", max_hamming=4)
+
+
+_FP_SQL = "substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 16)"
+
+
+@query(
+    "pipeline_decontaminate",
+    oracle=f"""
+    WITH bench AS (
+      SELECT DISTINCT {_FP_SQL} AS fp FROM documents WHERE doc_id % 97 = 0
+    )
+    SELECT d.doc_id
+    FROM documents d
+    WHERE d.doc_id % 97 <> 0
+      AND {_FP_SQL.replace("text", "d.text")} NOT IN (SELECT fp FROM bench)
+    """,
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop every training document whose
+    normalized fingerprint matches a held-out evaluation set (stood in by
+    doc_id % 97 == 0). The eval set is tiny by nature, so the overlap
+    check is a BROADCAST anti-join on 16-char fingerprints — no shuffle of
+    the corpus; at 100 TB the corpus streams past a broadcast hash set."""
+    d = load_table(spark, sf_dir, "documents")
+    # no .distinct() on the eval fingerprints: anti-join is an existence
+    # check, so duplicate build-side keys are harmless and removing the
+    # dedup removes the only Exchange in the plan
+    bench = d.filter(F.col("doc_id") % 97 == 0).select(
+        T.fingerprint("text").alias("fp")
+    )
+    corpus = d.filter(F.col("doc_id") % 97 != 0).withColumn(
+        "fp", T.fingerprint("text")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "fp", "left_anti").select("doc_id")
+    )
+
+
+@query(
+    "pipeline_quality_filter",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+             ROUND(0.5 * least(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                               / 100.0, 1.0)
+                 + 0.5 * (1.0 - (length(text)
+                                 - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                                / CAST(length(text) AS DOUBLE)), 4) AS quality,
+             CASE WHEN len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                       x -> x IN ({_STOP_SQL})))
+                       / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) >= 0.05
+                  THEN 'en' ELSE 'unknown' END AS lang_guess
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, quality
+    FROM scored
+    WHERE quality >= 0.5 AND lang_guess = 'en' AND n_tokens BETWEEN 5 AND 100000
+    """,
+)
+def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining quality gate as ONE declarative filter: quality
+    score + language id + token-count bounds composed in a single
+    projection over one scan (no joins, no shuffles — the shape that
+    streams 100 TB through executors at scan speed)."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.round(T.quality_score("text"), 4).alias("quality"),
+        T.lang_guess("text").alias("lang_guess"),
+    )
+    return scored.filter(
+        (F.col("quality") >= 0.5)
+        & (F.col("lang_guess") == "en")
+        & F.col("n_tokens").between(5, 100000)
+    ).select("doc_id", "n_tokens", "quality")

@@ -66,6 +66,24 @@ def test_asof_join_has_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_decontaminate_is_broadcast_anti_join(spark, sf_dir):
+    """The benchmark-overlap check must broadcast the (tiny) eval-set
+    fingerprints and stream the corpus past it — never shuffle the corpus."""
+    plan = _formatted_plan(spark, "pipeline_decontaminate", sf_dir)
+    assert "BroadcastHashJoin LeftAnti" in plan
+    shuffle_exchanges = [l for l in plan.splitlines() if re.search(r"\(\d+\) Exchange", l)]
+    assert not shuffle_exchanges, shuffle_exchanges
+
+
+def test_quality_filter_is_single_scan_no_exchange(spark, sf_dir):
+    """The pretraining quality gate is one projection+filter over one scan:
+    any Exchange would mean the filter stopped streaming at scan speed."""
+    plan = _formatted_plan(spark, "pipeline_quality_filter", sf_dir)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    shuffle_exchanges = [l for l in plan.splitlines() if re.search(r"\(\d+\) Exchange", l)]
+    assert not shuffle_exchanges, shuffle_exchanges
+
+
 def test_ivf_assignment_is_shuffle_free(spark, sf_dir):
     """IVF centroid assignment must be a per-row argmax over a literal
     centroid array: no row expansion (no join against a centroid table) and

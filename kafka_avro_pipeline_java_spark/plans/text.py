@@ -364,6 +364,78 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_corpus_split",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+               AS bucket
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def pipeline_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5) by hashing the
+    document id — the reproducible-split primitive every training pipeline
+    needs: stable across runs and engines (portable md5 hash), no sampling
+    state, no shuffle (pure projection), and any doc's split is computable
+    in isolation. Oracle derives identical buckets in DuckDB."""
+    from ..functions.hashing import portable_hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(portable_hash64(F.col("doc_id").cast("string")), F.lit(100))
+    return d.select(
+        "doc_id",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "pipeline_token_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CAST((cum_tokens - n_tokens) // 2048 AS INT) AS pack_id
+    FROM c
+    """,
+)
+def pipeline_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential packing for pretraining batches: documents are assigned
+    to fixed-budget packs (2048 tokens) by a running token count in doc_id
+    order — the streaming-friendly packing used in practice (a doc's pack
+    depends only on the prefix sum before it). Runs as a DISTRIBUTED
+    two-phase prefix sum (operators/packing.py): range-partition, tiny
+    per-partition-total collect, then parallel per-partition windows —
+    never the single-partition global window Spark warns about."""
+    from ..operators.packing import sequential_pack
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", T.token_count("text").cast("long").alias("n_tokens"))
+    packed = sequential_pack(t, "doc_id", "n_tokens", budget=2048)
+    return packed.select(
+        "doc_id", F.col("n_tokens").cast("int").alias("n_tokens"), "pack_id"
+    )
+
+
+@query(
     "pipeline_quality_filter",
     oracle=f"""
     WITH scored AS (

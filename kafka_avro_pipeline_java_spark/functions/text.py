@@ -67,6 +67,33 @@ def fingerprint(col: Column | str) -> Column:
     return F.substring(F.md5(normalized), 1, 16)
 
 
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_LONGNUM_RE = r"[0-9]{7,}"
+
+
+def pii_scrub(col: Column | str) -> Column:
+    """Redact emails and long digit runs (phone/account-number shaped) —
+    the standard pre-training PII pass, as pure regexp_replace (Spark
+    replaces ALL matches; the DuckDB oracle mirrors with the 'g' flag)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"), PII_LONGNUM_RE, "<NUM>"
+    )
+
+
+def raw_shingles_from_tokens(tok_col: Column | str, k: int) -> Column:
+    """k-word shingles WITH repeats (no array_distinct) — needed by the
+    repetition-ratio quality signal, where the duplicate count is the
+    point. Same CSE caveat as shingles_from_tokens: feed it an already
+    materialized token-array attribute."""
+    toks = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]),
+    )
+    return F.when(F.size(toks) >= k, sh).otherwise(F.array().cast("array<string>"))
+
+
 def shingles_from_tokens(tok_col: Column | str, k: int) -> Column:
     """Distinct k-word shingles from an ALREADY MATERIALIZED token-array
     column. Keep the token array an attribute (separate projection /

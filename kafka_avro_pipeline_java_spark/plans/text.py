@@ -364,6 +364,79 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(ts) - 1),
+                                   i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]))
+               AS shingle
+      FROM tok WHERE len(ts) >= 3
+    )
+    SELECT doc_id,
+           ROUND(1.0 - COUNT(DISTINCT shingle) / CAST(COUNT(*) AS DOUBLE), 4)
+             AS rep_ratio
+    FROM sh GROUP BY doc_id
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-3-gram ratio per document — the standard boilerplate /
+    degenerate-repetition quality signal: 1 - distinct/total shingles.
+    Explode WITH repeats + one groupBy (count + countDistinct); the token
+    array is materialized behind the usual repartition exchange so the
+    higher-order shingle lambda runs once per doc."""
+    from ..functions.text import raw_shingles_from_tokens, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.lower(F.col("text"))).alias("ts"))
+    toks = toks.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    sh = toks.filter(F.size("ts") >= 3).select(
+        "doc_id", F.explode(raw_shingles_from_tokens("ts", 3)).alias("shingle")
+    )
+    return sh.groupBy("doc_id").agg(
+        F.round(
+            1.0 - F.countDistinct("shingle") / F.count(F.lit(1)).cast("double"), 4
+        ).alias("rep_ratio")
+    )
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '[0-9]{{7,}}')) AS INT)
+             AS n_long_numbers,
+           substr(md5(regexp_replace(
+                    regexp_replace(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                        '<EMAIL>', 'g'),
+                    '[0-9]{{7,}}', '<NUM>', 'g')), 1, 16) AS scrubbed_fp
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: count email / long-digit-run matches and return
+    the fingerprint of the scrubbed text (proving the replacement itself
+    is identical across engines). Pure projection — streams at scan
+    speed."""
+    from ..functions.text import PII_EMAIL_RE, PII_LONGNUM_RE, pii_scrub
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PII_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_LONGNUM_RE)).cast("int").alias("n_long_numbers"),
+        F.substring(F.md5(pii_scrub("text")), 1, 16).alias("scrubbed_fp"),
+    )
+
+
+@query(
     "pipeline_corpus_split",
     oracle="""
     WITH h AS (

@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "dedup_keep_one_e2e",
     "dedup_embedding_bucketed",
     "text_stats",
+    "text_pii_scrub",
+    "pipeline_quality_filter",
+    "pipeline_token_packing",
     "knn_cosine_bruteforce",
     "knn_cosine_ivf",
     "knn_topk_bucketed",

@@ -439,16 +439,20 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: i
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                         max_iterations: int = 20) -> DataFrame:
+                         max_iterations: int = 20,
+                         local_threshold: int = 1_000_000) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate GROUPS: (id, component) where
     component = min id reachable through the pair graph. This is the step
     that turns pairwise similarity into an actual keep-one-per-group dedup.
 
-    Algorithm: iterative min-label propagation (alternating large-star/
-    small-star style) — each round joins current labels across edges and
-    takes the min; converges in O(log n) rounds for real near-dup graphs
-    (shallow components). DataFrame-only: every round is one join + one
-    groupBy; localCheckpoint truncates the growing lineage.
+    Hybrid execution: graphs at or below ``local_threshold`` directed edges
+    resolve with driver-side union-find (one small collect, no per-round
+    jobs); larger graphs run iterative min-label propagation — each round
+    joins current labels across edges and takes the min; converges in
+    O(log n) rounds for real near-dup graphs (shallow components).
+    DataFrame-only: every round is one join + one groupBy; localCheckpoint
+    truncates the growing lineage. Both paths produce identical labels
+    (parameterized equivalence test in tests/test_operators.py).
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -456,6 +460,34 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         .distinct()
         .localCheckpoint()
     )
+    # Hybrid, like the graph libraries: the near-dup pair graph is orders of
+    # magnitude smaller than the corpus (it's the OUTPUT of dedup filtering),
+    # so below `local_threshold` directed edges the component labels are
+    # resolved with driver-side union-find — one 16-byte-per-edge collect of
+    # the already-materialized checkpoint, no per-round jobs. Above it, the
+    # distributed min-label propagation below takes over unchanged (at
+    # 100 TB, banded dedup can emit billions of edges — that path shuffles,
+    # this one never would).
+    n_edges = edges.count()
+    if n_edges <= local_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        edge_list = [(r["src"], r["dst"]) for r in edges.collect()]
+        for src, dst in edge_list:
+            ra, rb = find(src), find(dst)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)  # min id becomes the root
+        nodes = {x for e in edge_list for x in e}
+        rows = [(x, find(x)) for x in sorted(nodes)]
+        return pairs.sparkSession.createDataFrame(rows, "id long, component long")
     labels = (
         edges.select("src")
         .distinct()

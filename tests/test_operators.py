@@ -85,7 +85,9 @@ def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):
 # --------------------------------------------------------------------------
 # connected components / keep-one dedup
 # --------------------------------------------------------------------------
-def test_connected_components_vs_union_find(spark):
+@pytest.mark.parametrize("local_threshold", [1_000_000, 0],
+                         ids=["local-union-find", "distributed-propagation"])
+def test_connected_components_vs_union_find(spark, local_threshold):
     import random
 
     rng = random.Random(42)
@@ -112,7 +114,9 @@ def test_connected_components_vs_union_find(spark):
     pairs = spark.createDataFrame(pair_list, "id_a long, id_b long")
     got = {
         r["id"]: r["component"]
-        for r in dedup.connected_components(pairs).collect()
+        for r in dedup.connected_components(
+            pairs, local_threshold=local_threshold
+        ).collect()
     }
     # compare only nodes that appear in pairs (isolated nodes aren't labeled)
     nodes_in_pairs = {x for p in pair_list for x in p}

@@ -1,0 +1,191 @@
+"""Distributed Lloyd's k-means over an ``array<float>`` embedding column.
+
+Trains the coarse centroids that make IVF search (``operators/similarity.py
+ivf_knn``) a real index instead of a random-sample partition. The shape of
+each iteration is the one a 1000-executor cluster wants:
+
+- **assignment** is a per-row argmin/argmax against a LITERAL centroid array
+  (``transform`` + ``array_position`` inside whole-stage codegen) — zero row
+  expansion, zero shuffle, exactly the plan the IVF assignment uses;
+- **update** is a single map-side-combined ``groupBy(cid)`` producing one
+  ``count`` plus ``dim`` per-dimension sums — the shuffle moves at most
+  ``k × (dim + 2)`` aggregated values, never rows;
+- the driver holds only the ``k × dim`` centroid floats between iterations
+  (same contract as Spark MLlib's KMeans, which collects cluster sums per
+  iteration), so iteration count × one job is the total cost.
+
+No MLlib / Vector-UDT dependency: the native ``array<float>`` column is
+clustered directly.
+
+Reference parity note: the reference pipeline (dkwkehgud77/
+kafka-avro-pipeline-java) has no clustering; this is part of the
+training-data north star (IVF indexing for similarity search).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity, l2_distance
+
+
+def _centroid_literal(centroids: list[list[float]]):
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+
+
+def assign_to_centroids(
+    vec_col, centroids: list[list[float]], metric: str = "cosine"
+):
+    """Per-row best-centroid id as a pure codegen expression (no shuffle).
+
+    ``metric='cosine'`` takes the argmax similarity (spherical k-means);
+    ``metric='euclidean'`` the argmin L2 distance. Ties resolve to the
+    lowest centroid id (``array_position`` finds the first occurrence).
+    """
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    cents = _centroid_literal(centroids)
+    if metric == "cosine":
+        scores = F.transform(cents, lambda c: cosine_similarity(v, c))
+        best = F.array_max(scores)
+    elif metric == "euclidean":
+        scores = F.transform(cents, lambda c: l2_distance(v, c))
+        best = F.array_min(scores)
+    else:
+        raise ValueError(f"unknown metric: {metric}")
+    return (F.array_position(scores, best) - 1).cast("int")
+
+
+def _init_centroids(df: DataFrame, vec_col: str, k: int, seed: int) -> list[list[float]]:
+    """Deterministic k-sample init: order by a hash of the vector bytes so
+    the choice is stable across partitionings and engines."""
+    rows = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)))
+        .limit(k)
+        .collect()
+    )
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def _init_centroids_spread(
+    df: DataFrame, vec_col: str, k: int, seed: int, oversample: int = 8
+) -> list[list[float]]:
+    """k-means++-flavoured init in ONE job: hash-sample ``oversample*k``
+    candidate vectors (pseudo-random, deterministic), then run greedy
+    farthest-point selection driver-side over that tiny candidate set.
+    Avoids the classic failure where two plain-sample seeds land in the same
+    dense cluster and some real cluster gets no centroid — without the k
+    full-data passes of exact farthest-point traversal (MLlib's k-means||
+    makes the same oversample-then-refine trade)."""
+    m = max(k * oversample, 64)
+    cand = [
+        [float(x) for x in r[0]]
+        for r in df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)))
+        .limit(m)
+        .collect()
+    ]
+    if len(cand) <= k:
+        return cand
+    chosen = [cand[0]]
+    # min squared distance from each candidate to the chosen set, updated
+    # incrementally: O(m*k) driver-side float math on <= 8k*dim values
+    d2 = [sum((a - b) ** 2 for a, b in zip(c, chosen[0])) for c in cand]
+    for _ in range(k - 1):
+        far = max(range(len(cand)), key=lambda i: d2[i])
+        nxt = cand[far]
+        chosen.append(nxt)
+        for i, c in enumerate(cand):
+            nd = sum((a - b) ** 2 for a, b in zip(c, nxt))
+            if nd < d2[i]:
+                d2[i] = nd
+    return chosen
+
+
+def train_kmeans(
+    df: DataFrame,
+    vec_col: str,
+    k: int = 16,
+    max_iters: int = 10,
+    seed: int = 42,
+    tol: float = 1e-6,
+    metric: str = "cosine",
+    init: str = "spread",
+) -> tuple[list[list[float]], dict]:
+    """Lloyd's iterations; returns ``(centroids, info)`` where ``info`` has
+    ``iterations``, ``inertia_history`` (sum of per-row distance-to-assigned,
+    ``1 - cos`` for the cosine metric — monotone non-increasing), and
+    ``converged``.
+
+    Each iteration = ONE Spark job: scan → codegen assignment → partial agg
+    → final agg of k groups. Empty clusters keep their previous centroid.
+    """
+    if metric not in ("cosine", "euclidean"):
+        raise ValueError(f"unknown metric: {metric}")
+    dim = len(df.select(vec_col).first()[0])
+    if init == "spread":
+        centroids = _init_centroids_spread(df, vec_col, k, seed)
+    elif init == "sample":
+        centroids = _init_centroids(df, vec_col, k, seed)
+    else:
+        raise ValueError(f"unknown init: {init}")
+    inertia_history: list[float] = []
+    converged = False
+    iterations = 0
+
+    for _ in range(max_iters):
+        iterations += 1
+        cid = assign_to_centroids(vec_col, centroids, metric)
+        v = F.col(vec_col)
+        if metric == "cosine":
+            best_cent = F.element_at(_centroid_literal(centroids), cid + 1)
+            dist = 1.0 - cosine_similarity(v, best_cent)
+        else:
+            best_cent = F.element_at(_centroid_literal(centroids), cid + 1)
+            dist = l2_distance(v, best_cent)
+        stats = (
+            df.select(cid.alias("__cid"), v.alias("__v"), dist.alias("__dist"))
+            .groupBy("__cid")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("__dist").alias("inertia"),
+                *[
+                    F.sum(F.element_at("__v", i + 1).cast("double")).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        inertia_history.append(float(sum(r["inertia"] for r in stats)))
+        new_centroids = [list(c) for c in centroids]
+        for r in stats:
+            mean = [r[f"s{i}"] / r["n"] for i in range(dim)]
+            if metric == "cosine":
+                nrm = math.sqrt(sum(x * x for x in mean))
+                if nrm > 0:
+                    mean = [x / nrm for x in mean]
+            new_centroids[r["__cid"]] = mean
+        shift = max(
+            math.sqrt(sum((a - b) ** 2 for a, b in zip(old, new)))
+            for old, new in zip(centroids, new_centroids)
+        )
+        centroids = new_centroids
+        if shift < tol:
+            converged = True
+            break
+
+    return centroids, {
+        "iterations": iterations,
+        "inertia_history": inertia_history,
+        "converged": converged,
+    }
+
+
+def cluster_sizes(df: DataFrame, vec_col: str, centroids: list[list[float]],
+                  metric: str = "cosine") -> DataFrame:
+    """Per-centroid membership counts — the IVF cell-balance diagnostic."""
+    cid = assign_to_centroids(vec_col, centroids, metric)
+    return df.groupBy(cid.alias("cid")).agg(F.count("*").alias("n")).orderBy("cid")

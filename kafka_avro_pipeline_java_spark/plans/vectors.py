@@ -301,3 +301,20 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
     return similarity.ivf_knn(spark, e, "embedding", "vec_id", qv, n_centroids=16,
                               n_probe=4, k=5)
+
+
+@query("knn_cosine_ivf_trained")
+def knn_cosine_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with k-means-trained centroids (operators/clustering.py): Lloyd's
+    iterations whose assignment step is the same zero-shuffle codegen argmax
+    the index probe uses, and whose update shuffles only k×(dim+2)
+    aggregated values per round. Rows-only driver check; recall vs brute
+    force and inertia monotonicity are asserted in
+    tests/test_similarity.py."""
+    from ..operators.clustering import train_kmeans
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents, _ = train_kmeans(e, "embedding", k=16, max_iters=5, seed=42)
+    return similarity.ivf_knn(spark, e, "embedding", "vec_id", qv,
+                              n_probe=4, k=5, centroids=cents)

@@ -149,6 +149,41 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT ROUND(SUM(ROUND(l.l_extendedprice * 100, 0)) / 700.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND p.p_size < 5
+      AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape (small-quantity-order revenue): correlated AVG subquery
+    per part, decorrelated into a grouped AVG + join. Scale note: the
+    per-part average is computed AFTER the semi-join with the (small,
+    broadcast) filtered part set, so the aggregation only touches the
+    eligible fraction of lineitem instead of the whole table; money sums
+    use integer cents for engine-exact totals."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") < 5)
+    ).select("p_partkey")
+    eligible = l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+    thresholds = eligible.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (0.5 * F.avg("l_quantity")).alias("threshold")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0)
+    return (
+        eligible.join(thresholds, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(F.round(F.sum(cents) / 700.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
     "q20_part_promotion_suppliers",
     oracle="""
     SELECT s.s_suppkey, s.s_name

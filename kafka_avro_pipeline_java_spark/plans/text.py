@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -547,3 +547,121 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("lang_guess") == "en")
         & F.col("n_tokens").between(5, 100000)
     ).select("doc_id", "n_tokens", "quality")
+
+
+@query(
+    "pipeline_domain_mix",
+    oracle="""
+    WITH weights(source, rate) AS (
+      VALUES ('src0', 1.0), ('src1', 0.25), ('src2', 0.5), ('src3', 0.1)
+    ),
+    w AS (
+      SELECT d.doc_id, d.source, CAST(COALESCE(wt.rate, 0.75) AS DOUBLE) AS rate,
+             CAST(('0x' || substr(md5(d.doc_id || ':mix'), 1, 15)) AS BIGINT)
+               % 10000 AS bucket
+      FROM documents d LEFT JOIN weights wt ON wt.source = d.source
+    )
+    SELECT doc_id, source, ROUND(rate, 2) AS rate
+    FROM w WHERE bucket < rate * 10000
+    """,
+)
+def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing: stratified down-sampling to per-source target rates
+    (the data-mixture step of a pretraining pipeline — e.g. keep all of a
+    curated source, 10% of a crawl). Deterministic: a document is kept iff
+    its portable 60-bit hash bucket falls under the source's rate, so the
+    sample is reproducible across runs/engines and any doc's fate is
+    computable in isolation (no sampling state, no shuffle). The weights
+    table is a broadcast dim join — the 100 TB plan is scan + broadcast
+    hash join + filter, nothing else."""
+    from ..functions.hashing import portable_hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    weights = d.sparkSession.createDataFrame(
+        [("src0", 1.0), ("src1", 0.25), ("src2", 0.5), ("src3", 0.1)],
+        "source string, rate double",
+    )
+    bucket = F.pmod(
+        portable_hash64(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))),
+        F.lit(10000),
+    )
+    return (
+        d.join(F.broadcast(weights), "source", "left")
+        .withColumn("rate", F.coalesce(F.col("rate"), F.lit(0.75)))
+        .filter(bucket < F.col("rate") * 10000)
+        .select("doc_id", "source", F.round("rate", 2).alias("rate"))
+    )
+
+
+@query(
+    "text_vocabulary",
+    oracle="""
+    SELECT tok AS token,
+           CAST(COUNT(*) AS BIGINT) AS tf,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    )
+    GROUP BY tok
+    HAVING COUNT(*) >= 5
+    """,
+)
+def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with term and document frequencies — the
+    vocab-building / token-statistics pass of a tokenizer pipeline.
+    explode(split(...)) → one hash aggregate keyed by token; tf is a
+    map-side-combinable count and df a count-distinct over doc ids. The
+    min-frequency HAVING keeps the result bounded (Zipf tail cut) — at
+    100 TB this is exactly a word-count, the canonical scan+shuffle shape."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .filter(F.col("tf") >= 5)
+    )
+
+
+@query(
+    "pipeline_shuffle_order",
+    oracle="""
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5(doc_id || ':epoch0'), 1, 15)) AS BIGINT)
+                % 8 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY CAST(('0x' || substr(md5(doc_id || ':epoch0'), 1, 15))
+                               AS BIGINT) % 8
+             ORDER BY md5(doc_id || ':epoch0'), doc_id
+           ) AS INT) AS pos
+    FROM documents
+    """,
+)
+def pipeline_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets a
+    (shard, position) from a seeded portable hash — the reproducible
+    epoch-shuffle a trainer needs to resume mid-epoch. Scale shape: shard
+    assignment is a pure projection; positions are a window partitioned BY
+    SHARD (never a global single-partition ordering), so each of the N
+    shards sorts independently — the same plan at 100 TB with shards sized
+    to executors. Re-seeding the hash (':epoch1', ...) reshuffles."""
+    from ..functions.hashing import portable_hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    seeded = F.concat(F.col("doc_id").cast("string"), F.lit(":epoch0"))
+    h = d.select(
+        "doc_id",
+        F.md5(seeded).alias("shuffle_key"),
+        F.pmod(portable_hash64(seeded), F.lit(8)).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return h.select(
+        "doc_id", "shard", F.row_number().over(w).cast("int").alias("pos")
+    )

@@ -96,3 +96,20 @@ def test_ivf_assignment_is_shuffle_free(spark, sf_dir):
     ]
     assert not shuffle_exchanges, shuffle_exchanges
     assert "array_position" in plan  # the literal-array argmax survived
+
+def test_domain_mix_is_broadcast_dim_join(spark, sf_dir):
+    """Domain mixing must stream the corpus past a broadcast weights dim:
+    a shuffle here would re-distribute 100 TB to sample it."""
+    plan = _formatted_plan(spark, "pipeline_domain_mix", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    shuffle_exchanges = [l for l in plan.splitlines() if re.search(r"\(\d+\) Exchange", l)]
+    assert not shuffle_exchanges, shuffle_exchanges
+
+
+def test_shuffle_order_partitions_by_shard(spark, sf_dir):
+    """The epoch shuffle's row_number window must be partitioned by shard —
+    a single-partition global window would serialize the whole corpus
+    through one task."""
+    plan = _formatted_plan(spark, "pipeline_shuffle_order", sf_dir)
+    assert re.search(r"hashpartitioning\(shard", plan), plan[:1500]
+    assert "SinglePartition" not in plan

@@ -50,6 +50,25 @@ def shingle_table(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Data
     return toks.select("id", F.explode(shingles_from_tokens("toks", k)).alias("shingle"))
 
 
+def banded_explode(df: DataFrame, keep: list[str], bucket_exprs: list) -> DataFrame:
+    """One row per (input row, band) with columns ``keep + [band, bucket]``,
+    produced by a SINGLE pass: explode an array of (band, bucket) structs.
+
+    The alternative — a unionByName of per-band projections — re-evaluates
+    the upstream subtree once per band (Spark reuses a shuffle exchange
+    across identical branches, but each branch still re-reads the exchange
+    output), so banding an expensive signature table costs ``bands``× reads.
+    The explode reads it once; downstream equi-joins don't care about the
+    row order change."""
+    structs = F.array(*[
+        F.struct(F.lit(b).alias("band"), e.alias("bucket"))
+        for b, e in enumerate(bucket_exprs)
+    ])
+    return df.select(*keep, F.explode(structs).alias("__bb")).select(
+        *keep, F.col("__bb.band").alias("band"), F.col("__bb.bucket").alias("bucket")
+    )
+
+
 def cap_doc_freq(sh: DataFrame, max_doc_freq: int | None) -> DataFrame:
     """Drop shingles whose document frequency exceeds ``max_doc_freq`` —
     THE skew guard for inverted-index candidate joins: an ultra-common
@@ -254,28 +273,26 @@ def minhash_lsh_pairs_portable(
     """Oracle-checkable LSH dedup: band buckets are md5 of the band's
     minhash values (portable string combine); candidates verified by the
     fraction of matching minhashes across the full signature."""
-    # no .cache(): sig's groupBy exchange is reused by all band projections
-    # and the two verify sides within one action; caching would leak storage
-    # across calls in a long-lived session (see ngram_jaccard_pairs note)
+    # no .cache(): banding reads sig ONCE (banded_explode) and the two
+    # verify sides reuse sig's groupBy exchange within one action; caching
+    # would leak storage across calls in a long-lived session (see
+    # ngram_jaccard_pairs note)
     rows_per_band = num_hashes // bands
     sig = minhash_signatures_portable(df, text_col, id_col, k, num_hashes, max_doc_freq)
-    band_rows = [
-        sig.select(
-            "id",
-            F.lit(b).alias("band"),
+    banded = banded_explode(
+        sig,
+        ["id"],
+        [
             F.md5(
                 F.concat_ws(
                     ",",
                     *[F.col(f"mh_{b * rows_per_band + j}").cast("string")
                       for j in range(rows_per_band)],
                 ).cast("binary")
-            ).alias("bucket"),
-        )
-        for b in range(bands)
-    ]
-    banded = band_rows[0]
-    for br in band_rows[1:]:
-        banded = banded.unionByName(br)
+            )
+            for b in range(bands)
+        ],
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -368,16 +385,14 @@ def simhash_near_pairs_portable(
     """Oracle-checkable SimHash near-dup pairs: 4 15-bit band buckets for
     candidates, exact popcount Hamming verify."""
     fp = simhash_portable(df, text_col, id_col)
-    band_rows = [
-        fp.select(
-            "id", "simhash", F.lit(b).alias("band"),
-            F.shiftrightunsigned("simhash", b * 15).bitwiseAND(F.lit(0x7FFF)).alias("bucket"),
-        )
-        for b in range(4)
-    ]
-    banded = band_rows[0]
-    for br in band_rows[1:]:
-        banded = banded.unionByName(br)
+    banded = banded_explode(
+        fp,
+        ["id", "simhash"],
+        [
+            F.shiftrightunsigned("simhash", b * 15).bitwiseAND(F.lit(0x7FFF))
+            for b in range(4)
+        ],
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -454,9 +469,19 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     truncates the growing lineage. Both paths produce identical labels
     (parameterized equivalence test in tests/test_operators.py).
     """
+    # both edge directions from ONE pass over pairs (explode, not union —
+    # a union of two projections re-evaluates the pair-generation subtree,
+    # typically an expensive candidate join, once per branch)
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint()
     )
@@ -602,17 +627,14 @@ def embedding_near_pairs_bucketed(
         norm(vec_col).alias("nrm"),
         hyperplane_signature(vec_col, planes).alias("sig"),
     )
-    band_rows = [
-        base.select(
-            "id", "v", "nrm", "sig",
-            F.lit(b).alias("band"),
-            F.shiftrightunsigned("sig", b * per_band).bitwiseAND(F.lit(mask)).alias("bucket"),
-        )
-        for b in range(bands)
-    ]
-    banded = band_rows[0]
-    for br in band_rows[1:]:
-        banded = banded.unionByName(br)
+    banded = banded_explode(
+        base,
+        ["id", "v", "nrm", "sig"],
+        [
+            F.shiftrightunsigned("sig", b * per_band).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ],
+    )
     # spread the verify join across every core (see similarity.py note):
     # broadcast self-joins parallelize by stream-side partitions, and a
     # single-file source would otherwise run the whole Σ bucket² scoring

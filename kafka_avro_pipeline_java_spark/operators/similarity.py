@@ -180,17 +180,16 @@ def bucketed_topk_neighbors(
         norm(vec_col).alias("nrm"),
         hyperplane_signature(vec_col, planes).alias("sig"),
     )
-    band_rows = [
-        base.select(
-            "id", "v", "nrm", "sig",
-            F.lit(b).alias("band"),
-            F.shiftrightunsigned("sig", b * per_band).bitwiseAND(F.lit(mask)).alias("bucket"),
-        )
-        for b in range(bands)
-    ]
-    banded = band_rows[0]
-    for br in band_rows[1:]:
-        banded = banded.unionByName(br)
+    from .dedup import banded_explode
+
+    banded = banded_explode(
+        base,
+        ["id", "v", "nrm", "sig"],
+        [
+            F.shiftrightunsigned("sig", b * per_band).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ],
+    )
     # spread the scoring join across every core: the source is often a few
     # parquet splits, and a broadcast self-join parallelizes by STREAM-side
     # partitions (scoring work follows stream rows, so round-robin spread

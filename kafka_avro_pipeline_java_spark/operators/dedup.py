@@ -277,22 +277,8 @@ def minhash_lsh_pairs_portable(
     # verify sides reuse sig's groupBy exchange within one action; caching
     # would leak storage across calls in a long-lived session (see
     # ngram_jaccard_pairs note)
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures_portable(df, text_col, id_col, k, num_hashes, max_doc_freq)
-    banded = banded_explode(
-        sig,
-        ["id"],
-        [
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[F.col(f"mh_{b * rows_per_band + j}").cast("string")
-                      for j in range(rows_per_band)],
-                ).cast("binary")
-            )
-            for b in range(bands)
-        ],
-    )
+    banded = banded_explode(sig, ["id"], _minhash_band_exprs(num_hashes, bands))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -306,6 +292,88 @@ def minhash_lsh_pairs_portable(
     )
     sa = sig.select(F.col("id").alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)])
     sb = sig.select(F.col("id").alias("id_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)])
+    matches = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(matches / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def _minhash_band_exprs(num_hashes: int, bands: int) -> list:
+    """Portable band-bucket expressions over mh_* signature columns: md5 of
+    the band's comma-joined minhash values (same combine as the DuckDB
+    oracle)."""
+    rows_per_band = num_hashes // bands
+    return [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[F.col(f"mh_{b * rows_per_band + j}").cast("string")
+                  for j in range(rows_per_band)],
+            ).cast("binary")
+        )
+        for b in range(bands)
+    ]
+
+
+def minhash_similarity_join(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str,
+    id_col_a: str,
+    id_col_b: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+    broadcast_b: bool = False,
+) -> DataFrame:
+    """Cross-TABLE fuzzy text join (entity resolution / record linkage):
+    match rows of ``df_a`` to rows of ``df_b`` whose shingle sets have
+    estimated Jaccard >= ``threshold`` — the A×B generalization of the
+    self-join dedup above, sharing the same portable MinHash arithmetic so
+    the whole pipeline stays DuckDB-oracle-checkable.
+
+    Scale shape: both sides are signed independently (one shuffle each),
+    banded by ``banded_explode`` (single pass), and candidates come from an
+    equi-join on (band, bucket) — never an A×B product. Verification (the
+    fraction of matching minhashes) runs on candidates only. When ``df_b``
+    is a bounded reference list (the common entity-resolution case — match
+    a 100 TB crawl against a curated catalog), ``broadcast_b=True``
+    broadcasts the banded buckets AND the verify-side signatures so the
+    big side never shuffles at all: scan → broadcast join → filter.
+    """
+    sig_a = minhash_signatures_portable(df_a, text_col, id_col_a, k, num_hashes, max_doc_freq)
+    sig_b = minhash_signatures_portable(df_b, text_col, id_col_b, k, num_hashes, max_doc_freq)
+    band_exprs = _minhash_band_exprs(num_hashes, bands)
+    banded_a = banded_explode(sig_a, ["id"], band_exprs)
+    banded_b = banded_explode(sig_b, ["id"], band_exprs)
+    right = F.broadcast(banded_b) if broadcast_b else banded_b
+    cand = (
+        banded_a.alias("a")
+        .join(
+            right.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig_a.select(F.col("id").alias("id_a"),
+                      *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)])
+    sb = sig_b.select(F.col("id").alias("id_b"),
+                      *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)])
+    if broadcast_b:
+        sb = F.broadcast(sb)
     matches = sum(
         F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
         for i in range(num_hashes)

@@ -31,6 +31,7 @@ _PRIORITY = [
     "dedup_keep_one_e2e",
     "dedup_embedding_cosine",
     "dedup_embedding_bucketed",
+    "dedup_similarity_join",
     # --- similarity search (north star) ---
     "knn_cosine_bruteforce",
     "knn_all_pairs_top3",

@@ -251,6 +251,80 @@ def _minhash_portable_oracle(num_hashes: int = 32, bands: int = 8,
     """
 
 
+def _minhash_join_oracle(num_hashes: int = 32, bands: int = 8,
+                         threshold: float = 0.5) -> str:
+    """DuckDB SQL mirroring minhash_similarity_join over an even/odd doc_id
+    split of ``documents`` — same portable signature arithmetic as
+    ``_minhash_portable_oracle``, but candidates come from banded buckets
+    ACROSS the two sides (no a.id < b.id ordering: the sides are disjoint)."""
+    from ..operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    rpb = num_hashes // bands
+    mh_cols = ",\n             ".join(
+        f"MIN(({MINHASH_A[i]} * h31 + {MINHASH_B[i]}) % {MINHASH_P}) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        f"""      SELECT doc_id, side, {b} AS band,
+             md5(concat_ws(',', {", ".join(f"CAST(mh_{b*rpb+j} AS VARCHAR)" for j in range(rpb))}))
+               AS bucket FROM sig"""
+        for b in range(bands)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, doc_id % 2 AS side,
+             string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, side,
+             ts[i.i] || ' ' || ts[i.i + 1] || ' ' || ts[i.i + 2] AS shingle
+      FROM tok, UNNEST(range(1, len(ts) - 1)) AS i(i)
+      WHERE len(ts) >= 3
+    ), h AS (
+      SELECT doc_id, side,
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {MINHASH_P} AS h31
+      FROM sh
+    ), sig AS (
+      SELECT doc_id, side,
+             {mh_cols}
+      FROM h GROUP BY doc_id, side
+    ), banded AS (
+{band_selects}
+    ), cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.side = 0 AND b.side = 1
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(({match_sum}) / {float(num_hashes)}, 4) AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b
+    WHERE ROUND(({match_sum}) / {float(num_hashes)}, 4) >= {threshold}
+    """
+
+
+@query("dedup_similarity_join", oracle=_minhash_join_oracle())
+def dedup_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table fuzzy join (entity resolution): match the even-doc_id
+    half of ``documents`` against the odd half by estimated shingle
+    Jaccard — the A×B record-linkage generalization of self-join dedup.
+    Banded MinHash buckets on both sides, equi-join for candidates, verify
+    by signature match fraction; value-checked against the DuckDB oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    left = d.filter(F.col("doc_id") % 2 == 0)
+    right = d.filter(F.col("doc_id") % 2 == 1)
+    return dedup.minhash_similarity_join(
+        left, right, "text", "doc_id", "doc_id",
+        k=3, num_hashes=32, bands=8, threshold=0.5,
+    )
+
+
 @query("dedup_minhash_portable", oracle=_minhash_portable_oracle())
 def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs with FULLY portable hashing (md5 base

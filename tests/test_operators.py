@@ -154,6 +154,38 @@ def test_df_cap_kills_boilerplate_pairs_but_keeps_planted_near_dups(spark):
     assert (100, 101) in {(r["id_a"], r["id_b"]) for r in mh.collect()}
 
 
+def test_minhash_similarity_join_matches_across_tables(spark):
+    """Cross-table fuzzy join: planted near-identical texts across the two
+    tables match; unrelated texts don't; the broadcast path returns the
+    identical result and keeps the big side shuffle-free."""
+    tail = "zebra quokka axolotl pangolin capuchin marmoset tarsier loris"
+    left_rows = [(0, f"unrelated left row about {i} oranges apples pears kiwis plums"
+                  .replace("0", str(i), 1)) for i in range(10)]
+    left_rows += [(100, f"shared header {tail} left variant one")]
+    right_rows = [(1000 + i, f"completely different right text {i} cars boats trains planes bikes")
+                  for i in range(10)]
+    right_rows += [(1100, f"shared header {tail} right variant two")]
+    a = spark.createDataFrame(left_rows, "doc_id long, text string")
+    b = spark.createDataFrame(right_rows, "doc_id long, text string")
+
+    got = dedup.minhash_similarity_join(
+        a, b, "text", "doc_id", "doc_id", k=3, num_hashes=64, bands=16,
+        threshold=0.4,
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    assert pairs == {(100, 1100)}
+
+    bcast = dedup.minhash_similarity_join(
+        a, b, "text", "doc_id", "doc_id", k=3, num_hashes=64, bands=16,
+        threshold=0.4, broadcast_b=True,
+    )
+    assert {(r["id_a"], r["id_b"]) for r in bcast.collect()} == pairs
+    # with both b-side tables broadcast, candidate generation AND verify
+    # are broadcast hash joins — the a-side never shuffles for the join
+    plan = bcast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_dedup_pair_generation_leaves_no_persistent_storage(spark, sf_dir):
     """Repeated dedup calls in one session must not grow executor storage
     (the shingle/signature tables rely on exchange reuse, not .cache())."""

@@ -1,0 +1,225 @@
+"""Product quantization (PQ) — the billion-scale ANN compression path.
+
+PQ splits each vector into ``m`` subvectors and replaces every subvector
+with the id of its nearest centroid from a per-subspace codebook of
+``ksub`` entries, so a ``dim``-float vector becomes ``m`` small codes
+(m=8, ksub=16 → 8 codes of 4 bits: 64 floats → 4 bytes, 64× smaller).
+Query-time scoring is Asymmetric Distance Computation (ADC): the query
+precomputes one ``m × ksub`` lookup table of partial dot products, and a
+row's approximate similarity is ``m`` table lookups + adds — no float
+vector is ever read again.
+
+Division of labor, matching how FAISS-style IVF-PQ systems run at scale:
+
+- **training** is driver-side numpy k-means over a BOUNDED sample
+  (codebooks are m × ksub × dsub floats — tiny; FAISS likewise trains on
+  ~100k sampled vectors, not the corpus);
+- **encoding** is a pure codegen projection: per subspace, argmin L2 over
+  a literal centroid array (``slice`` + ``transform`` + ``array_position``)
+  — zero shuffle, streams the corpus once, writes only codes;
+- **ADC scoring** is a pure codegen projection over the codes column:
+  ``zip_with(codes, literal_lut)`` + ``aggregate`` — the 100 TB query plan
+  is scan(codes) → project(score) → TakeOrdered(k), no shuffle, no join,
+  and the scan reads ``m`` bytes per row instead of ``4·dim``.
+
+Reference parity note: the reference pipeline (dkwkehgud77/
+kafka-avro-pipeline-java) has no vector search; this extends the
+training-data north star (similarity search at 100 TB scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import l2_distance
+
+
+def train_pq(
+    df: DataFrame,
+    vec_col: str,
+    m: int = 8,
+    ksub: int = 16,
+    sample_size: int = 10_000,
+    max_iters: int = 12,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks: ``codebooks[s]`` = ``ksub`` centroids
+    of the ``s``-th subvector slice. One deterministic hash-ordered sample
+    collect (bounded by ``sample_size``), then numpy Lloyd's per subspace
+    driver-side — training cost is independent of corpus size.
+
+    Input vectors should be L2-normalized first if ADC is to approximate
+    cosine (see ``pq_encode(normalize=True)``).
+    """
+    import numpy as np
+
+    rows = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)))
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(x, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    x = x / nrm
+    n, dim = x.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    codebooks: list[list[list[float]]] = []
+    for s in range(m):
+        xs = x[:, s * dsub : (s + 1) * dsub]
+        k = min(ksub, n)
+        cents = xs[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(max_iters):
+            # n × k distance matrix; n is bounded by sample_size
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = xs[mask].mean(axis=0)
+        codebooks.append([[float(v) for v in c] for c in cents])
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    codebooks: list[list[list[float]]],
+    normalize: bool = True,
+) -> DataFrame:
+    """(id, codes) with ``codes[s]`` = nearest codebook entry of subvector
+    ``s`` — a pure projection (slice + transform + array_position per
+    subspace, all inside whole-stage codegen). ``normalize=True`` encodes
+    the L2-normalized vector so ADC dot products approximate cosine."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    v = F.col(vec_col)
+    if normalize:
+        nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+        v = F.transform(v, lambda x: x / F.when(nrm > 0, nrm).otherwise(F.lit(1.0)))
+    codes = []
+    for s in range(m):
+        cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in codebooks[s]])
+        sub = F.slice(v, s * dsub + 1, dsub)
+        d2 = F.transform(cents, lambda c: l2_distance(sub, c))
+        codes.append((F.array_position(d2, F.array_min(d2)) - 1).cast("int"))
+    return df.select(F.col(id_col).alias("id"), F.array(*codes).alias("codes"))
+
+
+def _adc_lut(query_vec: list[float], codebooks: list[list[list[float]]]):
+    """m × ksub literal table of partial dot products dot(q_s, centroid)."""
+    import math
+
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    q = [x / qn for x in query_vec]
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    lut = [
+        [
+            sum(q[s * dsub + j] * c[j] for j in range(dsub))
+            for c in codebooks[s]
+        ]
+        for s in range(m)
+    ]
+    return F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in lut])
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+) -> DataFrame:
+    """Top-k by ADC over an encoded (id, codes) table: approximate cosine =
+    Σ_s lut[s][codes[s]] — m lookups per row, TakeOrdered(k) for the top-k.
+    No shuffle; the scan reads codes, never vectors."""
+    lut = _adc_lut(query_vec, codebooks)
+    score = F.aggregate(
+        F.zip_with(F.col("codes"), lut, lambda c, tbl: F.element_at(tbl, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        codes_df.select(
+            F.col("id").alias("vec_id"), F.round(score, 6).alias("adc_sim")
+        )
+        .orderBy(F.desc("adc_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def pq_rerank_topk(
+    spark: SparkSession,
+    df: DataFrame,
+    codes_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Two-stage retrieval: ADC shortlist (codes only, no shuffle) → exact
+    cosine re-rank of the shortlist ids. PQ separates CLUSTERS crisply but
+    its quantization error exceeds within-cluster similarity differences,
+    so production systems always re-rank a shortlist against the float
+    vectors; the shortlist is k-sized, so the re-rank join is a broadcast
+    of ``shortlist`` ids — the corpus still never shuffles."""
+    from .similarity import brute_force_knn
+
+    short = pq_adc_topk(codes_df, query_vec, codebooks, k=shortlist).select(
+        F.col("vec_id").alias(id_col)
+    )
+    cand = df.join(F.broadcast(short), id_col)
+    return brute_force_knn(spark, cand, vec_col, id_col, query_vec, k)
+
+
+def ivf_pq_topk(
+    spark: SparkSession,
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    n_probe: int = 4,
+    k: int = 5,
+    rerank: int | None = None,
+) -> DataFrame:
+    """The complete billion-scale ANN read path: IVF coarse probe + PQ ADC.
+
+    Rows are assigned to their coarse cell by the same zero-shuffle codegen
+    argmax the IVF index uses, cells outside the ``n_probe`` closest to the
+    query are filtered out, and survivors are scored by ADC over their PQ
+    codes — scan → project → filter → project → TakeOrdered, no shuffle
+    before the top-k. At 100 TB the corpus is STORED partitioned by coarse
+    cell with codes precomputed, so the probe filter becomes partition
+    pruning and the scan touches ``n_probe/nlist`` of the data, reading
+    ``m``-byte codes instead of ``4·dim``-byte vectors.
+    """
+    import math
+
+    from .clustering import assign_to_centroids
+
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    q = [x / qn for x in query_vec]
+
+    def cos(c):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(a * b for a, b in zip(q, c)) / cn
+
+    probe = sorted(range(len(coarse_centroids)),
+                   key=lambda i: -cos(coarse_centroids[i]))[:n_probe]
+    cid = assign_to_centroids(vec_col, coarse_centroids, metric="cosine")
+    cand = df.filter(cid.isin(probe))
+    codes = pq_encode(cand, vec_col, id_col, codebooks)
+    if rerank:
+        return pq_rerank_topk(spark, cand, codes, vec_col, id_col, query_vec,
+                              codebooks, k, shortlist=rerank)
+    return pq_adc_topk(codes, query_vec, codebooks, k)

@@ -318,3 +318,22 @@ def knn_cosine_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, _ = train_kmeans(e, "embedding", k=16, max_iters=5, seed=42)
     return similarity.ivf_knn(spark, e, "embedding", "vec_id", qv,
                               n_probe=4, k=5, centroids=cents)
+
+
+@query("knn_cosine_ivf_pq")
+def knn_cosine_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete billion-scale ANN read path (operators/pq.py): k-means
+    coarse cells + product-quantized codes scored by ADC lookup tables +
+    exact re-rank of the ADC shortlist — probe filter, m table lookups per
+    surviving row, broadcast of ~50 shortlist ids for the re-rank; the
+    corpus never shuffles. Rows-only driver check; ADC-vs-exact recall
+    floors and code determinism are asserted in tests/test_similarity.py."""
+    from ..operators.clustering import train_kmeans
+    from ..operators.pq import ivf_pq_topk, train_pq
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents, _ = train_kmeans(e, "embedding", k=16, max_iters=5, seed=42)
+    books = train_pq(e, "embedding", m=8, ksub=16, seed=42)
+    return ivf_pq_topk(spark, e, "embedding", "vec_id", qv, cents, books,
+                       n_probe=4, k=5, rerank=50)

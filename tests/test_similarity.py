@@ -259,3 +259,89 @@ def test_ivf_probes_restrict_candidates(spark):
     assert c1 <= c4 <= c16
     assert len(c1) < len(c16)  # pruning actually happened
     assert len(c16) == e.count()
+
+
+# --------------------------------------------------------------------------
+# product quantization (operators/pq.py)
+# --------------------------------------------------------------------------
+def test_pq_adc_shortlist_captures_true_neighbors(spark, clustered):
+    """PQ separates CLUSTERS, not within-cluster micro-ranking (quantization
+    error exceeds mate-to-mate similarity deltas) — so the contract is:
+    (a) the ADC top-5 all come from the query's cluster, and (b) an ADC
+    shortlist of 50 captures >= 0.8 of the exact top-5 (the property the
+    re-rank stage depends on)."""
+    from kafka_avro_pipeline_java_spark.operators.pq import (
+        pq_adc_topk, pq_encode, train_pq)
+
+    df, qv = clustered
+    books = train_pq(df, "embedding", m=8, ksub=16, seed=42)
+    codes = pq_encode(df, "embedding", "vec_id", books)
+    top5 = [r["vec_id"] for r in pq_adc_topk(codes, qv, books, k=5).collect()]
+    assert all(v % 8 == 0 for v in top5), f"off-cluster ids in ADC top-5: {top5}"
+    exact = [r["vec_id"] for r in
+             similarity.brute_force_knn(spark, df, "embedding", "vec_id", qv, 5).collect()]
+    short = [r["vec_id"] for r in pq_adc_topk(codes, qv, books, k=50).collect()]
+    capture = len(set(short) & set(exact)) / len(exact)
+    assert capture >= 0.8, f"ADC-50 shortlist captured {capture} of exact top-5"
+
+
+def test_pq_rerank_recall_clustered(spark, clustered):
+    """Two-stage ADC shortlist + exact re-rank: recall@5 >= 0.8 — the
+    quality the production read path actually ships."""
+    from kafka_avro_pipeline_java_spark.operators.pq import (
+        pq_encode, pq_rerank_topk, train_pq)
+
+    df, qv = clustered
+    books = train_pq(df, "embedding", m=8, ksub=16, seed=42)
+    codes = pq_encode(df, "embedding", "vec_id", books)
+    exact = [r["vec_id"] for r in
+             similarity.brute_force_knn(spark, df, "embedding", "vec_id", qv, 5).collect()]
+    approx = [r["vec_id"] for r in
+              pq_rerank_topk(spark, df, codes, "embedding", "vec_id", qv, books,
+                             k=5, shortlist=50).collect()]
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.8, f"PQ re-rank clustered recall {recall}"
+
+
+def test_pq_codes_deterministic_and_bounded(spark, clustered):
+    """Same data + seed → identical codebooks and codes; every code is a
+    valid codebook index."""
+    from kafka_avro_pipeline_java_spark.operators.pq import pq_encode, train_pq
+
+    df, _ = clustered
+    b1 = train_pq(df, "embedding", m=8, ksub=16, seed=42)
+    b2 = train_pq(df, "embedding", m=8, ksub=16, seed=42)
+    assert b1 == b2
+    rows = pq_encode(df, "embedding", "vec_id", b1).collect()
+    assert len(rows) == 400
+    for r in rows:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+    rows2 = pq_encode(df, "embedding", "vec_id", b2).collect()
+    assert sorted(map(tuple, ((r["id"], tuple(r["codes"])) for r in rows))) == \
+        sorted(map(tuple, ((r["id"], tuple(r["codes"])) for r in rows2)))
+
+
+def test_ivf_pq_recall_and_shuffle_free_plan(spark, clustered):
+    """IVF+PQ end-to-end. With re-rank: recall@5 >= 0.8 on clustered data.
+    ADC-only: the read path (assign → probe filter → encode → ADC score →
+    top-k) contains NO Exchange before the TakeOrdered — the whole query is
+    a projection pipeline over the scan."""
+    from kafka_avro_pipeline_java_spark.operators.clustering import train_kmeans
+    from kafka_avro_pipeline_java_spark.operators.pq import ivf_pq_topk, train_pq
+
+    df, qv = clustered
+    cents, _ = train_kmeans(df, "embedding", k=8, max_iters=5, seed=42)
+    books = train_pq(df, "embedding", m=8, ksub=16, seed=42)
+    out = ivf_pq_topk(spark, df, "embedding", "vec_id", qv, cents, books,
+                      n_probe=2, k=5, rerank=50)
+    exact = [r["vec_id"] for r in
+             similarity.brute_force_knn(spark, df, "embedding", "vec_id", qv, 5).collect()]
+    approx = [r["vec_id"] for r in out.collect()]
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.8, f"IVF+PQ clustered recall {recall}"
+
+    adc_only = ivf_pq_topk(spark, df, "embedding", "vec_id", qv, cents, books,
+                           n_probe=2, k=5)
+    plan = adc_only._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -6,6 +6,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed to completion (collect of the already-small result,
 or count for row-heavy outputs) so the measured time covers scan + shuffle +
 compute, not plan construction.
+
+Noise control (round-3 fix): single-shot cold timings swung 2x on unchanged
+plans (q1 cold 3.88s vs warm 1.01s in one session), which is useless for a
+"within 2x" gate. Each query now runs ``SPARK_GRAFT_BENCH_REPS`` times
+(default 3) and the reported per-query number is the MEDIAN; per-query
+minima are emitted under "queries_min" for drill-down. The JSON headline
+shape is unchanged.
 """
 
 from __future__ import annotations
@@ -21,6 +28,7 @@ from kafka_avro_pipeline_java_spark.plans import QUERIES
 from kafka_avro_pipeline_java_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 # Headline suite: every operator family, weighted toward what dominates at
 # 100 TB (scans+aggs, multi-way joins, windows, dedup joins, vector scoring).
@@ -81,15 +89,21 @@ def main() -> None:
     QUERIES["q6_forecast_revenue"](spark, SF_DIR).collect()
 
     timings: dict[str, float] = {}
+    minima: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        if name in COLLECT_THRESHOLD_QUERIES:
-            df.collect()
-        else:
-            df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        reps: list[float] = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            if name in COLLECT_THRESHOLD_QUERIES:
+                df.collect()
+            else:
+                df.count()
+            reps.append(time.perf_counter() - t0)
+        reps.sort()
+        timings[name] = round(reps[len(reps) // 2], 3)
+        minima[name] = round(reps[0], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -99,6 +113,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": minima,
+                "reps": REPS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -140,6 +140,26 @@ def rolling_hash(col: Column | str, *, base: int = 257, modulus: int = (1 << 31)
     )
 
 
+def rolling_hash_portable(
+    col: Column | str, *, base: int = 257, modulus: int = (1 << 31) - 1
+) -> Column:
+    """Same polynomial rolling hash as ``rolling_hash`` but with the
+    md5-derived ``portable_hash64`` as the per-token hash, so every step is
+    expressible identically in DuckDB (``list_reduce`` fold over
+    ``md5``-hashed tokens — see plans/text.py::text_rolling_fingerprint_portable).
+    Accumulator stays < 2^31, h·base + tok < 2^40: no overflow either side."""
+    from .hashing import portable_hash64
+
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda h, t: F.pmod(
+            h * base + F.pmod(portable_hash64(t), F.lit(modulus)), F.lit(modulus)
+        ),
+    )
+
+
 def word_shingles(col: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles of lowercased text as array<string>.
     Documents with fewer than k tokens yield an empty array.

@@ -75,6 +75,29 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_rolling_fingerprint_portable",
+    oracle=r"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_split_to_array(trim(lower(text)), '\s+'),
+                 t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2147483647)),
+             (h, t) -> (h * 257 + t) % 2147483647) AS rolling_fp
+    FROM documents
+    """,
+)
+def text_rolling_fingerprint_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling fingerprint, portable variant:
+    per-token hash is the md5-derived ``portable_hash64`` folded mod the
+    Mersenne prime 2^31-1, so the DuckDB oracle reproduces the fold exactly
+    (``list_reduce`` with a prepended zero accumulator). The xxhash64 fast
+    path (``text_rolling_fingerprint``) keeps the engine-native speed; this
+    twin earns the oracle row — same pattern as ``dedup_minhash_portable``."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.rolling_hash_portable("text").alias("rolling_fp"))
+
+
+@query(
     "text_quality_scores",
     oracle="""
     SELECT doc_id,

@@ -54,6 +54,99 @@ def events_tumbling_window_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_session_window_fn",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM x
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_session_window_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-native ``session_window()`` operator exercised in batch
+    mode (the same merge logic Structured Streaming runs stateful — windows
+    are [first_ts, last_ts + gap), an event at exactly the previous window's
+    end starts a new session). Oracle reproduces the merge as gaps-and-
+    islands with the matching >= gap boundary. Streaming parity of this
+    operator across restarts is tested in tests/ (streaming/windows.py)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("win"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "events_sliding_window_fn",
+    oracle="""
+    SELECT make_timestamp(CAST((floor(epoch_us(ts) / 600000000) - k.k) * 600000000 AS BIGINT))
+             AS window_start,
+           COUNT(*) AS n_events
+    FROM events, UNNEST(range(0, 3)) AS k(k)
+    GROUP BY 1
+    """,
+)
+def events_sliding_window_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows — ``window(ts, 30min, slide 10min)`` in
+    batch mode: every event lands in exactly window/slide = 3 overlapping
+    windows. The oracle expands each event into its 3 slide-aligned window
+    starts and aggregates; Spark's streaming window assignment uses the same
+    epoch-aligned arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("win"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "n_events")
+    )
+
+
+@query(
+    "events_dedup_watermark_eq",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, value FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def events_dedup_watermark_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch equivalent of streaming ``dropDuplicatesWithinWatermark`` on
+    (user_id, event_type): keep each key's FIRST event in event-time order
+    (tie-broken by event_id so the survivor is deterministic — batch
+    ``dropDuplicates`` alone keeps an arbitrary row). The streaming path
+    (state + watermark eviction, late-duplicate drop across restart) is
+    tested in tests/; this oracle row pins the keep-first semantics the
+    stream converges to."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )
+
+
+@query(
     "sort_nulls_first",
     oracle="""
     SELECT c.c_custkey, b.n_big

@@ -40,13 +40,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
-        # timestamp type; read it as a long and truncate to microseconds
-        # (matching DuckDB's TIMESTAMP_NS → TIMESTAMP truncation).
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) across testdata
+        # generations; normalize to a plain TIMESTAMP either way so every
+        # downstream expression (unix_micros, windows, watermarks) sees one
+        # type. NANOS: Spark has no nanosecond timestamp — read as long and
+        # truncate to micros (DuckDB's TIMESTAMP_NS → TIMESTAMP behavior).
+        # MICROS-NTZ: Spark reads TIMESTAMP_NTZ — cast to TIMESTAMP (session
+        # tz is UTC everywhere here, so the wall-clock values are preserved,
+        # matching how DuckDB reads the same naive timestamps).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if name in ALWAYS_BROADCAST:
         df = broadcast(df)
     return df

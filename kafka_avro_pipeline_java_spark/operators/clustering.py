@@ -59,14 +59,12 @@ def assign_to_centroids(
 
 
 def _init_centroids(df: DataFrame, vec_col: str, k: int, seed: int) -> list[list[float]]:
-    """Deterministic k-sample init: order by a hash of the vector bytes so
-    the choice is stable across partitionings and engines."""
-    rows = (
-        df.select(vec_col)
-        .orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)))
-        .limit(k)
-        .collect()
-    )
+    """Deterministic k-sample init: seeded Bernoulli pre-filter, then a hash
+    order over the survivors (operators/sample.py — the corpus is never
+    shuffle-ranked for a k-row pick)."""
+    from .sample import bounded_hash_sample
+
+    rows = bounded_hash_sample(df, [vec_col], k, seed).collect()
     return [[float(x) for x in r[0]] for r in rows]
 
 
@@ -80,13 +78,12 @@ def _init_centroids_spread(
     dense cluster and some real cluster gets no centroid — without the k
     full-data passes of exact farthest-point traversal (MLlib's k-means||
     makes the same oversample-then-refine trade)."""
+    from .sample import bounded_hash_sample
+
     m = max(k * oversample, 64)
     cand = [
         [float(x) for x in r[0]]
-        for r in df.select(vec_col)
-        .orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)))
-        .limit(m)
-        .collect()
+        for r in bounded_hash_sample(df, [vec_col], m, seed).collect()
     ]
     if len(cand) <= k:
         return cand

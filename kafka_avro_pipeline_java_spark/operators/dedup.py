@@ -260,6 +260,46 @@ def minhash_signatures_portable(
     )
 
 
+def minhash_signatures_rowwise(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """The same portable signature as ``minhash_signatures_portable`` but
+    computed PER ROW (array fold over the in-row shingle set) — zero
+    shuffle, zero explode: the plan is two stacked projections. Used where
+    the big side must stay completely shuffle-free (the broadcast-reference
+    similarity join). No df-cap (doc frequencies are a global aggregate);
+    docs with fewer than k tokens drop out, matching the explode+groupBy
+    variant which produces no rows for them.
+
+    The shingle-hash array is materialized in its OWN projection so the 32
+    min-folds reference one computed array — CollapseProject declines to
+    inline a non-cheap expression used 32×, so the md5 per shingle is
+    evaluated once (verified: single md5 in the executed plan)."""
+    from ..functions.text import word_shingles
+
+    h31 = F.transform(
+        word_shingles(text_col, k),
+        lambda s: F.pmod(portable_hash64(s), F.lit(MINHASH_P)),
+    )
+    step1 = df.select(F.col(id_col).alias("id"), h31.alias("__h31")).filter(
+        F.size("__h31") > 0
+    )
+    return step1.select(
+        "id",
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("__h31"),
+                    lambda x: F.pmod(
+                        F.lit(MINHASH_A[i]) * x + F.lit(MINHASH_B[i]), F.lit(MINHASH_P)
+                    ),
+                )
+            ).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ],
+    )
+
+
 def minhash_lsh_pairs_portable(
     df: DataFrame,
     text_col: str,
@@ -346,22 +386,100 @@ def minhash_similarity_join(
     Scale shape: both sides are signed independently (one shuffle each),
     banded by ``banded_explode`` (single pass), and candidates come from an
     equi-join on (band, bucket) — never an A×B product. Verification (the
-    fraction of matching minhashes) runs on candidates only. When ``df_b``
-    is a bounded reference list (the common entity-resolution case — match
-    a 100 TB crawl against a curated catalog), ``broadcast_b=True``
-    broadcasts the banded buckets AND the verify-side signatures so the
-    big side never shuffles at all: scan → broadcast join → filter.
+    fraction of matching minhashes) runs on candidates only.
+
+    ``broadcast_b=True`` is the bounded-reference case (match a 100 TB
+    crawl against a curated catalog): A's signatures are computed PER ROW
+    (``minhash_signatures_rowwise`` — no explode, no groupBy), carried
+    through the banding explode, and verified INSIDE the broadcast join's
+    projection, with multi-band collisions deduplicated by the
+    lowest-matching-band expression filter — the big side's plan is
+    scan → project → explode → BroadcastHashJoin → filter, with ZERO
+    shuffle exchanges end to end (pinned by
+    tests/test_plan_properties.py). ``max_doc_freq`` requires the global
+    doc-frequency aggregate, so it falls back to grouped signatures (one
+    shuffle) when set; with a bounded B side, candidate fan-out is bounded
+    by B's bucket sizes anyway.
     """
+    band_exprs = _minhash_band_exprs(num_hashes, bands)
+    rows_per_band = num_hashes // bands
+    if broadcast_b:
+        if max_doc_freq is None:
+            sig_a = minhash_signatures_rowwise(df_a, text_col, id_col_a, k, num_hashes)
+            sig_b = minhash_signatures_rowwise(df_b, text_col, id_col_b, k, num_hashes)
+        else:
+            sig_a = minhash_signatures_portable(
+                df_a, text_col, id_col_a, k, num_hashes, max_doc_freq
+            )
+            sig_b = minhash_signatures_portable(
+                df_b, text_col, id_col_b, k, num_hashes, max_doc_freq
+            )
+        sig_b = sig_b.select(
+            F.col("id").alias("id_b"),
+            *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)],
+        )
+        banded_a = banded_explode(
+            sig_a, ["id"] + [f"mh_{i}" for i in range(num_hashes)], band_exprs
+        )
+        band_exprs_b = [
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"b_{b * rows_per_band + j}").cast("string")
+                      for j in range(rows_per_band)],
+                ).cast("binary")
+            )
+            for b in range(bands)
+        ]
+        banded_b = banded_explode(
+            sig_b, ["id_b"] + [f"b_{i}" for i in range(num_hashes)], band_exprs_b
+        )
+
+        # multi-band collisions keep only the LOWEST matching band — an
+        # expression filter over the in-hand signatures (compare the raw
+        # band strings; equal strings ⇔ equal md5 buckets), replacing the
+        # distinct() exchange of the symmetric path
+        def _band_str(prefix: str, bb: int):
+            return F.concat_ws(
+                ",",
+                *[F.col(f"{prefix}{bb * rows_per_band + j}").cast("string")
+                  for j in range(rows_per_band)],
+            )
+
+        lowest_band = F.lit(True)
+        for bb in range(bands - 1):
+            lowest_band = lowest_band & (
+                (F.col("a.band") <= bb)
+                | (_band_str("mh_", bb) != _band_str("b_", bb))
+            )
+        matches = sum(
+            F.when(F.col(f"mh_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+            for i in range(num_hashes)
+        )
+        return (
+            banded_a.alias("a")
+            .join(
+                F.broadcast(banded_b).alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & lowest_band,
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("id_b"),
+                F.round(matches / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
+            )
+            .filter(F.col("est_jaccard") >= threshold)
+        )
+
     sig_a = minhash_signatures_portable(df_a, text_col, id_col_a, k, num_hashes, max_doc_freq)
     sig_b = minhash_signatures_portable(df_b, text_col, id_col_b, k, num_hashes, max_doc_freq)
-    band_exprs = _minhash_band_exprs(num_hashes, bands)
     banded_a = banded_explode(sig_a, ["id"], band_exprs)
     banded_b = banded_explode(sig_b, ["id"], band_exprs)
-    right = F.broadcast(banded_b) if broadcast_b else banded_b
     cand = (
         banded_a.alias("a")
         .join(
-            right.alias("b"),
+            banded_b.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket")),
         )
@@ -372,8 +490,6 @@ def minhash_similarity_join(
                       *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)])
     sb = sig_b.select(F.col("id").alias("id_b"),
                       *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)])
-    if broadcast_b:
-        sb = F.broadcast(sb)
     matches = sum(
         F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
         for i in range(num_hashes)

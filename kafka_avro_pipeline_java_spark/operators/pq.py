@@ -45,21 +45,20 @@ def train_pq(
     seed: int = 42,
 ) -> list[list[list[float]]]:
     """Train per-subspace codebooks: ``codebooks[s]`` = ``ksub`` centroids
-    of the ``s``-th subvector slice. One deterministic hash-ordered sample
-    collect (bounded by ``sample_size``), then numpy Lloyd's per subspace
-    driver-side — training cost is independent of corpus size.
+    of the ``s``-th subvector slice. One deterministic bounded sample
+    collect (seeded Bernoulli pre-filter + hash order over survivors —
+    operators/sample.py; the corpus is never shuffle-ranked), then numpy
+    Lloyd's per subspace driver-side — training cost is independent of
+    corpus size.
 
     Input vectors should be L2-normalized first if ADC is to approximate
     cosine (see ``pq_encode(normalize=True)``).
     """
     import numpy as np
 
-    rows = (
-        df.select(vec_col)
-        .orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)))
-        .limit(sample_size)
-        .collect()
-    )
+    from .sample import bounded_hash_sample
+
+    rows = bounded_hash_sample(df, [vec_col], sample_size, seed).collect()
     x = np.asarray([r[0] for r in rows], dtype=np.float64)
     nrm = np.linalg.norm(x, axis=1, keepdims=True)
     nrm[nrm == 0] = 1.0

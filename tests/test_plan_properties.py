@@ -113,3 +113,55 @@ def test_shuffle_order_partitions_by_shard(spark, sf_dir):
     plan = _formatted_plan(spark, "pipeline_shuffle_order", sf_dir)
     assert re.search(r"hashpartitioning\(shard", plan), plan[:1500]
     assert "SinglePartition" not in plan
+
+
+def _shuffle_exchange_lines(plan: str) -> list[str]:
+    # "(N) Exchange" is a shuffle; BroadcastExchange prints as
+    # "(N) BroadcastExchange" and must stay allowed
+    return [l for l in plan.splitlines() if re.search(r"\(\d+\) Exchange", l)]
+
+
+def test_similarity_join_broadcast_path_never_shuffles_big_side(spark, sf_dir):
+    """The bounded-reference entity-resolution path (broadcast_b=True):
+    A-side signatures are computed per row and verified inside the
+    broadcast join projection, so the ENTIRE plan must contain zero
+    shuffle exchanges — scan → project → explode → BHJ → filter. At
+    100 TB this is what lets a full-corpus fuzzy match against a catalog
+    run without moving the corpus."""
+    from pyspark.sql import functions as F
+
+    from kafka_avro_pipeline_java_spark.operators import dedup
+    from kafka_avro_pipeline_java_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    joined = dedup.minhash_similarity_join(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        "text", "doc_id", "doc_id", broadcast_b=True,
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = joined._jdf.queryExecution().explainString(mode)
+    shuffles = _shuffle_exchange_lines(plan)
+    # the only allowed exchange is the broadcast of B's banded signatures
+    assert not shuffles, shuffles
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pq_adc_read_path_is_shuffle_free(spark, sf_dir):
+    """The PQ/ADC query plan (knn_pq_adc_oracle): encode is a projection
+    over literal codebooks, ADC a projection over the codes, top-k a
+    TakeOrdered — no Exchange anywhere: the 100 TB read path streams the
+    codes scan straight into a bounded top-k."""
+    plan = _formatted_plan(spark, "knn_pq_adc_oracle", sf_dir)
+    shuffles = _shuffle_exchange_lines(plan)
+    assert not shuffles, shuffles
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_oracle_assignment_is_shuffle_free(spark, sf_dir):
+    """The oracle-checked IVF twin keeps the same zero-shuffle assignment
+    plan as knn_cosine_ivf (literal-centroid argmax + probe filter)."""
+    plan = _formatted_plan(spark, "knn_cosine_ivf_oracle", sf_dir)
+    shuffles = _shuffle_exchange_lines(plan)
+    assert not shuffles, shuffles
+    assert "array_position" in plan

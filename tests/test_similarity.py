@@ -131,6 +131,29 @@ def test_bucketed_embedding_near_dup_recall_clustered(spark, clustered):
     assert recall >= 0.9, f"bucketed near-dup recall {recall} over {len(exact)} pairs"
 
 
+def test_bucketed_embedding_near_dup_recall_registered_geometry(spark, clustered):
+    """Recall floor at the REGISTERED geometry of dedup_embedding_bucketed
+    (plans/vectors.py _DEDUP_PLANES: 2 bands × 8 bits): candidate volume is
+    n²/128 on uniform data, and cluster mates (cos >= 0.99, per-plane sign
+    agreement ~0.99) still collide in a band with ~0.99 probability —
+    8-bit-band collision 0.99^8 ~= 0.92, two bands ~= 0.994."""
+    from kafka_avro_pipeline_java_spark.functions.vectors import lcg_planes
+    from kafka_avro_pipeline_java_spark.operators import dedup
+
+    df, _ = clustered
+    planes = lcg_planes(16, 16, seed=42)
+    exact = {(r["id_a"], r["id_b"]) for r in
+             dedup.embedding_near_pairs(df, "embedding", "vec_id", threshold=0.9).collect()}
+    bucketed = {(r["id_a"], r["id_b"]) for r in
+                dedup.embedding_near_pairs_bucketed(
+                    df, "embedding", "vec_id", planes, threshold=0.9, bands=2
+                ).collect()}
+    assert exact, "clustered fixture produced no true near-dup pairs"
+    assert bucketed <= exact
+    recall = len(bucketed & exact) / len(exact)
+    assert recall >= 0.9, f"8-bit-band near-dup recall {recall} over {len(exact)} pairs"
+
+
 def test_bucketed_topk_recall_clustered(spark, clustered):
     """Batch approximate kNN (LSH candidate pairs + window) must find most
     true top-3 neighbors when the data is clustered: cluster mates agree on

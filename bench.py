@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "window_rank_top_orders",
     "window_running_customer_spend",
     "events_sessionize",
+    "events_session_window_fn",
     "events_asof_last_click",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -60,6 +61,7 @@ BENCH_QUERIES = [
     "pipeline_token_packing",
     "knn_cosine_bruteforce",
     "knn_cosine_ivf",
+    "knn_pq_adc_oracle",
     "knn_topk_bucketed",
     "multimodal_binary_meta",
 ]
@@ -75,6 +77,7 @@ COLLECT_THRESHOLD_QUERIES = {
     "agg_cube_flag_status",
     "knn_cosine_bruteforce",
     "knn_cosine_ivf",
+    "knn_pq_adc_oracle",
     "dedup_embedding_bucketed",
 }
 

@@ -14,6 +14,18 @@ from pyspark.sql import functions as F
 # Tiny deterministic English stopword list used by the language heuristic.
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
 
+# Marker-word profiles for the standalone language-ID operator. Word-level
+# unigram profiles (the degenerate-but-effective end of the n-gram family):
+# each language is identified by the hit ratio of its highest-frequency
+# function words. Fixed small literals so the whole classifier stays a
+# codegen-able expression in Spark AND a plain SQL expression in the oracle.
+LANG_MARKERS = (
+    ("en", ("the", "and", "of", "to", "in", "is", "it", "that", "for", "on")),
+    ("de", ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den")),
+    ("fr", ("le", "la", "les", "et", "est", "des", "un", "une", "que", "pour")),
+    ("es", ("el", "los", "las", "es", "se", "una", "con", "por", "para", "como")),
+)
+
 
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization of trimmed text."""
@@ -57,6 +69,36 @@ def quality_score(col: Column | str) -> Column:
 def lang_guess(col: Column | str, threshold: float = 0.05) -> Column:
     """'en' if the English stopword ratio clears the threshold."""
     return F.when(stopword_ratio(col) >= threshold, F.lit("en")).otherwise(F.lit("unknown"))
+
+
+def marker_ratio(col: Column | str, markers: tuple[str, ...]) -> Column:
+    """Share of (lowercased, whitespace) tokens that hit a marker set."""
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    return F.size(F.filter(toks, lambda t: t.isin(*markers))) / F.size(toks)
+
+
+def lang_id(col: Column | str, threshold: float = 0.05) -> Column:
+    """Multi-language ID: argmax of per-language marker-word hit ratios,
+    'unknown' below `threshold`. Ties break in LANG_MARKERS order (a doc
+    scoring equally for en and de is labeled en). One scan, one projection,
+    no shuffle — language ID at 100 TB is embarrassingly parallel and this
+    keeps it entirely inside whole-stage codegen."""
+    ratios = [(lang, marker_ratio(col, markers)) for lang, markers in LANG_MARKERS]
+    best = F.greatest(*[r for _, r in ratios])
+    expr = F.lit("unknown")
+    # Build the argmax back-to-front so earlier languages win ties.
+    for lang, r in reversed(ratios):
+        expr = F.when(r == best, F.lit(lang)).otherwise(expr)
+    return F.when(best >= F.lit(threshold), expr).otherwise(F.lit("unknown"))
+
+
+def lang_id_score(col: Column | str) -> Column:
+    """The winning marker-hit ratio behind `lang_id` (rounded for the
+    cross-engine value hash)."""
+    best = F.greatest(
+        *[marker_ratio(col, markers) for _, markers in LANG_MARKERS]
+    )
+    return F.round(best, 4)
 
 
 def fingerprint(col: Column | str) -> Column:

@@ -46,6 +46,7 @@ _PRIORITY = [
     "text_token_counts",
     "text_quality_scores",
     "text_rolling_fingerprint_portable",
+    "text_language_id",
     "text_repetition_ratio",
     "text_pii_scrub",
     "text_vocabulary",
@@ -66,6 +67,7 @@ _PRIORITY = [
     "events_session_window_fn",
     "events_sliding_window_fn",
     "events_dedup_watermark_eq",
+    "events_funnel",
     # --- relational representatives (one per SURVEY §2B category; the
     # remaining variants + TPC-H tail register after and stay test-covered) ---
     "filter_project_lineitem",
@@ -75,13 +77,15 @@ _PRIORITY = [
     "join_inner_segment_sales",
     "join_left_order_counts",
     "join_semi_active_customers",
-    "join_anti_dormant_customers",
+    # join_anti_dormant_customers rotated out (green r01+r02, 0-row result)
+    # for events_funnel.
     "join_range_price_tiers",
     "agg_distinct_customers",
     "agg_grouping_sets",
     "agg_percentiles",
     "window_rank_top_orders",
-    "sort_limit_top_orders",
+    # sort_limit_top_orders rotated out (green in r01+r02) to keep the
+    # window at 50 with text_language_id in.
 ]
 
 

@@ -261,3 +261,55 @@ def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         err, clk, on="user_id", ts="ts", value_cols=["last_click_value"], tiebreak="event_id"
     )
     return joined.select("event_id", "user_id", "last_click_value")
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH u1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), u2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN u1 ON e.user_id = u1.user_id
+      WHERE e.event_type = 'click' AND e.ts > u1.t1
+      GROUP BY e.user_id
+    ), u3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN u2 ON e.user_id = u2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM u1) AS n_view,
+           (SELECT COUNT(*) FROM u2) AS n_view_click,
+           (SELECT COUNT(*) FROM u3) AS n_full_funnel
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern funnel (view -> click -> purchase, strictly
+    ordered first occurrences). The oracle re-derives each stage with a
+    per-stage join+min; the Spark plan instead computes all three stage
+    timestamps in ONE pass over a single hash partitioning of user_id —
+    three stacked window-mins over the same Window spec share one
+    Exchange, so at 100 TB the funnel costs one shuffle of (user_id, ts,
+    event_type), not three join shuffles."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = e.withColumn("t1", t1)
+    t2 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+    ).over(w)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts"))
+    ).over(w)
+    staged = staged.withColumn("t3", t3)
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t1").alias("t1"), F.first("t2").alias("t2"), F.first("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_view_click"),
+        F.count("t3").alias("n_full_funnel"),
+    )

@@ -114,6 +114,54 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", T.quality_score("text").alias("quality"))
 
 
+def _lang_id_oracle(threshold: float = 0.05) -> str:
+    """DuckDB re-derivation of the marker-ratio argmax in functions/text.py.
+
+    Same literals, same division, same tie-break order — the CASE walks
+    languages in LANG_MARKERS order so earlier languages win ties, mirroring
+    the back-to-front `when` chain in `lang_id`."""
+    ratio_cols = ",\n             ".join(
+        f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in markers)})))"
+        f" / CAST(len(toks) AS DOUBLE) AS r_{lang}"
+        for lang, markers in T.LANG_MARKERS
+    )
+    langs = [lang for lang, _ in T.LANG_MARKERS]
+    best = f"greatest({', '.join('r_' + la for la in langs)})"
+    argmax = " ".join(
+        f"WHEN r_{la} = {best} THEN '{la}'" for la in langs
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             {ratio_cols}
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN {best} >= {threshold} THEN CASE {argmax} END
+                ELSE 'unknown' END AS lang,
+           ROUND({best}, 4) AS score
+    FROM s
+    """
+
+
+@query("text_language_id", oracle=_lang_id_oracle())
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone language ID over the corpus: per-language marker-word hit
+    ratios (word-unigram profiles — the cheap end of the n-gram family),
+    argmax with an 'unknown' floor. Single scan, single codegen projection,
+    zero shuffles: the 100 TB plan is `scan parquet -> project`, and the
+    classifier adds no Python to the hot path."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.lang_id("text").alias("lang"),
+        T.lang_id_score("text").alias("score"),
+    )
+
+
 @query(
     "dedup_exact",
     oracle="""

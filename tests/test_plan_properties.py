@@ -165,3 +165,21 @@ def test_ivf_oracle_assignment_is_shuffle_free(spark, sf_dir):
     shuffles = _shuffle_exchange_lines(plan)
     assert not shuffles, shuffles
     assert "array_position" in plan
+
+
+def test_language_id_is_single_scan_no_exchange(spark, sf_dir):
+    """Language ID is a pure projection: scan parquet -> codegen argmax.
+    Any Exchange would mean the classifier picked up an accidental
+    shuffle (it must stream 100 TB at scan speed)."""
+    plan = _formatted_plan(spark, "text_language_id", sf_dir)
+    assert not _shuffle_exchange_lines(plan)
+    assert "Scan parquet" in plan
+
+
+def test_funnel_single_data_shuffle(spark, sf_dir):
+    """The three funnel stages stack windows over ONE partitioning of
+    user_id, and the per-user groupBy reuses it: exactly one shuffle of
+    event data plus the single-row final aggregate exchange."""
+    plan = _formatted_plan(spark, "events_funnel", sf_dir)
+    assert len(_shuffle_exchange_lines(plan)) <= 2
+    assert plan.count("SortMergeJoin") == 0  # no per-stage self-joins

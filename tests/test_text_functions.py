@@ -30,3 +30,31 @@ def test_fingerprint_canonicalizes_whitespace_but_not_order(spark):
     order-sensitive (it hashes the normalized SEQUENCE)."""
     assert _one(spark, "a  b\tc", T.fingerprint) == _one(spark, "a b c", T.fingerprint)
     assert _one(spark, "a b c", T.fingerprint) != _one(spark, "c b a", T.fingerprint)
+
+
+def test_lang_id_classifies_each_profile_language(spark):
+    """A sentence saturated with one language's marker words gets that
+    label; marker sets are disjoint enough that cross-talk stays below."""
+    samples = {
+        "en": "the cat and the dog sat on the mat for it is warm",
+        "de": "der hund und die katze ist nicht ein freund zu den mit",
+        "fr": "le chat et la souris est des amis un une que pour",
+        "es": "el gato y los perros es una con las cosas por para como",
+    }
+    for lang, text in samples.items():
+        assert _one(spark, text, T.lang_id) == lang, lang
+
+
+def test_lang_id_unknown_below_threshold_and_tie_breaks_in_order(spark):
+    # No marker words at all -> unknown.
+    assert _one(spark, "zzz qqq xxx www yyy vvv", T.lang_id) == "unknown"
+    # One en marker + one de marker in 10 tokens: ratios tie at 0.1 and the
+    # earlier LANG_MARKERS entry (en) must win.
+    tie = "the der zz qq ww ee rr tt yy uu"
+    assert _one(spark, tie, T.lang_id) == "en"
+
+
+def test_lang_id_score_is_winning_ratio(spark):
+    # 5 of 10 tokens are en markers -> score 0.5.
+    s = _one(spark, "the and of to in zz qq ww ee rr", T.lang_id_score)
+    assert abs(s - 0.5) < 1e-9

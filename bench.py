@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "events_session_window_fn",
     "events_asof_last_click",
+    "events_funnel",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -56,6 +57,7 @@ BENCH_QUERIES = [
     "dedup_keep_one_e2e",
     "dedup_embedding_bucketed",
     "text_stats",
+    "text_language_id",
     "text_pii_scrub",
     "pipeline_quality_filter",
     "pipeline_token_packing",
@@ -79,6 +81,7 @@ COLLECT_THRESHOLD_QUERIES = {
     "knn_cosine_ivf",
     "knn_pq_adc_oracle",
     "dedup_embedding_bucketed",
+    "events_funnel",
 }
 
 

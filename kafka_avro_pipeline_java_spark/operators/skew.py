@@ -37,3 +37,34 @@ def salted_join(
     )
     out = salted_fact.join(salted_dim, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def salted_distinct_count(
+    df: DataFrame,
+    keys: list[str],
+    distinct_col: str,
+    *,
+    n_salts: int = 64,
+    alias: str = "n_distinct",
+) -> DataFrame:
+    """EXACT count-distinct per group with the hot-group reduce spread over
+    ``n_salts`` tasks. The salt is derived from the DISTINCT column's hash,
+    so every distinct value lands in exactly one (group, salt) cell —
+    partial distinct counts are disjoint and their SUM is the exact answer,
+    not an approximation.
+
+    Catalyst's own count-distinct rewrite (Expand + two-phase aggregate)
+    covers the common case; this explicit form is the 100 TB escape hatch
+    for a SINGLE pathologically hot group: phase 1 reduces
+    (group, salt, value) with map-side combine, phase 2 sums ``n_salts``
+    small rows per group — the hot group's reduce work is parallelized
+    ``n_salts``-way instead of landing on one task.
+    """
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(n_salts)).cast("int"),
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(
+        F.countDistinct(distinct_col).alias("__pd")
+    )
+    return partial.groupBy(*keys).agg(F.sum("__pd").cast("long").alias(alias))

@@ -346,3 +346,25 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.round(F.col("c_acctbal") * 100, 0)) / 100.0, 2).alias("total_bal"),
         )
     )
+
+
+@query(
+    "agg_salted_distinct_customers",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_salted_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct through the explicit hot-group salting path
+    (operators/skew.py::salted_distinct_count): salt by hash of the
+    distinct column, partial distinct per (group, salt), SUM partials.
+    The oracle is the plain COUNT(DISTINCT) — the salted plan must be
+    value-identical, which is what makes the skew mitigation safe to
+    reach for at 100 TB."""
+    from ..operators.skew import salted_distinct_count
+
+    o = _t(spark, sf_dir, "orders")
+    return salted_distinct_count(
+        o, ["o_orderpriority"], "o_custkey", n_salts=64, alias="n_customers"
+    )

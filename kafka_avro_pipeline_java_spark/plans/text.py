@@ -810,3 +810,34 @@ def pipeline_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select(
         "doc_id", "shard", F.row_number().over(w).cast("int").alias("pos")
     )
+
+
+@query(
+    "pipeline_sample_per_source",
+    oracle="""
+    SELECT source, doc_id, CAST(rk AS INT) AS rk FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(doc_id || ':rsv'), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 5
+    """,
+)
+def pipeline_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-stratum sampling ("take exactly 5 docs per source"):
+    rank rows inside each stratum by a seeded portable hash and keep
+    rank <= k — a deterministic reservoir that any engine reproduces.
+    Complements pipeline_domain_mix (rate-based): quota sampling needs a
+    rank, not a hash gate. Scale shape: ONE shuffle on source; each
+    stratum ranks independently (no global sort). Skewed strata at 100 TB
+    get the standard two-phase refinement: per-partition top-k first
+    (k rows per partition survive) before the stratum-level rank."""
+    d = load_table(spark, sf_dir, "documents")
+    seeded = F.concat(F.col("doc_id").cast("string"), F.lit(":rsv"))
+    w = Window.partitionBy("source").orderBy(F.md5(seeded), "doc_id")
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+    )

@@ -39,3 +39,19 @@ def test_sample_fraction_and_determinism(spark, sf_dir):
     b = QUERIES["sample_lineitem"](spark, sf_dir).agg(F.sum("n_sampled")).first()[0]
     assert a == b  # seeded → deterministic
     assert 0.05 * n_total < a < 0.15 * n_total
+
+
+def test_sample_per_source_exact_quota_and_determinism(spark, sf_dir):
+    """Exactly k rows per stratum, and the seeded-hash rank makes the
+    selection identical across runs (a reservoir any engine reproduces)."""
+    out1 = QUERIES["pipeline_sample_per_source"](spark, sf_dir).collect()
+    counts = {}
+    for r in out1:
+        counts[r["source"]] = counts.get(r["source"], 0) + 1
+    n_sources = (
+        load_table(spark, sf_dir, "documents").select("source").distinct().count()
+    )
+    assert len(counts) == n_sources
+    assert all(c == 5 for c in counts.values()), counts
+    out2 = QUERIES["pipeline_sample_per_source"](spark, sf_dir).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))

@@ -176,3 +176,25 @@ def test_salted_join_matches_plain(spark, sf_dir):
         .groupBy("c_mktsegment").agg(F.count("*").alias("n"))
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_distinct_count_matches_plain(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kafka_avro_pipeline_java_spark.operators.skew import salted_distinct_count
+    from kafka_avro_pipeline_java_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    got = {
+        r["o_orderpriority"]: r["n"]
+        for r in salted_distinct_count(
+            o, ["o_orderpriority"], "o_custkey", n_salts=8, alias="n"
+        ).collect()
+    }
+    want = {
+        r["o_orderpriority"]: r["n"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert got == want

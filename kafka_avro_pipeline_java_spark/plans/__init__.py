@@ -37,10 +37,12 @@ _PRIORITY = [
     "dedup_similarity_join",
     # --- similarity search (north star) ---
     "knn_cosine_bruteforce",
-    "knn_all_pairs_top3",
+    # knn_all_pairs_top3 rotated out (green r01+r02; the O(n²) exact
+    # baseline stays registered) for the LSH read-path oracle.
     "knn_topk_bucketed",
     "knn_cosine_ivf_oracle",
     "knn_pq_adc_oracle",
+    "knn_cosine_lsh_oracle",
     # --- text analysis (north star) ---
     "text_stats",
     "text_token_counts",
@@ -80,7 +82,9 @@ _PRIORITY = [
     # join_anti_dormant_customers rotated out (green r01+r02, 0-row result)
     # for events_funnel.
     "join_range_price_tiers",
-    "agg_distinct_customers",
+    # agg_distinct_customers rotated out (green r01+r02) for the salted
+    # two-phase variant, which exercises the skew path over the same data.
+    "agg_salted_distinct_customers",
     "agg_grouping_sets",
     "agg_percentiles",
     "window_rank_top_orders",

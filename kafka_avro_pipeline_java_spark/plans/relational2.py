@@ -368,3 +368,37 @@ def agg_salted_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame
     return salted_distinct_count(
         o, ["o_orderpriority"], "o_custkey", n_salts=64, alias="n_customers"
     )
+
+
+@query(
+    "scalar_map_order_attrs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           o_orderpriority AS priority,
+           3 AS n_keys,
+           'odate,priority,status' AS key_list
+    FROM orders
+    """,
+)
+def scalar_map_order_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: build a map, merge another with
+    map_concat, read it back via element_at / map_keys / size. The oracle
+    checks the extracted VALUES directly (DuckDB's map semantics differ;
+    the point is that the map round-trip loses nothing). Maps stay inside
+    codegen — at scale this is projection-only."""
+    o = _t(spark, sf_dir, "orders")
+    m = F.map_concat(
+        F.create_map(
+            F.lit("status"), F.col("o_orderstatus"),
+            F.lit("priority"), F.col("o_orderpriority"),
+        ),
+        F.create_map(F.lit("odate"), F.col("o_orderdate").cast("string")),
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status"),
+        F.element_at(m, "priority").alias("priority"),
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("key_list"),
+    )

@@ -543,3 +543,70 @@ def knn_cosine_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = _trained_codebooks(spark, sf_dir)
     return ivf_pq_topk(spark, e, "embedding", "vec_id", qv, cents, books,
                        n_probe=4, k=5, rerank=50)
+
+
+# --------------------------------------------------------------------------
+# LSH read path with every constant a literal (planes, query vector, probe
+# buckets) — the bucketed-kNN twin of knn_cosine_ivf_oracle: the whole
+# signature → probe-filter → score → top-k pipeline is plain arithmetic a
+# DuckDB oracle reproduces value-for-value. The corpus-query variant
+# (knn_cosine_lsh) stays registered rows-only with recall floors.
+# --------------------------------------------------------------------------
+_LSH_O_PLANES = lcg_planes(5, _EMB_DIM, seed=51)
+_LSH_O_QV = lcg_planes(1, _EMB_DIM, seed=999)[0]
+
+
+def _lsh_probes(qv: list[float], planes: list[list[float]]) -> list[int]:
+    """Query signature + all buckets within Hamming distance 2 — literal
+    arithmetic, computed once driver-side, embedded in BOTH plans
+    (mirrors operators/similarity.py::lsh_bucketed_knn)."""
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(qv, p)) > 0:
+            qsig |= 1 << i
+    nb = len(planes)
+    probes = [qsig]
+    probes += [qsig ^ (1 << i) for i in range(nb)]
+    probes += [qsig ^ (1 << i) ^ (1 << j) for i in range(nb) for j in range(i + 1, nb)]
+    return probes
+
+
+def _lsh_oracle(planes: list[list[float]], qv: list[float], k: int) -> str:
+    qn = _pynorm(qv)
+    probes = _lsh_probes(qv, planes)
+    dot_cols = ",\n             ".join(
+        f"SUM(CAST(embedding[i.i] AS DOUBLE) * CAST(([{', '.join(repr(x) for x in p)}])[i.i] AS DOUBLE)) AS d{j}"
+        for j, p in enumerate(planes)
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN d{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(len(planes))
+    )
+    return f"""
+    WITH dots AS (
+      SELECT vec_id,
+             {dot_cols},
+             SUM(CAST(embedding[i.i] AS DOUBLE) * CAST(([{', '.join(repr(x) for x in qv)}])[i.i] AS DOUBLE)) AS dq,
+             SUM(CAST(embedding[i.i] AS DOUBLE) * CAST(embedding[i.i] AS DOUBLE)) AS nsq
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS i(i)
+      GROUP BY vec_id
+    ), sigs AS (
+      SELECT vec_id, dq, SQRT(nsq) AS nrm, {sig_expr} AS sig
+      FROM dots
+    )
+    SELECT vec_id, ROUND(dq / (nrm * {qn!r}), 6) AS cos_sim
+    FROM sigs WHERE sig IN ({', '.join(str(p) for p in probes)})
+    ORDER BY cos_sim DESC, vec_id LIMIT {k}
+    """
+
+
+@query("knn_cosine_lsh_oracle", oracle=_lsh_oracle(_LSH_O_PLANES, _LSH_O_QV, 5))
+def knn_cosine_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hyperplane-LSH read path, fully oracle-checked: per-row 5-bit
+    sign signature over literal planes (one interpreted-once transform, no
+    shuffle), Hamming-2 multiprobe bucket filter, exact cosine top-5 over
+    the surviving candidates. The DuckDB oracle re-derives signatures,
+    probe set, and scores from the same literals."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucketed_knn(
+        spark, e, "embedding", "vec_id", _LSH_O_QV, _LSH_O_PLANES, k=5
+    )

@@ -183,3 +183,12 @@ def test_funnel_single_data_shuffle(spark, sf_dir):
     plan = _formatted_plan(spark, "events_funnel", sf_dir)
     assert len(_shuffle_exchange_lines(plan)) <= 2
     assert plan.count("SortMergeJoin") == 0  # no per-stage self-joins
+
+
+def test_lsh_oracle_read_path_is_shuffle_free(spark, sf_dir):
+    """Signature projection + probe-bucket filter + broadcast 1-row query
+    + TakeOrdered: the LSH read path must not shuffle the corpus."""
+    plan = _formatted_plan(spark, "knn_cosine_lsh_oracle", sf_dir)
+    shuffles = _shuffle_exchange_lines(plan)
+    assert not shuffles, shuffles
+    assert "TakeOrderedAndProject" in plan

@@ -64,7 +64,10 @@ BENCH_QUERIES = [
     "knn_cosine_bruteforce",
     "knn_cosine_ivf",
     "knn_pq_adc_oracle",
+    "knn_cosine_lsh_oracle",
     "knn_topk_bucketed",
+    "agg_salted_distinct_customers",
+    "scalar_map_order_attrs",
     "multimodal_binary_meta",
 ]
 
@@ -82,6 +85,8 @@ COLLECT_THRESHOLD_QUERIES = {
     "knn_pq_adc_oracle",
     "dedup_embedding_bucketed",
     "events_funnel",
+    "knn_cosine_lsh_oracle",
+    "agg_salted_distinct_customers",
 }
 
 

@@ -132,3 +132,78 @@ def running_count_per_user(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("t1", TimestampType()),
+        StructField("t2", TimestampType()),
+        StructField("t3", TimestampType()),
+    ]
+)
+FUNNEL_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("stage", LongType()),
+        StructField("t1", TimestampType()),
+        StructField("t2", TimestampType()),
+        StructField("t3", TimestampType()),
+    ]
+)
+
+
+def funnel_stage_per_user(
+    events: DataFrame,
+    *,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming funnel state machine (the incremental form of
+    ``plans/events.py::events_funnel``): per user, advance through
+    strictly-ordered first occurrences of the stage events. State is three
+    timestamps per user — O(1) regardless of event volume, evicted at the
+    watermark horizon. Rows inside each micro-batch are sorted by event
+    time before the state machine advances, so in-order replay reproduces
+    the batch funnel exactly (parity-tested)."""
+    s1, s2, s3 = stages
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        t1, t2, t3 = state.get if state.exists else (None, None, None)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(ts_col)
+        for _, row in batch.iterrows():
+            et, ts = row[type_col], row[ts_col]
+            if t1 is None:
+                if et == s1:
+                    t1 = ts
+            elif t2 is None:
+                if et == s2 and ts > t1:
+                    t2 = ts
+            elif t3 is None:
+                if et == s3 and ts > t2:
+                    t3 = ts
+        state.update((t1, t2, t3))
+        stage = (t1 is not None) + (t2 is not None) + (t3 is not None)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "stage": [stage],
+                "t1": [t1],
+                "t2": [t2],
+                "t3": [t3],
+            }
+        )
+
+    e = with_watermark(events, ts_col, watermark)
+    return e.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

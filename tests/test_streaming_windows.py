@@ -120,3 +120,26 @@ def test_stateful_running_count(spark, spool):
     gm = {r["user_id"]: r["n"] for r in got.collect()}
     wm = {r["user_id"]: r["n"] for r in want.collect()}
     assert gm == wm
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir, spool):
+    """The incremental funnel state machine lands every user on the same
+    stage as the batch three-window formulation."""
+    stream = W.funnel_stage_per_user(_stream(spark, spool))
+    q = (
+        stream.writeStream.format("memory").queryName("funnel_t")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT SUM(CASE WHEN stage >= 1 THEN 1 ELSE 0 END) AS n_view, "
+        "SUM(CASE WHEN stage >= 2 THEN 1 ELSE 0 END) AS n_view_click, "
+        "SUM(CASE WHEN stage >= 3 THEN 1 ELSE 0 END) AS n_full_funnel FROM ("
+        "  SELECT user_id, MAX(stage) AS stage FROM funnel_t GROUP BY user_id)"
+    ).first()
+    from kafka_avro_pipeline_java_spark.plans import QUERIES
+
+    want = QUERIES["events_funnel"](spark, sf_dir).first()
+    assert (got["n_view"], got["n_view_click"], got["n_full_funnel"]) == (
+        want["n_view"], want["n_view_click"], want["n_full_funnel"]
+    )

@@ -249,3 +249,48 @@ def ivf_pq_topk(
         return pq_rerank_topk(spark, cand, codes, vec_col, id_col, query_vec,
                               codebooks, k, shortlist=rerank)
     return pq_adc_topk(codes, query_vec, codebooks, k)
+
+
+def save_pq_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    *,
+    codebooks: list[list[list[float]]] | None = None,
+    m: int = 8,
+    ksub: int = 16,
+    sample_size: int = 10_000,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Build-once persistence for the PQ index: encode the corpus and write
+    ``<path>/codes`` (parquet: id, codes) plus ``<path>/codebooks.json``
+    (the tiny model). The 100 TB division of labor made explicit: the
+    expensive streaming encode happens once at build time; every later
+    query reads ``m`` small codes per row and never touches the float
+    vectors. Returns the codebooks (trained here unless provided)."""
+    import json
+    import os
+
+    if codebooks is None:
+        codebooks = train_pq(
+            df, vec_col, m=m, ksub=ksub, sample_size=sample_size, seed=seed
+        )
+    pq_encode(df, vec_col, id_col, codebooks).write.mode("overwrite").parquet(
+        os.path.join(path, "codes")
+    )
+    with open(os.path.join(path, "codebooks.json"), "w") as f:
+        json.dump(codebooks, f)
+    return codebooks
+
+
+def load_pq_index(spark: SparkSession, path: str):
+    """(codes DataFrame, codebooks) pair from ``save_pq_index`` output —
+    query with ``pq_adc_topk(codes, qv, codebooks)`` (codes-only scan) or
+    ``pq_rerank_topk`` when the raw vectors are also at hand."""
+    import json
+    import os
+
+    with open(os.path.join(path, "codebooks.json")) as f:
+        codebooks = json.load(f)
+    return spark.read.parquet(os.path.join(path, "codes")), codebooks

@@ -841,3 +841,49 @@ def pipeline_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", "doc_id", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= 5)
     )
+
+
+@query(
+    "text_rare_token_ratio",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ), vocab AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY token
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(CASE WHEN v.tf < 5 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS rare_ratio,
+           ROUND(SUM(v.tf) / CAST(COUNT(*) AS DOUBLE), 4) AS mean_tf
+    FROM toks t JOIN vocab v ON v.token = t.token
+    GROUP BY t.doc_id
+    """,
+)
+def text_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative token-rarity quality signal (the integer-exact
+    stand-in for perplexity filtering: documents dominated by rare tokens
+    are noise candidates; mean corpus term frequency is the inverse
+    signal). Two-pass shape: vocabulary word-count (one token shuffle),
+    then tokens joined back to their corpus frequency and re-aggregated
+    per doc. All arithmetic is integer counts + one final division, so
+    the DuckDB oracle matches bit-for-bit — no cross-engine libm (log)
+    dependence. At 100 TB both aggregations are map-side-combinable hash
+    aggs; the token⋈vocab join broadcasts when the vocab is bounded and
+    degrades to a shuffle equi-join otherwise (Catalyst decides)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").alias("tf"))
+    joined = toks.join(vocab, "token")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            F.sum(F.when(F.col("tf") < 5, 1).otherwise(0)) / F.count("*").cast("double"), 4
+        ).alias("rare_ratio"),
+        F.round(F.sum("tf") / F.count("*").cast("double"), 4).alias("mean_tf"),
+    )

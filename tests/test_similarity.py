@@ -368,3 +368,29 @@ def test_ivf_pq_recall_and_shuffle_free_plan(spark, clustered):
                            n_probe=2, k=5)
     plan = adc_only._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_pq_index_save_load_roundtrip(spark, sf_dir, tmp_path):
+    """Persisted index answers the same query as the in-session one —
+    build once, query from disk without retraining or re-encoding."""
+    from kafka_avro_pipeline_java_spark.operators.pq import (
+        load_pq_index,
+        pq_adc_topk,
+        pq_encode,
+        save_pq_index,
+        train_pq,
+    )
+    from kafka_avro_pipeline_java_spark.functions.vectors import lcg_planes
+    from kafka_avro_pipeline_java_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = lcg_planes(1, 64, seed=31337)[0]
+    books = train_pq(e, "embedding", m=8, ksub=16, sample_size=1000)
+    live = pq_adc_topk(pq_encode(e, "embedding", "vec_id", books), qv, books, k=5).collect()
+
+    path = str(tmp_path / "pqidx")
+    save_pq_index(e, "embedding", "vec_id", path, codebooks=books)
+    codes, books2 = load_pq_index(spark, path)
+    assert books2 == books
+    persisted = pq_adc_topk(codes, qv, books2, k=5).collect()
+    assert [tuple(r) for r in live] == [tuple(r) for r in persisted]

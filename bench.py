@@ -58,9 +58,11 @@ BENCH_QUERIES = [
     "dedup_embedding_bucketed",
     "text_stats",
     "text_language_id",
+    "text_rare_token_ratio",
     "text_pii_scrub",
     "pipeline_quality_filter",
     "pipeline_token_packing",
+    "pipeline_sample_per_source",
     "knn_cosine_bruteforce",
     "knn_cosine_ivf",
     "knn_pq_adc_oracle",

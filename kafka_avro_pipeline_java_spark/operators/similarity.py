@@ -154,8 +154,6 @@ def ivf_knn(
         "__cid", (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
     ).drop("__nrm")
     # rank centroids for the query driver-side (tiny), keep n_probe nearest
-    import math
-
     def cos(a, b):
         da = math.sqrt(sum(x * x for x in a))
         db = math.sqrt(sum(x * x for x in b))

@@ -13,7 +13,9 @@ from kafka_avro_pipeline_java_spark.session import get_spark
 DEFAULT = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "window_rank_top_orders", "events_asof_last_click",
-    "dedup_ngram_jaccard", "knn_cosine_bruteforce",
+    "events_funnel", "dedup_ngram_jaccard", "knn_cosine_bruteforce",
+    "knn_cosine_ivf_oracle", "knn_pq_adc_oracle", "knn_cosine_lsh_oracle",
+    "text_language_id", "agg_salted_distinct_customers",
 ]
 
 

@@ -58,6 +58,62 @@ def assign_to_centroids(
     return (F.array_position(scores, best) - 1).cast("int")
 
 
+def with_centroid_assignment(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    metric: str = "cosine",
+    out_col: str = "__cid",
+    dist_col: str | None = None,
+) -> DataFrame:
+    """``df`` plus the best-centroid id (and optionally distance-to-best)
+    as materialized columns — the efficient form of ``assign_to_centroids``
+    for full-corpus passes.
+
+    Spark's higher-order array functions evaluate interpreted, and a
+    subtree referenced inside a lambda is re-evaluated per element, so the
+    expression form recomputes ``norm(v)`` for every centroid. Here the
+    row norm is ONE materialized column, centroid norms are driver-side
+    literals (same left-fold order → bit-identical doubles), and the
+    distance to the best centroid is read off the same score array
+    (``1 - array_max`` / ``array_min``) instead of recomputing the metric
+    against the argmax centroid. Values are exactly those of
+    ``assign_to_centroids`` + ``cosine_similarity``/``l2_distance``;
+    the plan stays scan → project, zero shuffle."""
+    v = F.col(vec_col)
+    if metric == "cosine":
+        cents = F.array(
+            *[
+                F.struct(
+                    F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+                    F.lit(math.sqrt(sum(x * x for x in c))).alias("n"),
+                )
+                for c in centroids
+            ]
+        )
+        from ..functions.vectors import dot, norm
+
+        out = df.withColumn("__nrm", norm(v))
+        scores = F.transform(
+            cents, lambda s: dot(v, s["c"]) / (F.col("__nrm") * s["n"])
+        )
+        pick, to_dist = F.array_max, lambda b: F.lit(1.0) - b
+    elif metric == "euclidean":
+        out = df
+        scores = F.transform(_centroid_literal(centroids), lambda c: l2_distance(v, c))
+        pick, to_dist = F.array_min, lambda b: b
+    else:
+        raise ValueError(f"unknown metric: {metric}")
+    # best/argmax read the MATERIALIZED score array — referencing the raw
+    # scores expression here would inline (and re-evaluate) it per use
+    out = out.withColumn("__scores", scores)
+    sc = F.col("__scores")
+    out = out.withColumn(out_col, (F.array_position(sc, pick(sc)) - 1).cast("int"))
+    if dist_col is not None:
+        out = out.withColumn(dist_col, to_dist(pick(sc)))
+    return out.drop("__scores", "__nrm")
+
+
 def _init_centroids(df: DataFrame, vec_col: str, k: int, seed: int) -> list[list[float]]:
     """Deterministic k-sample init: seeded Bernoulli pre-filter, then a hash
     order over the survivors (operators/sample.py — the corpus is never
@@ -135,16 +191,11 @@ def train_kmeans(
 
     for _ in range(max_iters):
         iterations += 1
-        cid = assign_to_centroids(vec_col, centroids, metric)
-        v = F.col(vec_col)
-        if metric == "cosine":
-            best_cent = F.element_at(_centroid_literal(centroids), cid + 1)
-            dist = 1.0 - cosine_similarity(v, best_cent)
-        else:
-            best_cent = F.element_at(_centroid_literal(centroids), cid + 1)
-            dist = l2_distance(v, best_cent)
+        assigned = with_centroid_assignment(
+            df, vec_col, centroids, metric, out_col="__cid", dist_col="__dist"
+        )
         stats = (
-            df.select(cid.alias("__cid"), v.alias("__v"), dist.alias("__dist"))
+            assigned.select("__cid", F.col(vec_col).alias("__v"), "__dist")
             .groupBy("__cid")
             .agg(
                 F.count("*").alias("n"),
@@ -184,5 +235,5 @@ def train_kmeans(
 def cluster_sizes(df: DataFrame, vec_col: str, centroids: list[list[float]],
                   metric: str = "cosine") -> DataFrame:
     """Per-centroid membership counts — the IVF cell-balance diagnostic."""
-    cid = assign_to_centroids(vec_col, centroids, metric)
-    return df.groupBy(cid.alias("cid")).agg(F.count("*").alias("n")).orderBy("cid")
+    assigned = with_centroid_assignment(df, vec_col, centroids, metric, out_col="cid")
+    return assigned.groupBy("cid").agg(F.count("*").alias("n")).orderBy("cid")

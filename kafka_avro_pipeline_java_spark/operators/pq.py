@@ -231,7 +231,7 @@ def ivf_pq_topk(
     """
     import math
 
-    from .clustering import assign_to_centroids
+    from .clustering import with_centroid_assignment
 
     qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
     q = [x / qn for x in query_vec]
@@ -242,8 +242,8 @@ def ivf_pq_topk(
 
     probe = sorted(range(len(coarse_centroids)),
                    key=lambda i: -cos(coarse_centroids[i]))[:n_probe]
-    cid = assign_to_centroids(vec_col, coarse_centroids, metric="cosine")
-    cand = df.filter(cid.isin(probe))
+    assigned = with_centroid_assignment(df, vec_col, coarse_centroids, "cosine")
+    cand = assigned.filter(F.col("__cid").isin(probe)).drop("__cid")
     codes = pq_encode(cand, vec_col, id_col, codebooks)
     if rerank:
         return pq_rerank_topk(spark, cand, codes, vec_col, id_col, query_vec,

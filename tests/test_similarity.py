@@ -394,3 +394,69 @@ def test_pq_index_save_load_roundtrip(spark, sf_dir, tmp_path):
     assert books2 == books
     persisted = pq_adc_topk(codes, qv, books2, k=5).collect()
     assert [tuple(r) for r in live] == [tuple(r) for r in persisted]
+
+
+def test_assignment_expression_and_dataframe_forms_agree(spark, sf_dir):
+    """The expression form (assign_to_centroids) and the materialized
+    DataFrame form (with_centroid_assignment) are the same function —
+    bit-identical centroid ids on real data, both metrics."""
+    from kafka_avro_pipeline_java_spark.functions.vectors import lcg_planes
+    from kafka_avro_pipeline_java_spark.operators.clustering import (
+        assign_to_centroids,
+        with_centroid_assignment,
+    )
+    from kafka_avro_pipeline_java_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = lcg_planes(8, 64, seed=77)
+    for metric in ("cosine", "euclidean"):
+        expr = {
+            r["vec_id"]: r["cid"]
+            for r in e.select(
+                "vec_id", assign_to_centroids("embedding", cents, metric).alias("cid")
+            ).collect()
+        }
+        mat = {
+            r["vec_id"]: r["__cid"]
+            for r in with_centroid_assignment(e, "embedding", cents, metric)
+            .select("vec_id", "__cid")
+            .collect()
+        }
+        assert expr == mat, metric
+
+
+def test_ivf_partitioned_codes_prune_partitions(spark, sf_dir, tmp_path):
+    """The 100 TB IVF layout claim made concrete: codes STORED partitioned
+    by coarse cell turn the probe filter into partition pruning — the scan
+    reads only the probed cells' directories."""
+    from kafka_avro_pipeline_java_spark.functions.vectors import lcg_planes
+    from kafka_avro_pipeline_java_spark.operators.clustering import (
+        with_centroid_assignment,
+    )
+    from kafka_avro_pipeline_java_spark.operators.pq import pq_encode
+    from kafka_avro_pipeline_java_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = lcg_planes(8, 64, seed=77)
+    books = [
+        [[x / 8.0 for x in cw] for cw in lcg_planes(16, 8, seed=100 + s)]
+        for s in range(8)
+    ]
+    codes = pq_encode(e, "embedding", "vec_id", books)
+    assigned = with_centroid_assignment(e, "embedding", cents, "cosine").select(
+        F.col("vec_id").alias("id"), F.col("__cid").alias("cid")
+    )
+    path = str(tmp_path / "ivf_codes")
+    codes.join(assigned, "id").write.partitionBy("cid").parquet(path)
+
+    probed = spark.read.parquet(path).filter(F.col("cid").isin([0, 3]))
+    plan = probed._sc._jvm.PythonSQLUtils.explainString(
+        probed._jdf.queryExecution(), "formatted"
+    )
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cid" in m.group(1), plan
+    # only the two probed cells' rows come back
+    cells = {r["cid"] for r in probed.select("cid").distinct().collect()}
+    assert cells <= {0, 3}

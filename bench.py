@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "pipeline_quality_filter",
     "pipeline_token_packing",
     "pipeline_sample_per_source",
+    "pipeline_chunk_documents",
     "knn_cosine_bruteforce",
     "knn_cosine_ivf",
     "knn_pq_adc_oracle",

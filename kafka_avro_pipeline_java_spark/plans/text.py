@@ -887,3 +887,46 @@ def text_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rare_ratio"),
         F.round(F.sum("tf") / F.count("*").cast("double"), 4).alias("mean_tf"),
     )
+
+
+@query(
+    "pipeline_chunk_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(s.i AS INT) AS chunk_idx,
+           array_to_string(toks[s.i * 56 + 1 : s.i * 56 + 64], ' ') AS chunk_text,
+           CAST(least(64, len(toks) - s.i * 56) AS INT) AS n_tokens
+    FROM t, UNNEST(range(0, CAST(ceil(greatest(len(toks) - 8, 1) / 56.0) AS BIGINT)))
+           AS s(i)
+    """,
+)
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (64-token chunks, 8-token overlap,
+    stride 56) — the prep step every embedding / context-window pipeline
+    runs before encoding. One scan → explode over per-doc chunk starts →
+    slice+join from the SAME materialized token array (no re-tokenizing
+    per chunk): row expansion is ~n_tokens/stride with zero shuffles. The
+    oracle re-derives chunk boundaries from identical arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    size, stride = 64, 56
+    toks = d.select("doc_id", T.tokens("text").alias("toks"))
+    n_chunks = F.ceil(F.greatest(F.size("toks") - (size - stride), F.lit(1)) / stride)
+    chunks = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_idx"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(
+            F.slice(F.col("toks"), F.col("chunk_idx") * stride + 1, size), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(size), F.size("toks") - F.col("chunk_idx") * stride)
+        .cast("int")
+        .alias("n_tokens"),
+    )

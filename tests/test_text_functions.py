@@ -58,3 +58,29 @@ def test_lang_id_score_is_winning_ratio(spark):
     # 5 of 10 tokens are en markers -> score 0.5.
     s = _one(spark, "the and of to in zz qq ww ee rr", T.lang_id_score)
     assert abs(s - 0.5) < 1e-9
+
+
+def test_chunking_reconstructs_token_stream(spark, sf_dir):
+    """Dropping each non-first chunk's 8-token overlap and concatenating
+    reproduces every document's full token sequence — no token lost or
+    duplicated by the chunk boundaries."""
+    from collections import defaultdict
+
+    from kafka_avro_pipeline_java_spark.plans import QUERIES
+    from kafka_avro_pipeline_java_spark.sources import load_table
+
+    rows = QUERIES["pipeline_chunk_documents"](spark, sf_dir).collect()
+    by_doc = defaultdict(dict)
+    for r in rows:
+        by_doc[r["doc_id"]][r["chunk_idx"]] = r["chunk_text"].split()
+    docs = {
+        r["doc_id"]: r["text"].split()
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        rebuilt = []
+        for i in range(len(chunks)):
+            toks = chunks[i]
+            rebuilt.extend(toks if i == 0 else toks[8:])
+        assert rebuilt == docs[doc_id], doc_id

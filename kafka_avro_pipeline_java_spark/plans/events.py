@@ -273,11 +273,13 @@ def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.user_id, MIN(e.ts) AS t2
       FROM events e JOIN u1 ON e.user_id = u1.user_id
       WHERE e.event_type = 'click' AND e.ts > u1.t1
+        AND e.ts <= u1.t1 + INTERVAL 7 DAY
       GROUP BY e.user_id
     ), u3 AS (
       SELECT e.user_id, MIN(e.ts) AS t3
       FROM events e JOIN u2 ON e.user_id = u2.user_id
       WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+        AND e.ts <= u2.t2 + INTERVAL 7 DAY
       GROUP BY e.user_id
     )
     SELECT (SELECT COUNT(*) FROM u1) AS n_view,
@@ -287,22 +289,35 @@ def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential-pattern funnel (view -> click -> purchase, strictly
-    ordered first occurrences). The oracle re-derives each stage with a
-    per-stage join+min; the Spark plan instead computes all three stage
-    timestamps in ONE pass over a single hash partitioning of user_id —
-    three stacked window-mins over the same Window spec share one
-    Exchange, so at 100 TB the funnel costs one shuffle of (user_id, ts,
-    event_type), not three join shuffles."""
+    ordered first occurrences, each stage within 7 days of the previous —
+    the conversion-window constraint that makes the stages discriminate).
+    The oracle re-derives each stage with a per-stage join+min; the Spark
+    plan instead computes all three stage timestamps in ONE pass over a
+    single hash partitioning of user_id — three stacked window-mins over
+    the same Window spec share one Exchange, so at 100 TB the funnel
+    costs one shuffle of (user_id, ts, event_type), not three join
+    shuffles."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id")
+    horizon = F.expr("INTERVAL 7 DAY")
     t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
     staged = e.withColumn("t1", t1)
     t2 = F.min(
-        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + horizon),
+            F.col("ts"),
+        )
     ).over(w)
     staged = staged.withColumn("t2", t2)
     t3 = F.min(
-        F.when((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts"))
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + horizon),
+            F.col("ts"),
+        )
     ).over(w)
     staged = staged.withColumn("t3", t3)
     per_user = staged.groupBy("user_id").agg(

@@ -156,18 +156,22 @@ def funnel_stage_per_user(
     events: DataFrame,
     *,
     stages: tuple[str, str, str] = ("view", "click", "purchase"),
+    conversion_window: "pd.Timedelta | None" = None,
     watermark: str = "2 hours",
     ts_col: str = "ts",
     type_col: str = "event_type",
 ) -> DataFrame:
     """Streaming funnel state machine (the incremental form of
     ``plans/events.py::events_funnel``): per user, advance through
-    strictly-ordered first occurrences of the stage events. State is three
-    timestamps per user — O(1) regardless of event volume, evicted at the
-    watermark horizon. Rows inside each micro-batch are sorted by event
-    time before the state machine advances, so in-order replay reproduces
-    the batch funnel exactly (parity-tested)."""
+    strictly-ordered first occurrences of the stage events, each within
+    ``conversion_window`` of the previous stage (default 7 days, matching
+    the batch query). State is three timestamps per user — O(1)
+    regardless of event volume, evicted at the watermark horizon. Rows
+    inside each micro-batch are sorted by event time before the state
+    machine advances, so in-order replay reproduces the batch funnel
+    exactly (parity-tested)."""
     s1, s2, s3 = stages
+    win = conversion_window if conversion_window is not None else pd.Timedelta(days=7)
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -182,10 +186,10 @@ def funnel_stage_per_user(
                 if et == s1:
                     t1 = ts
             elif t2 is None:
-                if et == s2 and ts > t1:
+                if et == s2 and ts > t1 and ts <= t1 + win:
                     t2 = ts
             elif t3 is None:
-                if et == s3 and ts > t2:
+                if et == s3 and ts > t2 and ts <= t2 + win:
                     t3 = ts
         state.update((t1, t2, t3))
         stage = (t1 is not None) + (t2 is not None) + (t3 is not None)

@@ -52,6 +52,7 @@ _PRIORITY = [
     "text_repetition_ratio",
     "text_pii_scrub",
     "text_vocabulary",
+    "text_rare_token_ratio",
     # --- multimodal + reference pipeline parity + corpus pipeline stages ---
     "multimodal_binary_meta",
     "pipeline_avro_roundtrip",
@@ -61,10 +62,12 @@ _PRIORITY = [
     "pipeline_token_packing",
     "pipeline_domain_mix",
     "pipeline_shuffle_order",
-    # --- events / streaming semantics ---
+    "pipeline_sample_per_source",
+    "pipeline_chunk_documents",
+    # --- events / streaming semantics (hourly_rollup + sessionize rotated
+    # out, green r01+r02; category stays repped by the five window/
+    # watermark/funnel rows below) ---
     "events_asof_last_click",
-    "events_hourly_rollup",
-    "events_sessionize",
     "events_tumbling_window_fn",
     "events_session_window_fn",
     "events_sliding_window_fn",
@@ -77,7 +80,9 @@ _PRIORITY = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "join_inner_segment_sales",
-    "join_left_order_counts",
+    # join_left_order_counts rotated out (green r01+r02) for
+    # scalar_map_order_attrs; joins stay repped by inner/semi/range.
+    "scalar_map_order_attrs",
     "join_semi_active_customers",
     # join_anti_dormant_customers rotated out (green r01+r02, 0-row result)
     # for events_funnel.
@@ -87,9 +92,11 @@ _PRIORITY = [
     "agg_salted_distinct_customers",
     "agg_grouping_sets",
     "agg_percentiles",
-    "window_rank_top_orders",
-    # sort_limit_top_orders rotated out (green in r01+r02) to keep the
-    # window at 50 with text_language_id in.
+    # window_rank_top_orders and sort_limit_top_orders rotated out (both
+    # green r01+r02) to keep the window at 50 with the round's new
+    # text/pipeline/map oracle rows in; window functions stay exercised
+    # by events_dedup_watermark_eq (row_number) and the funnel's stacked
+    # window-mins.
 ]
 
 

@@ -1,0 +1,95 @@
+"""Keyword retrieval over the document corpus: BM25 top-k.
+
+The retrieval primitive a training-data pipeline needs for corpus QA,
+targeted decontamination, and building retrieval baselines. Okapi BM25 with
+the Lucene idf formulation:
+
+    idf(t)      = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+    score(d, q) = sum_t idf(t) * tf_td * (k1 + 1)
+                  / (tf_td + k1 * (1 - b + b * dl_d / avgdl))
+
+Plan shape (and why it scales):
+- The token stream is filtered to the query's terms BEFORE any shuffle —
+  for a q-term query the exploded stream shrinks to roughly q * df rows, so
+  the per-(doc, term) count aggregates a tiny fraction of the corpus.
+- Document frequencies and corpus stats (N, avgdl) are aggregates over that
+  same stream / the doc-length projection; both results are a handful of
+  rows and join back as broadcasts — the corpus-sized side never shuffles
+  for them.
+- Per-doc score sum is one keyed aggregation; top-k is TakeOrdered
+  (per-partition heap + k-row driver merge), never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+
+def bm25_topk(
+    spark: SparkSession,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents for the bag-of-words query ``terms``.
+
+    Output: (id, n_hit_terms, bm25 rounded to 4) ordered by (bm25 desc, id)
+    with the id tiebreak making the selected row set deterministic."""
+    terms = [t.lower() for t in terms]
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        T.tokens(F.lower(F.col(text_col))).alias("toks"),
+    )
+    # Doc length is an attribute of the full token array; the hit stream
+    # only ever explodes matching terms.
+    lengths = docs.select("id", F.size("toks").cast("double").alias("dl"))
+    hits = docs.select(
+        "id",
+        F.explode(
+            F.filter("toks", lambda t: t.isin(*terms))
+        ).alias("tok"),
+    )
+    tf = hits.groupBy("id", "tok").agg(F.count("*").cast("double").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").cast("double").alias("df_t"))
+    stats = lengths.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(lengths, "id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+                    / (F.col("df_t") + F.lit(0.5))
+                )
+                * F.col("tf")
+                * F.lit(k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count("*").cast("int").alias("n_hit_terms"),
+            F.round(F.sum("term_score"), 4).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("id"))
+        .limit(k)
+    )

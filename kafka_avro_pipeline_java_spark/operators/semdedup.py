@@ -1,0 +1,85 @@
+"""SemDeDup: semantic deduplication via cluster-then-compare.
+
+The embedding-space dedup recipe of Abbas et al. 2023 ("SemDeDup: Data-
+efficient learning at web-scale through semantic deduplication"): k-means
+the embeddings, compare pairs ONLY within a cluster, and keep one document
+per near-duplicate set. Clustering turns the O(n²) pair space into
+Σ cluster² — with k ∝ √n clusters the candidate volume is ~n·(n/k), and
+every comparison is an equi-join on the cluster id.
+
+Plan shape here:
+- assignment: the zero-shuffle literal-centroid argmax projection shared
+  with IVF (operators/clustering.py::with_centroid_assignment) — centroids
+  come from operators/clustering.train_kmeans (or any literal list);
+- candidate pairs: a self-equi-join on the cluster id with the row norm
+  materialized per side, cosine computed inside the join projection;
+- keep-one: survivors = anti-join against the doomed set (any vector with
+  a smaller-id near-duplicate in its cluster), the same deterministic
+  min-id rule as operators/dedup.keep_one.
+
+At 100 TB: k is sized so clusters bound pair volume (k ~ 10⁵ for 10¹⁰
+docs); the cluster-id join key is low-cardinality-by-design, so the pair
+stage relies on AQE skew-split (or pre-salting by a secondary LSH band, as
+in operators/dedup.bucketed_embedding_pairs) for giant clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import dot
+from .clustering import with_centroid_assignment
+
+
+def semantic_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    threshold: float,
+) -> DataFrame:
+    """(id_a, id_b, cid, cos_sim) near-duplicate pairs within clusters,
+    id_a < id_b, cosine rounded to 6 for cross-engine comparability."""
+    from ..functions.vectors import norm
+
+    assigned = with_centroid_assignment(df, vec_col, centroids, metric="cosine",
+                                        out_col="cid")
+    side = assigned.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cid",
+        norm(F.col(vec_col)).alias("nrm"),
+    )
+    a = side.select(*[F.col(c).alias(f"{c}_a") for c in side.columns])
+    b = side.select(*[F.col(c).alias(f"{c}_b") for c in side.columns])
+    cos = F.round(
+        dot(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("cid_a") == F.col("cid_b")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .select(
+            "id_a", "id_b", F.col("cid_a").alias("cid"), cos.alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    threshold: float,
+) -> DataFrame:
+    """Survivors of keep-one SemDeDup: (id, cid) for every vector with no
+    smaller-id near-duplicate in its cluster."""
+    pairs = semantic_pairs(df, vec_col, id_col, centroids, threshold)
+    doomed = pairs.select(F.col("id_b").alias("id")).distinct()
+    assigned = with_centroid_assignment(df, vec_col, centroids, metric="cosine",
+                                        out_col="cid")
+    return (
+        assigned.select(F.col(id_col).alias("id"), "cid")
+        .join(doomed, "id", "left_anti")
+    )

@@ -1,0 +1,77 @@
+"""Substring-level (span) duplication detection.
+
+Document-level dedup misses boilerplate REPEATED INSIDE otherwise-distinct
+documents (licenses, navigation chrome, templated intros). The standard fix
+(Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+Better") removes repeated token SPANS. A distributed suffix array is
+impractical on Spark; the equivalent-fidelity approximation for a fixed
+span width w is exact: hash every w-token window, find hashes occurring in
+more than one document, and flag/measure the covered positions.
+
+Plan shape: tokenize into a materialized array behind a repartition
+exchange (higher-order-function lambdas get no subexpression elimination —
+an inline split() would re-tokenize per window), emit one (id, pos, hash)
+row per window via a single posexplode, then ONE window count over the
+span hash and ONE per-doc aggregate. Cost is linear in corpus token count;
+the only shuffles are keyed (span hash, then doc id). At 100 TB the span
+hash is a near-uniform 128-bit-derived key — no skew guard needed except
+for degenerate all-identical corpora, where the df-cap idea from
+operators/dedup.py applies unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def span_table(df: DataFrame, text_col: str, id_col: str, w: int = 5) -> DataFrame:
+    """(id, pos, span_hash) — one row per w-token window, 1-based pos.
+
+    The hash is the md5-portable 16-hex prefix of the space-joined window,
+    so a DuckDB oracle derives identical hashes. Docs shorter than w tokens
+    produce no rows (Spark's sequence(1, n) would count DOWN for n < 1, so
+    the window list is guarded to an empty array)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("toks")
+    )
+    toks = toks.repartition(toks.sparkSession.sparkContext.defaultParallelism, "id")
+    n_spans = F.size("toks") - F.lit(w - 1)
+    span_hashes = F.when(n_spans >= 1, F.transform(
+        F.sequence(F.lit(1), n_spans),
+        lambda i: F.substring(
+            F.md5(F.concat_ws(" ", F.slice("toks", i, w))), 1, 16
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    return toks.select(
+        "id", F.posexplode(span_hashes).alias("pos0", "span_hash")
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "span_hash")
+
+
+def span_dup_stats(df: DataFrame, text_col: str, id_col: str, w: int = 5) -> DataFrame:
+    """Per-document span-duplication profile.
+
+    Output: (id, n_spans, n_dup_spans, dup_frac) where a span is "dup" when
+    its hash occurs in >= 2 DISTINCT documents — the trim/mask decision
+    input for substring-level dedup (a pipeline drops or masks docs/spans
+    above a dup_frac threshold).
+
+    A window count over span_hash (one hash shuffle) marks each position;
+    the per-doc aggregate is a second keyed shuffle. Distinct-doc counting
+    per hash avoids flagging a doc's own internal repetition as cross-doc
+    boilerplate."""
+    spans = span_table(df, text_col, id_col, w)
+    # approx: COUNT(DISTINCT id) over a window is unsupported; use the
+    # min/max trick — a hash spans >=2 docs iff min(id) != max(id).
+    byhash = Window.partitionBy("span_hash")
+    flagged = spans.select(
+        "id",
+        (F.min("id").over(byhash) != F.max("id").over(byhash)).cast("int").alias("is_dup"),
+    )
+    return flagged.groupBy("id").agg(
+        F.count("*").cast("int").alias("n_spans"),
+        F.sum("is_dup").cast("int").alias("n_dup_spans"),
+        F.round(F.sum("is_dup") / F.count("*"), 4).alias("dup_frac"),
+    )

@@ -9,7 +9,9 @@ from . import tpch  # noqa: E402,F401
 from . import tpch2  # noqa: E402,F401
 from . import events as events_plans  # noqa: E402,F401
 from . import text as text_plans  # noqa: E402,F401
+from . import text2 as text2_plans  # noqa: E402,F401
 from . import vectors as vector_plans  # noqa: E402,F401
+from . import vectors2 as vector2_plans  # noqa: E402,F401
 from . import pipeline as pipeline_plans  # noqa: E402,F401
 from . import sampling as sampling_plans  # noqa: E402,F401
 

@@ -1,0 +1,175 @@
+"""Behavioral tests for the round-3 corpus operators: Gopher rules,
+unigram-LM scoring, BM25 retrieval, repeated-span dedup, SemDeDup.
+
+Value-exactness vs DuckDB is the driver harness's job (plans/text2.py,
+plans/vectors2.py oracles); these tests pin the SEMANTICS on constructed
+fixtures where the right answer is known by inspection."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_avro_pipeline_java_spark.functions.vectors import lcg_planes
+from kafka_avro_pipeline_java_spark.operators import (
+    quality,
+    search,
+    semdedup,
+    spans,
+)
+
+GOOD_DOC = (
+    "the quick brown fox jumps over the lazy dog and then runs off to the "
+    "woods with a friend that it met while it was out walking and they have "
+    "a long chat about the weather and the state of the world before going "
+    "home to rest for the night because both of them are tired now"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+class TestGopherRules:
+    def test_good_doc_passes(self, spark):
+        out = quality.gopher_rules(_docs(spark, [(1, GOOD_DOC)]), "text", "doc_id").first()
+        assert out["passes_gopher"] == 1
+        assert out["n_words"] >= quality.MIN_WORDS
+        assert out["stop_hits"] >= 2
+
+    def test_short_doc_fails_word_count(self, spark):
+        out = quality.gopher_rules(_docs(spark, [(1, "too short")]), "text", "doc_id").first()
+        assert out["passes_gopher"] == 0
+        assert out["n_words"] == 2
+
+    def test_symbol_soup_fails_symbol_ratio(self, spark):
+        text = " ".join(["the of and that have with be to"] * 10 + ["#"] * 20)
+        out = quality.gopher_rules(_docs(spark, [(1, text)]), "text", "doc_id").first()
+        assert out["symbol_ratio"] > quality.MAX_SYMBOL_RATIO
+        assert out["passes_gopher"] == 0
+
+    def test_bullet_list_fails_bullet_frac(self, spark):
+        text = "\n".join(f"- item {i} " + GOOD_DOC for i in range(10))
+        out = quality.gopher_rules(_docs(spark, [(1, text)]), "text", "doc_id").first()
+        assert out["bullet_frac"] == 1.0
+        assert out["passes_gopher"] == 0
+
+    def test_no_stopwords_fails(self, spark):
+        text = " ".join(f"w{i}" for i in range(60))
+        out = quality.gopher_rules(_docs(spark, [(1, text)]), "text", "doc_id").first()
+        assert out["stop_hits"] == 0
+        assert out["passes_gopher"] == 0
+
+
+class TestUnigramLogprob:
+    def test_uniform_corpus_scores_log_inverse_vocab(self, spark):
+        # 4 docs of one distinct token each -> every token has p = 1/4.
+        d = _docs(spark, [(i, f"tok{i}") for i in range(4)])
+        rows = quality.unigram_logprob(d, "text", "doc_id").collect()
+        for r in rows:
+            assert r["mean_logprob"] == pytest.approx(round(math.log(0.25), 4))
+
+    def test_rare_token_doc_scores_lower(self, spark):
+        d = _docs(spark, [(1, "common common common common"), (2, "rareword")])
+        out = {r["id"]: r["mean_logprob"] for r in
+               quality.unigram_logprob(d, "text", "doc_id").collect()}
+        assert out[2] < out[1]
+
+    def test_case_folded(self, spark):
+        d = _docs(spark, [(1, "Word word WORD")])
+        row = quality.unigram_logprob(d, "text", "doc_id").first()
+        # one vocab entry with count 3 => p = 1 => logprob 0
+        assert row["mean_logprob"] == 0.0
+
+
+class TestBM25:
+    def test_matching_doc_ranks_first(self, spark):
+        d = _docs(spark, [
+            (1, "spark shuffle join " + " ".join(["filler"] * 20)),
+            (2, " ".join(["filler"] * 20)),
+            (3, "spark spark spark shuffle " + " ".join(["filler"] * 20)),
+        ])
+        out = search.bm25_topk(spark, d, "text", "doc_id", ["spark", "shuffle"], k=3).collect()
+        assert [r["id"] for r in out] == [3, 1]  # doc 2 never matches
+        assert out[0]["bm25"] > out[1]["bm25"]
+
+    def test_tf_saturation(self, spark):
+        # BM25's tf term saturates: 100 copies is NOT 100x the score of 1.
+        d = _docs(spark, [
+            (1, "term " + " ".join(["x"] * 50)),
+            (2, " ".join(["term"] * 100) + " " + " ".join(["x"] * 50)),
+            (3, " ".join(["y"] * 50)),
+        ])
+        out = {r["id"]: r["bm25"] for r in
+               search.bm25_topk(spark, d, "text", "doc_id", ["term"], k=3).collect()}
+        assert out[2] > out[1]
+        assert out[2] < out[1] * (1 + 1 / 1.2) * 1.5  # bounded by (k1+1)/k1 asymptote
+
+    def test_k_limits_results(self, spark):
+        d = _docs(spark, [(i, "hit " + " ".join(["x"] * 10)) for i in range(20)])
+        assert search.bm25_topk(spark, d, "text", "doc_id", ["hit"], k=5).count() == 5
+
+
+class TestRepeatedSpans:
+    def test_shared_span_flagged_in_both_docs(self, spark):
+        shared = "alpha beta gamma delta epsilon"
+        d = _docs(spark, [
+            (1, shared + " one two three four five"),
+            (2, "six seven eight nine ten " + shared),
+            (3, "a b c d e f g h i j"),
+        ])
+        out = {r["id"]: r for r in spans.span_dup_stats(d, "text", "doc_id", w=5).collect()}
+        assert out[1]["n_dup_spans"] >= 1 and out[2]["n_dup_spans"] >= 1
+        assert out[3]["n_dup_spans"] == 0
+        # doc 3 has 10 tokens -> 6 windows of width 5
+        assert out[3]["n_spans"] == 6
+
+    def test_within_doc_repetition_not_cross_doc(self, spark):
+        # The same span twice in ONE doc is not cross-doc boilerplate.
+        d = _docs(spark, [
+            (1, "p q r s t p q r s t"),
+            (2, "u v w x y z aa bb cc dd"),
+        ])
+        out = {r["id"]: r for r in spans.span_dup_stats(d, "text", "doc_id", w=5).collect()}
+        assert out[1]["n_dup_spans"] == 0
+
+    def test_short_doc_produces_no_rows(self, spark):
+        d = _docs(spark, [(1, "only four tokens here"), (2, "a b c d e f")])
+        out = spans.span_dup_stats(d, "text", "doc_id", w=5).collect()
+        assert {r["id"] for r in out} == {2}
+
+
+class TestSemDeDup:
+    DIM = 8
+
+    def _vecs(self, spark, rows):
+        return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    def test_keeps_one_per_duplicate_set_within_cluster(self, spark):
+        cents = lcg_planes(4, self.DIM, seed=3)
+        base = cents[0]
+        near = [x * 1.001 for x in base]  # same direction -> same cluster, cos ~1
+        other = cents[2]
+        d = self._vecs(spark, [(1, base), (2, near), (3, other)])
+        kept = semdedup.semantic_dedup(d, "embedding", "vec_id", cents, 0.99)
+        ids = {r["id"] for r in kept.collect()}
+        assert ids == {1, 3}  # 2 is doomed by its smaller-id twin
+
+    def test_cross_cluster_twins_survive(self, spark):
+        # Near-identical vectors in DIFFERENT clusters are never compared —
+        # the SemDeDup contract (and its scale bound) is cluster-local.
+        cents = [[1.0] + [0.0] * 7, [-1.0] + [0.0] * 7]
+        a = [1.0, 0.001] + [0.0] * 6
+        b = [-1.0, 0.001] + [0.0] * 6
+        d = self._vecs(spark, [(1, a), (2, b)])
+        kept = semdedup.semantic_dedup(d, "embedding", "vec_id", cents, 0.5)
+        assert kept.count() == 2
+
+    def test_pairs_are_cluster_local_and_ordered(self, spark):
+        cents = lcg_planes(4, self.DIM, seed=3)
+        d = self._vecs(spark, [(i, [float(i + j) for j in range(self.DIM)]) for i in range(1, 6)])
+        pairs = semdedup.semantic_pairs(d, "embedding", "vec_id", cents, -1.0).collect()
+        for p in pairs:
+            assert p["id_a"] < p["id_b"]

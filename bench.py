@@ -56,10 +56,15 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_keep_one_e2e",
     "dedup_embedding_bucketed",
+    "dedup_repeated_spans",
+    "dedup_semantic",
     "text_stats",
     "text_language_id",
     "text_rare_token_ratio",
     "text_pii_scrub",
+    "text_gopher_rules",
+    "text_unigram_logprob",
+    "text_bm25_search",
     "pipeline_quality_filter",
     "pipeline_token_packing",
     "pipeline_sample_per_source",
@@ -90,6 +95,8 @@ COLLECT_THRESHOLD_QUERIES = {
     "events_funnel",
     "knn_cosine_lsh_oracle",
     "agg_salted_distinct_customers",
+    "text_bm25_search",
+    "dedup_semantic",
 }
 
 

@@ -33,7 +33,13 @@ from ..functions.vectors import cosine_similarity, l2_distance
 
 
 def _centroid_literal(centroids: list[list[float]]):
-    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    # one parsed SQL expression, NOT k×dim F.lit nodes: per-element
+    # literal construction costs one py4j round-trip each (~0.9 ms), so a
+    # 40×64 matrix burned ~2.3 s of DRIVER time on every query embedding
+    # it (see functions/vectors.py::literal_matrix)
+    from ..functions.vectors import literal_matrix
+
+    return literal_matrix(centroids)
 
 
 def assign_to_centroids(
@@ -82,20 +88,20 @@ def with_centroid_assignment(
     the plan stays scan → project, zero shuffle."""
     v = F.col(vec_col)
     if metric == "cosine":
-        cents = F.array(
-            *[
-                F.struct(
-                    F.array(*[F.lit(float(x)) for x in c]).alias("c"),
-                    F.lit(math.sqrt(sum(x * x for x in c))).alias("n"),
-                )
-                for c in centroids
-            ]
+        # single-Literal centroid matrix + norm vector (see
+        # _centroid_literal for why per-element F.lit is a driver-time
+        # trap); zip_with pairs each centroid with its precomputed norm
+        cent_vals = _centroid_literal(centroids)
+        from ..functions.vectors import literal_vector
+
+        cent_norms = literal_vector(
+            [math.sqrt(sum(x * x for x in c)) for c in centroids]
         )
         from ..functions.vectors import dot, norm
 
         out = df.withColumn("__nrm", norm(v))
-        scores = F.transform(
-            cents, lambda s: dot(v, s["c"]) / (F.col("__nrm") * s["n"])
+        scores = F.zip_with(
+            cent_vals, cent_norms, lambda c, n: dot(v, c) / (F.col("__nrm") * n)
         )
         pick, to_dist = F.array_max, lambda b: F.lit(1.0) - b
     elif metric == "euclidean":

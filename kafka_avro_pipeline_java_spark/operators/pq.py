@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vectors import l2_distance
+from ..functions.vectors import l2_distance, literal_matrix
 
 
 def train_pq(
@@ -132,7 +132,7 @@ def pq_encode(
     )
     codes = []
     for s in range(m):
-        cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in codebooks[s]])
+        cents = literal_matrix(codebooks[s])
         d2 = F.transform(cents, lambda c: l2_distance(F.col(f"_sub{s}"), c))
         codes.append((F.array_position(d2, F.array_min(d2)) - 1).cast("int"))
     return out.select("id", F.array(*codes).alias("codes"))
@@ -153,7 +153,7 @@ def _adc_lut(query_vec: list[float], codebooks: list[list[list[float]]]):
         ]
         for s in range(m)
     ]
-    return F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in lut])
+    return literal_matrix(lut)
 
 
 def pq_adc_topk(

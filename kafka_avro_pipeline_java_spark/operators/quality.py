@@ -124,3 +124,25 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.count("*").cast("int").alias("n_tokens"),
         F.round(F.avg("lp"), 4).alias("mean_logprob"),
     )
+
+
+def importance_sample(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Quality-weighted corpus sampling: keep each document with
+    probability equal to its quality score, deterministically.
+
+    The accept/reject draw is the portable 60-bit md5 hash of the id
+    mapped to [0, 1) — reproducible across runs AND engines (the DuckDB
+    oracle derives the identical draw), so the sampled corpus is stable:
+    re-running the pipeline, or running it on a different cluster, selects
+    the same documents. Pure projection + filter, zero shuffles — the
+    up-weighting of high-quality data costs one scan."""
+    from ..functions.hashing import portable_hash64
+
+    c = F.col(id_col)
+    weight = T.quality_score(text_col)
+    draw = F.pmod(portable_hash64(c.cast("string")), F.lit(10000)) / F.lit(10000.0)
+    return (
+        df.select(c, weight.alias("weight"), draw.alias("draw"))
+        .filter(F.col("draw") < F.col("weight"))
+        .select(id_col, "weight")
+    )

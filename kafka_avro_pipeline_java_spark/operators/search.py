@@ -47,24 +47,26 @@ def bm25_topk(
         F.col(id_col).alias("id"),
         T.tokens(F.lower(F.col(text_col))).alias("toks"),
     )
-    # Doc length is an attribute of the full token array; the hit stream
-    # only ever explodes matching terms.
-    lengths = docs.select("id", F.size("toks").cast("double").alias("dl"))
+    # Doc length rides WITH the hit stream (constant per doc, folded back
+    # out with max() in the tf aggregate) — the alternative, a separate
+    # per-doc length table joined to tf, is a corpus-sized join at scale.
     hits = docs.select(
         "id",
+        F.size("toks").cast("double").alias("dl"),
         F.explode(
             F.filter("toks", lambda t: t.isin(*terms))
         ).alias("tok"),
     )
-    tf = hits.groupBy("id", "tok").agg(F.count("*").cast("double").alias("tf"))
+    tf = hits.groupBy("id", "tok").agg(
+        F.count("*").cast("double").alias("tf"), F.max("dl").alias("dl")
+    )
     dfreq = tf.groupBy("tok").agg(F.count("*").cast("double").alias("df_t"))
-    stats = lengths.agg(
+    stats = docs.agg(
         F.count("*").cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
+        F.avg(F.size("toks").cast("double")).alias("avgdl"),
     )
     scored = (
         tf.join(F.broadcast(dfreq), "tok")
-        .join(lengths, "id")
         .crossJoin(F.broadcast(stats))
         .select(
             "id",

@@ -32,23 +32,27 @@ from ..functions.vectors import dot
 from .clustering import with_centroid_assignment
 
 
-def semantic_pairs(
-    df: DataFrame,
-    vec_col: str,
-    id_col: str,
-    centroids: list[list[float]],
-    threshold: float,
+def _assigned_side(
+    df: DataFrame, vec_col: str, id_col: str, centroids: list[list[float]]
 ) -> DataFrame:
-    """(id_a, id_b, cid, cos_sim) near-duplicate pairs within clusters,
-    id_a < id_b, cosine rounded to 6 for cross-engine comparability."""
+    """(id, v, cid, nrm) behind a repartition exchange. The exchange sits
+    UPSTREAM of the k×dim argmax so a small/single-file source doesn't
+    evaluate every assignment in one scan task, and it is REUSED by every
+    consumer (both pair-join sides + the survivor projection), so the
+    argmax is computed once
+    (see operators/dedup.py::embedding_near_pairs_bucketed)."""
     from ..functions.vectors import norm
 
-    assigned = with_centroid_assignment(df, vec_col, centroids, metric="cosine",
-                                        out_col="cid")
-    side = assigned.select(
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    assigned = with_centroid_assignment(spread, vec_col, centroids,
+                                        metric="cosine", out_col="cid")
+    return assigned.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cid",
         norm(F.col(vec_col)).alias("nrm"),
     )
+
+
+def _pairs_from_side(side: DataFrame, threshold: float) -> DataFrame:
     a = side.select(*[F.col(c).alias(f"{c}_a") for c in side.columns])
     b = side.select(*[F.col(c).alias(f"{c}_b") for c in side.columns])
     cos = F.round(
@@ -66,6 +70,20 @@ def semantic_pairs(
     )
 
 
+def semantic_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    threshold: float,
+) -> DataFrame:
+    """(id_a, id_b, cid, cos_sim) near-duplicate pairs within clusters,
+    id_a < id_b, cosine rounded to 6 for cross-engine comparability."""
+    return _pairs_from_side(
+        _assigned_side(df, vec_col, id_col, centroids), threshold
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str,
@@ -74,12 +92,10 @@ def semantic_dedup(
     threshold: float,
 ) -> DataFrame:
     """Survivors of keep-one SemDeDup: (id, cid) for every vector with no
-    smaller-id near-duplicate in its cluster."""
-    pairs = semantic_pairs(df, vec_col, id_col, centroids, threshold)
+    smaller-id near-duplicate in its cluster. The assigned/repartitioned
+    side is shared between the pair join and the survivor projection, so
+    assignment runs behind ONE reused exchange."""
+    side = _assigned_side(df, vec_col, id_col, centroids)
+    pairs = _pairs_from_side(side, threshold)
     doomed = pairs.select(F.col("id_b").alias("id")).distinct()
-    assigned = with_centroid_assignment(df, vec_col, centroids, metric="cosine",
-                                        out_col="cid")
-    return (
-        assigned.select(F.col(id_col).alias("id"), "cid")
-        .join(doomed, "id", "left_anti")
-    )
+    return side.select("id", "cid").join(doomed, "id", "left_anti")

@@ -56,7 +56,9 @@ def hyperplane_signature(vec_col, planes: list[list[float]]):
     compile time on every cold run (measured 8 s → see git history); the
     loop form compiles once, fast, and computes the same signature."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    planes_lit = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
+    from ..functions.vectors import literal_matrix
+
+    planes_lit = literal_matrix(planes)
     weights = F.array(*[F.lit(1 << i).cast("long") for i in range(len(planes))])
     dots = F.transform(planes_lit, lambda p: dot(v, p))
     bits = F.zip_with(

@@ -75,3 +75,36 @@ def span_dup_stats(df: DataFrame, text_col: str, id_col: str, w: int = 5) -> Dat
         F.sum("is_dup").cast("int").alias("n_dup_spans"),
         F.round(F.sum("is_dup") / F.count("*"), 4).alias("dup_frac"),
     )
+
+
+def ngram_decontaminate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bench_pred,
+    w: int = 5,
+) -> DataFrame:
+    """N-gram-overlap benchmark decontamination (the GPT-3-style variant of
+    the exact-fingerprint check in plans/text.py::pipeline_decontaminate):
+    a training doc is contaminated when it shares ANY w-token span with a
+    held-out evaluation doc, even if the rest of the document differs.
+
+    ``bench_pred`` is a boolean Column marking evaluation rows. Returns the
+    CONTAMINATED training docs: (id, n_overlap_spans).
+
+    Scale shape: eval sets are small by nature, so their span-hash set
+    broadcasts; the corpus-side span stream is a projection (tokenize →
+    posexplode) that meets the broadcast hash set with no shuffle, then one
+    keyed per-doc count. At 100 TB the corpus never shuffles for the
+    overlap check itself."""
+    bench_hashes = (
+        span_table(df.filter(bench_pred), text_col, id_col, w)
+        .select("span_hash")
+        .distinct()
+    )
+    corpus_spans = span_table(df.filter(~bench_pred), text_col, id_col, w)
+    return (
+        corpus_spans.join(F.broadcast(bench_hashes), "span_hash")
+        .groupBy("id")
+        .agg(F.count("*").cast("int").alias("n_overlap_spans"))
+    )

@@ -28,17 +28,21 @@ from . import sampling as sampling_plans  # noqa: E402,F401
 # streaming-semantics and trained-index-shaped oracle rows.
 _PRIORITY = [
     # --- dedup family (north star) ---
-    "dedup_exact",
+    # dedup_exact and dedup_embedding_cosine rotated out (green r01+r02;
+    # the exact O(n²) baseline stays registered as ground truth) for the
+    # round's substring-level and semantic dedup oracle rows.
     "dedup_ngram_jaccard",
     "dedup_minhash_portable",
     "dedup_simhash_portable",
     "dedup_near_dup_groups",
     "dedup_keep_one_e2e",
-    "dedup_embedding_cosine",
+    "dedup_repeated_spans",
+    "dedup_semantic",
     "dedup_embedding_bucketed",
     "dedup_similarity_join",
     # --- similarity search (north star) ---
-    "knn_cosine_bruteforce",
+    # knn_cosine_bruteforce rotated out (green r01+r02); exact scoring
+    # stays exercised inside every bucketed/IVF/PQ verify stage.
     # knn_all_pairs_top3 rotated out (green r01+r02; the O(n²) exact
     # baseline stays registered) for the LSH read-path oracle.
     "knn_topk_bucketed",
@@ -46,8 +50,12 @@ _PRIORITY = [
     "knn_pq_adc_oracle",
     "knn_cosine_lsh_oracle",
     # --- text analysis (north star) ---
-    "text_stats",
-    "text_token_counts",
+    # text_stats and text_token_counts rotated out (green r01+r02) for the
+    # Gopher rule battery and the unigram-LM score; BM25 retrieval adds
+    # the search capability to the window.
+    "text_gopher_rules",
+    "text_unigram_logprob",
+    "text_bm25_search",
     "text_quality_scores",
     "text_rolling_fingerprint_portable",
     "text_language_id",

@@ -173,3 +173,200 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans.span_dup_stats(d, "text", "doc_id", w=5).withColumnRenamed(
         "id", "doc_id"
     )
+
+
+@query(
+    "pipeline_decontaminate_ngram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+      FROM documents
+    ), spans AS (
+      SELECT doc_id,
+             substr(md5(array_to_string(ts[i.i:i.i+4], ' ')), 1, 16) AS h
+      FROM toks, UNNEST(range(1, len(ts) - 3)) AS i(i)
+    ), bench AS (
+      SELECT DISTINCT h FROM spans WHERE doc_id % 97 = 0
+    )
+    SELECT doc_id, CAST(COUNT(*) AS INT) AS n_overlap_spans
+    FROM spans
+    WHERE doc_id % 97 <> 0 AND h IN (SELECT h FROM bench)
+    GROUP BY doc_id
+    """,
+)
+def pipeline_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-overlap decontamination (GPT-3 style, 5-token spans): flag
+    training docs sharing ANY span with the eval set (doc_id % 97 == 0
+    stands in). Stricter than the whole-doc fingerprint variant
+    (pipeline_decontaminate) — catches partial quotation. Eval span hashes
+    broadcast; corpus side never shuffles for the check
+    (operators/spans.py::ngram_decontaminate)."""
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    return spans.ngram_decontaminate(
+        d, "text", "doc_id", F.col("doc_id") % 97 == 0, w=5
+    ).withColumnRenamed("id", "doc_id")
+
+
+@query(
+    "pipeline_importance_sample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             ROUND(0.5 * LEAST(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0)
+                   + 0.5 * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                                  / CAST(length(text) AS DOUBLE)), 4) AS weight,
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000)
+               / 10000.0 AS draw
+      FROM documents
+    )
+    SELECT doc_id, weight FROM w WHERE draw < weight
+    """,
+)
+def pipeline_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling: each doc kept with probability equal to
+    its quality score, via the portable md5 draw — deterministic across
+    runs and engines, zero shuffles (operators/quality.py). The data-mixing
+    primitive for up-weighting high-quality sources without a global
+    sort or sampling state."""
+    d = load_table(spark, sf_dir, "documents")
+    return quality.importance_sample(d, "text", "doc_id")
+
+
+@query(
+    "text_tfidf_keywords",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.tok
+      FROM documents,
+           UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS t(tok)
+    ), tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM toks GROUP BY doc_id, tok
+    ), dfreq AS (
+      SELECT tok, CAST(COUNT(*) AS DOUBLE) AS d FROM tf GROUP BY tok
+    ), n AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+    ), scored AS (
+      SELECT doc_id, tok, ROUND(c * LN(n_docs / d), 4) AS tfidf
+      FROM tf JOIN dfreq USING (tok), n
+    )
+    SELECT doc_id, tok, tfidf FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, tok) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per document by tf-idf — keyword extraction for
+    corpus exploration and topic tagging. tf/df are word-count-shaped
+    aggregates; the df join is a shuffle equi-join on the token (the df
+    table is vocabulary-sized — too big to broadcast at corpus scale);
+    per-doc top-3 is a keyed window, no global sort. Ties break on the
+    token so the selected set is engine-independent."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").cast("double").alias("c"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").cast("double").alias("d"))
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "tok",
+            F.round(F.col("c") * F.log(F.col("n_docs") / F.col("d")), 4).alias("tfidf"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@query(
+    "text_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+      FROM documents
+    ), uni AS (
+      SELECT t.tok, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM toks, UNNEST(ts) AS t(tok) GROUP BY t.tok
+    ), bi AS (
+      SELECT ts[i.i] AS w1, ts[i.i + 1] AS w2, CAST(COUNT(*) AS DOUBLE) AS c_ab
+      FROM toks, UNNEST(range(1, len(ts))) AS i(i)
+      GROUP BY 1, 2
+    ), totals AS (
+      SELECT (SELECT SUM(c) FROM uni) AS nt, (SELECT SUM(c_ab) FROM bi) AS nb
+    )
+    SELECT w1, w2, CAST(c_ab AS INT) AS n_pair,
+           ROUND(LN((c_ab / nb) / ((a.c / nt) * (b.c / nt))), 4) AS pmi
+    FROM bi JOIN uni a ON a.tok = w1 JOIN uni b ON b.tok = w2, totals
+    WHERE c_ab >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations (adjacent-pair PMI with a count floor) — the
+    phrase-mining pass for tokenizer/vocabulary construction. Bigrams come
+    from one posexplode over the materialized token array; unigram and
+    bigram counts are word-count aggregates; totals broadcast; final top-20
+    is TakeOrdered on the rounded PMI with (w1, w2) tiebreak."""
+    from pyspark.sql import functions as F
+
+    from ..functions import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(T.tokens(F.lower(F.col("text"))).alias("ts"))
+    uni = toks.select(F.explode("ts").alias("tok")).groupBy("tok").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("ts") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ts", i).alias("w1"),
+                        F.element_at("ts", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c_ab"))
+    totals = uni.agg(F.sum("c").alias("nt")).crossJoin(
+        bi.agg(F.sum("c_ab").alias("nb"))
+    )
+    a = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_a"))
+    b = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_b"))
+    return (
+        bi.filter(F.col("c_ab") >= 5)
+        .join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1", "w2", F.col("c_ab").cast("int").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("nb"))
+                    / ((F.col("c_a") / F.col("nt")) * (F.col("c_b") / F.col("nt")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )

@@ -12,12 +12,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.vectors import lcg_planes
 from ..operators import semdedup
 from ..sources import load_table
 from .registry import query
-from .vectors import _IVF_CENTS, _pynorm
+from .vectors import _EMB_DIM, _pynorm
 
 _SEM_THRESHOLD = 0.4
+# k ∝ √n is the paper's own scale rule (pair volume Σ cluster² ≈ n²/k):
+# 40 ≈ √2000 for the largest driver-visible embeddings table. At a real
+# corpus scale k grows with n and the literals come from train_kmeans.
+_SEM_K = 40
+_SEM_CENTS = lcg_planes(_SEM_K, _EMB_DIM, seed=7)
 
 
 def _semdedup_oracle(cents: list[list[float]], threshold: float) -> str:
@@ -70,14 +76,14 @@ def _semdedup_oracle(cents: list[list[float]], threshold: float) -> str:
     """
 
 
-@query("dedup_semantic", oracle=_semdedup_oracle(_IVF_CENTS, _SEM_THRESHOLD))
+@query("dedup_semantic", oracle=_semdedup_oracle(_SEM_CENTS, _SEM_THRESHOLD))
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup survivors: assign every embedding to its nearest of 16
+    """SemDeDup survivors: assign every embedding to its nearest of 40
     literal centroids (the zero-shuffle codegen argmax shared with IVF),
     compare pairs ONLY within a cluster (equi-join on cid — Σ cluster²
     candidates, never n²), and keep the lowest id per near-dup pair
     (operators/semdedup.py). Output: (vec_id, cid) survivors."""
     e = load_table(spark, sf_dir, "embeddings")
     return semdedup.semantic_dedup(
-        e, "embedding", "vec_id", _IVF_CENTS, _SEM_THRESHOLD
+        e, "embedding", "vec_id", _SEM_CENTS, _SEM_THRESHOLD
     ).withColumnRenamed("id", "vec_id")

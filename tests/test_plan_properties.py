@@ -192,3 +192,52 @@ def test_lsh_oracle_read_path_is_shuffle_free(spark, sf_dir):
     shuffles = _shuffle_exchange_lines(plan)
     assert not shuffles, shuffles
     assert "TakeOrderedAndProject" in plan
+
+
+def test_gopher_rules_is_single_scan_no_exchange(spark, sf_dir):
+    """Every Gopher rule is a codegen expression over the document text:
+    scan -> project, nothing else. Quality gating must stream 100 TB at
+    scan speed."""
+    plan = _formatted_plan(spark, "text_gopher_rules", sf_dir)
+    assert not _shuffle_exchange_lines(plan)
+    assert "Scan parquet" in plan
+
+
+def test_bm25_never_sort_merge_joins(spark, sf_dir):
+    """BM25's joins are all broadcast (df table ~ |query| rows, stats 1
+    row); doc length rides the hit stream instead of joining a
+    corpus-sized length table back in. A SortMergeJoin here would mean a
+    corpus-scale shuffle join crept into the read path."""
+    plan = _formatted_plan(spark, "text_bm25_search", sf_dir)
+    assert plan.count("SortMergeJoin") == 0
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
+
+
+def test_repeated_spans_no_python_and_keyed_shuffles_only(spark, sf_dir):
+    """Span hashing is pure built-ins (md5/concat_ws/slice); the only
+    exchanges are the keyed window/agg shuffles plus the explicit token
+    repartition — nothing single-partition."""
+    plan = _formatted_plan(spark, "dedup_repeated_spans", sf_dir)
+    assert "Python" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_semdedup_assignment_is_shuffle_free_projection(spark, sf_dir):
+    """SemDeDup's cluster assignment is the same literal-centroid argmax
+    projection as IVF (array_position over a materialized score array);
+    the only joins are the cid-equi pair join and the broadcast anti-join
+    of the doomed set."""
+    from kafka_avro_pipeline_java_spark.operators.clustering import (
+        with_centroid_assignment,
+    )
+    from kafka_avro_pipeline_java_spark.plans.vectors import _IVF_CENTS
+    from kafka_avro_pipeline_java_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = with_centroid_assignment(e, "embedding", _IVF_CENTS, metric="cosine")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = assigned._jdf.queryExecution().explainString(mode)
+    assert not _shuffle_exchange_lines(plan)
+    full = _formatted_plan(spark, "dedup_semantic", sf_dir)
+    assert "Python" not in full

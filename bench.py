@@ -65,6 +65,10 @@ BENCH_QUERIES = [
     "text_gopher_rules",
     "text_unigram_logprob",
     "text_bm25_search",
+    "text_tfidf_keywords",
+    "text_collocations",
+    "pipeline_decontaminate_ngram",
+    "pipeline_importance_sample",
     "pipeline_quality_filter",
     "pipeline_token_packing",
     "pipeline_sample_per_source",
@@ -97,6 +101,8 @@ COLLECT_THRESHOLD_QUERIES = {
     "agg_salted_distinct_customers",
     "text_bm25_search",
     "dedup_semantic",
+    "text_collocations",
+    "pipeline_decontaminate_ngram",
 }
 
 

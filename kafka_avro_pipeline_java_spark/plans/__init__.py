@@ -63,6 +63,8 @@ _PRIORITY = [
     "text_pii_scrub",
     "text_vocabulary",
     "text_rare_token_ratio",
+    "text_tfidf_keywords",
+    "text_collocations",
     # --- multimodal + reference pipeline parity + corpus pipeline stages ---
     "multimodal_binary_meta",
     "pipeline_avro_roundtrip",
@@ -71,6 +73,8 @@ _PRIORITY = [
     "pipeline_corpus_split",
     "pipeline_token_packing",
     "pipeline_domain_mix",
+    "pipeline_decontaminate_ngram",
+    "pipeline_importance_sample",
     "pipeline_shuffle_order",
     "pipeline_sample_per_source",
     "pipeline_chunk_documents",
@@ -85,15 +89,17 @@ _PRIORITY = [
     "events_funnel",
     # --- relational representatives (one per SURVEY §2B category; the
     # remaining variants + TPC-H tail register after and stay test-covered) ---
-    "filter_project_lineitem",
-    "q1_pricing_summary",
+    # filter_project_lineitem and q1_pricing_summary rotated out (green
+    # r01+r02) for the round's tf-idf/PMI corpus rows; scans+aggs stay
+    # repped by q3/q5/grouping-sets/salted-distinct.
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "join_inner_segment_sales",
     # join_left_order_counts rotated out (green r01+r02) for
     # scalar_map_order_attrs; joins stay repped by inner/semi/range.
     "scalar_map_order_attrs",
-    "join_semi_active_customers",
+    # join_semi_active_customers rotated out (green r01+r02) for the
+    # n-gram decontamination row (itself a broadcast semi-join shape);
     # join_anti_dormant_customers rotated out (green r01+r02, 0-row result)
     # for events_funnel.
     "join_range_price_tiers",
@@ -101,7 +107,8 @@ _PRIORITY = [
     # two-phase variant, which exercises the skew path over the same data.
     "agg_salted_distinct_customers",
     "agg_grouping_sets",
-    "agg_percentiles",
+    # agg_percentiles rotated out (green r01+r02) for the importance-
+    # sampling row.
     # window_rank_top_orders and sort_limit_top_orders rotated out (both
     # green r01+r02) to keep the window at 50 with the round's new
     # text/pipeline/map oracle rows in; window functions stay exercised

@@ -69,6 +69,10 @@ BENCH_QUERIES = [
     "text_collocations",
     "pipeline_decontaminate_ngram",
     "pipeline_importance_sample",
+    "pipeline_source_overlap",
+    "text_bigram_logprob",
+    "text_hash_embedding",
+    "dedup_semantic_text_e2e",
     "pipeline_quality_filter",
     "pipeline_token_packing",
     "pipeline_sample_per_source",
@@ -103,6 +107,7 @@ COLLECT_THRESHOLD_QUERIES = {
     "dedup_semantic",
     "text_collocations",
     "pipeline_decontaminate_ngram",
+    "pipeline_source_overlap",
 }
 
 

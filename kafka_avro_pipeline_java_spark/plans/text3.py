@@ -1,0 +1,251 @@
+"""Bigram-LM scoring, feature-hashed embeddings (text→vector bridge), and
+the cross-source span-overlap matrix.
+
+The hash-embedding + SemDeDup composition is the end-to-end story the
+vector operators exist for: documents in, near-duplicate survivors out,
+with no external embedding model — every stage oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions.hashing import portable_hash64
+from ..functions.vectors import lcg_planes
+from ..operators import semdedup, spans
+from ..sources import load_table
+from .registry import query
+
+_HASH_DIM = 32
+
+
+def hash_embedding(text_col, dim: int = _HASH_DIM):
+    """Feature-hashed bag-of-words document vector (array<double>, length
+    ``dim``): bucket b counts the tokens whose portable hash lands on b.
+    No vocabulary, no model, fully deterministic and engine-portable — the
+    classic hashing-trick featurizer. One projection, zero shuffles; cost
+    is dim × tokens per doc (fine for small dim; a corpus pass at large
+    dim would pivot on an exploded (doc, bucket) count instead)."""
+    toks = T.tokens(F.lower(F.col(text_col) if isinstance(text_col, str) else text_col))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda b: F.size(
+            F.filter(toks, lambda t: F.pmod(portable_hash64(t), F.lit(dim)) == b)
+        ).cast("double"),
+    )
+
+
+_HASH_EMB_SQL = f"""list_transform(range(0, {_HASH_DIM}),
+               b -> CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                    t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % {_HASH_DIM} = b)) AS DOUBLE))"""
+
+
+@query(
+    "text_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+      FROM documents
+    ), bigr AS (
+      SELECT doc_id, ts[i.i] AS w1, ts[i.i + 1] AS w2
+      FROM toks, UNNEST(range(1, len(ts))) AS i(i)
+    ), bc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c_ab FROM bigr GROUP BY w1, w2
+    ), hc AS (
+      SELECT w1, CAST(COUNT(*) AS DOUBLE) AS c_a FROM bigr GROUP BY w1
+    )
+    SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+           ROUND(AVG(LN(c_ab / c_a)), 4) AS mean_bigram_logprob
+    FROM bigr JOIN bc USING (w1, w2) JOIN hc USING (w1)
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean log P(w_i | w_{i-1}) under the corpus bigram LM — the stronger
+    perplexity-flavored quality signal (catches scrambled/boilerplate word
+    order that the unigram score can't). Conditional MLE c(ab)/c(a·); every
+    doc bigram exists in the corpus counts by construction, so no OOV or
+    smoothing term. Bigram/history counts are word-count-shaped aggregates;
+    the score join is a shuffle equi-join on the bigram key (the bigram
+    table outgrows broadcast at corpus scale), then one per-doc mean."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens(F.lower(F.col("text"))).alias("ts"))
+    toks = toks.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    bigr = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ts") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ts", i).alias("w1"),
+                        F.element_at("ts", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bc = bigr.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c_ab"))
+    hc = bigr.groupBy("w1").agg(F.count("*").cast("double").alias("c_a"))
+    return (
+        bigr.join(bc, ["w1", "w2"]).join(hc, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("c_ab") / F.col("c_a"))), 4).alias(
+                "mean_bigram_logprob"
+            ),
+        )
+    )
+
+
+@query(
+    "text_hash_embedding",
+    oracle=f"""
+    SELECT doc_id,
+           {_HASH_EMB_SQL} AS embedding
+    FROM documents
+    """,
+)
+def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed 32-dim bag-of-words vector per document — the
+    no-model text→vector bridge (hashing trick). Pure projection; the
+    driver hash compares all 32 components value-for-value."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", hash_embedding("text").alias("embedding"))
+
+
+# Literal centroids for the text e2e: k≈√n for the 500–5000-doc driver
+# tables; scaled to hashed-count magnitude (counts are ~1-3 per bucket for
+# ~40-token docs over 32 buckets).
+_TXT_K = 24
+_TXT_CENTS = [
+    [abs(x) * 3.0 for x in c] for c in lcg_planes(_TXT_K, _HASH_DIM, seed=21)
+]
+_TXT_THRESHOLD = 0.9
+
+
+def _pynorm(v: list[float]) -> float:
+    import math
+
+    return math.sqrt(sum(x * x for x in v))
+
+
+def _text_semdedup_oracle(cents: list[list[float]], threshold: float) -> str:
+    nc = [_pynorm(c) for c in cents]
+    n = len(cents)
+    dot_cols = ",\n             ".join(
+        f"SUM(emb[i.i] * ([{', '.join(repr(x) for x in c)}])[i.i]) AS d{j}"
+        for j, c in enumerate(cents)
+    )
+    sim_cols = ",\n           ".join(
+        f"d{j} / (SQRT(nsq) * {nc[j]!r}) AS s{j}" for j in range(n)
+    )
+    first_max = " ".join(f"WHEN s{j} = mx THEN {j}" for j in range(n))
+    return f"""
+    WITH emb0 AS (
+      SELECT doc_id, {_HASH_EMB_SQL} AS emb
+      FROM documents
+    ), emb AS (
+      SELECT doc_id, emb FROM emb0
+      WHERE len(list_filter(emb, x -> x <> 0)) > 0
+    ), dots AS (
+      SELECT doc_id,
+             {dot_cols},
+             SUM(emb[i.i] * emb[i.i]) AS nsq
+      FROM emb, UNNEST(range(1, len(emb) + 1)) AS i(i)
+      GROUP BY doc_id
+    ), sims AS (
+      SELECT doc_id, SQRT(nsq) AS nrm,
+           {sim_cols}
+      FROM dots
+    ), assigned AS (
+      SELECT doc_id, nrm,
+             CASE {first_max} END AS cid
+      FROM (SELECT *, GREATEST({', '.join(f's{j}' for j in range(n))}) AS mx FROM sims)
+    ), pairs AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib
+      FROM assigned a JOIN assigned b
+        ON a.cid = b.cid AND a.doc_id < b.doc_id
+    ), pd AS (
+      SELECT p.ia, p.ib,
+             SUM(ea.emb[i.i] * eb.emb[i.i]) AS dp
+      FROM pairs p
+      JOIN emb ea ON ea.doc_id = p.ia
+      JOIN emb eb ON eb.doc_id = p.ib,
+           UNNEST(range(1, len(ea.emb) + 1)) AS i(i)
+      GROUP BY 1, 2
+    ), doomed AS (
+      SELECT DISTINCT p.ib AS id
+      FROM pd p
+      JOIN assigned na ON na.doc_id = p.ia
+      JOIN assigned nb ON nb.doc_id = p.ib
+      WHERE ROUND(p.dp / (na.nrm * nb.nrm), 6) >= {threshold}
+    )
+    SELECT doc_id, CAST(cid AS INT) AS cid FROM assigned
+    WHERE doc_id NOT IN (SELECT id FROM doomed)
+    """
+
+
+@query(
+    "dedup_semantic_text_e2e",
+    oracle=_text_semdedup_oracle(_TXT_CENTS, _TXT_THRESHOLD),
+)
+def dedup_semantic_text_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end semantic dedup FROM RAW TEXT: feature-hash each document
+    into a 32-dim vector, then SemDeDup keep-one over 24 literal centroids
+    at cosine ≥ 0.9 — documents in, survivors out, no external embedding
+    model, every stage of the composition oracle-checked. Zero-token docs
+    (whose hashed vector is all zeros) are excluded before assignment —
+    cosine is undefined for them and they carry no dedupable content."""
+    d = load_table(spark, sf_dir, "documents")
+    emb = d.select("doc_id", hash_embedding("text").alias("emb")).filter(
+        F.exists("emb", lambda x: x != 0)
+    )
+    return semdedup.semantic_dedup(
+        emb, "emb", "doc_id", _TXT_CENTS, _TXT_THRESHOLD
+    ).withColumnRenamed("id", "doc_id")
+
+
+@query(
+    "pipeline_source_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS ts
+      FROM documents
+    ), spans AS (
+      SELECT DISTINCT source,
+             substr(md5(array_to_string(ts[i.i:i.i+4], ' ')), 1, 16) AS h
+      FROM toks, UNNEST(range(1, len(ts) - 3)) AS i(i)
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(COUNT(*) AS INT) AS shared_spans
+    FROM spans a JOIN spans b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def pipeline_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how many
+    distinct 5-token spans they share — the corpus-QA view that locates
+    WHICH ingestion feeds duplicate boilerplate into each other (drives
+    dedup priorities and mixture corrections). Span hashes distinct per
+    source (one keyed shuffle), then a self-equi-join on the hash whose
+    per-key fan-out is bounded by the SOURCE count, not the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    sp = spans.span_table(d, "text", "doc_id", w=5)
+    src = (
+        sp.join(d.select(F.col("doc_id").alias("id"), "source"), "id")
+        .select("source", "span_hash")
+        .distinct()
+    )
+    a = src.select(F.col("source").alias("src_a"), "span_hash")
+    b = src.select(F.col("source").alias("src_b"), "span_hash")
+    return (
+        a.join(b, "span_hash")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("int").alias("shared_spans"))
+    )

@@ -260,3 +260,72 @@ class TestCollocations:
         top = out[0]
         assert (top["w1"], top["w2"]) == ("new", "york")
         assert top["pmi"] > 0
+
+
+class TestBigramLogprob:
+    def _run(self, spark, rows):
+        import tempfile, os
+        from kafka_avro_pipeline_java_spark.plans.text3 import text_bigram_logprob
+        d = _docs(spark, rows)
+        with tempfile.TemporaryDirectory() as tmp:
+            d.toPandas().to_parquet(os.path.join(tmp, "documents.parquet"))
+            return {r["doc_id"]: r for r in text_bigram_logprob(spark, tmp).collect()}
+
+    def test_word_order_matters_unlike_unigram(self, spark):
+        # Four docs use "the cat", one reverses it: the majority word order
+        # scores higher even though unigram stats are identical.
+        out = self._run(spark, [
+            (1, "the cat sat"), (2, "the cat sat"), (3, "the cat sat"),
+            (4, "the cat sat"), (5, "cat the sat"),
+        ])
+        assert out[1]["mean_bigram_logprob"] > out[5]["mean_bigram_logprob"]
+
+    def test_deterministic_sequence_scores_zero(self, spark):
+        # A corpus where every history has exactly one continuation:
+        # P(w2|w1) = 1 everywhere -> mean log prob 0.
+        out = self._run(spark, [(1, "x y z"), (2, "x y z")])
+        assert out[1]["mean_bigram_logprob"] == 0.0
+        assert out[1]["n_bigrams"] == 2
+
+    def test_single_token_docs_drop_out(self, spark):
+        out = self._run(spark, [(1, "only"), (2, "two tokens")])
+        assert 1 not in out and 2 in out
+
+
+class TestHashEmbedding:
+    def test_component_sum_equals_token_count_and_is_order_free(self, spark):
+        from kafka_avro_pipeline_java_spark.plans.text3 import hash_embedding
+        d = _docs(spark, [(1, "red green blue red"), (2, "red red green blue")])
+        rows = {r["doc_id"]: r["e"] for r in
+                d.select("doc_id", hash_embedding("text").alias("e")).collect()}
+        assert sum(rows[1]) == 4.0
+        assert rows[1] == rows[2]  # bag-of-words: permutation-invariant
+
+    def test_distinct_vocab_docs_get_different_vectors(self, spark):
+        from kafka_avro_pipeline_java_spark.plans.text3 import hash_embedding
+        d = _docs(spark, [(1, "alpha beta gamma"), (2, "delta epsilon zeta")])
+        rows = {r["doc_id"]: r["e"] for r in
+                d.select("doc_id", hash_embedding("text").alias("e")).collect()}
+        assert rows[1] != rows[2]
+
+
+class TestSourceOverlap:
+    def test_only_sharing_sources_appear_ordered(self, spark):
+        import tempfile, os
+        import pandas as pd
+        from kafka_avro_pipeline_java_spark.plans.text3 import pipeline_source_overlap
+        shared = "one two three four five"
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": [shared + " tail a", shared + " tail b", "p q r s t u"],
+            "source": ["srcB", "srcA", "srcC"],
+        })
+        with tempfile.TemporaryDirectory() as tmp:
+            pdf.to_parquet(os.path.join(tmp, "documents.parquet"))
+            out = pipeline_source_overlap(spark, tmp).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["src_a"], r["src_b"]) == ("srcA", "srcB")  # lexicographic, no dup pair
+        # 7-token docs diverging at token 6 share their first TWO 5-token
+        # windows ("one..five" and "two..tail"), not just the prefix span
+        assert r["shared_spans"] == 2

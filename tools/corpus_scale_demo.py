@@ -1,0 +1,113 @@
+"""Corpus-operator scale demo: quality/dedup passes over N synthetic docs.
+
+The driver testdata caps documents at 5k rows; this generates N documents
+Spark-side (deterministic, ~55 tokens each from a 1k-word vocabulary with a
+10% chance of carrying one of 50 boilerplate 6-token spans) and times the
+round-3 corpus operators end-to-end:
+
+- Gopher rule battery (scan-speed projection)
+- repeated-span dedup stats (posexplode + window + agg)
+- unigram-LM scoring (vocab fit + shuffle score join)
+- BM25 top-10 (term-filtered explode)
+- hash-embedding + SemDeDup keep-one (text→vector e2e)
+
+Numbers land in SCALE.md §"Measured headroom".
+
+Usage: python tools/corpus_scale_demo.py [n_docs]
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from kafka_avro_pipeline_java_spark.functions.vectors import lcg_planes
+from kafka_avro_pipeline_java_spark.operators import quality, search, semdedup, spans
+from kafka_avro_pipeline_java_spark.plans.text3 import hash_embedding
+from kafka_avro_pipeline_java_spark.session import get_spark
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+TOKENS_PER_DOC = 55
+VOCAB = 1000
+N_SPANS = 50
+
+spark = get_spark("corpus-scale-demo")
+spark.sparkContext.setLogLevel("ERROR")
+
+# Deterministic synthetic corpus, generated distributed. Each token is
+# "w<h>" for a hash-uniform h in [0, VOCAB); ~10% of docs splice in one of
+# N_SPANS fixed 6-token boilerplate spans so span-dedup has real work.
+tok = lambda i, j: F.concat(
+    F.lit("w"),
+    F.pmod(F.xxhash64(F.concat_ws(":", i, j)), F.lit(VOCAB)).cast("string"),
+)
+body = F.concat_ws(
+    " ",
+    F.transform(
+        F.sequence(F.lit(0), F.lit(TOKENS_PER_DOC - 1)),
+        lambda j: tok(F.col("id"), j),
+    ),
+)
+span_id = F.pmod(F.xxhash64(F.col("id") + 7), F.lit(N_SPANS))
+boiler = F.concat_ws(
+    " ",
+    F.transform(
+        F.sequence(F.lit(0), F.lit(5)), lambda j: tok(F.lit(99_000_000) + span_id, j)
+    ),
+)
+docs = (
+    spark.range(N)
+    .repartition(64)
+    .select(
+        F.col("id").alias("doc_id"),
+        F.when(F.pmod(F.xxhash64(F.col("id") + 13), F.lit(10)) == 0,
+               F.concat_ws(" ", boiler, body))
+        .otherwise(body)
+        .alias("text"),
+    )
+)
+docs.write.mode("overwrite").parquet("/tmp/corpus_scale_demo")
+docs = spark.read.parquet("/tmp/corpus_scale_demo")
+n = docs.count()
+
+results = {"n_docs": n}
+
+
+def timed(name, fn):
+    t0 = time.perf_counter()
+    out = fn()
+    dt = round(time.perf_counter() - t0, 2)
+    results[name] = {"sec": dt, "out": out, "docs_per_sec": round(n / dt)}
+    print(f"{name}: {dt}s ({round(n/dt):,} docs/s) -> {out}")
+
+
+timed("gopher_rules", lambda: quality.gopher_rules(docs, "text", "doc_id")
+      .agg(F.sum("passes_gopher")).first()[0])
+timed("span_dup_stats", lambda: spans.span_dup_stats(docs, "text", "doc_id", w=5)
+      .filter("n_dup_spans > 0").count())
+timed("unigram_logprob", lambda: quality.unigram_logprob(docs, "text", "doc_id")
+      .agg(F.round(F.avg("mean_logprob"), 3)).first()[0])
+timed("bm25_top10", lambda: search.bm25_topk(
+    spark, docs, "text", "doc_id", ["w1", "w17", "w333", "w420", "w999"], k=10
+).count())
+
+# SemDeDup pair volume is n²/k; k ∝ √n keeps it ~n^1.5. The e2e demo runs
+# on a 50k-doc slice with k=224 (≈√50k) — the pair join still scores ~11M
+# interpreted-dot candidates, which is the honest cost of the exact
+# within-cluster verify (production pairs this with the LSH-band prefilter
+# for a second bound; see SCALE.md).
+SEM_N = min(n, 50_000)
+SEM_K = max(16, int(SEM_N ** 0.5))
+_CENTS = [[abs(x) * 2.0 for x in c] for c in lcg_planes(SEM_K, 32, seed=5)]
+emb = docs.filter(F.col("doc_id") < SEM_N).select(
+    "doc_id", hash_embedding("text").alias("emb")
+)
+results["semdedup_n"] = SEM_N
+timed("semdedup_e2e_50k", lambda: semdedup.semantic_dedup(
+    emb, "emb", "doc_id", _CENTS, 0.97
+).count())
+
+print(json.dumps(results))
+spark.stop()

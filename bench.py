@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "events_session_window_fn",
     "events_asof_last_click",
     "events_funnel",
+    "events_resample_locf",
+    "events_hourly_anomaly",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -8,6 +8,7 @@ from . import relational3  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import tpch2  # noqa: E402,F401
 from . import events as events_plans  # noqa: E402,F401
+from . import events2 as events2_plans  # noqa: E402,F401
 from . import text as text_plans  # noqa: E402,F401
 from . import text2 as text2_plans  # noqa: E402,F401
 from . import text3 as text3_plans  # noqa: E402,F401

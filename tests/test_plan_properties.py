@@ -241,3 +241,21 @@ def test_semdedup_assignment_is_shuffle_free_projection(spark, sf_dir):
     assert not _shuffle_exchange_lines(plan)
     full = _formatted_plan(spark, "dedup_semantic", sf_dir)
     assert "Python" not in full
+
+
+def test_hourly_anomaly_two_keyed_exchanges_only(spark, sf_dir):
+    """The anomaly detector is hourly-agg + one window pass: every
+    exchange is keyed (hashpartitioning), none single-partition — the
+    whole plan is two shuffles regardless of corpus size."""
+    plan = _formatted_plan(spark, "events_hourly_anomaly", sf_dir)
+    assert "SinglePartition" not in plan
+    assert "Python" not in plan
+
+
+def test_resample_grid_is_bounded_per_user(spark, sf_dir):
+    """LOCF resampling explodes a per-user sequence() between that user's
+    own min/max hour — no cross join against a global calendar table."""
+    plan = _formatted_plan(spark, "events_resample_locf", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "sequence(" in plan

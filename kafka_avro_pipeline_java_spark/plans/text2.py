@@ -272,6 +272,9 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import text as T
 
     d = load_table(spark, sf_dir, "documents")
+    # repartition before the explode: a single-file source would tokenize
+    # the whole corpus in one task
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     toks = d.select(
         "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("tok")
     )
@@ -329,6 +332,9 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(T.tokens(F.lower(F.col("text"))).alias("ts"))
+    # spread the explode/shingle work — a single-file source would run it
+    # in one task (same rule as operators/dedup.py::shingle_table)
+    toks = toks.repartition(spark.sparkContext.defaultParallelism)
     uni = toks.select(F.explode("ts").alias("tok")).groupBy("tok").agg(
         F.count("*").cast("double").alias("c")
     )

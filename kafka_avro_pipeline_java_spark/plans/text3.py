@@ -25,15 +25,27 @@ def hash_embedding(text_col, dim: int = _HASH_DIM):
     """Feature-hashed bag-of-words document vector (array<double>, length
     ``dim``): bucket b counts the tokens whose portable hash lands on b.
     No vocabulary, no model, fully deterministic and engine-portable — the
-    classic hashing-trick featurizer. One projection, zero shuffles; cost
-    is dim × tokens per doc (fine for small dim; a corpus pass at large
-    dim would pivot on an exploded (doc, bucket) count instead)."""
+    classic hashing-trick featurizer. One projection, zero shuffles.
+
+    The md5 is folded over the token list ONCE (an `aggregate` building the
+    histogram), not once per (bucket, token): lambdas get no subexpression
+    elimination, so the naive per-bucket `filter` re-hashes every token
+    dim times — measured 30 CPU-cores pinned on a 100k-doc corpus pass.
+    Histogram update is O(dim) per token in interpreted ops but ZERO
+    hashing; values are identical to the per-bucket-count definition the
+    DuckDB oracle uses (fine for small dim; a corpus pass at large dim
+    would pivot on an exploded (doc, bucket) count instead)."""
     toks = T.tokens(F.lower(F.col(text_col) if isinstance(text_col, str) else text_col))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda b: F.size(
-            F.filter(toks, lambda t: F.pmod(portable_hash64(t), F.lit(dim)) == b)
-        ).cast("double"),
+    # hash each token exactly once; the histogram fold then only compares
+    # the already-computed bucket id against the index
+    hashes = F.transform(toks, lambda t: F.pmod(portable_hash64(t), F.lit(dim)))
+    zeros = F.array_repeat(F.lit(0.0), dim)
+    return F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.transform(
+            acc, lambda x, i: x + F.when(i.cast("bigint") == h, 1.0).otherwise(0.0)
+        ),
     )
 
 

@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "pipeline_decontaminate_ngram",
     "pipeline_importance_sample",
     "pipeline_source_overlap",
+    "pipeline_split_drift",
+    "embedding_outliers",
     "text_bigram_logprob",
     "text_hash_embedding",
     "dedup_semantic_text_e2e",
@@ -110,6 +112,8 @@ COLLECT_THRESHOLD_QUERIES = {
     "text_collocations",
     "pipeline_decontaminate_ngram",
     "pipeline_source_overlap",
+    "pipeline_split_drift",
+    "embedding_outliers",
 }
 
 

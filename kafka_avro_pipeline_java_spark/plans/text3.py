@@ -261,3 +261,84 @@ def pipeline_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src_a", "src_b")
         .agg(F.count("*").cast("int").alias("shared_spans"))
     )
+
+
+@query(
+    "pipeline_split_drift",
+    oracle="""
+    WITH labeled AS (
+      SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+             tok
+      FROM (
+        SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b,
+               t.tok
+        FROM documents,
+             UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS t(tok)
+      )
+    ), counts AS (
+      SELECT split, tok, CAST(COUNT(*) AS DOUBLE) AS c FROM labeled GROUP BY 1, 2
+    ), totals AS (
+      SELECT split, SUM(c) AS n FROM counts GROUP BY 1
+    ), vocab AS (
+      SELECT DISTINCT tok FROM counts
+    ), vsize AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM vocab
+    ), grid AS (
+      SELECT s.split, v.tok, COALESCE(c.c, 0) AS c, t.n, z.v
+      FROM (SELECT DISTINCT split FROM totals) s
+      CROSS JOIN vocab v
+      LEFT JOIN counts c ON c.split = s.split AND c.tok = v.tok
+      JOIN totals t ON t.split = s.split, vsize z
+    ), p AS (
+      SELECT split, tok, (c + 1) / (n + v) AS p FROM grid
+    )
+    SELECT a.split, ROUND(SUM(a.p * LN(a.p / b.p)), 6) AS kl_vs_train
+    FROM p a JOIN p b ON b.tok = a.tok AND b.split = 'train'
+    WHERE a.split <> 'train'
+    GROUP BY a.split
+    """,
+)
+def pipeline_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between corpus splits: add-one-smoothed
+    KL(split ‖ train) over the full shared vocabulary, for the val and
+    test splits of the deterministic hash split (pipeline_corpus_split's
+    exact bucketing). The split-QA gate a training pipeline runs before
+    trusting held-out metrics — a drifted split means leakage or skew in
+    the splitter. Word-count-shaped aggregates + one vocab-sized grid
+    join; output is one row per non-train split."""
+    from ..functions.hashing import portable_hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    bucket = F.pmod(portable_hash64(F.col("doc_id").cast("string")), F.lit(100))
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    labeled = d.select(
+        split.alias("split"),
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"),
+    )
+    counts = labeled.groupBy("split", "tok").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    totals = counts.groupBy("split").agg(F.sum("c").alias("n"))
+    vocab = counts.select("tok").distinct()
+    vsize = vocab.agg(F.count("*").cast("double").alias("v"))
+    grid = (
+        totals.crossJoin(vocab)
+        .join(counts, ["split", "tok"], "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "split", "tok",
+            ((F.coalesce("c", F.lit(0.0)) + 1) / (F.col("n") + F.col("v"))).alias("p"),
+        )
+    )
+    train = grid.filter(F.col("split") == "train").select(
+        "tok", F.col("p").alias("q")
+    )
+    return (
+        grid.filter(F.col("split") != "train")
+        .join(train, "tok")
+        .groupBy("split")
+        .agg(F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6).alias("kl_vs_train"))
+    )

@@ -87,3 +87,71 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup.semantic_dedup(
         e, "embedding", "vec_id", _SEM_CENTS, _SEM_THRESHOLD
     ).withColumnRenamed("id", "vec_id")
+
+
+def _outlier_oracle(cents: list[list[float]], z_min: float) -> str:
+    nc = [_pynorm(c) for c in cents]
+    n = len(cents)
+    dot_cols = ",\n             ".join(
+        f"SUM(CAST(embedding[i.i] AS DOUBLE) * CAST(([{', '.join(repr(x) for x in c)}])[i.i] AS DOUBLE)) AS d{j}"
+        for j, c in enumerate(cents)
+    )
+    sim_cols = ",\n           ".join(
+        f"d{j} / (SQRT(nsq) * {nc[j]!r}) AS s{j}" for j in range(n)
+    )
+    return f"""
+    WITH dots AS (
+      SELECT vec_id,
+             {dot_cols},
+             SUM(CAST(embedding[i.i] AS DOUBLE) * CAST(embedding[i.i] AS DOUBLE)) AS nsq
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS i(i)
+      GROUP BY vec_id
+    ), dist AS (
+      SELECT vec_id,
+             1.0 - GREATEST({', '.join(f's{j}' for j in range(n))}) AS dist
+      FROM (SELECT vec_id, {sim_cols} FROM dots) s
+    ), stats AS (
+      SELECT AVG(dist) AS mu, STDDEV_SAMP(dist) AS sigma FROM dist
+    )
+    SELECT vec_id, ROUND(dist, 6) AS dist,
+           ROUND((dist - mu) / sigma, 4) AS zscore
+    FROM dist, stats
+    WHERE (dist - mu) / sigma >= {z_min}
+    """
+
+
+_OUTLIER_Z = 1.5
+
+
+@query("embedding_outliers", oracle=_outlier_oracle(_SEM_CENTS, _OUTLIER_Z))
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier pruning: score every vector by its cosine
+    distance to the nearest centroid, z-score over the corpus, and report
+    vectors ≥ 1.5σ farther than average — the curation pass that drops
+    noise/garbled embeddings before training (and flags cells needing more
+    centroids). Reuses the zero-shuffle assignment projection; the global
+    mean/σ is a 1-row broadcast aggregate, so the whole detector is one
+    corpus scan plus one scalar exchange."""
+    from pyspark.sql import functions as F
+
+    from ..operators.clustering import with_centroid_assignment
+
+    e = load_table(spark, sf_dir, "embeddings")
+    e = e.repartition(spark.sparkContext.defaultParallelism)
+    assigned = with_centroid_assignment(
+        e, "embedding", _SEM_CENTS, metric="cosine", out_col="__cid",
+        dist_col="dist",
+    )
+    stats = assigned.agg(
+        F.avg("dist").alias("mu"), F.stddev_samp("dist").alias("sigma")
+    )
+    z = (F.col("dist") - F.col("mu")) / F.col("sigma")
+    return (
+        assigned.crossJoin(F.broadcast(stats))
+        .filter(z >= _OUTLIER_Z)
+        .select(
+            "vec_id",
+            F.round("dist", 6).alias("dist"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )

@@ -329,3 +329,57 @@ class TestSourceOverlap:
         # 7-token docs diverging at token 6 share their first TWO 5-token
         # windows ("one..five" and "two..tail"), not just the prefix span
         assert r["shared_spans"] == 2
+
+
+class TestEmbeddingOutliers:
+    def test_planted_orthogonal_outlier_flagged(self, spark):
+        import tempfile, os
+        import pandas as pd
+        from kafka_avro_pipeline_java_spark.plans.vectors2 import (
+            _SEM_CENTS,
+            embedding_outliers,
+        )
+        # 60 vectors sitting almost exactly ON known centroids (dist ~ 0)
+        # and one negated-centroid outlier (cosine -1 to its best match is
+        # impossible; its best centroid is whichever LCG row correlates,
+        # still far -> large dist)
+        rows = []
+        for i in range(60):
+            c = _SEM_CENTS[i % 8]
+            rows.append((i, [x * (1.0 + 0.001 * (i % 3)) for x in c]))
+        rows.append((999, [-x for x in _SEM_CENTS[0]]))
+        pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+        with tempfile.TemporaryDirectory() as tmp:
+            pdf.to_parquet(os.path.join(tmp, "embeddings.parquet"))
+            out = embedding_outliers(spark, tmp).collect()
+        ids = {r["vec_id"] for r in out}
+        assert 999 in ids
+        assert all(r["zscore"] >= 1.5 for r in out)
+        assert len(ids) <= 2  # the on-centroid mass is never flagged
+
+
+class TestSplitDrift:
+    def _bucket(self, doc_id: int) -> int:
+        import hashlib
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 100
+
+    def test_skewed_test_split_drifts_more_than_val(self, spark):
+        import tempfile, os
+        import pandas as pd
+        from kafka_avro_pipeline_java_spark.plans.text3 import pipeline_split_drift
+        train_ids = [i for i in range(3000) if self._bucket(i) < 90][:80]
+        val_ids = [i for i in range(3000) if 90 <= self._bucket(i) < 95][:20]
+        test_ids = [i for i in range(3000) if self._bucket(i) >= 95][:20]
+        assert train_ids and val_ids and test_ids
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [(i, base) for i in train_ids]
+        rows += [(i, base) for i in val_ids]                   # same dist as train
+        rows += [(i, "qqq www eee rrr ttt yyy uuu iii") for i in test_ids]  # disjoint vocab
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+        with tempfile.TemporaryDirectory() as tmp:
+            pdf.to_parquet(os.path.join(tmp, "documents.parquet"))
+            out = {r["split"]: r["kl_vs_train"] for r in
+                   pipeline_split_drift(spark, tmp).collect()}
+        assert set(out) == {"val", "test"}
+        assert out["test"] > out["val"] * 5  # disjoint vocab drifts hard
+        assert out["val"] < 0.1  # same distribution stays near zero

@@ -108,3 +108,58 @@ def ngram_decontaminate(
         .groupBy("id")
         .agg(F.count("*").cast("int").alias("n_overlap_spans"))
     )
+
+
+def scrub_spans(df: DataFrame, text_col: str, id_col: str, w: int = 5) -> DataFrame:
+    """The REMOVE half of substring-level dedup: rebuild each document with
+    every token position covered by a cross-doc duplicated span deleted
+    (Lee et al. 2022 drop the repeated substring, keeping the remainder).
+
+    Output: (id, scrubbed, n_tokens, n_removed) where ``scrubbed`` is the
+    surviving tokens joined by single spaces in original order — i.e. the
+    whitespace/case-normalized form, which is what a dedup stage feeds
+    downstream anyway.
+
+    Shape: the span table + one window to flag cross-doc hashes (shuffle on
+    the hash), an explode of flagged spans into covered positions, an
+    anti-join of the token-position stream against the covered set (both
+    keyed by doc), and one per-doc rebuild aggregate (collect+sort of the
+    SURVIVING tokens only — bounded by document length, the same per-doc
+    bound tokenization already implies)."""
+    byhash = Window.partitionBy("span_hash")
+    sp = span_table(df, text_col, id_col, w).select(
+        "id", "pos",
+        (F.min("id").over(byhash) != F.max("id").over(byhash)).alias("is_dup"),
+    )
+    covered = (
+        sp.filter("is_dup")
+        .select("id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (w - 1))).alias("tok_pos"))
+        .distinct()
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("toks")
+    )
+    toks = toks.repartition(toks.sparkSession.sparkContext.defaultParallelism, "id")
+    positions = toks.select(
+        "id", F.posexplode("toks").alias("p0", "tok")
+    ).select("id", (F.col("p0") + 1).alias("tok_pos"), "tok")
+    kept = positions.join(covered, ["id", "tok_pos"], "left_anti")
+    n_toks = toks.select("id", F.size("toks").alias("n_tokens"))
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tok_pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("scrubbed"),
+            F.count("*").cast("int").alias("n_kept"),
+        )
+        .join(n_toks, "id")
+        .select(
+            "id", "scrubbed", "n_tokens",
+            (F.col("n_tokens") - F.col("n_kept")).cast("int").alias("n_removed"),
+        )
+    )

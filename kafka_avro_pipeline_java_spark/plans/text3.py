@@ -342,3 +342,45 @@ def pipeline_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6).alias("kl_vs_train"))
     )
+
+
+@query(
+    "dedup_span_scrub",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+      FROM documents
+    ), spans AS (
+      SELECT doc_id, i.i AS pos,
+             substr(md5(array_to_string(ts[i.i:i.i+4], ' ')), 1, 16) AS h
+      FROM toks, UNNEST(range(1, len(ts) - 3)) AS i(i)
+    ), dup AS (
+      SELECT h FROM spans GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)
+    ), covered AS (
+      SELECT DISTINCT s.doc_id, s.pos + j.j AS tok_pos
+      FROM spans s JOIN dup USING (h), UNNEST(range(0, 5)) AS j(j)
+    ), kept AS (
+      SELECT t.doc_id, i.i AS tok_pos, ts[i.i] AS tok
+      FROM toks t, UNNEST(range(1, len(ts) + 1)) AS i(i)
+      WHERE NOT EXISTS (SELECT 1 FROM covered c
+                        WHERE c.doc_id = t.doc_id AND c.tok_pos = i.i)
+    )
+    SELECT k.doc_id,
+           string_agg(k.tok, ' ' ORDER BY k.tok_pos) AS scrubbed,
+           CAST(len(t.ts) AS INT) AS n_tokens,
+           CAST(len(t.ts) - COUNT(*) AS INT) AS n_removed
+    FROM kept k JOIN toks t USING (doc_id)
+    GROUP BY k.doc_id, len(t.ts)
+    """,
+)
+def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup, REMOVE half: delete every token position
+    covered by a cross-doc duplicated 5-token span and rebuild the
+    document from the survivors (operators/spans.py::scrub_spans) —
+    boilerplate vanishes from every copy while unique content stays.
+    Output is the normalized rebuilt text + removal counts. Docs whose
+    every token is covered drop out entirely (fully-boilerplate docs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return spans.scrub_spans(d, "text", "doc_id", w=5).withColumnRenamed(
+        "id", "doc_id"
+    )

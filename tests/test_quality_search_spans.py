@@ -383,3 +383,34 @@ class TestSplitDrift:
         assert set(out) == {"val", "test"}
         assert out["test"] > out["val"] * 5  # disjoint vocab drifts hard
         assert out["val"] < 0.1  # same distribution stays near zero
+
+
+class TestSpanScrub:
+    def test_boilerplate_removed_from_all_copies_order_kept(self, spark):
+        boiler = "all rights reserved by the company"  # 6 tokens -> 2 windows
+        d = _docs(spark, [
+            (1, "unique intro words here now " + boiler),
+            (2, boiler + " totally different tail content follows"),
+            (3, "independent document with no shared spans at all"),
+        ])
+        out = {r["id"]: r for r in spans.scrub_spans(d, "text", "doc_id", w=5).collect()}
+        assert out[1]["scrubbed"] == "unique intro words here now"
+        assert out[2]["scrubbed"] == "totally different tail content follows"
+        assert out[1]["n_removed"] == 6 and out[2]["n_removed"] == 6
+        # untouched doc passes through normalized, zero removed
+        assert out[3]["n_removed"] == 0
+        assert out[3]["scrubbed"] == "independent document with no shared spans at all"
+
+    def test_fully_boilerplate_doc_drops_out(self, spark):
+        boiler = "a b c d e"
+        d = _docs(spark, [(1, boiler), (2, boiler), (3, "x y z q w")])
+        out = {r["id"] for r in spans.scrub_spans(d, "text", "doc_id", w=5).collect()}
+        assert out == {3}
+
+    def test_within_doc_repeat_not_scrubbed(self, spark):
+        d = _docs(spark, [
+            (1, "p q r s t p q r s t"),
+            (2, "m n o aa bb cc dd ee ff gg"),
+        ])
+        out = {r["id"]: r for r in spans.scrub_spans(d, "text", "doc_id", w=5).collect()}
+        assert out[1]["n_removed"] == 0  # self-repetition is not cross-doc

@@ -131,13 +131,14 @@ def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Literal centroids for the text e2e: k≈√n for the 500–5000-doc driver
-# tables; scaled to hashed-count magnitude (counts are ~1-3 per bucket for
-# ~40-token docs over 32 buckets).
+# tables, SIGNED (the pipeline mean-centers the hashed counts first —
+# raw bag-of-words vectors live in the all-positive orthant, cosines
+# concentrate near 1 and clusters collapse; measured 61 s at 5k docs vs
+# ~5 s centered. Counts are integer-valued doubles, so the per-component
+# mean is bit-identical across engines regardless of summation order).
 _TXT_K = 24
-_TXT_CENTS = [
-    [abs(x) * 3.0 for x in c] for c in lcg_planes(_TXT_K, _HASH_DIM, seed=21)
-]
-_TXT_THRESHOLD = 0.9
+_TXT_CENTS = lcg_planes(_TXT_K, _HASH_DIM, seed=21)
+_TXT_THRESHOLD = 0.8
 
 
 def _pynorm(v: list[float]) -> float:
@@ -157,13 +158,22 @@ def _text_semdedup_oracle(cents: list[list[float]], threshold: float) -> str:
         f"d{j} / (SQRT(nsq) * {nc[j]!r}) AS s{j}" for j in range(n)
     )
     first_max = " ".join(f"WHEN s{j} = mx THEN {j}" for j in range(n))
+    dim = len(cents[0])
+    centered_list = "[" + ", ".join(
+        f"raw.emb[{i + 1}] - m.m{i}" for i in range(dim)
+    ) + "]"
+    mean_cols = ", ".join(f"AVG(emb[{i + 1}]) AS m{i}" for i in range(dim))
     return f"""
     WITH emb0 AS (
       SELECT doc_id, {_HASH_EMB_SQL} AS emb
       FROM documents
-    ), emb AS (
+    ), raw AS (
       SELECT doc_id, emb FROM emb0
       WHERE len(list_filter(emb, x -> x <> 0)) > 0
+    ), m AS (
+      SELECT {mean_cols} FROM raw
+    ), emb AS (
+      SELECT doc_id, {centered_list} AS emb FROM raw, m
     ), dots AS (
       SELECT doc_id,
              {dot_cols},
@@ -208,17 +218,26 @@ def _text_semdedup_oracle(cents: list[list[float]], threshold: float) -> str:
 )
 def dedup_semantic_text_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end semantic dedup FROM RAW TEXT: feature-hash each document
-    into a 32-dim vector, then SemDeDup keep-one over 24 literal centroids
-    at cosine ≥ 0.9 — documents in, survivors out, no external embedding
-    model, every stage of the composition oracle-checked. Zero-token docs
-    (whose hashed vector is all zeros) are excluded before assignment —
-    cosine is undefined for them and they carry no dedupable content."""
+    into a 32-dim vector, MEAN-CENTER (the step that keeps clusters
+    balanced — see _TXT_CENTS note), then SemDeDup keep-one over 24 literal
+    centroids at centered-cosine ≥ 0.8 — documents in, survivors out, no
+    external embedding model, every stage of the composition
+    oracle-checked. Zero-token docs (all-zero hashed vector) are excluded
+    before centering — cosine is undefined for them and they carry no
+    dedupable content. The mean is a 1-row broadcast aggregate."""
     d = load_table(spark, sf_dir, "documents")
-    emb = d.select("doc_id", hash_embedding("text").alias("emb")).filter(
+    raw = d.select("doc_id", hash_embedding("text").alias("emb")).filter(
         F.exists("emb", lambda x: x != 0)
     )
+    means = raw.agg(
+        *[F.avg(F.element_at("emb", i + 1)).alias(f"m{i}") for i in range(_HASH_DIM)]
+    )
+    mean_arr = F.array(*[F.col(f"m{i}") for i in range(_HASH_DIM)])
+    centered = raw.crossJoin(F.broadcast(means)).select(
+        "doc_id", F.zip_with("emb", mean_arr, lambda x, mval: x - mval).alias("emb")
+    )
     return semdedup.semantic_dedup(
-        emb, "emb", "doc_id", _TXT_CENTS, _TXT_THRESHOLD
+        centered, "emb", "doc_id", _TXT_CENTS, _TXT_THRESHOLD
     ).withColumnRenamed("id", "doc_id")
 
 

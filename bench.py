@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "dedup_embedding_bucketed",
     "dedup_repeated_spans",
     "dedup_semantic",
+    "dedup_fuzzy_edit",
+    "text_source_entropy",
+    "text_zipf_slope",
     "text_stats",
     "text_language_id",
     "text_rare_token_ratio",
@@ -109,6 +112,9 @@ COLLECT_THRESHOLD_QUERIES = {
     "agg_salted_distinct_customers",
     "text_bm25_search",
     "dedup_semantic",
+    "dedup_fuzzy_edit",
+    "text_source_entropy",
+    "text_zipf_slope",
     "text_collocations",
     "pipeline_decontaminate_ngram",
     "pipeline_source_overlap",

@@ -1,0 +1,88 @@
+"""Edit-distance (fuzzy) deduplication with prefix blocking.
+
+Completes the dedup family (exact / n-gram Jaccard / MinHash / SimHash /
+embedding — see operators/dedup.py) with the character-level measure: two
+documents are fuzzy duplicates when their normalized texts are within a
+bounded Levenshtein distance. Character edits catch OCR noise, typo-level
+mutations, and template fills that token-set measures blur together.
+
+100 TB shape: Levenshtein is O(len²) per pair, so the operator NEVER scores
+all pairs. Candidates come from an equi-join on a cheap blocking key (the
+first ``prefix_tokens`` normalized tokens), prefiltered by the length bound
+|len(a) − len(b)| ≤ k that any distance-≤-k pair must satisfy, and verified
+with Spark's banded ``levenshtein(l, r, threshold)`` (gives up and returns
+-1 once the running distance exceeds k — O(k·len) not O(len²)). The block
+join is a shuffle equi-join whose per-key fan-out is bounded by the block
+size, exactly the inverted-index discipline of dedup.py::ngram_jaccard_pairs;
+skewed blocks (boilerplate openings) are the same heavy-hitter problem and
+can reuse dedup.cap_doc_freq on the block key.
+
+Blocking recall tradeoff (documented, deliberate): a pair mutated inside its
+first ``prefix_tokens`` tokens lands in different blocks and is missed —
+standard prefix-blocking behavior (record-linkage practice is to union
+several complementary blocking keys; head-mutated pairs are caught by the
+length+shingle blocks of the Jaccard/MinHash passes this operator
+complements). The operator's SEMANTICS are therefore "same block AND edit
+distance ≤ k", which is what the DuckDB oracle replicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+
+def _norm(text_col: Column | str) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.trim(F.lower(c))
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_dist: int = 20,
+    prefix_tokens: int = 2,
+) -> DataFrame:
+    """Pairs (id_a < id_b) in the same prefix block whose normalized texts
+    are within ``max_dist`` Levenshtein edits. Returns
+    (id_a, id_b, edit_dist)."""
+    norm = _norm(text_col)
+    blk = F.array_join(F.slice(T.tokens(norm), 1, prefix_tokens), " ")
+    side = df.select(
+        F.col(id_col).alias("id"),
+        norm.alias("t"),
+        F.length(norm).alias("n"),
+        blk.alias("blk"),
+    )
+    # a broadcast join keeps the streamed side's partitioning, and a small
+    # input (one parquet file) would run every levenshtein in ONE task —
+    # spread the streamed side first (measured 3.3 s → sub-second at 5k
+    # docs; at real scale the scan is already many-partition and the join
+    # is a sort-merge on blk, where this repartition feeds the shuffle).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = side.repartition(par, "blk").select(
+        F.col("id").alias("id_a"), F.col("t").alias("t_a"),
+        F.col("n").alias("n_a"), "blk",
+    )
+    b = side.select(
+        F.col("id").alias("id_b"), F.col("t").alias("t_b"),
+        F.col("n").alias("n_b"), "blk",
+    )
+    # the cheap id/length prunes AND the banded verify all live in the join
+    # condition, cheap-first: a conjunct list keeps its order in the join
+    # residual, whereas a post-join .filter gets merged IN FRONT of the
+    # cheap conjuncts and runs the levenshtein on every same-block pair
+    # (observed: residual `levenshtein(...) >= 0 AND id_a < id_b AND ...`).
+    dist = F.levenshtein("t_a", "t_b", max_dist)
+    joined = a.join(
+        b,
+        (a.blk == b.blk)
+        & (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("n_a") - F.col("n_b")) <= max_dist)
+        & (dist >= 0),
+    )
+    return joined.select("id_a", "id_b", dist.alias("edit_dist"))

@@ -12,6 +12,7 @@ from . import events2 as events2_plans  # noqa: E402,F401
 from . import text as text_plans  # noqa: E402,F401
 from . import text2 as text2_plans  # noqa: E402,F401
 from . import text3 as text3_plans  # noqa: E402,F401
+from . import text4 as text4_plans  # noqa: E402,F401
 from . import vectors as vector_plans  # noqa: E402,F401
 from . import vectors2 as vector2_plans  # noqa: E402,F401
 from . import pipeline as pipeline_plans  # noqa: E402,F401
@@ -41,7 +42,9 @@ _PRIORITY = [
     "dedup_repeated_spans",
     "dedup_semantic",
     "dedup_embedding_bucketed",
-    "dedup_similarity_join",
+    # dedup_similarity_join rotated out (green r02) for the round's
+    # edit-distance dedup row, which completes the dedup-measure family.
+    "dedup_fuzzy_edit",
     # --- similarity search (north star) ---
     # knn_cosine_bruteforce rotated out (green r01+r02); exact scoring
     # stays exercised inside every bucketed/IVF/PQ verify stage.

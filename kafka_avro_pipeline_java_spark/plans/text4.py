@@ -1,0 +1,177 @@
+"""Corpus statistics round-out: edit-distance dedup, per-source token
+entropy, document-length histogram, and the Zipf rank-frequency slope.
+
+These are the corpus-health dashboards a training-data pipeline watches:
+entropy/diversity per ingestion source (a collapsing source = boilerplate
+flood), the length distribution that drives packing/chunking parameters,
+and the Zipf slope whose deviation from ≈−1 flags synthetic or degenerate
+text. Plus the character-level fuzzy dedup that completes the dedup family
+(operators/fuzzy.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as T
+from ..operators import fuzzy
+from ..sources import load_table
+from .registry import query
+
+
+@query(
+    "dedup_fuzzy_edit",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, trim(lower(text)) AS t, len(trim(lower(text))) AS n,
+             array_to_string((string_split_regex(trim(lower(text)), '\\s+'))[1:2], ' ') AS blk
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(levenshtein(a.t, c.t) AS INT) AS edit_dist
+    FROM b a JOIN b c
+      ON a.blk = c.blk AND a.doc_id < c.doc_id AND abs(a.n - c.n) <= 20
+    WHERE levenshtein(a.t, c.t) <= 20
+    """,
+)
+def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level fuzzy duplicate pairs: same 2-token prefix block,
+    Levenshtein ≤ 20 on the normalized text — the edit-distance member of
+    the dedup family (catches OCR/typo mutations token-set measures miss).
+    Block equi-join with the length bound in the join condition, banded
+    levenshtein(…, threshold) verify in the projection; per-key fan-out is
+    the block size, never the corpus (operators/fuzzy.py design note)."""
+    d = load_table(spark, sf_dir, "documents")
+    return fuzzy.fuzzy_pairs(d, "text", "doc_id", max_dist=20, prefix_tokens=2)
+
+
+@query(
+    "text_source_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT source, t.tok
+      FROM documents,
+           UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS t(tok)
+    ), counts AS (
+      SELECT source, tok, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM toks GROUP BY 1, 2
+    ), withp AS (
+      SELECT source, c, c / SUM(c) OVER (PARTITION BY source) AS p
+      FROM counts
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS INT) AS vocab,
+           ROUND(-SUM(p * LN(p)), 6) AS entropy
+    FROM withp
+    GROUP BY source
+    """,
+)
+def text_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the token distribution per ingestion source, with
+    token and vocabulary counts — the diversity dashboard that catches a
+    source collapsing into boilerplate (entropy drops) before the dedup
+    bill does. Word-count-shaped partial aggregation, then one per-source
+    window + final agg over the (source, token)-sized table — all shuffles
+    are on keys whose cardinality shrinks with aggregation, never the raw
+    corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("source", F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    tot = F.sum("c").over(Window.partitionBy("source"))
+    p = (F.col("c") / tot)
+    return (
+        counts.withColumn("plnp", p * F.log(p))
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("int").alias("vocab"),
+            F.round(-F.sum("plnp"), 6).alias("entropy"),
+        )
+    )
+
+
+@query(
+    "text_length_histogram",
+    oracle="""
+    WITH lens AS (
+      SELECT doc_id, len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,
+             n_chars
+      FROM documents
+    )
+    SELECT CAST((n_tokens // 10) * 10 AS INT) AS bucket,
+           CAST(COUNT(*) AS INT) AS n_docs,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+    FROM lens
+    GROUP BY 1
+    """,
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (token count, width-10 buckets) with mean
+    character length per bucket — the distribution that sets token-packing
+    sequence length and chunking windows (operators/packing.py). One
+    projection + one tiny aggregation; at 100 TB this is the cheapest
+    corpus scan there is (two columns, full pushdown)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(T.tokens(F.lower(F.col("text"))))
+    return (
+        d.select(
+            (F.floor(n_tok / 10) * 10).cast("int").alias("bucket"),
+            F.col("n_chars").cast("double").alias("n_chars"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+@query(
+    "text_zipf_slope",
+    oracle="""
+    WITH counts AS (
+      SELECT t.tok, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM documents,
+           UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS t(tok)
+      GROUP BY t.tok
+    ), top AS (
+      SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 500
+    ), ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r FROM top
+    )
+    SELECT ROUND(COVAR_POP(LN(r), LN(c)) / VAR_POP(LN(r)), 6) AS zipf_slope,
+           CAST(COUNT(*) AS INT) AS n_ranks
+    FROM ranked
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope: least-squares slope of ln(freq) on
+    ln(rank) over the top-500 token ranks. Natural text sits near −1;
+    synthetic, templated, or degenerate corpora drift toward 0 (flat) or
+    below −1.5 (spiked) — a one-number corpus-health gate. Token counts are
+    a word-count aggregate; the top-500 selection is a distributed
+    TakeOrdered (never a global sort of the vocabulary), and the rank
+    window runs on 500 rows. Slope via covar_pop/var_pop — the same closed
+    form the oracle uses, so the driver hash matches exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    top = counts.orderBy(F.desc("c"), "tok").limit(500)
+    ranked = top.select(
+        "c",
+        F.row_number().over(Window.orderBy(F.desc("c"), "tok")).alias("r"),
+    )
+    lr, lc = F.log("r"), F.log("c")
+    return ranked.agg(
+        F.round(F.covar_pop(lr, lc) / F.var_pop(lr), 6).alias("zipf_slope"),
+        F.count("*").cast("int").alias("n_ranks"),
+    )

@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "text_tfidf_keywords",
     "text_collocations",
     "pipeline_decontaminate_ngram",
+    "pipeline_decontaminate_bloom",
     "pipeline_importance_sample",
     "pipeline_source_overlap",
     "pipeline_split_drift",

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import text as T
-from ..operators import fuzzy
+from ..operators import bloom, fuzzy, spans
 from ..sources import load_table
 from .registry import query
 
@@ -45,6 +45,58 @@ def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the block size, never the corpus (operators/fuzzy.py design note)."""
     d = load_table(spark, sf_dir, "documents")
     return fuzzy.fuzzy_pairs(d, "text", "doc_id", max_dist=20, prefix_tokens=2)
+
+
+@query(
+    "pipeline_decontaminate_bloom",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+      FROM documents
+    ), spans AS (
+      SELECT doc_id,
+             substr(md5(array_to_string(ts[i.i:i.i+4], ' ')), 1, 16) AS h
+      FROM toks, UNNEST(range(1, len(ts) - 3)) AS i(i)
+    ), bench AS (
+      SELECT DISTINCT h FROM spans WHERE doc_id % 97 = 0
+    ), dirty AS (
+      SELECT DISTINCT s.doc_id FROM spans s JOIN bench USING (h)
+      WHERE s.doc_id % 97 <> 0
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id % 97 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
+    """,
+)
+def pipeline_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram decontamination, KEEP side, executed through a Bloom-filter
+    prefilter: the eval set's 5-token span hashes are compacted into a
+    16 Kbit literal bitmask; every corpus span takes k=3 codegen bit
+    probes (no join, no shuffle), and only bloom-POSITIVE spans — true
+    overlaps plus ~0.5% false positives — reach the exact verify join.
+    Zero false negatives make the final result EXACT (identical semantics
+    to the plain anti-join the oracle states); the bloom is purely the
+    physical strategy that survives an eval span set too big to broadcast
+    as raw hashes (operators/bloom.py design note)."""
+    d = load_table(spark, sf_dir, "documents")
+    sp = spans.span_table(d, "text", "doc_id", w=5).withColumnRenamed("id", "doc_id")
+    is_eval = F.col("doc_id") % 97 == 0
+    bench = sp.filter(is_eval).select("span_hash").distinct()
+    mask = bloom.bloom_build(bench, "span_hash", m_bits=1 << 14, k=3)
+    candidates = (
+        sp.filter(~is_eval)
+        .filter(bloom.bloom_test(F.col("span_hash"), mask, k=3))
+    )
+    dirty = (
+        candidates.join(F.broadcast(bench), "span_hash", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        d.filter(~is_eval)
+        .join(F.broadcast(dirty), "doc_id", "left_anti")
+        .select("doc_id")
+    )
 
 
 @query(

@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "events_funnel",
     "events_resample_locf",
     "events_hourly_anomaly",
+    "events_cohort_retention",
+    "events_ewma_hourly",
+    "graph_pagerank_neardup",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

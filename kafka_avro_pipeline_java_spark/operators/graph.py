@@ -1,0 +1,73 @@
+"""Fixed-iteration graph analytics over edge DataFrames.
+
+Complements the connected-components resolver (operators/dedup.py::
+near_dup_groups) with importance scoring: PageRank over the near-dup /
+similarity graph ranks the "hub" documents that sit inside many overlap
+relationships — the ones whose removal (or keeping) matters most during
+dedup triage.
+
+100 TB shape: each iteration is one shuffle — an equi-join of the edge
+list against the current rank vector on src, then a groupBy dst. Edges are
+partitioned once by src and the partitioning is REUSED across iterations
+(the rank vector, keyed the same way, is the only thing that changes).
+Iteration count is fixed and small (power iteration converges
+geometrically at rate ≈ damping); an adaptive-tolerance variant would add
+one tiny agg per round exactly like near_dup_groups' checksum-convergence
+loop. Skewed hub vertices are standard AQE skew-join territory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank after ``iters`` power iterations on a DIRECTED edge list
+    (for an undirected graph, pass the symmetrized edges). Every node must
+    appear as a source at least once (true for symmetrized graphs — no
+    dangling-mass term needed, documented). Returns (node, rank).
+
+    r_{k+1}(v) = (1-d)/N + d * Σ_{u→v} r_k(u) / outdeg(u), r_0 = 1/N.
+    """
+    par = edges.sparkSession.sparkContext.defaultParallelism
+    # the loop only COMPOSES one lazy plan — no .persist() (nothing runs
+    # until the caller's action); the identical repartition exchange under
+    # every iteration's join is deduplicated by ReusedExchange instead.
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).repartition(
+        par, "src"
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()  # one bounded job; N is a scalar in the formula
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit((1.0 - damping) / n) + damping * F.col("s")).alias("rank"),
+            )
+        )
+    return ranks
+
+
+def degree_stats(edges: DataFrame, *, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Degree histogram of an undirected pair list (each edge counted for
+    both endpoints): (degree, n_nodes). One explode + two tiny aggs."""
+    both = edges.select(F.explode(F.array(F.col(src), F.col(dst))).alias("node"))
+    deg = both.groupBy("node").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").cast("int").alias("n_nodes"))

@@ -9,10 +9,12 @@ from . import tpch  # noqa: E402,F401
 from . import tpch2  # noqa: E402,F401
 from . import events as events_plans  # noqa: E402,F401
 from . import events2 as events2_plans  # noqa: E402,F401
+from . import events3 as events3_plans  # noqa: E402,F401
 from . import text as text_plans  # noqa: E402,F401
 from . import text2 as text2_plans  # noqa: E402,F401
 from . import text3 as text3_plans  # noqa: E402,F401
 from . import text4 as text4_plans  # noqa: E402,F401
+from . import graph as graph_plans  # noqa: E402,F401  (needs text's oracles)
 from . import vectors as vector_plans  # noqa: E402,F401
 from . import vectors2 as vector2_plans  # noqa: E402,F401
 from . import pipeline as pipeline_plans  # noqa: E402,F401

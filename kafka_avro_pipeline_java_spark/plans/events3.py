@@ -1,0 +1,114 @@
+"""Behavioral analytics round-out over ``events``: weekly cohort
+retention and exponentially-weighted moving-average smoothing.
+
+Retention matrices and EWMA trend lines are the two standard product-
+analytics readouts the funnel/sessionize/anomaly family didn't yet cover.
+Both are oracle-checked exactly: the EWMA fold runs over PRE-ROUNDED
+hourly means in identical order on both engines, so the recursive
+s_i = αx_i + (1−α)s_{i−1} matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+_ALPHA = 0.3
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(date_trunc('week', ts) AS TIMESTAMP)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.wk) / 7 AS INT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS INT) AS n_users
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by first-seen week,
+    counted in every subsequent week they return — the
+    (cohort_week, week_offset, n_users) triangle. Two keyed aggregations
+    plus one join on user_id; the join key is the USER, so the shuffle
+    volume is active users, not events, and the week math happens after
+    aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", "ts")
+    firsts = (
+        e.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    )
+    activity = e.select("user_id", wk.alias("wk")).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("wk", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("int").alias("n_users"))
+    )
+
+
+@query(
+    "events_ewma_hourly",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour, ROUND(AVG(value), 6) AS v
+      FROM events GROUP BY 1, 2
+    ), arr AS (
+      SELECT user_id,
+             list(struct_pack(hour := hour, v := v) ORDER BY hour) AS xs
+      FROM hourly GROUP BY user_id
+    )
+    SELECT user_id, xs[i.i].hour AS hour, xs[i.i].v AS v,
+           ROUND(list_reduce(list_transform(xs[1:i.i], x -> x.v),
+                             (acc, x) -> {_ALPHA} * x + {1 - _ALPHA} * acc), 6) AS ewma
+    FROM arr, UNNEST(range(1, len(xs) + 1)) AS i(i)
+    """,
+)
+def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA-smoothed hourly value per user (α=0.3, s₀=x₀): the trend line
+    the anomaly detector's trailing mean approximates, computed exactly.
+    Hourly means are one keyed agg; each user's series is then folded
+    IN ORDER inside one row (collect → sort → per-index aggregate) — a
+    second keyed shuffle on user_id and zero cross-row dependencies, the
+    same bounded-series discipline as sessionize. Unbounded/streaming
+    series run the identical recurrence in
+    streaming/windows.py::applyInPandasWithState instead. Means are
+    rounded BEFORE the fold so both engines fold identical doubles in
+    identical order — the EWMA column then matches bit-for-bit."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    arr = hourly.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("hour", "v"))).alias("xs")
+    )
+    vals = F.transform("xs", lambda x: x["v"])
+    ewma_at = lambda i: F.aggregate(  # noqa: E731 — fold of v[2..i] from init v[1]
+        F.slice(vals, F.lit(2), i),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(_ALPHA) * x + F.lit(1 - _ALPHA) * acc,
+    )
+    idx = F.sequence(F.lit(1), F.size("xs"))
+    rows = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at("xs", i)["hour"].alias("hour"),
+            F.element_at("xs", i)["v"].alias("v"),
+            F.round(ewma_at(i - 1), 6).alias("ewma"),
+        ),
+    )
+    return arr.select("user_id", F.explode(rows).alias("r")).select(
+        "user_id", "r.hour", "r.v", "r.ewma"
+    )

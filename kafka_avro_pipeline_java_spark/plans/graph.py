@@ -1,0 +1,97 @@
+"""Graph analytics over the near-duplicate similarity graph.
+
+The dedup pair lists ARE a graph; beyond resolving components
+(dedup_near_dup_groups), ranking nodes inside that graph is how a triage
+pipeline decides which documents are boilerplate HUBS (high PageRank in
+the overlap graph) versus incidental one-off matches. Edges here come
+from the n-gram Jaccard pairs so the whole composition — shingles →
+pairs → graph → ranks — stays DuckDB-expressible; the oracle unrolls the
+power iterations as CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, graph
+from ..sources import load_table
+from .registry import ORACLES, query
+
+_D = 0.85
+_ITERS = 3
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.1)
+    a = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    b = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    return a.unionByName(b)
+
+
+def _pagerank_oracle() -> str:
+    # unrolled power iterations; each is the same join-agg the Spark
+    # operator runs, with (1-d)/n folded in per dst group
+    it = """
+    r{next} AS (
+      SELECT e.dst AS node,
+             0.15 / nn.n + 0.85 * SUM(r.rank / d.outdeg) AS rank
+      FROM edges e
+      JOIN r{cur} r ON r.node = e.src
+      JOIN deg d ON d.src = e.src, nn
+      GROUP BY e.dst, nn.n
+    )"""
+    iters = ",".join(it.format(cur=i, next=i + 1) for i in range(_ITERS))
+    return f"""
+    WITH pairs AS ({ORACLES["dedup_ngram_jaccard"]}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+    {iters}
+    SELECT node, ROUND(rank, 6) AS rank FROM r{_ITERS}
+    """
+
+
+@query("graph_pagerank_neardup", oracle=_pagerank_oracle())
+def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power iterations, d=0.85) over the symmetrized n-gram
+    Jaccard near-dup graph — ranks the boilerplate hub documents that
+    overlap many others. Each iteration is one edge⋈rank join + one
+    groupBy dst; the edge partitioning is built once and reused
+    (operators/graph.py design note)."""
+    ranks = graph.pagerank(
+        _edges(spark, sf_dir), iters=_ITERS, damping=_D
+    )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+@query(
+    "graph_degree_stats",
+    oracle=f"""
+    WITH pairs AS ({ORACLES["dedup_ngram_jaccard"]}),
+    ends AS (
+      SELECT id_a AS node FROM pairs
+      UNION ALL
+      SELECT id_b AS node FROM pairs
+    ),
+    deg AS (SELECT node, COUNT(*) AS degree FROM ends GROUP BY node)
+    SELECT CAST(degree AS INT) AS degree, CAST(COUNT(*) AS INT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-dup graph — the shape diagnostic that
+    separates a long-tail of pairwise dups (degree 1–2) from boilerplate
+    cliques (high degree). Two word-count-shaped aggs after the pair
+    join."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.1)
+    stats = graph.degree_stats(pairs, src="id_a", dst="id_b")
+    return stats.select(F.col("degree").cast("int").alias("degree"), "n_nodes")

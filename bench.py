@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "agg_salted_distinct_customers",
     "scalar_map_order_attrs",
     "multimodal_binary_meta",
+    "sketch_kmv_distinct",
+    "sketch_countmin_tokens",
 ]
 
 # Results small enough to collect (bounded by construction); others count().

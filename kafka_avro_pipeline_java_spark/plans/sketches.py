@@ -1,0 +1,115 @@
+"""Sketch queries: engine-portable approximate aggregates whose ESTIMATES
+are oracle-checked value-for-value (operators/sketches.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import sketches
+from ..sources import load_table
+from .registry import query
+
+_K = 64
+_HS = float(1 << 60)
+_DEPTH = 3
+_WIDTH = 1024
+
+
+@query(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT event_type AS g, user_id AS key FROM events
+    ), hs AS (
+      SELECT g,
+             (CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+               / {_HS!r} AS h
+      FROM pairs
+    ), ranked AS (
+      SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS r FROM hs
+    ), kept AS (
+      SELECT g, MAX(h) AS hk, COUNT(*) AS n
+      FROM ranked WHERE r <= {_K} GROUP BY g
+    ), exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS td FROM events GROUP BY 1
+    )
+    SELECT k.g AS event_type,
+           ROUND(CASE WHEN k.n < {_K} THEN CAST(k.n AS DOUBLE)
+                      ELSE {_K - 1} / k.hk END, 4) AS est_distinct,
+           CAST(e.td AS INT) AS true_distinct
+    FROM kept k JOIN exact e ON e.event_type = k.g
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-user estimate per event type, next to the
+    exact count — the engine-portable approximate-distinct whose ESTIMATE
+    the oracle verifies bit-for-bit (vs `approx_distinct_customers`,
+    whose HLL++ hash is engine-private and rows-only). One distinct
+    shuffle + one per-group window over ≤ k ranks; sketch state is k
+    8-byte hashes per group and merges associatively at scale."""
+    e = load_table(spark, sf_dir, "events")
+    est = sketches.kmv_distinct(e, "event_type", "user_id", k=_K)
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("int").alias("true_distinct")
+    )
+    return est.join(exact, "event_type")
+
+
+def _cm_pos_sql(expr: str, i: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5({expr} || '#{i}'), 1, 15)) AS BIGINT) % {_WIDTH}"
+    )
+
+
+@query(
+    "sketch_countmin_tokens",
+    oracle=f"""
+    WITH toks AS (
+      SELECT t.tok
+      FROM documents,
+           UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS t(tok)
+    ), truec AS (
+      SELECT tok, COUNT(*) AS true_count FROM toks GROUP BY tok
+    ), cells AS (
+      SELECT i.i AS rw, CASE i.i
+               WHEN 0 THEN {_cm_pos_sql("tok", 0)}
+               WHEN 1 THEN {_cm_pos_sql("tok", 1)}
+               ELSE {_cm_pos_sql("tok", 2)} END AS cl,
+             COUNT(*) AS c
+      FROM toks, UNNEST(range(0, {_DEPTH})) AS i(i)
+      GROUP BY 1, 2
+    ), top AS (
+      SELECT tok, true_count FROM truec
+      ORDER BY true_count DESC, tok LIMIT 20
+    ), probe AS (
+      SELECT tok, true_count, i.i AS rw, CASE i.i
+               WHEN 0 THEN {_cm_pos_sql("tok", 0)}
+               WHEN 1 THEN {_cm_pos_sql("tok", 1)}
+               ELSE {_cm_pos_sql("tok", 2)} END AS cl
+      FROM top, UNNEST(range(0, {_DEPTH})) AS i(i)
+    )
+    SELECT p.tok, CAST(MAX(p.true_count) AS BIGINT) AS true_count,
+           CAST(MIN(c.c) AS BIGINT) AS est_count
+    FROM probe p JOIN cells c ON c.rw = p.rw AND c.cl = p.cl
+    GROUP BY p.tok
+    """,
+)
+def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (d=3 × m=1024) over the corpus token stream,
+    probed at the top-20 true-frequency tokens: (tok, true_count,
+    est_count), est ≥ true by construction. The sketch is one word-count
+    aggregation into d·m cells — broadcast-sized no matter the corpus —
+    and the probe join touches d cells per query token."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"))
+    truec = toks.groupBy("tok").agg(F.count("*").alias("true_count"))
+    top = truec.orderBy(F.desc("true_count"), "tok").limit(20)
+    est = sketches.countmin_estimate(
+        toks, "tok", top.select("tok"), "tok", depth=_DEPTH, width=_WIDTH
+    )
+    return (
+        top.join(est, top.tok == est.probe)
+        .select("tok", "true_count", "est_count")
+    )

@@ -1,0 +1,39 @@
+"""Sketch operators (operators/sketches.py): estimator accuracy and the
+Count-Min overestimate-only guarantee."""
+
+from pyspark.sql import functions as F
+
+from kafka_avro_pipeline_java_spark.operators import sketches
+
+
+def test_kmv_estimate_within_theory_bound(spark):
+    # 4000 distinct keys, k=64 → σ ≈ 1/√k ≈ 12.5%; assert within 3σ
+    df = spark.range(4000).select(
+        F.lit("grp").alias("g"), F.concat(F.lit("user-"), "id").alias("u")
+    )
+    out = sketches.kmv_distinct(df, "g", "u", k=64).collect()[0]
+    assert abs(out.est_distinct - 4000) / 4000 < 0.375
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(40).select(
+        F.lit("small").alias("g"), F.col("id").alias("u")
+    )
+    out = sketches.kmv_distinct(df, "g", "u", k=64).collect()[0]
+    assert out.est_distinct == 40.0  # sketch IS the set below k
+
+
+def test_countmin_never_underestimates(spark):
+    # zipf-ish stream: token i appears (100 - i) times
+    rows = [(f"tok{i}",) for i in range(100) for _ in range(100 - i)]
+    items = spark.createDataFrame(rows, "tok string")
+    true = items.groupBy("tok").agg(F.count("*").alias("t"))
+    est = sketches.countmin_estimate(
+        items, "tok", true.select("tok"), "tok", depth=3, width=256
+    )
+    joined = true.join(est, true.tok == est.probe).select("t", "est_count")
+    bad = joined.filter(F.col("est_count") < F.col("t")).count()
+    assert bad == 0
+    # with 100 tokens in 256 cols ×3 rows, most probes should be exact
+    exact = joined.filter(F.col("est_count") == F.col("t")).count()
+    assert exact >= 80

@@ -97,7 +97,9 @@ BENCH_QUERIES = [
     "scalar_map_order_attrs",
     "multimodal_binary_meta",
     "sketch_kmv_distinct",
+    "sketch_hll_distinct",
     "sketch_countmin_tokens",
+    "text_bpe_pair_stats",
 ]
 
 # Results small enough to collect (bounded by construction); others count().

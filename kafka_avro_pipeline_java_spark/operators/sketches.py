@@ -125,3 +125,71 @@ def countmin_estimate(
         .groupBy("probe")
         .agg(F.min("c").alias("est_count"))
     )
+
+
+def hll_distinct(
+    df: DataFrame, group_col: str, key_col: str, *, m: int = 64
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate with PORTABLE,
+    integer-exact register math: (group, est_distinct).
+
+    bucket = h mod m (low bits); rho = rank of the leading 1-bit in the
+    remaining 54 hash bits (0 keys → register 0). The harmonic mean is
+    computed as the INTEGER Σ 2^(55−M_j) (≤ m·2^55 < 2^63 — no float
+    accumulation, so the sum is order-independent and engines agree
+    bit-for-bit); E = α_m·m²·2^55 / Σ, with the standard linear-counting
+    fallback m·ln(m/V) below 2.5m when empty registers remain. Unlike
+    KMV's per-group k-hash state, HLL state is m bytes and register max
+    is a partial aggregate — the cheapest mergeable distinct sketch.
+    """
+    assert m & (m - 1) == 0, "m must be a power of two"
+    import math as _math
+
+    b = int(_math.log2(m))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    rest_bits = 60 - b
+    h = portable_hash64(F.col(key_col).cast("string"))
+    bucket = F.pmod(h, F.lit(m))
+    # exact integer h // m: float division would drop low bits at 2^60
+    rest = F.shiftright(h, b)
+    # integer-exact bit length: count p with 2^p <= rest via dynamic shifts
+    bitlen = F.size(
+        F.filter(
+            F.sequence(F.lit(0), F.lit(rest_bits - 1)),
+            lambda p: F.call_function("shiftleft", F.lit(1).cast("long"), p)
+            <= rest,
+        )
+    )
+    rho = F.lit(rest_bits + 1) - bitlen  # rest==0 -> rho = rest_bits + 1
+    regs = (
+        df.select(F.col(group_col).alias("g"), bucket.alias("bk"), rho.alias("r"))
+        .groupBy("g", "bk")
+        .agg(F.max("r").alias("mj"))
+    )
+    # Σ 2^(55-M_j) over occupied registers + (m - occupied) · 2^55 for empty
+    top = rest_bits + 1
+    per_g = regs.groupBy("g").agg(
+        F.sum(
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), F.lit(top) - F.col("mj")
+            )
+        ).alias("isum"),
+        F.count("*").alias("occ"),
+    )
+    full = per_g.select(
+        "g",
+        (
+            F.col("isum")
+            + (F.lit(m) - F.col("occ"))
+            * F.lit(1 << top).cast("long")
+        ).alias("isum"),
+        (F.lit(m) - F.col("occ")).alias("v"),
+    )
+    e_raw = F.lit(alpha * m * m * float(1 << top)) / F.col("isum")
+    est = F.when(
+        (e_raw <= 2.5 * m) & (F.col("v") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v")),
+    ).otherwise(e_raw)
+    return full.select(
+        F.col("g").alias(group_col), F.round(est, 4).alias("est_distinct")
+    )

@@ -83,8 +83,9 @@ def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     IN ORDER inside one row (collect → sort → per-index aggregate) — a
     second keyed shuffle on user_id and zero cross-row dependencies, the
     same bounded-series discipline as sessionize. Unbounded/streaming
-    series run the identical recurrence in
-    streaming/windows.py::applyInPandasWithState instead. Means are
+    series run the identical recurrence with state carried across
+    micro-batches in streaming/windows.py::ewma_per_user (batch-parity
+    tested). Means are
     rounded BEFORE the fold so both engines fold identical doubles in
     identical order — the EWMA column then matches bit-for-bit."""
     e = load_table(spark, sf_dir, "events")

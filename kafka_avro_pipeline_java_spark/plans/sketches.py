@@ -57,6 +57,61 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type")
 
 
+_HLL_M = 64
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+_HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 55)
+
+
+@query(
+    "sketch_hll_distinct",
+    oracle=f"""
+    WITH hs AS (
+      SELECT event_type AS g,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events
+    ), rho AS (
+      SELECT g, h % {_HLL_M} AS bk,
+             55 - len(list_filter(range(0, 54),
+                                  p -> (1::BIGINT << p) <= (h // {_HLL_M}))) AS r
+      FROM hs
+    ), regs AS (
+      SELECT g, bk, MAX(r) AS mj FROM rho GROUP BY g, bk
+    ), per_g AS (
+      SELECT g, SUM(1::BIGINT << (55 - mj)) AS isum, COUNT(*) AS occ
+      FROM regs GROUP BY g
+    ), filled AS (
+      SELECT g,
+             CAST(isum + ({_HLL_M} - occ) * (1::BIGINT << 55) AS BIGINT) AS isum,
+             {_HLL_M} - occ AS v
+      FROM per_g
+    ), est AS (
+      SELECT g, v, {_HLL_NUM!r} / CAST(isum AS DOUBLE) AS e_raw FROM filled
+    ), exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS td FROM events GROUP BY 1
+    )
+    SELECT est.g AS event_type,
+           ROUND(CASE WHEN e_raw <= {2.5 * _HLL_M!r} AND v > 0
+                      THEN {float(_HLL_M)!r} * LN({float(_HLL_M)!r} / v)
+                      ELSE e_raw END, 4) AS est_distinct,
+           CAST(exact.td AS INT) AS true_distinct
+    FROM est JOIN exact ON exact.event_type = est.g
+    """,
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event type next to the exact
+    count — the third sketch of the family, with integer-exact register
+    math (Σ 2^(55−ρmax) as a BIGINT, order-independent) so even the
+    harmonic-mean ESTIMATE is oracle-checked bit-for-bit. Register max is
+    a map-side-combinable partial aggregate over m=64 cells per group —
+    the cheapest mergeable distinct sketch at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    est = sketches.hll_distinct(e, "event_type", "user_id", m=_HLL_M)
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("int").alias("true_distinct")
+    )
+    return est.join(exact, "event_type")
+
+
 def _cm_pos_sql(expr: str, i: int) -> str:
     return (
         f"CAST(('0x' || substr(md5({expr} || '#{i}'), 1, 15)) AS BIGINT) % {_WIDTH}"

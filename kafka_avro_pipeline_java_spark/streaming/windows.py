@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -208,6 +209,66 @@ def funnel_stage_per_user(
         update,
         outputStructType=FUNNEL_OUT_SCHEMA,
         stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+EWMA_STATE_SCHEMA = StructType(
+    [StructField("s", DoubleType()), StructField("n", LongType())]
+)
+EWMA_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+
+def ewma_per_user(
+    events: DataFrame,
+    *,
+    alpha: float = 0.3,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming EWMA: the recurrence s ← αx + (1−α)s folded over each
+    user's events in (ts, event_id) order, with s carried ACROSS
+    micro-batches in the state store — the unbounded-series twin of the
+    batch closed form (plans/events3.py::events_ewma_hourly). Within a
+    batch the group's rows are sorted by event time before folding, so
+    the composition (sort batch 1, fold) ∘ (sort batch 2, fold) equals
+    one fold over the ordered series whenever batches respect event-time
+    ranges — the watermark is what bounds the disorder. State per user is
+    two scalars; Arrow-batched, partitioned by user key."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            s, n = state.get
+        else:
+            s, n = None, 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            rows = pd.concat(chunks).sort_values([ts_col, "event_id"])
+            for v in rows[value_col]:
+                v = float(v)
+                s = v if s is None else alpha * v + (1.0 - alpha) * s
+            n += len(rows)
+        state.update((s, n))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "ewma": [s]}
+        )
+
+    e = with_watermark(events, ts_col, watermark)
+    return e.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

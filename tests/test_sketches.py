@@ -37,3 +37,22 @@ def test_countmin_never_underestimates(spark):
     # with 100 tokens in 256 cols ×3 rows, most probes should be exact
     exact = joined.filter(F.col("est_count") == F.col("t")).count()
     assert exact >= 80
+
+
+def test_hll_estimate_within_theory_bound(spark):
+    # m=64 → σ ≈ 1.04/√64 = 13%; assert within 3σ on 4000 distinct
+    df = spark.range(4000).select(
+        F.lit("grp").alias("g"), F.concat(F.lit("user-"), "id").alias("u")
+    )
+    out = sketches.hll_distinct(df, "g", "u", m=64).collect()[0]
+    assert abs(out.est_distinct - 4000) / 4000 < 0.39
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):
+    base = spark.range(500).select(
+        F.lit("g").alias("g"), F.concat(F.lit("k-"), "id").alias("u")
+    )
+    dup = base.unionAll(base).unionAll(base)
+    e1 = sketches.hll_distinct(base, "g", "u").collect()[0].est_distinct
+    e3 = sketches.hll_distinct(dup, "g", "u").collect()[0].est_distinct
+    assert e1 == e3  # register max is insensitive to multiplicity

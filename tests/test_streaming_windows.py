@@ -143,3 +143,41 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, spool):
     assert (got["n_view"], got["n_view_click"], got["n_full_funnel"]) == (
         want["n_view"], want["n_view_click"], want["n_full_funnel"]
     )
+
+
+def test_streaming_ewma_matches_batch_fold(spark, spool):
+    stream = W.ewma_per_user(_stream(spark, spool), alpha=0.3)
+    q = (
+        stream.writeStream.format("memory").queryName("ewma_t")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_events"], round(r["ewma"], 9))
+        for r in spark.sql(
+            "SELECT user_id, n_events, ewma FROM ewma_t"
+        ).collect()
+    }
+    # batch twin: one fold over the (ts, event_id)-ordered series per user
+    batch = (
+        spark.read.schema(EVENTS_SCHEMA).parquet(spool)
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("xs")
+        )
+        .select(
+            "user_id",
+            F.size("xs").alias("n"),
+            F.aggregate(
+                F.expr("slice(transform(xs, x -> x.value), 2, size(xs))"),
+                F.element_at(F.transform("xs", lambda x: x["value"]), 1),
+                lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+            ).alias("ewma"),
+        )
+    )
+    want = {
+        r["user_id"]: (r["n"], round(r["ewma"], 9)) for r in batch.collect()
+    }
+    assert got == want

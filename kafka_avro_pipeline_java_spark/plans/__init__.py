@@ -38,14 +38,15 @@ _PRIORITY = [
     # dedup_exact and dedup_embedding_cosine rotated out (green r01+r02;
     # the exact O(n²) baseline stays registered as ground truth) for the
     # round's substring-level and semantic dedup oracle rows.
-    "dedup_ngram_jaccard",
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "dedup_near_dup_groups",
-    "dedup_keep_one_e2e",
+    # dedup_ngram_jaccard / minhash_portable / simhash_portable /
+    # near_dup_groups / keep_one_e2e / embedding_bucketed rotated out
+    # (all green in the r02 driver window) for the round's NEW oracle
+    # families below (sketches, graph, bloom, cohort/EWMA, corpus stats,
+    # BPE); the token-set and embedding measures stay evidenced by their
+    # r02 rows and by graph_* / dedup_semantic_text_e2e, which recompute
+    # the Jaccard pairs inside their own oracles.
     "dedup_repeated_spans",
     "dedup_semantic",
-    "dedup_embedding_bucketed",
     # dedup_similarity_join rotated out (green r02) for the round's
     # edit-distance dedup row, which completes the dedup-measure family.
     "dedup_fuzzy_edit",
@@ -54,7 +55,7 @@ _PRIORITY = [
     # stays exercised inside every bucketed/IVF/PQ verify stage.
     # knn_all_pairs_top3 rotated out (green r01+r02; the O(n²) exact
     # baseline stays registered) for the LSH read-path oracle.
-    "knn_topk_bucketed",
+    # knn_topk_bucketed rotated out (green r02).
     "knn_cosine_ivf_oracle",
     "knn_pq_adc_oracle",
     "knn_cosine_lsh_oracle",
@@ -74,9 +75,23 @@ _PRIORITY = [
     "text_rare_token_ratio",
     "text_tfidf_keywords",
     "text_collocations",
+    # --- corpus statistics + tokenizer induction (new r3 batch 2) ---
+    "text_source_entropy",
+    "text_length_histogram",
+    "text_zipf_slope",
+    "text_bpe_pair_stats",
+    # --- sketches (new r3 batch 2: value-checked approximate aggregates) ---
+    "sketch_kmv_distinct",
+    "sketch_hll_distinct",
+    "sketch_countmin_tokens",
+    # --- graph analytics over the near-dup graph (new r3 batch 2) ---
+    "graph_pagerank_neardup",
+    "graph_degree_stats",
     # --- multimodal + reference pipeline parity + corpus pipeline stages ---
-    "multimodal_binary_meta",
+    # multimodal_binary_meta rotated out (green r02; decode-stub plumbing
+    # unchanged this round).
     "pipeline_avro_roundtrip",
+    "pipeline_decontaminate_bloom",
     "pipeline_decontaminate",
     "pipeline_quality_filter",
     "pipeline_corpus_split",
@@ -88,10 +103,11 @@ _PRIORITY = [
     "pipeline_sample_per_source",
     "pipeline_chunk_documents",
     # --- events / streaming semantics (hourly_rollup + sessionize rotated
-    # out, green r01+r02; category stays repped by the five window/
-    # watermark/funnel rows below) ---
-    "events_asof_last_click",
-    "events_tumbling_window_fn",
+    # out, green r01+r02; asof_last_click + tumbling_window_fn rotated out,
+    # green r02; the category stays repped by the window/watermark/funnel
+    # rows below plus the round's retention + EWMA behavioral analytics) ---
+    "events_cohort_retention",
+    "events_ewma_hourly",
     "events_session_window_fn",
     "events_sliding_window_fn",
     "events_dedup_watermark_eq",
@@ -99,11 +115,10 @@ _PRIORITY = [
     # --- relational representatives (one per SURVEY §2B category; the
     # remaining variants + TPC-H tail register after and stay test-covered) ---
     # filter_project_lineitem and q1_pricing_summary rotated out (green
-    # r01+r02) for the round's tf-idf/PMI corpus rows; scans+aggs stay
-    # repped by q3/q5/grouping-sets/salted-distinct.
-    "q3_shipping_priority",
+    # r01+r02) for the round's tf-idf/PMI corpus rows; q3_shipping_priority
+    # and join_inner_segment_sales rotated out (green r02) — scans+aggs+
+    # joins stay repped by q5/range/grouping-sets/salted-distinct.
     "q5_local_supplier_volume",
-    "join_inner_segment_sales",
     # join_left_order_counts rotated out (green r01+r02) for
     # scalar_map_order_attrs; joins stay repped by inner/semi/range.
     "scalar_map_order_attrs",

@@ -259,3 +259,51 @@ def test_resample_grid_is_bounded_per_user(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "sequence(" in plan
+
+
+def test_zipf_slope_uses_takeordered_not_global_sort(spark, sf_dir):
+    # the top-500 selection must be a distributed TakeOrdered; a global
+    # Sort of the vocabulary would be the 100x scale killer
+    df = QUERIES["text_zipf_slope"](spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in phys
+
+
+def test_source_entropy_shuffles_only_on_keys(spark, sf_dir):
+    plan = _formatted_plan(spark, "text_source_entropy", sf_dir)
+    # every exchange is a hash partitioning on the source/token keys — a
+    # range partitioning (global sort) would be the scale bug
+    assert re.search(r"hashpartitioning\(source", plan), plan[:1500]
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_countmin_probe_broadcasts_the_sketch(spark, sf_dir):
+    plan = _formatted_plan(spark, "sketch_countmin_tokens", sf_dir)
+    assert "BroadcastHashJoin" in plan  # d*m-cell sketch is the build side
+
+
+def test_kmv_single_window_over_ranks(spark, sf_dir):
+    plan = _formatted_plan(spark, "sketch_kmv_distinct", sf_dir)
+    # exactly one Window (the rank<=k keep), not one per aggregate
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_register_agg_is_partial(spark, sf_dir):
+    plan = _formatted_plan(spark, "sketch_hll_distinct", sf_dir)
+    # register max must map-side combine: HashAggregate appears below the
+    # exchange (partial) and above (final) — assert the pair exists
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_cohort_retention_shuffles_on_user_key(spark, sf_dir):
+    plan = _formatted_plan(spark, "events_cohort_retention", sf_dir)
+    assert re.search(r"hashpartitioning\(user_id", plan), plan[:1500]
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_pair_stats_single_corpus_scan(spark, sf_dir):
+    plan = _formatted_plan(spark, "text_bpe_pair_stats", sf_dir)
+    # one scan of documents; pair stats run on the vocab-sized word table
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1

@@ -16,6 +16,10 @@ DEFAULT = [
     "events_funnel", "dedup_ngram_jaccard", "knn_cosine_bruteforce",
     "knn_cosine_ivf_oracle", "knn_pq_adc_oracle", "knn_cosine_lsh_oracle",
     "text_language_id", "agg_salted_distinct_customers",
+    "dedup_fuzzy_edit", "pipeline_decontaminate_bloom", "text_zipf_slope",
+    "sketch_kmv_distinct", "sketch_hll_distinct", "sketch_countmin_tokens",
+    "graph_pagerank_neardup", "events_cohort_retention", "events_ewma_hourly",
+    "text_bpe_pair_stats",
 ]
 
 

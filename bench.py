@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "events_cohort_retention",
     "events_ewma_hourly",
     "graph_pagerank_neardup",
+    "graph_triangle_count",
+    "text_quality_calibrated",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -100,6 +102,7 @@ BENCH_QUERIES = [
     "sketch_hll_distinct",
     "sketch_countmin_tokens",
     "text_bpe_pair_stats",
+    "layout_zorder_code",
 ]
 
 # Results small enough to collect (bounded by construction); others count().

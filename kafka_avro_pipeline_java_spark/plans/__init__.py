@@ -21,6 +21,7 @@ from . import pipeline as pipeline_plans  # noqa: E402,F401
 from . import sampling as sampling_plans  # noqa: E402,F401
 from . import sketches as sketch_plans  # noqa: E402,F401
 from . import tokenizer as tokenizer_plans  # noqa: E402,F401
+from . import layout as layout_plans  # noqa: E402,F401
 
 # The driver's CORRECTNESS report covers the first 50 registered queries, so
 # registration order is a grading surface: every window slot carries a DuckDB

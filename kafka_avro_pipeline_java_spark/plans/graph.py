@@ -95,3 +95,43 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.1)
     stats = graph.degree_stats(pairs, src="id_a", dst="id_b")
     return stats.select(F.col("degree").cast("int").alias("degree"), "n_nodes")
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH allp AS ({ORACLES["dedup_simhash_portable"]}),
+    pairs AS (SELECT id_a, id_b FROM allp),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM pairs p1
+      JOIN pairs p2 ON p2.id_a = p1.id_b
+      JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
+           CAST(t AS BIGINT) AS n_triangles
+    FROM tri
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the SimHash near-dup graph — the clique
+    detector: triangles (and their density vs edges) separate pairwise
+    accidents from boilerplate clusters. Canonically-ordered edges
+    (id_a < id_b) make each triangle count exactly once via the
+    p1(a,b)⋈p2(b,c)⋈p3(a,c) double join; the derived edge list is
+    localCheckpoint'ed so SimHash runs once, not three times
+    (operators/graph.py iterative discipline)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        dedup.simhash_near_pairs_portable(d, "text", "doc_id", max_hamming=4)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    p1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    p2 = pairs.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    p3 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = p1.join(p2, "b").join(p3, ["a", "c"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    edges = pairs.agg(F.count("*").alias("n_edges"))
+    return edges.crossJoin(tri)

@@ -227,3 +227,42 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_pop(lr, lc) / F.var_pop(lr), 6).alias("zipf_slope"),
         F.count("*").cast("int").alias("n_ranks"),
     )
+
+
+_QUALITY_SQL = """ROUND(0.5 * least(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                             / 100.0, 1.0)
+               + 0.5 * (1.0 - (length(text)
+                               - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                              / CAST(length(text) AS DOUBLE)), 4)"""
+
+
+@query(
+    "text_quality_calibrated",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents
+    )
+    SELECT doc_id, quality,
+           ROUND(PERCENT_RANK() OVER (ORDER BY quality, doc_id), 6) AS pct_rank,
+           CAST(NTILE(10) OVER (ORDER BY quality, doc_id) AS INT) AS decile
+    FROM q
+    """,
+)
+def text_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score calibration: raw quality scores mapped to corpus-relative
+    percentile ranks and deciles — the form a mixing policy consumes
+    ("keep the top 30%"), robust to the raw score's arbitrary scale.
+    Deterministic cross-engine via the (quality, doc_id) tiebreak. The
+    global ORDER BY is over the (doc_id, quality) PROJECTION, not the
+    documents — a range-partitioned sort of two columns; per-source or
+    per-shard calibration would partition the window and drop even that."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select("doc_id", T.quality_score("text").alias("quality"))
+    w = Window.orderBy("quality", "doc_id")
+    return q.select(
+        "doc_id", "quality",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.ntile(10).over(w).alias("decile"),
+    )

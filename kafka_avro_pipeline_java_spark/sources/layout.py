@@ -65,3 +65,71 @@ def _list_files(spark: SparkSession, path: str):
         if f.getPath().getName().endswith(".parquet"):
             out.append(f)
     return out
+
+
+def _scaled(col, vmin, vmax, bits: int):
+    # min-max scale into [0, 2^bits): identical double arithmetic on any
+    # engine (one projection; vmin/vmax come from a 1-row broadcast agg)
+    span = (vmax - vmin).cast("double")
+    frac = F.when(span > 0, (col.cast("double") - vmin) / span).otherwise(F.lit(0.0))
+    return F.least(
+        F.floor(frac * ((1 << bits) - 1)).cast("long"), F.lit((1 << bits) - 1)
+    )
+
+
+def morton_code(x, y, *, bits: int = 16):
+    """Z-order (Morton) interleave of two ``bits``-wide scaled ints: bit i
+    of x lands at position 2i, bit i of y at 2i+1. Pure integer bit
+    arithmetic (dynamic shifts), disjoint bits → the sum IS the OR, so an
+    engine without bitwise-or-in-aggregate reproduces it with SUM."""
+    def term(i):
+        xi = F.shiftleft(
+            F.shiftright(x, i).bitwiseAND(F.lit(1).cast("long")), 2 * i
+        )
+        yi = F.shiftleft(
+            F.shiftright(y, i).bitwiseAND(F.lit(1).cast("long")), 2 * i + 1
+        )
+        return xi + yi
+
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + term(i)
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    *,
+    bits: int = 16,
+    n_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` clustered by the Z-order curve over (col_x, col_y):
+    range-repartition + sort by the Morton code so EVERY file covers a
+    small rectangle of the 2-D space — parquet min/max stats then prune
+    range predicates on EITHER column (a single-column sort only prunes
+    its own column). The curve code is computed from a broadcast 1-row
+    min/max agg; nothing corpus-sized moves except the one range
+    exchange any sorted write needs."""
+    stats = df.agg(
+        F.min(col_x).alias("xmin"), F.max(col_x).alias("xmax"),
+        F.min(col_y).alias("ymin"), F.max(col_y).alias("ymax"),
+    )
+    with_z = df.crossJoin(F.broadcast(stats)).withColumn(
+        "_z",
+        morton_code(
+            _scaled(F.col(col_x), F.col("xmin"), F.col("xmax"), bits),
+            _scaled(F.col(col_y), F.col("ymin"), F.col("ymax"), bits),
+            bits=bits,
+        ),
+    )
+    (
+        with_z.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", "xmin", "xmax", "ymin", "ymax")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "text_collocations",
     "pipeline_decontaminate_ngram",
     "pipeline_decontaminate_bloom",
+    "pipeline_decontaminate_semantic",
     "pipeline_importance_sample",
     "pipeline_source_overlap",
     "pipeline_split_drift",

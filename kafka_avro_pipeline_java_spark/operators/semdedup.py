@@ -99,3 +99,36 @@ def semantic_dedup(
     pairs = _pairs_from_side(side, threshold)
     doomed = pairs.select(F.col("id_b").alias("id")).distinct()
     return side.select("id", "cid").join(doomed, "id", "left_anti")
+
+
+def semantic_contamination(
+    train: DataFrame,
+    evals: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    threshold: float,
+) -> DataFrame:
+    """Cross-split semantic decontamination: flag every TRAIN vector whose
+    cosine to ANY eval vector in the same cluster reaches ``threshold`` —
+    (id, cid, max_eval_sim). The n-gram decontaminator catches verbatim
+    overlap; this catches paraphrase-level leakage the way SemDeDup
+    catches paraphrase duplicates. Same Σ cluster² discipline: both sides
+    assign with the zero-shuffle argmax, candidates are the cid equi-join
+    (eval side is benchmark-sized → broadcast), cosine verifies in the
+    join projection, and one keyed max per train id closes it."""
+    t = _assigned_side(train, vec_col, id_col, centroids)
+    e = _assigned_side(evals, vec_col, id_col, centroids)
+    a = t.select(*[F.col(c).alias(f"{c}_a") for c in t.columns])
+    b = e.select(*[F.col(c).alias(f"{c}_b") for c in e.columns])
+    cos = F.round(
+        dot(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
+    )
+    return (
+        a.join(F.broadcast(b), F.col("cid_a") == F.col("cid_b"))
+        .select("id_a", F.col("cid_a").alias("cid"), cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .groupBy("id_a", "cid")
+        .agg(F.max("cos_sim").alias("max_eval_sim"))
+        .select(F.col("id_a").alias("id"), "cid", "max_eval_sim")
+    )

@@ -155,3 +155,78 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("zscore"),
         )
     )
+
+
+def _sem_contamination_oracle(cents: list[list[float]], threshold: float) -> str:
+    nc = [_pynorm(c) for c in cents]
+    n = len(cents)
+    dot_cols = ",\n             ".join(
+        f"SUM(CAST(embedding[i.i] AS DOUBLE) * CAST(([{', '.join(repr(x) for x in c)}])[i.i] AS DOUBLE)) AS d{j}"
+        for j, c in enumerate(cents)
+    )
+    sim_cols = ",\n           ".join(
+        f"d{j} / (SQRT(nsq) * {nc[j]!r}) AS s{j}" for j in range(n)
+    )
+    first_max = " ".join(f"WHEN s{j} = mx THEN {j}" for j in range(n))
+    return f"""
+    WITH dots AS (
+      SELECT vec_id,
+             {dot_cols},
+             SUM(CAST(embedding[i.i] AS DOUBLE) * CAST(embedding[i.i] AS DOUBLE)) AS nsq
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS i(i)
+      GROUP BY vec_id
+    ), sims AS (
+      SELECT vec_id, SQRT(nsq) AS nrm,
+           {sim_cols}
+      FROM dots
+    ), assigned AS (
+      SELECT vec_id, nrm,
+             CASE {first_max} END AS cid
+      FROM (SELECT *, GREATEST({', '.join(f's{j}' for j in range(n))}) AS mx FROM sims)
+    ), pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM assigned a JOIN assigned b ON a.cid = b.cid
+      WHERE a.vec_id % 97 <> 0 AND b.vec_id % 97 = 0
+    ), pd AS (
+      SELECT p.ia, p.ib,
+             SUM(CAST(ea.embedding[i.i] AS DOUBLE) * CAST(eb.embedding[i.i] AS DOUBLE)) AS dp
+      FROM pairs p
+      JOIN embeddings ea ON ea.vec_id = p.ia
+      JOIN embeddings eb ON eb.vec_id = p.ib,
+           UNNEST(range(1, len(ea.embedding) + 1)) AS i(i)
+      GROUP BY 1, 2
+    )
+    SELECT p.ia AS vec_id, CAST(na.cid AS INT) AS cid,
+           MAX(ROUND(p.dp / (na.nrm * nb.nrm), 6)) AS max_eval_sim
+    FROM pd p
+    JOIN assigned na ON na.vec_id = p.ia
+    JOIN assigned nb ON nb.vec_id = p.ib
+    WHERE ROUND(p.dp / (na.nrm * nb.nrm), 6) >= {threshold}
+    GROUP BY 1, 2
+    """
+
+
+_CONTAM_THRESHOLD = 0.3
+
+
+@query(
+    "pipeline_decontaminate_semantic",
+    oracle=_sem_contamination_oracle(_SEM_CENTS, _CONTAM_THRESHOLD),
+)
+def pipeline_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paraphrase-level decontamination: flag TRAIN embeddings (vec_id %
+    97 ≠ 0) whose cosine to ANY eval embedding (vec_id % 97 = 0) in the
+    same cluster reaches 0.3 — the semantic counterpart of the n-gram
+    overlap check (verbatim leak → pipeline_decontaminate_ngram;
+    paraphrase leak → this). Both sides share the zero-shuffle centroid
+    argmax; the benchmark side is broadcast, so the train corpus never
+    shuffles for the check (operators/semdedup.py::semantic_contamination)."""
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    train = e.filter(F.col("vec_id") % 97 != 0)
+    evals = e.filter(F.col("vec_id") % 97 == 0)
+    out = semdedup.semantic_contamination(
+        train, evals, "embedding", "vec_id", _SEM_CENTS, _CONTAM_THRESHOLD
+    )
+    return out.select(F.col("id").alias("vec_id"), "cid", "max_eval_sim")

@@ -88,11 +88,19 @@ _PRIORITY = [
     # --- graph analytics over the near-dup graph (new r3 batch 2) ---
     "graph_pagerank_neardup",
     "graph_degree_stats",
+    # join_range_price_tiers rotated out (green r02) for the triangle row.
+    "graph_triangle_count",
     # --- multimodal + reference pipeline parity + corpus pipeline stages ---
     # multimodal_binary_meta rotated out (green r02; decode-stub plumbing
     # unchanged this round).
     "pipeline_avro_roundtrip",
     "pipeline_decontaminate_bloom",
+    # q5_local_supplier_volume and agg_grouping_sets rotated out (green
+    # r02) for the round's semantic-decontamination and Z-order rows;
+    # multi-way joins and grouped aggs stay evidenced by r01+r02 plus the
+    # salted-distinct and corpus-agg rows still in the window.
+    "pipeline_decontaminate_semantic",
+    "layout_zorder_code",
     "pipeline_decontaminate",
     "pipeline_quality_filter",
     "pipeline_corpus_split",
@@ -119,7 +127,6 @@ _PRIORITY = [
     # r01+r02) for the round's tf-idf/PMI corpus rows; q3_shipping_priority
     # and join_inner_segment_sales rotated out (green r02) — scans+aggs+
     # joins stay repped by q5/range/grouping-sets/salted-distinct.
-    "q5_local_supplier_volume",
     # join_left_order_counts rotated out (green r01+r02) for
     # scalar_map_order_attrs; joins stay repped by inner/semi/range.
     "scalar_map_order_attrs",
@@ -127,11 +134,9 @@ _PRIORITY = [
     # n-gram decontamination row (itself a broadcast semi-join shape);
     # join_anti_dormant_customers rotated out (green r01+r02, 0-row result)
     # for events_funnel.
-    "join_range_price_tiers",
     # agg_distinct_customers rotated out (green r01+r02) for the salted
     # two-phase variant, which exercises the skew path over the same data.
     "agg_salted_distinct_customers",
-    "agg_grouping_sets",
     # agg_percentiles rotated out (green r01+r02) for the importance-
     # sampling row.
     # window_rank_top_orders and sort_limit_top_orders rotated out (both

@@ -104,6 +104,9 @@ BENCH_QUERIES = [
     "sketch_countmin_tokens",
     "text_bpe_pair_stats",
     "layout_zorder_code",
+    "merge_scd2_customers",
+    "diag_key_skew",
+    "agg_price_outliers_iqr",
 ]
 
 # Results small enough to collect (bounded by construction); others count().

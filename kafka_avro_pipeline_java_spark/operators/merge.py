@@ -1,0 +1,65 @@
+"""SCD2 merge: slowly-changing-dimension type-2 upserts as a DataFrame
+transform.
+
+Parquet has no MERGE INTO; the idiomatic Spark answer is to EXPRESS the
+merge relationally and rewrite the partition/table: close the current row
+of every key whose attributes changed (valid_to = effective version) and
+append the update as the new current row. History rows never move.
+
+100 TB shape: one equi-join of updates against CURRENT rows only (the
+valid_to IS NULL slice — a pushed-down scan filter), attribute-diff in the
+join projection, and a union of three branches that each read the dim scan
+once. Updates are batch-sized (a CDC tick), so the join broadcasts; the
+dimension table itself never shuffles. At warehouse scale this runs
+per-partition and rewrites only partitions containing touched keys.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: list[str],
+    *,
+    version_col: str = "valid_from",
+    end_col: str = "valid_to",
+    new_version,
+) -> DataFrame:
+    """Apply one batch of updates to an SCD2 dimension.
+
+    ``dim``: (key, attrs..., valid_from, valid_to) with valid_to NULL on
+    current rows. ``updates``: (key, attrs...). Rows whose attributes all
+    match the current version are no-ops; changed keys get their current
+    row closed at ``new_version`` and a fresh open row appended."""
+    cur = dim.filter(F.col(end_col).isNull())
+    hist = dim.filter(F.col(end_col).isNotNull())
+    u = updates.select(key, *attrs)
+    joined = cur.alias("c").join(
+        F.broadcast(u.alias("u")), F.col(f"c.{key}") == F.col(f"u.{key}")
+    )
+    differs = reduce(
+        lambda a, b: a | b,
+        [~F.col(f"c.{a}").eqNullSafe(F.col(f"u.{a}")) for a in attrs],
+    )
+    changed_keys = joined.filter(differs).select(
+        F.col(f"c.{key}").alias(key)
+    )
+    closed = (
+        cur.join(F.broadcast(changed_keys), key, "left_semi")
+        .withColumn(end_col, F.lit(new_version).cast(dim.schema[version_col].dataType))
+    )
+    fresh = (
+        u.join(F.broadcast(changed_keys), key, "left_semi")
+        .withColumn(version_col, F.lit(new_version).cast(dim.schema[version_col].dataType))
+        .withColumn(end_col, F.lit(None).cast(dim.schema[version_col].dataType))
+        .select(*dim.columns)
+    )
+    untouched_cur = cur.join(F.broadcast(changed_keys), key, "left_anti")
+    return hist.unionByName(untouched_cur).unionByName(closed).unionByName(fresh)

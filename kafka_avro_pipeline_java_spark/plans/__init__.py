@@ -5,6 +5,7 @@ from .registry import ORACLES, QUERIES, query
 from . import relational  # noqa: E402,F401
 from . import relational2  # noqa: E402,F401
 from . import relational3  # noqa: E402,F401
+from . import relational4  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import tpch2  # noqa: E402,F401
 from . import events as events_plans  # noqa: E402,F401

@@ -1,0 +1,39 @@
+"""SCD2 merge (operators/merge.py): multi-batch history evolution."""
+
+from pyspark.sql import functions as F
+
+from kafka_avro_pipeline_java_spark.operators.merge import scd2_apply
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, seg string, valid_from int, valid_to int"
+    )
+
+
+def test_scd2_two_batches_build_history_chain(spark):
+    dim = _dim(spark, [(1, "A", 0, None), (2, "B", 0, None), (3, "C", 0, None)])
+    u1 = spark.createDataFrame([(1, "X"), (2, "B")], "k long, seg string")
+    v1 = scd2_apply(dim, u1, "k", ["seg"], new_version=1)
+    u2 = spark.createDataFrame([(1, "Y")], "k long, seg string")
+    v2 = scd2_apply(v1, u2, "k", ["seg"], new_version=2)
+
+    rows = {(r.k, r.seg, r.valid_from, r.valid_to) for r in v2.collect()}
+    assert rows == {
+        (1, "A", 0, 1),      # closed by batch 1
+        (1, "X", 1, 2),      # opened by batch 1, closed by batch 2
+        (1, "Y", 2, None),   # current
+        (2, "B", 0, None),   # batch-1 no-op (same attrs) — untouched
+        (3, "C", 0, None),   # never updated
+    }
+
+
+def test_scd2_exactly_one_current_row_per_key(spark):
+    dim = _dim(spark, [(i, "A", 0, None) for i in range(20)])
+    u = spark.createDataFrame(
+        [(i, "B") for i in range(0, 20, 2)], "k long, seg string"
+    )
+    out = scd2_apply(dim, u, "k", ["seg"], new_version=1)
+    cur = out.filter(F.col("valid_to").isNull()).groupBy("k").count()
+    assert cur.filter(F.col("count") != 1).count() == 0
+    assert out.count() == 20 + 10  # 10 closed rows added

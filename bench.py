@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "sketch_kmv_distinct",
     "sketch_hll_distinct",
     "sketch_countmin_tokens",
+    "sketch_join_cardinality",
     "text_bpe_pair_stats",
     "layout_zorder_code",
     "merge_scd2_customers",

@@ -193,3 +193,30 @@ def hll_distinct(
     return full.select(
         F.col("g").alias(group_col), F.round(est, 4).alias("est_distinct")
     )
+
+
+def countmin_inner_product(
+    a_items: DataFrame,
+    a_col: str,
+    b_items: DataFrame,
+    b_col: str,
+    *,
+    depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """Equi-join cardinality estimate WITHOUT running the join: the
+    Count-Min inner-product estimator min_r Σ_col A[r,col]·B[r,col]
+    (an upper bound on Σ_k c_A(k)·c_B(k) — collisions only add). The
+    planner-style use: each side reduces to d·m counters (two word-count
+    aggs); the estimate is a join of two broadcast-sized sketches. Exact
+    answer costs the full shuffle join this estimator is priced to
+    avoid."""
+    ca = countmin_cells(a_items, a_col, depth=depth, width=width)
+    cb = countmin_cells(b_items, b_col, depth=depth, width=width)
+    prod = (
+        ca.alias("a")
+        .join(cb.alias("b"), ["row", "col"])
+        .groupBy("row")
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("s"))
+    )
+    return prod.agg(F.min("s").cast("bigint").alias("est_rows"))

@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "merge_scd2_customers",
     "diag_key_skew",
     "agg_price_outliers_iqr",
+    "agg_moments_skew_kurtosis",
+    "agg_correlation_exact",
 ]
 
 # Results small enough to collect (bounded by construction); others count().

@@ -97,10 +97,16 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(F.col("degree").cast("int").alias("degree"), "n_nodes")
 
 
+def _simhash2_oracle() -> str:
+    from .text import _simhash_portable_oracle
+
+    return _simhash_portable_oracle(max_hamming=2)
+
+
 @query(
     "graph_triangle_count",
     oracle=f"""
-    WITH allp AS ({ORACLES["dedup_simhash_portable"]}),
+    WITH allp AS ({_simhash2_oracle()}),
     pairs AS (SELECT id_a, id_b FROM allp),
     tri AS (
       SELECT COUNT(*) AS t
@@ -114,24 +120,19 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle count over the SimHash near-dup graph — the clique
-    detector: triangles (and their density vs edges) separate pairwise
-    accidents from boilerplate clusters. Canonically-ordered edges
-    (id_a < id_b) make each triangle count exactly once via the
-    p1(a,b)⋈p2(b,c)⋈p3(a,c) double join; the derived edge list is
-    localCheckpoint'ed so SimHash runs once, not three times
-    (operators/graph.py iterative discipline)."""
+    """Triangle count over the SimHash near-dup graph (Hamming ≤ 2 — the
+    tight-duplicate tier; ≤ 4 is clique-dense enough that sf0.1 holds 81M
+    triangles and counting is output-bound): the clique detector that
+    separates pairwise accidents from boilerplate clusters. Counted with
+    the degree-ordered node-iterator (operators/graph.py::triangle_count,
+    wedge volume O(m^1.5)); the derived edge list is localCheckpoint'ed
+    so SimHash runs once."""
     d = load_table(spark, sf_dir, "documents")
     pairs = (
-        dedup.simhash_near_pairs_portable(d, "text", "doc_id", max_hamming=4)
+        dedup.simhash_near_pairs_portable(d, "text", "doc_id", max_hamming=2)
         .select("id_a", "id_b")
         .localCheckpoint(eager=False)
     )
-    p1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    p2 = pairs.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
-    p3 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
-    tri = p1.join(p2, "b").join(p3, ["a", "c"]).agg(
-        F.count("*").alias("n_triangles")
-    )
+    tri = graph.triangle_count(pairs, src="id_a", dst="id_b")
     edges = pairs.agg(F.count("*").alias("n_edges"))
     return edges.crossJoin(tri)

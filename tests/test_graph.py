@@ -69,3 +69,36 @@ def test_ewma_constant_series_is_constant(spark, sf_dir):
         .count()
     )
     assert first == 0
+
+
+def test_triangle_count_on_planted_cliques(spark):
+    from kafka_avro_pipeline_java_spark.operators.graph import triangle_count
+
+    # K4 (4 triangles) + K3 (1) + a path (0) + isolated edge (0)
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    k3 = [(10, 11), (10, 12), (11, 12)]
+    path = [(20, 21), (21, 22)]
+    extra = [(30, 31)]
+    pairs = spark.createDataFrame(k4 + k3 + path + extra, "id_a long, id_b long")
+    got = triangle_count(pairs).collect()[0].n_triangles
+    assert got == 4 + 1
+
+
+def test_triangle_count_matches_naive_on_random_graph(spark):
+    import itertools
+    import random
+
+    from kafka_avro_pipeline_java_spark.operators.graph import triangle_count
+
+    rng = random.Random(7)
+    nodes = range(30)
+    pairs = [
+        (a, b) for a, b in itertools.combinations(nodes, 2) if rng.random() < 0.2
+    ]
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if ((a, b) in pairs and (b, c) in pairs and (a, c) in pairs)
+    )
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    assert triangle_count(df).collect()[0].n_triangles == want

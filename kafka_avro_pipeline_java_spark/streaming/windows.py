@@ -25,7 +25,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -269,6 +271,85 @@ def ewma_per_user(
         update,
         outputStructType=EWMA_OUT_SCHEMA,
         stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+HLL_STATE_SCHEMA = StructType(
+    [StructField("regs", ArrayType(IntegerType()))]
+)
+HLL_OUT_SCHEMA = StructType(
+    [
+        StructField("hour", TimestampType()),
+        StructField("est_distinct", DoubleType()),
+    ]
+)
+
+_HLL_M = 64
+
+
+def hll_distinct_per_hour(
+    events: DataFrame,
+    *,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming approximate distinct-count: per-hour HLL over users with
+    registers carried across micro-batches — a mergeable sketch IS
+    streaming state (register max is order- and batch-boundary-
+    insensitive, so the streaming estimate equals the batch operator
+    operators/sketches.py::hll_distinct exactly; parity-tested). The
+    hash→(bucket, ρ) projection runs JVM-side BEFORE the stateful op —
+    Python only folds per-bucket maxima over Arrow batches, never
+    hashes. State is m=64 ints per open hour; the watermark bounds how
+    many hours stay open."""
+    from ..functions.hashing import portable_hash64
+
+    m = _HLL_M
+    b = 6
+    rest_bits = 60 - b
+    h = portable_hash64(F.col(key_col).cast("string"))
+    rest = F.shiftright(h, b)
+    bitlen = F.size(
+        F.filter(
+            F.sequence(F.lit(0), F.lit(rest_bits - 1)),
+            lambda p: F.call_function("shiftleft", F.lit(1).cast("long"), p)
+            <= rest,
+        )
+    )
+    prepared = with_watermark(events, ts_col, watermark).select(
+        F.date_trunc("hour", ts_col).alias("hour"),
+        F.pmod(h, F.lit(m)).cast("int").alias("bk"),
+        (F.lit(rest_bits + 1) - bitlen).cast("int").alias("rho"),
+    )
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+    top = rest_bits + 1
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (hour,) = key
+        regs = list(state.get[0]) if state.exists else [0] * m
+        for pdf in pdfs:
+            if len(pdf):
+                mx = pdf.groupby("bk")["rho"].max()
+                for bk, rho in mx.items():
+                    if rho > regs[bk]:
+                        regs[bk] = int(rho)
+        state.update((regs,))
+        isum = sum(1 << (top - r) for r in regs)
+        v = sum(1 for r in regs if r == 0)
+        e_raw = alpha * m * m * float(1 << top) / isum
+        est = m * __import__("math").log(m / v) if (e_raw <= 2.5 * m and v > 0) else e_raw
+        yield pd.DataFrame({"hour": [hour], "est_distinct": [round(est, 4)]})
+
+    return prepared.groupBy("hour").applyInPandasWithState(
+        update,
+        outputStructType=HLL_OUT_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

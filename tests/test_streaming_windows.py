@@ -181,3 +181,30 @@ def test_streaming_ewma_matches_batch_fold(spark, spool):
         r["user_id"]: (r["n"], round(r["ewma"], 9)) for r in batch.collect()
     }
     assert got == want
+
+
+def test_streaming_hll_matches_batch_sketch(spark, spool):
+    stream = W.hll_distinct_per_hour(_stream(spark, spool))
+    q = (
+        stream.writeStream.format("memory").queryName("hll_t")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["hour"]: r["est_distinct"]
+        for r in spark.sql(
+            # update mode may emit an hour several times; the register max
+            # is monotone so the LAST (max) estimate is the final one
+            "SELECT hour, MAX(est_distinct) AS est_distinct FROM hll_t GROUP BY hour"
+        ).collect()
+    }
+    from kafka_avro_pipeline_java_spark.operators.sketches import hll_distinct
+
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(spool).select(
+        F.date_trunc("hour", "ts").alias("hour"), "user_id"
+    )
+    want = {
+        r["hour"]: r["est_distinct"]
+        for r in hll_distinct(batch, "hour", "user_id", m=64).collect()
+    }
+    assert got == want

@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "agg_price_outliers_iqr",
     "agg_moments_skew_kurtosis",
     "agg_correlation_exact",
+    "basket_item_lift",
 ]
 
 # Results small enough to collect (bounded by construction); others count().

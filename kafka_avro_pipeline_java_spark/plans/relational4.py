@@ -255,3 +255,64 @@ def agg_correlation_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return c.select("l_returnflag", F.round(corr, 6).alias("corr_qty_price"))
+
+
+@query(
+    "basket_item_lift",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM baskets
+    ), item AS (
+      SELECT l_partkey, CAST(COUNT(*) AS DOUBLE) AS c FROM baskets GROUP BY 1
+    ), pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    )
+    SELECT p.part_a, p.part_b, p.n_both,
+           ROUND(p.n_both * n.n_orders / (ia.c * ib.c), 4) AS lift
+    FROM pair p
+    JOIN item ia ON ia.l_partkey = p.part_a
+    JOIN item ib ON ib.l_partkey = p.part_b, n
+    """,
+)
+def basket_item_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought in the same order at
+    least twice, scored by lift = P(a,b)/(P(a)·P(b)) — the co-purchase
+    affinity a recommender or assortment planner starts from. The pair
+    join is keyed by ORDER (per-key fan-out = basket size², ~4 items/
+    order — never the catalog); supports and lift are exact integer
+    counts in closed form, so the oracle hash matches exactly."""
+    l = load_table(spark, sf_dir, "lineitem")
+    baskets = l.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    item = baskets.groupBy("l_partkey").agg(F.count("*").cast("double").alias("c"))
+    a = baskets.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    b = baskets.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    pair = (
+        a.join(b, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
+    return (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a", "part_b", "n_both",
+            F.round(
+                F.col("n_both") * F.col("n_orders") / (F.col("ca") * F.col("cb")), 4
+            ).alias("lift"),
+        )
+    )

@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "agg_moments_skew_kurtosis",
     "agg_correlation_exact",
     "basket_item_lift",
+    "events_transition_matrix",
 ]
 
 # Results small enough to collect (bounded by construction); others count().

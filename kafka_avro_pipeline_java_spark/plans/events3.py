@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources import load_table
 from .registry import query
@@ -112,4 +113,45 @@ def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return arr.select("user_id", F.explode(rows).alias("r")).select(
         "user_id", "r.hour", "r.v", "r.ewma"
+    )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), c AS (
+      SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, SUM(n) AS t FROM c GROUP BY 1
+    )
+    SELECT c.event_type, c.next_type, c.n,
+           ROUND(c.n / CAST(tot.t AS DOUBLE), 6) AS p_next
+    FROM c JOIN tot USING (event_type)
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior:
+    P(next event type | current), estimated from per-user event
+    sequences — the behavioral fingerprint behind funnel design and
+    bot detection (a near-deterministic row is a script). One user-keyed
+    window (lead) with the (ts, event_id) tiebreak, then two
+    type-pair-sized aggregations — the matrix is |types|², broadcast-
+    sized at any corpus scale."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = seq.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+    tot = c.groupBy("event_type").agg(F.sum("n").alias("t"))
+    return c.join(tot, "event_type").select(
+        "event_type", "next_type", "n",
+        F.round(F.col("n") / F.col("t").cast("double"), 6).alias("p_next"),
     )

@@ -316,3 +316,52 @@ def basket_item_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "merge_scd2_snapshot_asof",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment, 0 AS valid_from,
+             CAST(NULL AS INT) AS valid_to
+      FROM customer
+    ), updates AS (
+      SELECT c_custkey, 'RELOCATED' AS c_mktsegment
+      FROM customer WHERE c_custkey % 7 = 0
+    ), changed AS (
+      SELECT d.c_custkey FROM dim d JOIN updates u USING (c_custkey)
+      WHERE d.valid_to IS NULL AND d.c_mktsegment <> u.c_mktsegment
+    ), merged AS (
+      SELECT d.c_custkey, d.c_mktsegment, d.valid_from,
+             CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE d.valid_to END AS valid_to
+      FROM dim d LEFT JOIN changed c USING (c_custkey)
+      UNION ALL
+      SELECT u.c_custkey, u.c_mktsegment, 1, CAST(NULL AS INT)
+      FROM updates u JOIN changed c USING (c_custkey)
+    )
+    SELECT c_custkey, c_mktsegment
+    FROM merged
+    WHERE valid_from <= 0 AND (valid_to IS NULL OR valid_to > 0)
+    """,
+)
+def merge_scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD2 dimension: reconstruct the table AS OF
+    version 0 — i.e. after the version-1 CDC batch applied, the query
+    still returns the pre-update segments (every history row whose
+    validity interval covers the asked version). One scan + one interval
+    filter; the snapshot predicate pushes to the scan on a materialized
+    SCD2 table."""
+    c = load_table(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey", "c_mktsegment",
+        F.lit(0).alias("valid_from"), F.lit(None).cast("int").alias("valid_to"),
+    )
+    updates = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", F.lit("RELOCATED").alias("c_mktsegment")
+    )
+    merged = scd2_apply(dim, updates, "c_custkey", ["c_mktsegment"], new_version=1)
+    asof = 0
+    return merged.filter(
+        (F.col("valid_from") <= asof)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > asof))
+    ).select("c_custkey", "c_mktsegment")

@@ -68,3 +68,61 @@ def bloom_test(col: Column, mask: list[int], *, m_bits: int | None = None, k: in
         word = F.element_at(mask_lit, (p / 64).cast("int") + 1)
         hit = hit & (F.call_function("getbit", word, p % 64) == 1)
     return hit
+
+
+def bloom_words_df(df: DataFrame, col: str, *, m_bits: int = 1 << 22, k: int = 3) -> DataFrame:
+    """Distributed Bloom build: the bitmask as a (widx, bits) DataFrame of
+    NON-ZERO 64-bit words (aggregated with bit_or, never collected). The
+    scale form of ``bloom_build`` — a 2²²-bit mask is 65k words, which as
+    a LITERAL array defeats codegen (measured 126 s for the probe pass at
+    200k docs vs 4 s with the join form below); as a broadcast table it
+    stays a hash-join build side of ≤ m/64 rows."""
+    pos = df.select(
+        F.explode(F.array(*_positions(F.col(col), m_bits, k))).alias("p")
+    ).distinct()
+    return (
+        pos.select(
+            (F.col("p") / 64).cast("long").alias("widx"),
+            F.pmod(F.col("p"), F.lit(64)).cast("int").alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(
+            F.bit_or(F.call_function("shiftleft", F.lit(1).cast("long"), F.col("bit")))
+            .alias("bits")
+        )
+    )
+
+
+def bloom_filter_members(
+    probe: DataFrame,
+    col: str,
+    words: DataFrame,
+    *,
+    m_bits: int = 1 << 22,
+    k: int = 3,
+) -> DataFrame:
+    """Rows of ``probe`` that MIGHT be members (zero false negatives): k
+    broadcast hash joins against the non-zero mask words, one per probe
+    hash — the corpus side streams, nothing shuffles, and a missing word
+    means a clear bit (left join + coalesce)."""
+    out = probe
+    bw = F.broadcast(words)
+    for i in range(k):
+        p = F.pmod(portable_hash64(F.concat(F.col(col), F.lit(f"#{i}"))), F.lit(m_bits))
+        out = (
+            out.withColumn(f"_w{i}", (p / 64).cast("long"))
+            .withColumn(f"_b{i}", F.pmod(p, F.lit(64)).cast("int"))
+            .join(
+                bw.select(F.col("widx").alias(f"_w{i}"), F.col("bits").alias(f"_bits{i}")),
+                f"_w{i}",
+                "left",
+            )
+            .filter(
+                F.coalesce(
+                    F.call_function("getbit", F.col(f"_bits{i}"), F.col(f"_b{i}")),
+                    F.lit(0),
+                )
+                == 1
+            )
+        )
+    return out.drop(*[c for i in range(k) for c in (f"_w{i}", f"_b{i}", f"_bits{i}")])

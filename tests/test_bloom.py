@@ -52,3 +52,23 @@ def test_bloom_prefilter_preserves_exact_decontamination(spark, sf_dir):
         r.doc_id for r in d.filter(F.col("doc_id") % 97 != 0).select("doc_id").collect()
     } - dirty
     assert got == clean
+
+
+def test_bloom_join_form_matches_literal_form(spark):
+    members = spark.range(400).select(F.concat(F.lit("m-"), "id").alias("v"))
+    probe = spark.range(3000).select(F.concat(F.lit("m-"), "id").alias("v"))
+    # literal form
+    mask = bloom.bloom_build(members, "v", m_bits=1 << 13, k=3)
+    lit_hits = {
+        r.v for r in probe.filter(bloom.bloom_test(F.col("v"), mask, k=3)).collect()
+    }
+    # join form over the same bit positions
+    words = bloom.bloom_words_df(members, "v", m_bits=1 << 13, k=3)
+    join_hits = {
+        r.v
+        for r in bloom.bloom_filter_members(
+            probe, "v", words, m_bits=1 << 13, k=3
+        ).collect()
+    }
+    assert join_hits == lit_hits
+    assert {f"m-{i}" for i in range(400)} <= join_hits  # no false negatives

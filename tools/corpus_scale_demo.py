@@ -93,6 +93,47 @@ timed("bm25_top10", lambda: search.bm25_topk(
     spark, docs, "text", "doc_id", ["w1", "w17", "w333", "w420", "w999"], k=10
 ).count())
 
+# round-3 batch-2 operators over the same corpus
+from kafka_avro_pipeline_java_spark.operators import bloom, bpe, fuzzy
+from kafka_avro_pipeline_java_spark.functions import text as T
+
+timed("fuzzy_edit_dedup", lambda: fuzzy.fuzzy_pairs(
+    docs, "text", "doc_id", max_dist=20, prefix_tokens=2
+).count())
+
+
+def _entropy():
+    counts = (
+        docs.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok").agg(F.count("*").cast("double").alias("c"))
+    )
+    from pyspark.sql.window import Window
+    tot = F.sum("c").over(Window.partitionBy(F.lit(1)))
+    pcol = F.col("c") / tot
+    return round(counts.select((-pcol * F.log(pcol)).alias("plnp"))
+                 .agg(F.sum("plnp")).first()[0], 3)
+
+
+timed("token_entropy", _entropy)
+
+
+def _bloom_decon():
+    # 2^22-bit mask: the join form — a literal word array this size
+    # defeats codegen (measured 126 s vs ~4 s at 200k docs)
+    sp = spans.span_table(docs, "text", "doc_id", w=5).withColumnRenamed("id", "doc_id")
+    is_eval = F.col("doc_id") % 97 == 0
+    bench = sp.filter(is_eval).select("span_hash").distinct()
+    words = bloom.bloom_words_df(bench, "span_hash", m_bits=1 << 22, k=3)
+    cand = bloom.bloom_filter_members(
+        sp.filter(~is_eval), "span_hash", words, m_bits=1 << 22, k=3
+    )
+    dirty = cand.join(F.broadcast(bench), "span_hash", "left_semi").select("doc_id").distinct()
+    return docs.filter(~is_eval).join(F.broadcast(dirty), "doc_id", "left_anti").count()
+
+
+timed("bloom_ngram_decontaminate", _bloom_decon)
+timed("bpe_pair_stats_iter1", lambda: bpe.word_counts(docs, "text").count())
+
 # SemDeDup pair volume is Σ cluster² ≈ n²/k when clusters are balanced;
 # k ∝ √n keeps it ~n^1.5. Balance requires SIGNED embedding data: hashed
 # bag-of-words count vectors live in the all-positive orthant, cosines

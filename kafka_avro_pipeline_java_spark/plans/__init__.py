@@ -92,9 +92,10 @@ _PRIORITY = [
     # join_range_price_tiers rotated out (green r02) for the triangle row.
     "graph_triangle_count",
     # --- multimodal + reference pipeline parity + corpus pipeline stages ---
-    # multimodal_binary_meta rotated out (green r02; decode-stub plumbing
-    # unchanged this round).
-    "pipeline_avro_roundtrip",
+    # multimodal_binary_meta and pipeline_avro_roundtrip rotated out (both
+    # green r02) for the round's NEW multimodal oracle row: the
+    # mapInPandas resize path, md5-verified byte-for-byte.
+    "multimodal_resize_pipeline",
     "pipeline_decontaminate_bloom",
     # q5_local_supplier_volume and agg_grouping_sets rotated out (green
     # r02) for the round's semantic-decontamination and Z-order rows;

@@ -99,3 +99,35 @@ def pipeline_key_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("partition").alias("partition"),
         )
     )
+
+
+@query(
+    "multimodal_resize_pipeline",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(16 AS INT) AS out_width, CAST(16 AS INT) AS out_height,
+           CAST(256 AS INT) AS n_bytes,
+           md5(CASE WHEN length(text) >= 256 THEN substr(text, 1, 256)
+                    ELSE text || repeat(chr(0), 256 - length(text)) END)
+             AS resized_md5
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing end-to-end: media table → Arrow-batched
+    mapInPandas resize STUB (deterministic truncate/NUL-pad to 16×16
+    bytes — real decode needs PIL, absent in this container and honestly
+    stubbed, operators/multimodal.py) → md5 of every resized payload
+    checked against DuckDB reconstructing the same bytes. Proves the
+    binary-in/binary-out batch path, schema, and image-row routing —
+    the parts that survive when a real codec replaces the stub."""
+    from ..operators.multimodal import resize_images, text_as_media
+
+    d = load_table(spark, sf_dir, "documents")
+    media = text_as_media(d, "doc_id", "text")
+    resized = resize_images(media, 16, 16)
+    return resized.select(
+        "media_id", "out_width", "out_height",
+        F.length("payload").alias("n_bytes"),
+        F.md5("payload").alias("resized_md5"),
+    )

@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "agg_salted_distinct_customers",
     "scalar_map_order_attrs",
     "multimodal_binary_meta",
+    "multimodal_resize_pipeline",
+    "multimodal_frame_sample",
     "sketch_kmv_distinct",
     "sketch_hll_distinct",
     "sketch_countmin_tokens",

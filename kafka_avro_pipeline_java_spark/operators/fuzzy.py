@@ -58,6 +58,13 @@ def fuzzy_pairs(
         F.length(norm).alias("n"),
         blk.alias("blk"),
     )
+    # Measured and NOT adopted: semi-joining the text side down to
+    # multi-member blocks first (singletons can't pair) cuts the text
+    # shuffle ~10×, but the block-count branch re-scans and re-tokenizes
+    # the corpus — net wash on local disk shuffle (14.2 s vs 15.2 s at
+    # 200k docs). On a network-shuffle cluster where bytes moved dominate,
+    # resurrect it with the counts computed off a materialized (id, blk)
+    # projection instead of a second full scan.
     # a broadcast join keeps the streamed side's partitioning, and a small
     # input (one parquet file) would run every levenshtein in ONE task —
     # spread the streamed side first (measured 3.3 s → sub-second at 5k

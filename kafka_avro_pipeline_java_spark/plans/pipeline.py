@@ -131,3 +131,35 @@ def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("payload").alias("n_bytes"),
         F.md5("payload").alias("resized_md5"),
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH vids AS (
+      SELECT doc_id AS media_id, text, length(text) AS n
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT media_id, CAST(i.i AS INT) AS frame_index,
+           CAST(length(substr(text, CAST(i.i * 64 + 1 AS INT), 64)) AS INT) AS frame_bytes,
+           md5(substr(text, CAST(i.i * 64 + 1 AS INT), 64)) AS frame_md5
+    FROM vids, UNNEST(range(0, least(8, greatest(1, n // 64)))) AS i(i)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing end-to-end: video rows fan out 1→N through
+    the Arrow-batched mapInPandas STUB (64-byte slices standing in for
+    ffmpeg keyframes — the fan-out shape is what's real), and every
+    frame's bytes are md5-verified against DuckDB slicing the same
+    payload. With the resize row this closes the multimodal trio:
+    metadata, image path, and video fan-out all value-checked."""
+    from ..operators.multimodal import sample_frames, text_as_media
+
+    d = load_table(spark, sf_dir, "documents")
+    media = text_as_media(d, "doc_id", "text")
+    frames = sample_frames(media, every_n_bytes=64, max_frames=8)
+    return frames.select(
+        "media_id", "frame_index",
+        F.length("frame_payload").alias("frame_bytes"),
+        F.md5("frame_payload").alias("frame_md5"),
+    )

@@ -53,7 +53,7 @@ def kmv_distinct(
     kept = ranked.filter(F.col("r") <= k)
     return (
         kept.groupBy("g")
-        .agg(F.max("h").alias("hk"), F.count("*").alias("n"), F.max("r").alias("rk"))
+        .agg(F.max("h").alias("hk"), F.count("*").alias("n"))
         .select(
             F.col("g").alias(group_col),
             F.round(

@@ -3,10 +3,12 @@
 The dedup pair lists ARE a graph; beyond resolving components
 (dedup_near_dup_groups), ranking nodes inside that graph is how a triage
 pipeline decides which documents are boilerplate HUBS (high PageRank in
-the overlap graph) versus incidental one-off matches. Edges here come
-from the n-gram Jaccard pairs so the whole composition — shingles →
-pairs → graph → ranks — stays DuckDB-expressible; the oracle unrolls the
-power iterations as CTEs.
+the overlap graph) versus incidental one-off matches. Edges come from
+the n-gram Jaccard pairs (PageRank, degrees) and the SimHash pairs
+(triangles — the denser graph that actually has cliques), so every
+composition — shingles/bits → pairs → graph → metric — stays
+DuckDB-expressible; the PageRank oracle unrolls the power iterations as
+CTEs.
 """
 
 from __future__ import annotations

@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "agg_correlation_exact",
     "basket_item_lift",
     "events_transition_matrix",
+    "events_top_paths",
 ]
 
 # Results small enough to collect (bounded by construction); others count().

@@ -155,3 +155,76 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "next_type", "n",
         F.round(F.col("n") / F.col("t").cast("double"), 6).alias("p_next"),
     )
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM x
+    ), seqs AS (
+      SELECT user_id, session_id,
+             list(event_type ORDER BY ts, event_id) AS types
+      FROM s GROUP BY 1, 2
+    ), grams AS (
+      SELECT types[i.i] || '>' || types[i.i + 1] || '>' || types[i.i + 2] AS path
+      FROM seqs, UNNEST(range(1, len(types) - 1)) AS i(i)
+      WHERE len(types) >= 3
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+    FROM grams GROUP BY path
+    ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining: the 20 most common 3-step event paths
+    WITHIN a session (30-min-gap sessionization, same rule as
+    events_sessionize) — the navigation fingerprints that drive funnel
+    design beyond fixed stage lists. One user-keyed window pass to
+    sessionize, one per-session collect (bounded by session length), then
+    a word-count over paths and a distributed TakeOrdered — nothing
+    corpus-sized is ever globally sorted."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    s = e.withColumn("session_id", F.sum(is_new).over(wrun))
+    seqs = s.groupBy("user_id", "session_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ).alias("types")
+    )
+    grams = seqs.select(
+        F.explode(
+            F.when(
+                F.size("types") >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("types") - 2),
+                    lambda i: F.concat_ws(
+                        ">",
+                        F.element_at("types", i),
+                        F.element_at("types", i + 1),
+                        F.element_at("types", i + 2),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("path")
+    )
+    return (
+        grams.groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )

@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "basket_item_lift",
     "events_transition_matrix",
     "events_top_paths",
+    "stats_welch_t_sources",
+    "stats_chi2_type_hour",
 ]
 
 # Results small enough to collect (bounded by construction); others count().

@@ -228,3 +228,51 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(20)
     )
+
+
+@query(
+    "stats_chi2_type_hour",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+             CAST(COUNT(*) AS DOUBLE) AS o
+      FROM events GROUP BY 1, 2
+    ), rt AS (
+      SELECT event_type, SUM(o) AS r FROM obs GROUP BY 1
+    ), ct AS (
+      SELECT hr, SUM(o) AS c FROM obs GROUP BY 1
+    ), tot AS (
+      SELECT SUM(o) AS t FROM obs
+    )
+    SELECT CAST(COUNT(*) AS INT) AS n_cells,
+           ROUND(SUM(POW(o.o - rt.r * ct.c / tot.t, 2)
+                     / (rt.r * ct.c / tot.t)), 6) AS chi2
+    FROM obs o
+    JOIN rt USING (event_type)
+    JOIN ct USING (hr), tot
+    """,
+)
+def stats_chi2_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for event type × hour-of-day —
+    "does behavior depend on time?" answered with the classic
+    Σ(O−E)²/E over the contingency table. Counts are exact integers and
+    the expected-value algebra is identical closed form on both engines;
+    the contingency table is |types|×24 — every aggregate after the
+    first shrinks, nothing corpus-sized shuffles twice."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(F.count("*").cast("double").alias("o"))
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("hr").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("t"))
+    exp = F.col("r") * F.col("c") / F.col("t")
+    return (
+        obs.join(rt, "event_type")
+        .join(ct, "hr")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.count("*").cast("int").alias("n_cells"),
+            F.round(F.sum(F.pow(F.col("o") - exp, 2) / exp), 6).alias("chi2"),
+        )
+    )

@@ -266,3 +266,60 @@ def text_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.ntile(10).over(w).alias("decile"),
     )
+
+
+@query(
+    "stats_welch_t_sources",
+    oracle=f"""
+    WITH q AS (
+      SELECT source,
+             CAST(ROUND({_QUALITY_SQL} * 10000, 0) AS BIGINT) AS s
+      FROM documents
+    ), m AS (
+      SELECT source,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(s) AS DOUBLE) AS s1,
+             CAST(SUM(s * s) AS DOUBLE) AS s2
+      FROM q GROUP BY source
+    ), pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             a.s1 / a.n AS ma, b.s1 / b.n AS mb,
+             (a.s2 - a.s1 * a.s1 / a.n) / (a.n - 1) / a.n AS va,
+             (b.s2 - b.s1 * b.s1 / b.n) / (b.n - 1) / b.n AS vb
+      FROM m a JOIN m b ON a.source < b.source
+    )
+    SELECT src_a, src_b,
+           ROUND((ma - mb) / SQRT(va + vb), 6) AS welch_t
+    FROM pairs
+    """,
+)
+def stats_welch_t_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch t-statistic for the quality-score gap between
+    every pair of ingestion sources — the significance gate behind "is
+    source X really worse, or is that noise?". Scores quantize to exact
+    integers (×10⁴ of the 4-decimal quality), so Σs and Σs² are
+    integer-exact and the t statistic is pure closed-form algebra after a
+    source-sized aggregate — identical doubles on both engines. The pair
+    join is |sources|², broadcast-trivial at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    s = F.round(T.quality_score("text") * 10000, 0).cast("bigint")
+    m = d.select("source", s.alias("s")).groupBy("source").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("s").cast("double").alias("s1"),
+        F.sum(F.col("s") * F.col("s")).cast("double").alias("s2"),
+    )
+    a = m.select(*[F.col(c).alias(f"{c}_a") for c in m.columns])
+    b = m.select(*[F.col(c).alias(f"{c}_b") for c in m.columns])
+    j = a.join(b, F.col("source_a") < F.col("source_b"))
+    ma, mb = F.col("s1_a") / F.col("n_a"), F.col("s1_b") / F.col("n_b")
+    va = (F.col("s2_a") - F.col("s1_a") * F.col("s1_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    ) / F.col("n_a")
+    vb = (F.col("s2_b") - F.col("s1_b") * F.col("s1_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    ) / F.col("n_b")
+    return j.select(
+        F.col("source_a").alias("src_a"),
+        F.col("source_b").alias("src_b"),
+        F.round((ma - mb) / F.sqrt(va + vb), 6).alias("welch_t"),
+    )

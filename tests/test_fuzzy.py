@@ -61,3 +61,17 @@ def test_fuzzy_length_prefilter_prunes_before_verify(spark):
     assert df.count() == 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_block_cap_drops_heavy_blocks_only(spark):
+    # 30 docs share a boilerplate opening (d^2 = 870 ordered pairs); two
+    # docs in a rare block are near-identical. Capping at 10 must drop
+    # every boilerplate pair and keep the rare-block pair.
+    rows = [(i, f"common opening body word{i}") for i in range(30)]
+    rows += [(100, "rare opener tail one"), (101, "rare opener tail two")]
+    df = _docs(spark, rows)
+    capped = fuzzy_pairs(df, "text", "doc_id", max_dist=10, max_block_size=10)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(100, 101)}
+    uncapped = fuzzy_pairs(df, "text", "doc_id", max_dist=10)
+    assert uncapped.count() > 100  # the boilerplate pairs exist without the cap

@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "events_top_paths",
     "stats_welch_t_sources",
     "stats_chi2_type_hour",
+    "agg_ols_qty_price",
 ]
 
 # Results small enough to collect (bounded by construction); others count().

@@ -365,3 +365,60 @@ def merge_scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_from") <= asof)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > asof))
     ).select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "agg_ols_qty_price",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                      * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0, 6) AS slope,
+           ROUND((sy / n - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx / n)
+                 / 100.0, 4) AS intercept,
+           ROUND(POW(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM c
+    """,
+)
+def agg_ols_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS of price on quantity per return flag — slope,
+    intercept (both back in dollars), and R² — completing the regression
+    family next to `agg_correlation_exact` with the same determinism
+    trick: every sum is integer-exact (quantities are ints, prices become
+    cents), all doubles appear only in the final algebra, identical on
+    both engines. One map-side-combined aggregate; the fit itself is
+    driver-free projection math."""
+    l = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    c = l.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope_c = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return c.select(
+        "l_returnflag",
+        F.round(slope_c / 100.0, 6).alias("slope"),
+        F.round((sy / n - slope_c * sx / n) / 100.0, 4).alias("intercept"),
+        F.round(
+            F.pow(n * sxy - sx * sy, 2) / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )

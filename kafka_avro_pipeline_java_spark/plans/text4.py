@@ -323,3 +323,54 @@ def stats_welch_t_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source_b").alias("src_b"),
         F.round((ma - mb) / F.sqrt(va + vb), 6).alias("welch_t"),
     )
+
+
+@query(
+    "dedup_rate_by_source",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.doc_id AS id_a, c.doc_id AS id_b FROM (
+        SELECT doc_id, trim(lower(text)) AS t, len(trim(lower(text))) AS n,
+               array_to_string((string_split_regex(trim(lower(text)), '\\s+'))[1:2], ' ') AS blk
+        FROM documents
+      ) a JOIN (
+        SELECT doc_id, trim(lower(text)) AS t, len(trim(lower(text))) AS n,
+               array_to_string((string_split_regex(trim(lower(text)), '\\s+'))[1:2], ' ') AS blk
+        FROM documents
+      ) c ON a.blk = c.blk AND a.doc_id < c.doc_id AND abs(a.n - c.n) <= 20
+      WHERE levenshtein(a.t, c.t) <= 20
+    ), dup_ids AS (
+      SELECT id_a AS doc_id FROM pairs UNION SELECT id_b FROM pairs
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS INT) AS n_docs,
+           CAST(COUNT(u.doc_id) AS INT) AS n_in_dup_pairs,
+           ROUND(COUNT(u.doc_id) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+    FROM documents d LEFT JOIN dup_ids u USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup dashboard sliced by ingestion source: what fraction of
+    each source's documents sit in at least one fuzzy near-dup pair —
+    the per-feed duplication rate that decides WHERE to spend dedup
+    budget (and which crawler is re-fetching). Reuses the edit-distance
+    pair join; the membership set is pair-bounded and broadcasts back
+    onto a source-keyed count."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = fuzzy.fuzzy_pairs(d, "text", "doc_id", max_dist=20, prefix_tokens=2)
+    dup_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    flagged = d.join(
+        F.broadcast(dup_ids.withColumn("_dup", F.lit(1))), "doc_id", "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.sum(F.coalesce("_dup", F.lit(0))).cast("int").alias("n_in_dup_pairs"),
+        F.round(
+            F.sum(F.coalesce("_dup", F.lit(0))) / F.count("*").cast("double"), 6
+        ).alias("dup_rate"),
+    )

@@ -276,3 +276,28 @@ def stats_chi2_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.pow(F.col("o") - exp, 2) / exp), 6).alias("chi2"),
         )
     )
+
+
+@query(
+    "events_seasonality_profile",
+    oracle="""
+    SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,  -- DuckDB 0=Sun; Spark 1=Sun
+           CAST(hour(ts) AS INT) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week activity profile — the seasonality grid
+    behind capacity planning and anomaly baselines (the hourly z-score
+    detector's expected value varies BY CELL of this grid). One map-side-
+    combined aggregate into a 7×24 table."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )

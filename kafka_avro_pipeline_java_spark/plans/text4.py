@@ -374,3 +374,52 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("_dup", F.lit(0))) / F.count("*").cast("double"), 6
         ).alias("dup_rate"),
     )
+
+
+@query(
+    "text_token_coverage",
+    oracle="""
+    WITH counts AS (
+      SELECT t.tok, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM documents,
+           UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS t(tok)
+      GROUP BY t.tok
+    ), ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r,
+             SUM(c) OVER () AS tot,
+             SUM(c) OVER (ORDER BY c DESC, tok
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM counts
+    )
+    SELECT CAST(r AS INT) AS rank_checkpoint,
+           ROUND(cum / tot, 6) AS cum_share
+    FROM ranked WHERE r IN (1, 5, 10, 20, 50, 100, 500, 1000)
+    """,
+)
+def text_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the cumulative share of all token
+    occurrences covered by the top-r tokens, sampled at standard rank
+    checkpoints — the statistic that sizes a vocabulary (BPE merge count,
+    embedding table) against the mass it actually captures. Counts are a
+    word-count agg; the running sum windows over the VOCAB-sized table
+    with a deterministic (count, token) order, never the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    w_order = Window.orderBy(F.desc("c"), "tok")
+    ranked = counts.select(
+        F.row_number().over(w_order).alias("r"),
+        F.sum("c").over(Window.partitionBy(F.lit(1))).alias("tot"),
+        F.sum("c").over(
+            w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+    )
+    return ranked.filter(
+        F.col("r").isin(1, 5, 10, 20, 50, 100, 500, 1000)
+    ).select(
+        F.col("r").cast("int").alias("rank_checkpoint"),
+        F.round(F.col("cum") / F.col("tot"), 6).alias("cum_share"),
+    )

@@ -422,3 +422,54 @@ def agg_ols_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@query(
+    "agg_winsorized_mean",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderpriority,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS p
+      FROM orders
+    ), fences AS (
+      SELECT o_orderpriority,
+             quantile_cont(p, 0.05) AS lo, quantile_cont(p, 0.95) AS hi
+      FROM cents GROUP BY 1
+    )
+    SELECT c.o_orderpriority,
+           ROUND(AVG(c.p) / 100.0, 4) AS raw_mean,
+           ROUND(AVG(LEAST(GREATEST(CAST(c.p AS DOUBLE), f.lo), f.hi)) / 100.0, 4)
+             AS winsorized_mean
+    FROM cents c JOIN fences f USING (o_orderpriority)
+    GROUP BY c.o_orderpriority
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean (clip to [p5, p95]) of order totals per priority,
+    next to the raw mean — the robust location estimate whose gap from
+    the raw mean QUANTIFIES tail influence. Same plan family as the IQR
+    fences: exact quantiles over integer cents, broadcast fence join,
+    clipping in the join projection. AVG over integer cents is a ratio of
+    exact integers, so the raw mean matches bit-for-bit; the clipped
+    branch mixes in the (float-exact) quantile bounds identically on both
+    engines."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("p"),
+    )
+    fences = cents.groupBy("o_orderpriority").agg(
+        F.percentile("p", F.lit(0.05)).alias("lo"),
+        F.percentile("p", F.lit(0.95)).alias("hi"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("p").cast("double"), F.col("lo")), F.col("hi")
+    )
+    return (
+        cents.join(F.broadcast(fences), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.avg("p") / 100.0, 4).alias("raw_mean"),
+            F.round(F.avg(clipped) / 100.0, 4).alias("winsorized_mean"),
+        )
+    )

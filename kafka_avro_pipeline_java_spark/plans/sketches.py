@@ -237,3 +237,75 @@ def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("exact_rows")
     )
     return est.crossJoin(exact)
+
+
+@query(
+    "sketch_kmv_merge",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT event_type AS g, user_id AS key FROM events
+    ), hs AS (
+      SELECT g,
+             (CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+               / {_HS!r} AS h
+      FROM pairs
+    ), per_group AS (
+      SELECT g, h FROM (
+        SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS r FROM hs
+      ) WHERE r <= {_K}
+    ), merged AS (
+      -- merge = union of the group sketches, dedup, re-take the k smallest
+      SELECT h FROM (
+        SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r
+        FROM (SELECT DISTINCT h FROM per_group)
+      ) WHERE r <= {_K}
+    ), est AS (
+      SELECT MAX(h) AS hk, COUNT(*) AS n FROM merged
+    ), exact AS (
+      SELECT COUNT(DISTINCT user_id) AS td FROM events
+    )
+    SELECT ROUND(CASE WHEN est.n < {_K} THEN CAST(est.n AS DOUBLE)
+                      ELSE {_K - 1} / est.hk END, 4) AS est_distinct_merged,
+           CAST(exact.td AS INT) AS true_distinct
+    FROM est, exact
+    """,
+)
+def sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY, value-checked: the per-event-type KMV
+    sketches (k smallest hashes each) are merged — union, dedup, re-take
+    the k smallest — into ONE global distinct-user estimate, exactly the
+    associative combine a 1000-executor partial aggregate performs. The
+    merged estimate is compared against the exact global distinct
+    computed alongside; the oracle reproduces every hash, so the claim
+    'KMV merges associatively' is graded on VALUES, not trust."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    pairs = e.select(
+        F.col("event_type").alias("g"), F.col("user_id").alias("key")
+    ).distinct()
+    hs = pairs.select(
+        "g",
+        ((sketches.portable_hash64(F.col("key").cast("string")) + 1) / F.lit(_HS)).alias("h"),
+    )
+    per_group = (
+        hs.select("g", "h", F.row_number().over(
+            Window.partitionBy("g").orderBy("h")).alias("r"))
+        .filter(F.col("r") <= _K)
+    )
+    merged = (
+        per_group.select("h").distinct()
+        .select("h", F.row_number().over(Window.orderBy("h")).alias("r"))
+        .filter(F.col("r") <= _K)
+    )
+    est = merged.agg(F.max("h").alias("hk"), F.count("*").alias("n"))
+    exact = e.agg(F.count_distinct("user_id").cast("int").alias("true_distinct"))
+    return est.crossJoin(exact).select(
+        F.round(
+            F.when(F.col("n") < _K, F.col("n").cast("double")).otherwise(
+                (_K - 1) / F.col("hk")
+            ),
+            4,
+        ).alias("est_distinct_merged"),
+        "true_distinct",
+    )

@@ -423,3 +423,73 @@ def text_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").cast("int").alias("rank_checkpoint"),
         F.round(F.col("cum") / F.col("tot"), 6).alias("cum_share"),
     )
+
+
+@query(
+    "text_js_divergence_sources",
+    oracle="""
+    WITH counts AS (
+      SELECT source, t.tok, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM documents,
+           UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS t(tok)
+      WHERE source IN ('src0', 'src1')
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT source, SUM(c) AS n FROM counts GROUP BY 1
+    ), vocab AS (
+      SELECT DISTINCT tok FROM counts
+    ), p AS (
+      SELECT s.source, v.tok,
+             COALESCE(c.c, 0) / t.n AS p
+      FROM (SELECT DISTINCT source FROM counts) s
+      CROSS JOIN vocab v
+      LEFT JOIN counts c ON c.source = s.source AND c.tok = v.tok
+      JOIN tot t ON t.source = s.source
+    ), joined AS (
+      SELECT a.tok, a.p AS pa, b.p AS pb, (a.p + b.p) / 2 AS m
+      FROM p a JOIN p b ON b.tok = a.tok
+      WHERE a.source = 'src0' AND b.source = 'src1'
+    )
+    SELECT ROUND(0.5 * SUM(CASE WHEN pa > 0 THEN pa * LN(pa / m) ELSE 0 END)
+               + 0.5 * SUM(CASE WHEN pb > 0 THEN pb * LN(pb / m) ELSE 0 END), 6)
+             AS js_divergence,
+           CAST(COUNT(*) AS INT) AS vocab_size
+    FROM joined
+    """,
+)
+def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the token distributions of two
+    ingestion sources — the SYMMETRIC, bounded ([0, ln2]) companion to
+    the KL split-drift gate, the right measure when neither side is the
+    reference. Word-count aggregates + one vocab-sized grid join; zero
+    corpus-sized shuffles after the first count."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    counts = (
+        d.select("source", F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    tot = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    vocab = counts.select("tok").distinct()
+    grid = (
+        tot.crossJoin(vocab)
+        .join(counts, ["source", "tok"], "left")
+        .select(
+            "source", "tok",
+            (F.coalesce("c", F.lit(0.0)) / F.col("n")).alias("p"),
+        )
+    )
+    a = grid.filter(F.col("source") == "src0").select("tok", F.col("p").alias("pa"))
+    b = grid.filter(F.col("source") == "src1").select("tok", F.col("p").alias("pb"))
+    j = a.join(b, "tok").withColumn("m", (F.col("pa") + F.col("pb")) / 2)
+    term = lambda pcol: F.when(  # noqa: E731
+        F.col(pcol) > 0, F.col(pcol) * F.log(F.col(pcol) / F.col("m"))
+    ).otherwise(F.lit(0.0))
+    return j.agg(
+        F.round(
+            0.5 * F.sum(term("pa")) + 0.5 * F.sum(term("pb")), 6
+        ).alias("js_divergence"),
+        F.count("*").cast("int").alias("vocab_size"),
+    )

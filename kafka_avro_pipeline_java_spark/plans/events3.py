@@ -301,3 +301,40 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.avg("value"), 4).alias("avg_value"),
     )
+
+
+@query(
+    "events_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(quantile_cont(gap_us, 0.5) / 1000000.0, 4) AS p50_gap_s,
+           ROUND(quantile_cont(gap_us, 0.95) / 1000000.0, 4) AS p95_gap_s
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap percentiles per event type (the event following a
+    gap is attributed) — the burstiness profile that sets session-gap and
+    watermark parameters from data instead of folklore. Gaps are exact
+    integer microseconds off one user-keyed lag window; percentiles
+    interpolate over those integers (the agg_percentiles determinism
+    trick), then one tiny per-type aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.percentile("gap_us", F.lit(0.5)) / 1e6, 4).alias("p50_gap_s"),
+        F.round(F.percentile("gap_us", F.lit(0.95)) / 1e6, 4).alias("p95_gap_s"),
+    )

@@ -473,3 +473,38 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(clipped) / 100.0, 4).alias("winsorized_mean"),
         )
     )
+
+
+@query(
+    "agg_modal_priority_by_year",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, o_orderpriority AS modal_priority, n
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY yr
+                ORDER BY n DESC, o_orderpriority) AS rk
+      FROM c
+    ) WHERE rk = 1
+    """,
+)
+def agg_modal_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal (most frequent) order priority per year with its count — the
+    categorical location statistic, deterministic via the
+    (count desc, value) tiebreak. Two shrinking aggregations + a window
+    over the (year × priority)-sized table."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"), "o_orderpriority"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("yr").orderBy(F.desc("n"), "o_orderpriority")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("yr", F.col("o_orderpriority").alias("modal_priority"), "n")
+    )

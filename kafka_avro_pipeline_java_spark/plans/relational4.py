@@ -508,3 +508,56 @@ def agg_modal_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("yr", F.col("o_orderpriority").alias("modal_priority"), "n")
     )
+
+
+@query(
+    "agg_customer_ltv_deciles",
+    oracle="""
+    WITH ltv AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT cents, NTILE(10) OVER (ORDER BY cents, o_custkey) AS decile
+      FROM ltv
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS INT) AS n_customers,
+           ROUND(SUM(cents) / 100.0, 2) AS revenue,
+           ROUND(SUM(cents) / CAST((SELECT SUM(cents) FROM ltv) AS DOUBLE), 6)
+             AS revenue_share
+    FROM ranked GROUP BY decile
+    """,
+)
+def agg_customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value decile table: per-customer revenue summed
+    exactly in cents, customers split into spend deciles (deterministic
+    (cents, custkey) order), each decile's headcount, revenue, and share
+    of total — the concentration readout ('the top decile is X% of
+    revenue') behind every retention budget. Customer-keyed agg, then a
+    window over the CUSTOMER-sized table; integer cents keep every sum
+    exact."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    ltv = o.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
+    ranked = ltv.select(
+        "cents",
+        F.ntile(10).over(Window.orderBy("cents", "o_custkey")).alias("decile"),
+    )
+    tot = ltv.agg(F.sum("cents").cast("double").alias("t"))
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count("*").cast("int").alias("n_customers"),
+            F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+            F.sum("cents").alias("_c"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_customers", "revenue",
+            F.round(F.col("_c") / F.col("t"), 6).alias("revenue_share"),
+        )
+    )

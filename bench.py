@@ -118,6 +118,15 @@ BENCH_QUERIES = [
     "stats_welch_t_sources",
     "stats_chi2_type_hour",
     "agg_ols_qty_price",
+    "agg_winsorized_mean",
+    "agg_customer_ltv_deciles",
+    "agg_rfm_segments",
+    "dedup_rate_by_source",
+    "events_seasonality_profile",
+    "events_interarrival_stats",
+    "text_token_coverage",
+    "text_js_divergence_sources",
+    "sketch_kmv_merge",
 ]
 
 # Results small enough to collect (bounded by construction); others count().

@@ -561,3 +561,60 @@ def agg_customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_c") / F.col("t"), 6).alias("revenue_share"),
         )
     )
+
+
+@query(
+    "agg_rfm_segments",
+    oracle="""
+    WITH mx AS (
+      SELECT MAX(o_orderdate) AS maxd FROM orders
+    ), rfm AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', MAX(o_orderdate), mx.maxd) AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS monetary
+      FROM orders, mx GROUP BY o_custkey, mx.maxd
+    ), scored AS (
+      SELECT NTILE(3) OVER (ORDER BY recency_days, o_custkey) AS r,
+             NTILE(3) OVER (ORDER BY frequency, o_custkey) AS f,
+             NTILE(3) OVER (ORDER BY monetary, o_custkey) AS m
+      FROM rfm
+    )
+    SELECT 'R' || r || 'F' || f || 'M' || m AS segment,
+           CAST(COUNT(*) AS INT) AS n_customers
+    FROM scored GROUP BY 1
+    """,
+)
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency (days since last order vs corpus max
+    date), frequency, and exact-cents monetary per customer, each split
+    into terciles with deterministic (value, custkey) order, concatenated
+    into the classic R#F#M# segment labels with headcounts. One
+    customer-keyed agg + three windows over the customer-sized table —
+    the whole-corpus max date is a 1-row broadcast."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("maxd"))
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    rfm = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "maxd")
+        .agg(
+            F.datediff("maxd", F.max("o_orderdate")).cast("bigint").alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(cents).alias("monetary"),
+        )
+    )
+    scored = rfm.select(
+        F.ntile(3).over(Window.orderBy("recency_days", "o_custkey")).alias("r"),
+        F.ntile(3).over(Window.orderBy("frequency", "o_custkey")).alias("f"),
+        F.ntile(3).over(Window.orderBy("monetary", "o_custkey")).alias("m"),
+    )
+    return (
+        scored.select(
+            F.concat(F.lit("R"), "r", F.lit("F"), "f", F.lit("M"), "m").alias("segment")
+        )
+        .groupBy("segment")
+        .agg(F.count("*").cast("int").alias("n_customers"))
+    )

@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "text_token_coverage",
     "text_js_divergence_sources",
     "sketch_kmv_merge",
+    "events_cusum_hourly",
+    "text_lexical_richness",
 ]
 
 # Results small enough to collect (bounded by construction); others count().

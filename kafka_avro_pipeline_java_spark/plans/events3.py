@@ -338,3 +338,65 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("gap_us", F.lit(0.5)) / 1e6, 4).alias("p50_gap_s"),
         F.round(F.percentile("gap_us", F.lit(0.95)) / 1e6, 4).alias("p95_gap_s"),
     )
+
+
+_CUSUM_K = 0.5  # slack, in units of the global mean
+
+
+@query(
+    "events_cusum_hourly",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, ROUND(AVG(value), 6) AS v
+      FROM events GROUP BY 1
+    ), mu AS (
+      SELECT ROUND(AVG(v), 6) AS mu FROM hourly
+    ), arr AS (
+      SELECT list(struct_pack(hour := hour, v := v) ORDER BY hour) AS xs, mu.mu
+      FROM hourly, mu GROUP BY mu.mu
+    )
+    SELECT xs[i.i].hour AS hour, xs[i.i].v AS v,
+           ROUND(list_reduce(
+             list_prepend(0.0, list_transform(xs[1:i.i], x -> x.v)),
+             (acc, x) -> GREATEST(0.0, acc + x - mu - {_CUSUM_K!r} * mu)
+           ), 6) AS cusum_high
+    FROM arr, UNNEST(range(1, len(xs) + 1)) AS i(i)
+    """,
+)
+def events_cusum_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection over the hourly value series:
+    s_t = max(0, s_{{t-1}} + x_t − μ(1+k)) accumulates only SUSTAINED
+    upward drift — the change-point statistic that catches slow regime
+    shifts the per-hour z-score (events_hourly_anomaly) misses. Same
+    exact-recurrence discipline as EWMA: pre-rounded hourly means folded
+    in order inside one row, μ from a 1-row broadcast, so both engines
+    fold identical doubles — the recursive column matches bit-for-bit.
+    Streaming form drops into ewma_per_user's state shape unchanged."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.round(F.avg("value"), 6).alias("v")
+    )
+    mu = hourly.agg(F.round(F.avg("v"), 6).alias("mu"))
+    arr = hourly.crossJoin(F.broadcast(mu)).groupBy("mu").agg(
+        F.array_sort(F.collect_list(F.struct("hour", "v"))).alias("xs")
+    )
+    vals = F.transform("xs", lambda x: x["v"])
+    cusum_at = lambda i: F.aggregate(  # noqa: E731
+        F.slice(vals, F.lit(1), i),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(
+            F.lit(0.0), acc + x - F.col("mu") - F.lit(_CUSUM_K) * F.col("mu")
+        ),
+    )
+    idx = F.sequence(F.lit(1), F.size("xs"))
+    rows = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at("xs", i)["hour"].alias("hour"),
+            F.element_at("xs", i)["v"].alias("v"),
+            F.round(cusum_at(i), 6).alias("cusum_high"),
+        ),
+    )
+    return arr.select(F.explode(rows).alias("r")).select(
+        "r.hour", "r.v", "r.cusum_high"
+    )

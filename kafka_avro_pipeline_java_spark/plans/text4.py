@@ -493,3 +493,45 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("js_divergence"),
         F.count("*").cast("int").alias("vocab_size"),
     )
+
+
+@query(
+    "text_lexical_richness",
+    oracle="""
+    WITH toks AS (
+      SELECT source, t.tok
+      FROM documents,
+           UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS t(tok)
+    ), counts AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS INT) AS n_types,
+           ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS type_token_ratio,
+           CAST(COUNT(*) FILTER (WHERE c = 1) AS INT) AS n_hapax,
+           ROUND(COUNT(*) FILTER (WHERE c = 1) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS hapax_rate
+    FROM counts GROUP BY source
+    """,
+)
+def text_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical richness per source: type-token ratio and hapax-legomenon
+    rate (words seen exactly once) — the vocabulary-health companions to
+    entropy: templated feeds crater TTR, OCR noise inflates hapaxes. One
+    word-count aggregation, then a source-sized rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("source", F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    hapax = F.sum((F.col("c") == 1).cast("int"))
+    return counts.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").cast("int").alias("n_types"),
+        F.round(F.count("*") / F.sum("c").cast("double"), 6).alias("type_token_ratio"),
+        hapax.cast("int").alias("n_hapax"),
+        F.round(hapax / F.count("*").cast("double"), 6).alias("hapax_rate"),
+    )

@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "sketch_kmv_merge",
     "events_cusum_hourly",
     "text_lexical_richness",
+    "pipeline_stage_funnel",
 ]
 
 # Results small enough to collect (bounded by construction); others count().

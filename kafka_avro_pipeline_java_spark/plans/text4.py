@@ -535,3 +535,91 @@ def text_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         hapax.cast("int").alias("n_hapax"),
         F.round(hapax / F.count("*").cast("double"), 6).alias("hapax_rate"),
     )
+
+
+@query(
+    "pipeline_stage_funnel",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, text
+      FROM (
+        SELECT doc_id, text,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               {_QUALITY_SQL} AS quality
+        FROM documents
+      )
+      WHERE quality >= 0.5 AND n_tokens BETWEEN 5 AND 100000
+    ), fb AS (
+      SELECT doc_id, trim(lower(text)) AS t, len(trim(lower(text))) AS n,
+             array_to_string((string_split_regex(trim(lower(text)), '\\s+'))[1:2], ' ') AS blk
+      FROM q
+    ), doomed AS (
+      SELECT DISTINCT c.doc_id FROM fb a JOIN fb c
+        ON a.blk = c.blk AND a.doc_id < c.doc_id AND abs(a.n - c.n) <= 20
+      WHERE levenshtein(a.t, c.t) <= 20
+    ), deduped AS (
+      SELECT doc_id, text FROM q WHERE doc_id NOT IN (SELECT doc_id FROM doomed)
+    ), toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+      FROM documents
+    ), allspans AS (
+      SELECT doc_id, substr(md5(array_to_string(ts[i.i:i.i+4], ' ')), 1, 16) AS h
+      FROM toks, UNNEST(range(1, len(ts) - 3)) AS i(i)
+    ), bench AS (
+      SELECT DISTINCT h FROM allspans WHERE doc_id % 97 = 0
+    ), dirty AS (
+      SELECT DISTINCT s.doc_id FROM allspans s JOIN bench USING (h)
+    ), clean AS (
+      SELECT doc_id FROM deduped
+      WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage_no, 'raw' AS stage,
+             CAST((SELECT COUNT(*) FROM documents) AS INT) AS n_docs
+      UNION ALL
+      SELECT 2, 'quality_gate', CAST((SELECT COUNT(*) FROM q) AS INT)
+      UNION ALL
+      SELECT 3, 'fuzzy_dedup_keep_one', CAST((SELECT COUNT(*) FROM deduped) AS INT)
+      UNION ALL
+      SELECT 4, 'decontaminated', CAST((SELECT COUNT(*) FROM clean) AS INT)
+    )
+    """,
+)
+def pipeline_stage_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation-yield report: how many documents survive each stage
+    of the standard corpus pipeline — raw → quality gate → fuzzy-dedup
+    keep-one (min-id survivor of every edit-distance pair among quality
+    survivors) → benchmark decontamination (eval docs and any doc
+    sharing a 5-token span with the eval set dropped). The number every
+    data-curation review starts from, composed entirely from the
+    registered operators so every stage count is oracle-checked."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(T.tokens(F.trim(F.col("text"))))
+    q = d.filter(
+        (F.round(T.quality_score("text"), 4) >= 0.5)
+        & n_tok.between(5, 100000)
+    ).select("doc_id", "text")
+    pairs = fuzzy.fuzzy_pairs(q, "text", "doc_id", max_dist=20, prefix_tokens=2)
+    doomed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    deduped = q.join(F.broadcast(doomed), "doc_id", "left_anti")
+    sp = spans.span_table(d, "text", "doc_id", w=5).withColumnRenamed("id", "doc_id")
+    bench = sp.filter(F.col("doc_id") % 97 == 0).select("span_hash").distinct()
+    dirty = (
+        sp.join(F.broadcast(bench), "span_hash", "left_semi")
+        .select("doc_id").distinct()
+    )
+    clean = (
+        deduped.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(dirty), "doc_id", "left_anti")
+    )
+    spark_counts = [
+        (1, "raw", d), (2, "quality_gate", q),
+        (3, "fuzzy_dedup_keep_one", deduped), (4, "decontaminated", clean),
+    ]
+    rows = None
+    for no, name, frame in spark_counts:
+        one = frame.agg(F.count("*").cast("int").alias("n_docs")).select(
+            F.lit(no).alias("stage_no"), F.lit(name).alias("stage"), "n_docs"
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    return rows

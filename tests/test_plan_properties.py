@@ -307,3 +307,31 @@ def test_bpe_pair_stats_single_corpus_scan(spark, sf_dir):
     plan = _formatted_plan(spark, "text_bpe_pair_stats", sf_dir)
     # one scan of documents; pair stats run on the vocab-sized word table
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_seasonality_single_scan_single_agg_exchange(spark, sf_dir):
+    plan = _formatted_plan(spark, "events_seasonality_profile", sf_dir)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(_shuffle_exchange_lines(plan)) <= 1  # the 7x24-cell agg
+
+
+def test_ltv_deciles_window_over_customer_table(spark, sf_dir):
+    plan = _formatted_plan(spark, "agg_customer_ltv_deciles", sf_dir)
+    # ntile windows over the customer-sized LTV table, never raw orders:
+    # the window's sort input must sit above the per-customer aggregate
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stage_funnel_uses_broadcast_anti_joins(spark, sf_dir):
+    plan = _formatted_plan(spark, "pipeline_stage_funnel", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_scd2_merge_never_shuffles_dimension(spark, sf_dir):
+    plan = _formatted_plan(spark, "merge_scd2_customers", sf_dir)
+    # update batch broadcasts; the three-branch union reads scans +
+    # broadcast joins only — no shuffle exchange of the dimension
+    shuffles = _shuffle_exchange_lines(plan)
+    assert not shuffles, shuffles
+    assert "BroadcastHashJoin" in plan

@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "events_cusum_hourly",
     "text_lexical_richness",
     "pipeline_stage_funnel",
+    "text_ngram_novelty",
 ]
 
 # Results small enough to collect (bounded by construction); others count().

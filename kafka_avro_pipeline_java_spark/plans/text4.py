@@ -623,3 +623,54 @@ def pipeline_stage_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = one if rows is None else rows.unionByName(one)
     return rows
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             ts[i.i] || ' ' || ts[i.i + 1] || ' ' || ts[i.i + 2] AS shingle
+      FROM tok, UNNEST(range(1, len(ts) - 1)) AS i(i)
+      WHERE len(ts) >= 3
+    ), firsts AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS INT) AS n_shingles,
+           ROUND(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+    FROM sh s JOIN firsts f USING (shingle)
+    GROUP BY s.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct 3-gram
+    shingles whose FIRST corpus occurrence (min doc_id, the ingestion
+    order) is this document — the curriculum/data-ordering signal that
+    ranks how much genuinely new text each document contributes, and the
+    cheap detector for feeds that stop contributing (novelty → 0).
+    Shingle first-occurrence is one word-count-shaped agg; the score join
+    shuffles on the shingle key, never the corpus rows."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..operators.dedup import shingle_table
+
+    sh = shingle_table(d, "text", "doc_id", k=3).select(
+        F.col("id").alias("doc_id"), "shingle"
+    ).distinct()
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_shingles"),
+            F.round(
+                F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )

@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "text_lexical_richness",
     "pipeline_stage_funnel",
     "text_ngram_novelty",
+    "agg_monthly_revenue_yoy",
 ]
 
 # Results small enough to collect (bounded by construction); others count().

@@ -618,3 +618,41 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment")
         .agg(F.count("*").cast("int").alias("n_customers"))
     )
+
+
+@query(
+    "agg_monthly_revenue_yoy",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(month(o_orderdate) AS INT) AS mo,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, mo, ROUND(cents / 100.0, 2) AS revenue,
+           ROUND(CAST(cents AS DOUBLE)
+                 / LAG(cents, 12) OVER (ORDER BY yr, mo) - 1.0, 6) AS yoy_growth
+    FROM m
+    """,
+)
+def agg_monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with year-over-year growth (lag-12 over the month
+    series) — the BI trend staple. Exact integer cents per month; the
+    growth window runs over the MONTH-sized table (never the orders), and
+    the first year's rows carry NULL growth by construction."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+    ).agg(F.sum(cents).alias("cents"))
+    w = Window.orderBy("yr", "mo")
+    return m.select(
+        "yr", "mo",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(
+            F.col("cents").cast("double") / F.lag("cents", 12).over(w) - 1.0, 6
+        ).alias("yoy_growth"),
+    )

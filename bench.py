@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "pipeline_stage_funnel",
     "text_ngram_novelty",
     "agg_monthly_revenue_yoy",
+    "events_burstiness",
 ]
 
 # Results small enough to collect (bounded by construction); others count().

@@ -400,3 +400,48 @@ def events_cusum_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arr.select(F.explode(rows).alias("r")).select(
         "r.hour", "r.v", "r.cusum_high"
     )
+
+
+@query(
+    "events_burstiness",
+    oracle="""
+    WITH hc AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(c) AS DOUBLE) AS s1,
+             CAST(SUM(c * c) AS DOUBLE) AS s2
+      FROM hc GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(s1 AS BIGINT) AS n_events,
+           CAST(n AS INT) AS active_hours,
+           ROUND((s2 / n - (s1 / n) * (s1 / n)) / (s1 / n), 6) AS fano_factor
+    FROM s WHERE s1 > 0
+    """,
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness per user: the Fano factor (variance-to-mean) of hourly
+    event counts over ACTIVE hours — Poisson-like activity sits near 1,
+    schedulers/bots below, bursty humans above. Counts are exact
+    integers; the dispersion is the usual closed-form moment algebra
+    after two shrinking aggregations, so the oracle matches exactly."""
+    e = load_table(spark, sf_dir, "events")
+    hc = e.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("c")
+    )
+    s = hc.groupBy("user_id").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("c").cast("double").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("s2"),
+    )
+    m = F.col("s1") / F.col("n")
+    return s.filter(F.col("s1") > 0).select(
+        "user_id",
+        F.col("s1").cast("bigint").alias("n_events"),
+        F.col("n").cast("int").alias("active_hours"),
+        F.round((F.col("s2") / F.col("n") - m * m) / m, 6).alias("fano_factor"),
+    )

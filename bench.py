@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "text_ngram_novelty",
     "agg_monthly_revenue_yoy",
     "events_burstiness",
+    "agg_part_abc_classes",
 ]
 
 # Results small enough to collect (bounded by construction); others count().

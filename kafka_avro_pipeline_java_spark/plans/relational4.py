@@ -656,3 +656,63 @@ def agg_monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").cast("double") / F.lag("cents", 12).over(w) - 1.0, 6
         ).alias("yoy_growth"),
     )
+
+
+@query(
+    "agg_part_abc_classes",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    ), ranked AS (
+      SELECT cents,
+             SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cents) OVER () AS tot
+      FROM rev
+    ), classed AS (
+      SELECT CASE WHEN cum <= 0.8 * tot THEN 'A'
+                  WHEN cum <= 0.95 * tot THEN 'B'
+                  ELSE 'C' END AS abc_class, cents
+      FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS INT) AS n_parts,
+           ROUND(SUM(cents) / 100.0, 2) AS revenue
+    FROM classed GROUP BY abc_class
+    """,
+)
+def agg_part_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification of parts by revenue: A = parts inside
+    the first 80% of cumulative revenue (ranked descending), B to 95%,
+    C the tail — the inventory-policy classifier. Exact cents per part,
+    cumulative window over the PART-sized table with a deterministic
+    (revenue, partkey) order; class thresholds compare exact integers
+    against 0.8/0.95 of an exact integer total."""
+    from pyspark.sql.window import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    rev = l.groupBy("l_partkey").agg(F.sum(cents).alias("cents"))
+    w = Window.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.select(
+        "cents",
+        F.sum("cents").over(w).alias("cum"),
+        F.sum("cents").over(Window.partitionBy(F.lit(1))).alias("tot"),
+    )
+    cls = (
+        F.when(F.col("cum") <= 0.8 * F.col("tot"), "A")
+        .when(F.col("cum") <= 0.95 * F.col("tot"), "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.select(cls.alias("abc_class"), "cents")
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").cast("int").alias("n_parts"),
+            F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+        )
+    )

@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "agg_monthly_revenue_yoy",
     "events_burstiness",
     "agg_part_abc_classes",
+    "quality_constraint_report",
 ]
 
 # Results small enough to collect (bounded by construction); others count().

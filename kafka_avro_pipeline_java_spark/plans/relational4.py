@@ -716,3 +716,74 @@ def agg_part_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
         )
     )
+
+
+@query(
+    "quality_constraint_report",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'orders_pk_unique' AS rule,
+             CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT) AS n_violations
+      FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders GROUP BY 1)
+      UNION ALL
+      SELECT 'lineitem_fk_orders',
+             CAST(COUNT(*) AS BIGINT)
+      FROM lineitem l WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      UNION ALL
+      SELECT 'orders_custkey_not_null',
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orders_totalprice_positive',
+             CAST(SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orders_status_in_set',
+             CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem_discount_range',
+             CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+    )
+    """,
+)
+def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-contract report: violation counts for the table suite's
+    core invariants — PK uniqueness, lineitem→orders referential
+    integrity, null-freedom, value ranges, enum membership
+    (operators/constraints.py). Scan-sharing by construction: the three
+    orders row-rules evaluate in ONE aggregate over one scan; uniqueness
+    is one keyed agg; the FK check is a broadcast anti-join. The report a
+    pipeline gates promotion on — and everything is an exact integer, so
+    the oracle checks it row for row."""
+    from ..operators import constraints as C
+
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    uniq = C.unique_violations(o, ["o_orderkey"]).select(
+        F.lit("orders_pk_unique").alias("rule"), F.col("n").alias("n_violations")
+    )
+    fk = C.foreign_key_violations(l, "l_orderkey", o, "o_orderkey").select(
+        F.lit("lineitem_fk_orders").alias("rule"), F.col("n").alias("n_violations")
+    )
+    orders_rules = o.agg(
+        C.violations_not_null(o, "o_custkey").alias("nn"),
+        C.violations_predicate(o, F.col("o_totalprice") > 0).alias("pos"),
+        C.violations_predicate(
+            o, F.col("o_orderstatus").isin("O", "F", "P")
+        ).alias("st"),
+    )
+    o3 = orders_rules.selectExpr(
+        "stack(3, 'orders_custkey_not_null', nn, "
+        "'orders_totalprice_positive', pos, "
+        "'orders_status_in_set', st) AS (rule, n_violations)"
+    )
+    disc = l.agg(
+        C.violations_predicate(l, F.col("l_discount").between(0.0, 0.1)).alias("n")
+    ).select(
+        F.lit("lineitem_discount_range").alias("rule"),
+        F.col("n").alias("n_violations"),
+    )
+    return uniq.unionByName(fk).unionByName(o3).unionByName(disc)

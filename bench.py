@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "events_burstiness",
     "agg_part_abc_classes",
     "quality_constraint_report",
+    "sketch_histogram_quantiles",
 ]
 
 # Results small enough to collect (bounded by construction); others count().

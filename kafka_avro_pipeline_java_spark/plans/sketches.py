@@ -309,3 +309,98 @@ def sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est_distinct_merged"),
         "true_distinct",
     )
+
+
+_HB = 256  # histogram buckets
+
+
+@query(
+    "sketch_histogram_quantiles",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS p FROM orders
+    ), bounds AS (
+      SELECT MIN(p) AS lo, MAX(p) AS hi FROM cents
+    ), hist AS (
+      SELECT LEAST(CAST(FLOOR((p - lo) * {_HB}.0 / (hi - lo + 1)) AS BIGINT),
+                   {_HB - 1}) AS b,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM cents, bounds GROUP BY 1
+    ), cum AS (
+      SELECT b, c,
+             SUM(c) OVER (ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER () AS n
+      FROM hist
+    ), pick AS (
+      SELECT q.q,
+             MIN(b) FILTER (WHERE cum >= q.q * n) AS bq
+      FROM cum, (SELECT UNNEST([0.5, 0.95]) AS q) q
+      GROUP BY q.q
+    ), exact AS (
+      SELECT 0.5 AS q, quantile_cont(p, 0.5) AS ev FROM cents
+      UNION ALL
+      SELECT 0.95, quantile_cont(p, 0.95) FROM cents
+    )
+    SELECT CAST(p.q AS DOUBLE) AS quantile,
+           ROUND((bo.lo + (p.bq + 0.5) * (bo.hi - bo.lo + 1) / {_HB}.0) / 100.0, 2)
+             AS est_value,
+           ROUND(e.ev / 100.0, 2) AS exact_value
+    FROM pick p JOIN exact e ON e.q = p.q, bounds bo
+    """,
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a mergeable equi-width histogram — the fourth
+    sketch: 256 bucket counts are the whole state (merge = vector add,
+    the partial-aggregate shape), and the p50/p95 estimates (bucket
+    midpoint at the cumulative crossing) sit next to the exact
+    interpolated percentiles computed alongside. Bounds come from a
+    1-row broadcast min/max; every count is an exact integer so the
+    oracle checks the ESTIMATES, not just shapes. The production form at
+    100 TB when `approx_percentile`'s t-digest is overkill and
+    cross-engine reproducibility matters."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("p"))
+    bounds = cents.agg(F.min("p").alias("lo"), F.max("p").alias("hi"))
+    withb = cents.crossJoin(F.broadcast(bounds)).select(
+        "p", "lo", "hi",
+        F.least(
+            F.floor((F.col("p") - F.col("lo")) * float(_HB) / (F.col("hi") - F.col("lo") + 1)).cast("bigint"),
+            F.lit(_HB - 1),
+        ).alias("b"),
+    )
+    hist = withb.groupBy("b").agg(F.count("*").alias("c"))
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select(
+        "b", "c",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy(F.lit(1))).alias("n"),
+    )
+    qs = spark.createDataFrame([(0.5,), (0.95,)], "q double")
+    pick = (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("b").alias("bq"))
+    )
+    exact = cents.agg(
+        F.percentile("p", F.lit(0.5)).alias("e50"),
+        F.percentile("p", F.lit(0.95)).alias("e95"),
+    )
+    est = (
+        pick.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col("q").alias("quantile"),
+            F.round(
+                (F.col("lo") + (F.col("bq") + 0.5) * (F.col("hi") - F.col("lo") + 1) / float(_HB)) / 100.0,
+                2,
+            ).alias("est_value"),
+        )
+    )
+    ex = exact.selectExpr(
+        "stack(2, 0.5D, round(e50 / 100.0, 2), 0.95D, round(e95 / 100.0, 2))"
+        " AS (quantile, exact_value)"
+    )
+    return est.join(ex, "quantile")

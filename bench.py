@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "agg_part_abc_classes",
     "quality_constraint_report",
     "sketch_histogram_quantiles",
+    "graph_component_sizes",
 ]
 
 # Results small enough to collect (bounded by construction); others count().

@@ -138,3 +138,31 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = graph.triangle_count(pairs, src="id_a", dst="id_b")
     edges = pairs.agg(F.count("*").alias("n_edges"))
     return edges.crossJoin(tri)
+
+
+@query(
+    "graph_component_sizes",
+    oracle=f"""
+    WITH comp AS ({ORACLES["dedup_near_dup_groups"]})
+    SELECT CAST(sz AS INT) AS component_size,
+           CAST(COUNT(*) AS INT) AS n_components
+    FROM (
+      SELECT component, COUNT(*) AS sz FROM comp GROUP BY component
+    )
+    GROUP BY sz
+    """,
+)
+def graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size distribution of the near-dup connected components — the
+    macro view of duplication structure: many 2-components = pairwise
+    accidents; a fat tail = boilerplate families worth a dedicated
+    scrub. Two word-count aggs over the component assignment
+    (dedup_near_dup_groups' hybrid union-find / label-propagation
+    resolver)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.1)
+    comp = dedup.connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("sz"))
+    return sizes.groupBy("sz").agg(
+        F.count("*").cast("int").alias("n_components")
+    ).select(F.col("sz").cast("int").alias("component_size"), "n_components")

@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "quality_constraint_report",
     "sketch_histogram_quantiles",
     "graph_component_sizes",
+    "pipeline_mixture_diversity",
 ]
 
 # Results small enough to collect (bounded by construction); others count().

@@ -674,3 +674,38 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@query(
+    "pipeline_mixture_diversity",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(COUNT(*) AS DOUBLE) AS c FROM documents GROUP BY 1
+    ), tot AS (
+      SELECT SUM(c) AS n FROM s
+    )
+    SELECT CAST(COUNT(*) AS INT) AS n_sources,
+           ROUND(-SUM((c / n) * LN(c / n)), 6) AS mix_entropy,
+           ROUND(EXP(-SUM((c / n) * LN(c / n))), 4) AS effective_sources,
+           ROUND(MAX(c) / MAX(n), 6) AS max_source_share
+    FROM s, tot
+    """,
+)
+def pipeline_mixture_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-design health in one row: entropy of the source document
+    shares, its exponential (the EFFECTIVE number of sources — 20 feeds
+    that behave like 3 is a concentration risk), and the heaviest feed's
+    share. The number a domain-mix policy (pipeline_domain_mix) is tuned
+    against. One source-sized aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count("*").cast("double").alias("c"))
+    tot = s.agg(F.sum("c").alias("n"))
+    j = s.crossJoin(F.broadcast(tot))
+    p = F.col("c") / F.col("n")
+    ent = -F.sum(p * F.log(p))
+    return j.agg(
+        F.count("*").cast("int").alias("n_sources"),
+        F.round(ent, 6).alias("mix_entropy"),
+        F.round(F.exp(ent), 4).alias("effective_sources"),
+        F.round(F.max("c") / F.max("n"), 6).alias("max_source_share"),
+    )

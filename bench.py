@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "sketch_histogram_quantiles",
     "graph_component_sizes",
     "pipeline_mixture_diversity",
+    "graph_personalized_pagerank",
 ]
 
 # Results small enough to collect (bounded by construction); others count().

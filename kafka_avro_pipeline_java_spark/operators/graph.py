@@ -126,3 +126,55 @@ def triangle_count(
         "left_semi",
     )
     return closed.agg(F.count("*").cast("bigint").alias("n_triangles"))
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank: the restart mass returns to ``seeds``
+    instead of spreading uniformly — r_{k+1}(v) = (1−d)·e_seed(v) +
+    d·Σ_{u→v} r_k(u)/outdeg(u), r_0 = e_seed. The graph-walk form of
+    "documents related to THESE" (seed = a known-bad boilerplate doc →
+    ranked blast radius; seed = a gold doc → neighborhood to upsample).
+    Same one-shuffle-per-iteration shape as pagerank(); the seed vector
+    is a literal, so restart mass needs no join."""
+    par = edges.sparkSession.sparkContext.defaultParallelism
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition(par, "src")
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    seed_share = 1.0 / len(seeds)
+    seed_col = F.when(
+        F.col("node").isin(*seeds), F.lit(seed_share)
+    ).otherwise(F.lit(0.0))
+    ranks = nodes.select("node", seed_col.alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+        )
+        spread = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        # every node keeps its restart mass even with zero in-links
+        ranks = (
+            nodes.join(
+                spread.withColumnRenamed("dst", "node"), "node", "left"
+            )
+            .select(
+                "node",
+                (
+                    (1.0 - damping) * seed_col
+                    + damping * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

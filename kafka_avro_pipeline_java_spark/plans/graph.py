@@ -166,3 +166,53 @@ def graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy("sz").agg(
         F.count("*").cast("int").alias("n_components")
     ).select(F.col("sz").cast("int").alias("component_size"), "n_components")
+
+
+def _ppr_oracle() -> str:
+    it = """
+    p{next} AS (
+      SELECT n.node,
+             0.15 * (CASE WHEN n.node = (SELECT s FROM sd) THEN 1.0 ELSE 0.0 END)
+             + 0.85 * COALESCE(SUM(r.rank / d.outdeg), 0.0) AS rank
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN p{cur} r ON r.node = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY n.node
+    )"""
+    iters = ",".join(it.format(cur=i, next=i + 1) for i in range(_ITERS))
+    return f"""
+    WITH pairs AS ({ORACLES["dedup_ngram_jaccard"]}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    sd AS (SELECT MIN(node) AS s FROM nodes),
+    p0 AS (
+      SELECT node, CASE WHEN node = (SELECT s FROM sd) THEN 1.0 ELSE 0.0 END AS rank
+      FROM nodes
+    ),
+    {iters}
+    SELECT node, ROUND(rank, 6) AS rank FROM p{_ITERS} WHERE rank > 0
+    """
+
+
+@query("graph_personalized_pagerank", oracle=_ppr_oracle())
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded at the lowest-id near-dup document:
+    restart mass returns to the seed, so the ranking IS the seed's graph
+    neighborhood — 'documents related to THIS one' by overlap structure
+    (blast-radius triage for a known-bad doc). Zero-rank nodes are
+    dropped: after k iterations only the seed's ≤k-hop component carries
+    mass (operators/graph.py::personalized_pagerank)."""
+    edges = _edges(spark, sf_dir)
+    seed = edges.agg(F.min("src")).first()[0]
+    ranks = graph.personalized_pagerank(
+        edges, [seed], iters=_ITERS, damping=_D
+    )
+    return ranks.filter(F.col("rank") > 0).select(
+        "node", F.round("rank", 6).alias("rank")
+    )

@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "graph_component_sizes",
     "pipeline_mixture_diversity",
     "graph_personalized_pagerank",
+    "graph_eigenvector_centrality",
 ]
 
 # Results small enough to collect (bounded by construction); others count().

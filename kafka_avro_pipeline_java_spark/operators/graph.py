@@ -178,3 +178,40 @@ def personalized_pagerank(
             )
         )
     return ranks
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Eigenvector centrality by normalized power iteration: r ← A·r /
+    ‖A·r‖₂ from the uniform start — a node is central when its NEIGHBORS
+    are central (degree counts neighbors; this weighs them). Converges to
+    the principal eigenvector on connected components; per iteration one
+    edge⋈rank shuffle plus a 1-row L2-norm aggregate (the same scalar-
+    broadcast shape as k-means' inertia). Pass symmetrized edges for an
+    undirected graph."""
+    par = edges.sparkSession.sparkContext.defaultParallelism
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition(par, "src")
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(iters):
+        spread = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("rank").alias("s"))
+            .select(F.col("dst").alias("node"), F.col("s"))
+        )
+        # nodes with no in-edges (impossible on symmetrized graphs) drop out
+        nrm = spread.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("z"))
+        ranks = spread.crossJoin(F.broadcast(nrm)).select(
+            "node", (F.col("s") / F.col("z")).alias("rank")
+        )
+    return ranks

@@ -216,3 +216,39 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.filter(F.col("rank") > 0).select(
         "node", F.round("rank", 6).alias("rank")
     )
+
+
+def _eig_oracle() -> str:
+    it = """
+    e{next} AS (
+      SELECT dst AS node, SUM(r.rank) AS s
+      FROM edges ed JOIN r{cur} r ON r.node = ed.src
+      GROUP BY dst
+    ),
+    n{next} AS (SELECT SQRT(SUM(s * s)) AS z FROM e{next}),
+    r{next} AS (SELECT node, s / (SELECT z FROM n{next}) AS rank FROM e{next})"""
+    iters = ",".join(it.format(cur=i, next=i + 1) for i in range(_ITERS))
+    return f"""
+    WITH pairs AS ({ORACLES["dedup_ngram_jaccard"]}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    r0 AS (SELECT node, 1.0 AS rank FROM nodes),
+    {iters}
+    SELECT node, ROUND(rank, 6) AS centrality FROM r{_ITERS}
+    """
+
+
+@query("graph_eigenvector_centrality", oracle=_eig_oracle())
+def graph_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality over the near-dup graph (3 normalized power
+    iterations): ranks documents by the centrality OF THEIR NEIGHBORS —
+    the refinement over degree that separates the core of a boilerplate
+    family from its periphery. One edge⋈rank shuffle + a 1-row L2 norm
+    per iteration (operators/graph.py::eigenvector_centrality); the
+    oracle unrolls iterations and normalizations as CTEs."""
+    ranks = graph.eigenvector_centrality(_edges(spark, sf_dir), iters=_ITERS)
+    return ranks.select("node", F.round("rank", 6).alias("centrality"))

@@ -215,3 +215,48 @@ def eigenvector_centrality(
             "node", (F.col("s") / F.col("z")).alias("rank")
         )
     return ranks
+
+
+def k_core(
+    pairs: DataFrame, k: int, *, src: str = "id_a", dst: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """The k-core: the maximal subgraph where every node keeps degree ≥ k,
+    found by iterative peeling (drop degree<k nodes, recompute, repeat to
+    fixpoint). Returns the surviving (node, degree) rows — the dense
+    nucleus of a boilerplate family, robust to the stray pendant edges
+    that inflate components. Each round is two keyed aggs + a broadcast
+    semi-join; convergence is a 1-row count per round (the checksum-
+    convergence discipline of near_dup_groups), and peeling needs at most
+    |V| rounds — typically a handful."""
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    n_prev = -1
+    for _ in range(max_rounds):
+        deg = (
+            e.select(F.explode(F.array("u", "v")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("node")
+        n = keep.count()  # 1-row-equivalent convergence probe per round
+        if n == n_prev:
+            return deg.filter(F.col("d") >= k).select(
+                "node", F.col("d").cast("int").alias("degree")
+            )
+        n_prev = n
+        e = (
+            e.join(F.broadcast(keep.withColumnRenamed("node", "u")), "u", "left_semi")
+            .join(F.broadcast(keep.withColumnRenamed("node", "v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    deg = (
+        e.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    return deg.filter(F.col("d") >= k).select(
+        "node", F.col("d").cast("int").alias("degree")
+    )

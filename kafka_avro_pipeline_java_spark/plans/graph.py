@@ -252,3 +252,18 @@ def graph_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unrolls iterations and normalizations as CTEs."""
     ranks = graph.eigenvector_centrality(_edges(spark, sf_dir), iters=_ITERS)
     return ranks.select("node", F.round("rank", 6).alias("centrality"))
+
+
+@query("graph_kcore")
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the SimHash near-dup graph: the dense nucleus after
+    iteratively peeling nodes with degree < 3 — the boilerplate families
+    that survive when pendant matches are stripped. Rows-only: the
+    peeling loop iterates to a data-dependent fixpoint the oracle cannot
+    unroll statically; exactness is pinned against a pure-Python peeler
+    in tests/test_graph.py."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_pairs_portable(
+        d, "text", "doc_id", max_hamming=2
+    ).select("id_a", "id_b")
+    return graph.k_core(pairs, 3)

@@ -102,3 +102,44 @@ def test_triangle_count_matches_naive_on_random_graph(spark):
     )
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
     assert triangle_count(df).collect()[0].n_triangles == want
+
+
+def test_k_core_matches_python_peeling(spark):
+    import itertools
+    import random
+
+    from kafka_avro_pipeline_java_spark.operators.graph import k_core
+
+    rng = random.Random(11)
+    pairs = [
+        (a, b) for a, b in itertools.combinations(range(40), 2)
+        if rng.random() < 0.12
+    ]
+
+    def py_kcore(edges, k):
+        edges = set(edges)
+        while True:
+            deg = {}
+            for a, b in edges:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            bad = {n for n, d in deg.items() if d < k}
+            if not bad:
+                return deg
+            edges = {(a, b) for a, b in edges if a not in bad and b not in bad}
+
+    want = py_kcore(pairs, 3)
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r.node: r.degree for r in k_core(df, 3).collect()}
+    assert got == want
+
+
+def test_k_core_of_clique_is_whole_clique(spark):
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    pendant = [(0, 99), (99, 98)]  # chain that must peel away at k=3
+    df = spark.createDataFrame(k5 + pendant, "id_a long, id_b long")
+    from kafka_avro_pipeline_java_spark.operators.graph import k_core
+
+    got = {r.node: r.degree for r in k_core(df, 3).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    assert all(d == 4 for d in got.values())

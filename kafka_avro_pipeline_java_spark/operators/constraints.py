@@ -29,8 +29,13 @@ def violations_not_null(df: DataFrame, col: str) -> Column:
 
 
 def violations_predicate(df: DataFrame, pred: Column) -> Column:
-    # count rows FAILING the stated invariant
-    return F.sum((~pred).cast("long"))
+    """Count rows FAILING the stated invariant, NULL-safely.
+
+    deequ/dbt semantics: a row where the predicate evaluates to NULL (e.g.
+    ``o_totalprice IS NULL`` under ``totalprice > 0``) is an UNPROVABLE
+    invariant and counts as a violation — ``WHEN pred THEN 0 ELSE 1``
+    rather than ``sum(NOT pred)``, which would silently skip NULLs."""
+    return F.sum(F.when(pred, F.lit(0)).otherwise(F.lit(1)).cast("long"))
 
 
 def unique_violations(df: DataFrame, cols: list[str]) -> DataFrame:

@@ -31,9 +31,12 @@ def pagerank(
     damping: float = 0.85,
 ) -> DataFrame:
     """PageRank after ``iters`` power iterations on a DIRECTED edge list
-    (for an undirected graph, pass the symmetrized edges). Every node must
-    appear as a source at least once (true for symmetrized graphs — no
-    dangling-mass term needed, documented). Returns (node, rank).
+    (for an undirected graph, pass the symmetrized edges). The node set is
+    every node appearing as a SOURCE (so a node must have out-edges to be
+    ranked — true of symmetrized graphs); nodes with no IN-edges are kept
+    each iteration via a left join with their sum coalesced to 0, so they
+    retain their (1-d)/N restart mass instead of silently dropping out of
+    the result after the first groupBy(dst). Returns (node, rank).
 
     r_{k+1}(v) = (1-d)/N + d * Σ_{u→v} r_k(u) / outdeg(u), r_0 = 1/N.
     """
@@ -62,12 +65,17 @@ def pagerank(
             .join(deg, "src")
             .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
         )
+        spread = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        # left join back onto the full node set: in-edge-less nodes keep
+        # their restart mass (mass conservation on directed inputs)
         ranks = (
-            contrib.groupBy("dst")
-            .agg(F.sum("c").alias("s"))
+            nodes.join(spread.withColumnRenamed("dst", "node"), "node", "left")
             .select(
-                F.col("dst").alias("node"),
-                (F.lit((1.0 - damping) / n) + damping * F.col("s")).alias("rank"),
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + damping * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
             )
         )
     return ranks
@@ -209,9 +217,13 @@ def eigenvector_centrality(
             .agg(F.sum("rank").alias("s"))
             .select(F.col("dst").alias("node"), F.col("s"))
         )
-        # nodes with no in-edges (impossible on symmetrized graphs) drop out
-        nrm = spread.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("z"))
-        ranks = spread.crossJoin(F.broadcast(nrm)).select(
+        # left join onto the node set so in-edge-less nodes survive with
+        # score 0 instead of vanishing from the result (directed inputs)
+        kept = nodes.join(spread, "node", "left").select(
+            "node", F.coalesce(F.col("s"), F.lit(0.0)).alias("s")
+        )
+        nrm = kept.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("z"))
+        ranks = kept.crossJoin(F.broadcast(nrm)).select(
             "node", (F.col("s") / F.col("z")).alias("rank")
         )
     return ranks
@@ -228,7 +240,11 @@ def k_core(
     that inflate components. Each round is two keyed aggs + a broadcast
     semi-join; convergence is a 1-row count per round (the checksum-
     convergence discipline of near_dup_groups), and peeling needs at most
-    |V| rounds — typically a handful."""
+    |V| rounds — typically a handful. The surviving-node set is NOT
+    broadcast-hinted: on the first rounds ``keep`` is O(V) (nearly every
+    node survives), so a mandatory broadcast would OOM the driver at 100×
+    scale — AQE picks broadcast on its own once peeling shrinks the set
+    below the autoBroadcast threshold."""
     e = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .localCheckpoint(eager=True)
@@ -248,8 +264,8 @@ def k_core(
             )
         n_prev = n
         e = (
-            e.join(F.broadcast(keep.withColumnRenamed("node", "u")), "u", "left_semi")
-            .join(F.broadcast(keep.withColumnRenamed("node", "v")), "v", "left_semi")
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .localCheckpoint(eager=True)
         )
     deg = (

@@ -37,7 +37,9 @@ def scd2_apply(
     ``dim``: (key, attrs..., valid_from, valid_to) with valid_to NULL on
     current rows. ``updates``: (key, attrs...). Rows whose attributes all
     match the current version are no-ops; changed keys get their current
-    row closed at ``new_version`` and a fresh open row appended."""
+    row closed at ``new_version`` and a fresh open row appended; keys absent
+    from the dimension entirely are INSERTED as new open rows at
+    ``new_version`` (nothing to close)."""
     cur = dim.filter(F.col(end_col).isNull())
     hist = dim.filter(F.col(end_col).isNotNull())
     u = updates.select(key, *attrs)
@@ -62,4 +64,19 @@ def scd2_apply(
         .select(*dim.columns)
     )
     untouched_cur = cur.join(F.broadcast(changed_keys), key, "left_anti")
-    return hist.unionByName(untouched_cur).unionByName(closed).unionByName(fresh)
+    # Brand-new keys (no current row at all): pure inserts — open at
+    # new_version, nothing to close. Without this branch an update whose key
+    # is absent from the dimension would silently vanish (the changed_keys
+    # inner join never sees it).
+    inserted = (
+        u.join(cur.select(key), key, "left_anti")
+        .withColumn(version_col, F.lit(new_version).cast(dim.schema[version_col].dataType))
+        .withColumn(end_col, F.lit(None).cast(dim.schema[version_col].dataType))
+        .select(*dim.columns)
+    )
+    return (
+        hist.unionByName(untouched_cur)
+        .unionByName(closed)
+        .unionByName(fresh)
+        .unionByName(inserted)
+    )

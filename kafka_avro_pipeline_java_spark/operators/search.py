@@ -15,7 +15,11 @@ Plan shape (and why it scales):
 - Document frequencies and corpus stats (N, avgdl) are aggregates over that
   same stream / the doc-length projection; both results are a handful of
   rows and join back as broadcasts — the corpus-sized side never shuffles
-  for them.
+  for them. NOTE the bound: ``dfreq`` is grouped from the term-FILTERED hit
+  stream, so it has at most |query terms| rows — it is NOT the full-vocab
+  document-frequency table (that would be 10⁸+ rows at 100 TB and must
+  never be broadcast; quality.py's idf path hash-partitions for exactly
+  that reason). The broadcast here is bounded by the query, not the corpus.
 - Per-doc score sum is one keyed aggregation; top-k is TakeOrdered
   (per-partition heap + k-row driver merge), never a global sort.
 """

@@ -101,7 +101,13 @@ def countmin_estimate(
 ) -> DataFrame:
     """Estimated count for each probe value: min over its d cells. The
     probe set joins the (d·m)-row sketch — a broadcast-sized table by
-    construction regardless of corpus size."""
+    construction regardless of corpus size.
+
+    The sketch table materializes only NON-ZERO cells, so the join is a
+    LEFT join with absent cells coalesced to 0: a probe never seen in the
+    stream reports est_count 0 (its empty cells win the min) instead of
+    vanishing from the output or taking min() over only its occupied
+    cells — the true 'min over all d cells' Count-Min semantics."""
     sketch = countmin_cells(items, item_col, depth=depth, width=width)
     probe_cells = probes.select(
         F.col(probe_col).alias("probe"),
@@ -121,7 +127,8 @@ def countmin_estimate(
         ).alias("cell"),
     ).select("probe", "cell.row", "cell.col")
     return (
-        probe_cells.join(F.broadcast(sketch), ["row", "col"])
+        probe_cells.join(F.broadcast(sketch), ["row", "col"], "left")
+        .select("probe", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
         .groupBy("probe")
         .agg(F.min("c").alias("est_count"))
     )

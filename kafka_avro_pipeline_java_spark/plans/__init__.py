@@ -26,16 +26,82 @@ from . import layout as layout_plans  # noqa: E402,F401
 
 # The driver's CORRECTNESS report covers the first 50 registered queries, so
 # registration order is a grading surface: every window slot carries a DuckDB
-# oracle (no rows-only entries — their oracle-backed twins stand in: minhash/
-# simhash portable variants, the literal-centroid IVF and PQ/ADC read paths,
-# the portable rolling fingerprint), weighted toward the north-star
-# LLM-pipeline operators plus one representative per relational category.
-# Rows-only variants and the TPC-H long tail register after position 50 and
-# stay exercised by tests and tools/driver_sim.py (which runs ALL queries);
-# categories repped by r01/r02 CORRECTNESS rows (set ops, scalar zoo,
-# subquery, pivot, rollup, lag) rotate out to make room for the new
-# streaming-semantics and trained-index-shaped oracle rows.
+# oracle. Round-4 rotation (VERDICT r03 item 2): r01∪r02∪r03 accumulated 128
+# distinct driver-signed rows, leaving 57 oracle-backed queries that have
+# NEVER held a driver slot — this window is 50 of those (disjoint from every
+# earlier window), covering the families with no driver evidence yet: the
+# statistical battery, warehouse ops (SCD2/constraints/skew), behavioral
+# analytics (transitions/paths/lift), the remaining graph family
+# (components/PPR/eigenvector), sketch merge & join-cardinality, and the BI
+# battery (RFM/LTV/ABC/YoY). Left for r05: the TPC-H tail (q2,q11,q13,q15,
+# q17,q18,q20,q21 — the TPC-H FAMILY already has 14 driver-signed members
+# from r01/r02) plus the newly-oracled text_bpe_segment / sample_lineitem.
+# Everything outside the window stays exercised by tests and
+# tools/driver_sim.py (which runs ALL queries).
 _PRIORITY = [
+    # --- statistical battery (no driver row yet) ---
+    "agg_moments_skew_kurtosis",
+    "agg_ols_qty_price",
+    "stats_welch_t_sources",
+    "stats_chi2_type_hour",
+    "agg_correlation_exact",
+    "agg_price_outliers_iqr",
+    "agg_winsorized_mean",
+    "agg_modal_priority_by_year",
+    # --- BI battery ---
+    "agg_rfm_segments",
+    "agg_customer_ltv_deciles",
+    "agg_part_abc_classes",
+    "agg_monthly_revenue_yoy",
+    # --- warehouse ops ---
+    "merge_scd2_customers",
+    "merge_scd2_snapshot_asof",
+    "quality_constraint_report",
+    "diag_key_skew",
+    "profile_orders",
+    "sort_nulls_first",
+    # --- behavioral analytics ---
+    "events_transition_matrix",
+    "events_top_paths",
+    "basket_item_lift",
+    "events_resample_locf",
+    "events_hourly_anomaly",
+    "events_seasonality_profile",
+    "events_interarrival_stats",
+    "events_cusum_hourly",
+    "events_burstiness",
+    # --- graph family (remaining members) ---
+    "graph_component_sizes",
+    "graph_personalized_pagerank",
+    "graph_eigenvector_centrality",
+    # --- sketches (merge + cardinality + histogram) ---
+    "sketch_kmv_merge",
+    "sketch_join_cardinality",
+    "sketch_histogram_quantiles",
+    "sketch_hll_hourly",
+    # --- text analysis (remaining members) ---
+    "text_bigram_logprob",
+    "text_hash_embedding",
+    "text_quality_calibrated",
+    "text_token_coverage",
+    "text_js_divergence_sources",
+    "text_lexical_richness",
+    "text_ngram_novelty",
+    # --- dedup (remaining members) ---
+    "dedup_semantic_text_e2e",
+    "dedup_span_scrub",
+    "dedup_rate_by_source",
+    # --- pipeline stages (remaining members) ---
+    "pipeline_source_overlap",
+    "pipeline_split_drift",
+    "pipeline_stage_funnel",
+    "pipeline_mixture_diversity",
+    # --- vectors + multimodal (remaining members) ---
+    "embedding_outliers",
+    "multimodal_frame_sample",
+]
+
+_PRIORITY_R03 = [
     # --- dedup family (north star) ---
     # dedup_exact and dedup_embedding_cosine rotated out (green r01+r02;
     # the exact O(n²) baseline stays registered as ground truth) for the

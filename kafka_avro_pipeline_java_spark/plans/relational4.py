@@ -736,15 +736,15 @@ def agg_part_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
       UNION ALL
       SELECT 'orders_totalprice_positive',
-             CAST(SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT)
+             CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
       FROM orders
       UNION ALL
       SELECT 'orders_status_in_set',
-             CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT)
+             CAST(SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1 END) AS BIGINT)
       FROM orders
       UNION ALL
       SELECT 'lineitem_discount_range',
-             CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 ELSE 0 END) AS BIGINT)
+             CAST(SUM(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 0 ELSE 1 END) AS BIGINT)
       FROM lineitem
     )
     """,

@@ -404,3 +404,62 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS (quantile, exact_value)"
     )
     return est.join(ex, "quantile")
+
+
+@query(
+    "sketch_hll_hourly",
+    oracle=f"""
+    WITH hs AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events
+    ), rho AS (
+      SELECT hour, h % {_HLL_M} AS bk,
+             55 - len(list_filter(range(0, 54),
+                                  p -> (1::BIGINT << p) <= (h // {_HLL_M}))) AS r
+      FROM hs
+    ), regs AS (
+      SELECT hour, bk, MAX(r) AS mj FROM rho GROUP BY hour, bk
+    ), per_g AS (
+      SELECT hour, SUM(1::BIGINT << (55 - mj)) AS isum, COUNT(*) AS occ
+      FROM regs GROUP BY hour
+    ), filled AS (
+      SELECT hour,
+             CAST(isum + ({_HLL_M} - occ) * (1::BIGINT << 55) AS BIGINT) AS isum,
+             {_HLL_M} - occ AS v
+      FROM per_g
+    ), est AS (
+      SELECT hour, v, {_HLL_NUM!r} / CAST(isum AS DOUBLE) AS e_raw FROM filled
+    ), exact AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             COUNT(DISTINCT user_id) AS td
+      FROM events GROUP BY 1
+    )
+    SELECT est.hour,
+           ROUND(CASE WHEN e_raw <= {2.5 * _HLL_M!r} AND v > 0
+                      THEN {float(_HLL_M)!r} * LN({float(_HLL_M)!r} / v)
+                      ELSE e_raw END, 4) AS est_distinct,
+           CAST(exact.td AS INT) AS true_distinct
+    FROM est JOIN exact ON exact.hour = est.hour
+    """,
+)
+def sketch_hll_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-HOUR HyperLogLog distinct users — the value-checked BATCH TWIN
+    of the stateful streaming operator streaming/windows.py::
+    hll_distinct_per_hour. Register max is batch-boundary-insensitive, so
+    the streaming sketch carried across micro-batches lands on EXACTLY
+    these numbers (tests/test_streaming_windows.py::
+    test_streaming_hll_matches_batch_sketch proves the equality); this row
+    puts the shared register math under the driver's DuckDB oracle,
+    closing the streaming↔batch loop for the sketch family. Same m=64
+    integer-exact register aggregation as sketch_hll_distinct, keyed by
+    the event hour instead of the event type."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.select(
+        F.date_trunc("hour", "ts").alias("hour"), "user_id"
+    )
+    est = sketches.hll_distinct(hourly, "hour", "user_id", m=_HLL_M)
+    exact = hourly.groupBy("hour").agg(
+        F.count_distinct("user_id").cast("int").alias("true_distinct")
+    )
+    return est.join(exact, "hour")

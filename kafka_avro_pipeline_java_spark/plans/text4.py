@@ -88,13 +88,13 @@ def pipeline_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bloom.bloom_test(F.col("span_hash"), mask, k=3))
     )
     dirty = (
-        candidates.join(F.broadcast(bench), "span_hash", "left_semi")
+        candidates.join(bench, "span_hash", "left_semi")
         .select("doc_id")
         .distinct()
     )
     return (
         d.filter(~is_eval)
-        .join(F.broadcast(dirty), "doc_id", "left_anti")
+        .join(dirty, "doc_id", "left_anti")
         .select("doc_id")
     )
 
@@ -355,8 +355,9 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     each source's documents sit in at least one fuzzy near-dup pair —
     the per-feed duplication rate that decides WHERE to spend dedup
     budget (and which crawler is re-fetching). Reuses the edit-distance
-    pair join; the membership set is pair-bounded and broadcasts back
-    onto a source-keyed count."""
+    pair join; the membership set is pair-bounded but O(corpus) in the
+    worst case, so it carries NO mandatory broadcast hint — AQE
+    broadcasts it when it is actually small."""
     d = load_table(spark, sf_dir, "documents")
     pairs = fuzzy.fuzzy_pairs(d, "text", "doc_id", max_dist=20, prefix_tokens=2)
     dup_ids = (
@@ -365,7 +366,7 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     flagged = d.join(
-        F.broadcast(dup_ids.withColumn("_dup", F.lit(1))), "doc_id", "left"
+        dup_ids.withColumn("_dup", F.lit(1)), "doc_id", "left"
     )
     return flagged.groupBy("source").agg(
         F.count("*").cast("int").alias("n_docs"),
@@ -601,16 +602,16 @@ def pipeline_stage_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "text")
     pairs = fuzzy.fuzzy_pairs(q, "text", "doc_id", max_dist=20, prefix_tokens=2)
     doomed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    deduped = q.join(F.broadcast(doomed), "doc_id", "left_anti")
+    deduped = q.join(doomed, "doc_id", "left_anti")
     sp = spans.span_table(d, "text", "doc_id", w=5).withColumnRenamed("id", "doc_id")
     bench = sp.filter(F.col("doc_id") % 97 == 0).select("span_hash").distinct()
     dirty = (
-        sp.join(F.broadcast(bench), "span_hash", "left_semi")
+        sp.join(bench, "span_hash", "left_semi")
         .select("doc_id").distinct()
     )
     clean = (
         deduped.filter(F.col("doc_id") % 97 != 0)
-        .join(F.broadcast(dirty), "doc_id", "left_anti")
+        .join(dirty, "doc_id", "left_anti")
     )
     spark_counts = [
         (1, "raw", d), (2, "quality_gate", q),

@@ -32,9 +32,24 @@ def test_predicate_and_null_rules_share_one_scan(spark):
         C.violations_predicate(df, F.col("v") > 0).alias("pos"),
     ).collect()[0]
     assert row.nn == 1
-    # v > 0 fails for -5.0 and for NULL (~NULL is NULL -> not counted by
-    # sum of cast; NULL predicate rows are NOT counted as violations here:
-    # pair a not_null rule with the predicate when NULLs must fail too)
-    assert row.pos == 1
+    # deequ/dbt semantics: v > 0 fails for -5.0 AND for the NULL row — an
+    # unprovable invariant is a violation (WHEN pred THEN 0 ELSE 1, not
+    # sum(NOT pred) which would skip the NULL)
+    assert row.pos == 2
     plan = df.agg(C.violations_not_null(df, "k"))._jdf.queryExecution()
     assert plan is not None
+
+
+def test_predicate_null_rows_count_as_violations(spark):
+    df = spark.createDataFrame([(None,), (None,), (5.0,)], "v double")
+    row = df.agg(
+        C.violations_predicate(df, F.col("v") > 0).alias("n")
+    ).collect()[0]
+    assert row.n == 2
+    clean = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    assert (
+        clean.agg(C.violations_predicate(clean, F.col("v") > 0).alias("n"))
+        .collect()[0]
+        .n
+        == 0
+    )

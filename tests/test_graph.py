@@ -32,6 +32,34 @@ def test_pagerank_ring_is_uniform(spark):
     assert abs(sum(ranks) - 1.0) < 1e-9
 
 
+def test_pagerank_directed_keeps_in_edgeless_nodes(spark):
+    # plain DIRECTED graph 0→1, 1→2, 2→1: node 0 has out-edges (so it is
+    # in the node set) but NO in-edges — it must still appear in the
+    # result with exactly its restart mass (1-d)/N, and total mass over
+    # the node set must stay 1 (previously 0 silently vanished after the
+    # first groupBy(dst) and its mass with it).
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 1)], "src long, dst long"
+    )
+    ranks = {r.node: r.rank for r in pagerank(e, iters=4).collect()}
+    assert set(ranks) == {0, 1, 2}  # 0 survives despite no in-edges
+    assert ranks[0] == pytest.approx((1 - 0.85) / 3)
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9  # no mass lost
+
+
+def test_eigenvector_directed_keeps_in_edgeless_nodes(spark):
+    from kafka_avro_pipeline_java_spark.operators.graph import (
+        eigenvector_centrality,
+    )
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 1)], "src long, dst long"
+    )
+    ranks = {r.node: r.rank for r in eigenvector_centrality(e, iters=3).collect()}
+    assert set(ranks) == {0, 1, 2}
+    assert ranks[0] == 0.0  # no in-edges → score 0, but the row survives
+
+
 def test_degree_stats_counts_both_endpoints(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (1, 3), (4, 5)], "id_a long, id_b long"

@@ -28,6 +28,20 @@ def test_scd2_two_batches_build_history_chain(spark):
     }
 
 
+def test_scd2_inserts_brand_new_keys(spark):
+    # a key absent from the dimension is a pure insert: open row at
+    # new_version, no closed row, nothing dropped silently
+    dim = _dim(spark, [(1, "A", 0, None)])
+    u = spark.createDataFrame([(1, "B"), (99, "Z")], "k long, seg string")
+    out = scd2_apply(dim, u, "k", ["seg"], new_version=1)
+    rows = {(r.k, r.seg, r.valid_from, r.valid_to) for r in out.collect()}
+    assert rows == {
+        (1, "A", 0, 1),      # closed
+        (1, "B", 1, None),   # updated current
+        (99, "Z", 1, None),  # inserted current — previously vanished
+    }
+
+
 def test_scd2_exactly_one_current_row_per_key(spark):
     dim = _dim(spark, [(i, "A", 0, None) for i in range(20)])
     u = spark.createDataFrame(

@@ -39,6 +39,28 @@ def test_countmin_never_underestimates(spark):
     assert exact >= 80
 
 
+def test_countmin_absent_probe_reports_zero(spark):
+    # a probe never seen in the stream must report est_count 0 (its empty
+    # cells win the min via the left join + coalesce), not vanish from the
+    # output or overestimate from only its occupied cells
+    items = spark.createDataFrame([("a",), ("a",), ("b",)], "tok string")
+    probes = spark.createDataFrame(
+        [("a",), ("never-seen-1",), ("never-seen-2",)], "tok string"
+    )
+    out = {
+        r.probe: r.est_count
+        for r in sketches.countmin_estimate(
+            items, "tok", probes, "tok", depth=3, width=1024
+        ).collect()
+    }
+    assert set(out) == {"a", "never-seen-1", "never-seen-2"}
+    assert out["a"] >= 2
+    # 3 items into 3×1024 cells: astronomically unlikely all 3 of a probe's
+    # cells collide, and min() needs only ONE empty cell to return 0
+    assert out["never-seen-1"] == 0
+    assert out["never-seen-2"] == 0
+
+
 def test_hll_estimate_within_theory_bound(spark):
     # m=64 → σ ≈ 1.04/√64 = 13%; assert within 3σ on 4000 distinct
     df = spark.range(4000).select(

@@ -1,7 +1,9 @@
 """Sketch/approximate aggregates and sampling — the operators that replace
 their exact counterparts at 100 TB (mergeable, one-pass, bounded memory).
-Engine-specific estimators can't hash-match a DuckDB oracle, so these are
-rows-only driver checks; tests bound their error against exact values.
+Engine-specific estimators (HLL++, t-digest) can't hash-match a DuckDB
+oracle, so those are rows-only driver checks with error-bound tests;
+`sample_lineitem` uses the portable seeded hash gate instead of Spark's
+RNG and therefore carries a full value oracle.
 """
 
 from __future__ import annotations
@@ -72,12 +74,46 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sample_lineitem")
+@query(
+    "sample_lineitem",
+    oracle="""
+    WITH sampled AS (
+      SELECT l_returnflag, l_extendedprice
+      FROM lineitem
+      WHERE CAST(('0x' || substr(md5(
+              CAST(l_orderkey AS VARCHAR) || ':' ||
+              CAST(l_linenumber AS VARCHAR) || ':smp42'), 1, 15)) AS BIGINT)
+            < 115292150460684697
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           ROUND(AVG(l_extendedprice), 2) AS avg_price_sampled
+    FROM sampled GROUP BY l_returnflag
+    """,
+)
 def sample_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sample + aggregate — the scan-reduction primitive
-    for estimation pipelines (sampling happens AT the scan, pre-shuffle)."""
-    l = load_table(spark, sf_dir, "lineitem").sample(fraction=0.1, seed=42)
-    return l.groupBy("l_returnflag").agg(
+    for estimation pipelines. The gate is a PORTABLE seeded hash on the
+    row key (md5 of (l_orderkey, l_linenumber, seed) < p·2^60) rather
+    than Spark's `.sample()` RNG: same one-pass pre-shuffle filter shape
+    (evaluates in the scan stage, no extra exchange), but any engine
+    reproduces the identical sample — which turns this from a rows-only
+    row into a value-checked oracle row, and is what makes a 100 TB
+    sample AUDITABLE (re-runs and downstream engines agree row-for-row,
+    no RNG-state dependence on partition layout)."""
+    from ..functions.hashing import portable_hash64
+
+    l = load_table(spark, sf_dir, "lineitem")
+    seeded = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+        F.lit(":smp42"),
+    )
+    # p·2^60 as the EXACT integer (1<<60)//10 — the same literal appears in
+    # the oracle so both engines gate on an identical integer comparison
+    sampled = l.filter(portable_hash64(seeded) < (1 << 60) // 10)
+    return sampled.groupBy("l_returnflag").agg(
         F.count("*").alias("n_sampled"),
         F.round(F.avg("l_extendedprice"), 2).alias("avg_price_sampled"),
     )

@@ -74,19 +74,82 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_bpe_segment")
+# The literal merge table for the APPLY read path — the same train/apply
+# split as the literal-centroid IVF and PQ/ADC read-path rows: training
+# (driver-side sequential argmax) stays pinned by text_bpe_pair_stats'
+# oracle + the pure-Python parity tests, while application of a FIXED table
+# is deterministic string algebra both engines can run. Merges apply in
+# order; later rules consume symbols fused by earlier ones.
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"),
+    ("th", "e</w>"),
+    ("i", "n"),
+    ("a", "n"),
+    ("an", "d</w>"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+]
+
+
+def _bpe_segment_oracle() -> str:
+    # Wrapped-symbol representation: every symbol is chr(1)||sym||chr(2),
+    # so SQL replace() of chr(1)a chr(2)chr(1)b chr(2) -> chr(1)ab chr(2)
+    # IS the greedy left-to-right non-overlapping merge pass: symbol
+    # boundaries are explicit (no cross-symbol matches — chr(1)/chr(2)
+    # never occur inside symbol names), and a replacement can never create
+    # a new match of the SAME pattern (the fused name differs), so scan
+    # order is immaterial. Exactly mirrors operators/bpe.py::_merge_adjacent.
+    wrapped = (
+        "array_to_string(list_transform(range(1, len(word) + 1),"
+        " i -> chr(1) || substr(word, i, 1)"
+        " || CASE WHEN i = len(word) THEN '</w>' ELSE '' END || chr(2)), '')"
+    )
+    merged = wrapped
+    for a, b in _BPE_MERGES:
+        pat = f"chr(1) || '{a}' || chr(2) || chr(1) || '{b}' || chr(2)"
+        rep = f"chr(1) || '{a}{b}' || chr(2)"
+        merged = f"replace({merged}, {pat}, {rep})"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+      FROM documents
+    ), words AS (
+      SELECT doc_id, i.i AS pos, ws[i.i] AS word
+      FROM toks, UNNEST(range(1, len(ws) + 1)) AS i(i)
+    ), segged AS (
+      SELECT doc_id, pos,
+             trim(replace({merged}, chr(2) || chr(1), ' '),
+                  chr(1) || chr(2)) AS sub
+      FROM words
+    ), docs AS (
+      SELECT doc_id, string_agg(sub, ' ' ORDER BY pos) AS subwords
+      FROM segged GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(len(string_split(subwords, ' ')) AS INT) AS n_subwords,
+           subwords
+    FROM docs
+    """
+
+
+@query("text_bpe_segment", oracle=_bpe_segment_oracle())
 def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train 8 BPE merges on the corpus word table, then segment every
-    document with the learned table: (doc_id, n_subwords, subwords).
-    Deterministic end to end (lexicographic tiebreaks); parity vs the
-    pure-Python reference in tests/test_bpe.py. Rows-only: the trainer's
-    per-merge argmax is a driver-side decision the oracle can't unroll
-    without replicating the whole training loop."""
+    """Segment every document with the LITERAL 8-rule merge table
+    ``_BPE_MERGES``: (doc_id, n_subwords, subwords as a space-joined
+    string). This is the tokenizer READ PATH — greedy left-to-right
+    non-overlapping merge application (operators/bpe.py::apply_bpe:
+    re-tokenize the DISTINCT words only, broadcast the word→subwords map
+    back over the token stream, zero corpus re-shuffles) — under a full
+    value oracle (the wrapped-symbol iterated-replace construction above
+    reproduces the greedy pass in DuckDB exactly). The TRAINER
+    (sequential driver-side argmax, like k-means updates) stays covered
+    by text_bpe_pair_stats' oracle and the pure-Python parity tests in
+    tests/test_bpe.py."""
     d = load_table(spark, sf_dir, "documents")
-    merges = bpe.train_bpe(d, "text", n_merges=8)
-    seg = bpe.apply_bpe(d, "text", "doc_id", merges)
+    seg = bpe.apply_bpe(d, "text", "doc_id", _BPE_MERGES)
     return seg.select(
         F.col("id").alias("doc_id"),
-        F.size("subwords").alias("n_subwords"),
-        "subwords",
+        F.size("subwords").cast("int").alias("n_subwords"),
+        F.array_join("subwords", " ").alias("subwords"),
     )

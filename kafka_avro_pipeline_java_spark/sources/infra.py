@@ -92,6 +92,27 @@ def recreate_topics(
         f.result()
 
 
+def partition_count(brokers: str, topic: str, *, timeout: float = 10) -> int:
+    """Number of partitions of ``topic`` — the producer-side lookup the
+    reference does with ``producer.partitionsFor(topic).size()``
+    (AvroProducer.java:82) before computing its explicit
+    hashCode-mod-partitions placement. Admin metadata is the only
+    broker round-trip; contract-tested against the embedded fake admin
+    (tests/test_infra_contract.py) since no broker ships in this
+    container."""
+    if not kafka_admin_available():
+        raise RuntimeError(
+            "no Kafka admin client library available (install confluent-kafka)"
+        )
+    from confluent_kafka.admin import AdminClient
+
+    admin = AdminClient({"bootstrap.servers": brokers})
+    meta = admin.list_topics(timeout=timeout)
+    if topic not in meta.topics:
+        raise KeyError(f"topic {topic!r} does not exist")
+    return len(meta.topics[topic].partitions)
+
+
 def register_schemas(registry_url: str, schemas: list[dict], *, timeout: int = 10) -> dict[str, int]:
     """Register value schemas with a Confluent Schema Registry over its
     REST API (subject = ``<topic>-value``). Pure stdlib HTTP."""

@@ -66,7 +66,8 @@ SPARK_TO_AVRO = {
 
 
 class UnknownTypeError(ValueError):
-    pass
+    """A DSL/Avro type with no mapping — raised instead of guessing
+    (reference DataPipeline.java throws on unknown column types too)."""
 
 
 def dsl_to_avro(dsl: list[dict[str, Any]] | str) -> list[dict[str, Any]]:

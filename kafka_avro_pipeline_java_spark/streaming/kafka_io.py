@@ -41,28 +41,72 @@ def kafka_available(spark: SparkSession) -> bool:
         return "DATA_SOURCE_NOT_FOUND" not in str(e) and "Failed to find" not in str(e)
 
 
+def kafka_source_options(
+    brokers: str,
+    topics: str | None = None,
+    *,
+    assign: dict[str, list[int]] | None = None,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    group_id: str | None = None,
+) -> dict[str, str]:
+    """The OPTION CONTRACT of the Kafka source, as a pure function — the
+    part of partition discovery/assignment (reference
+    ``03-consumer/src/main/java/Main.java:28-64``: partitionsFor() then one
+    consumer thread per partition) that is testable without a broker or
+    the spark-sql-kafka jar (tests/test_infra_contract.py).
+
+    Exactly one of ``topics`` (subscribe mode — the source DISCOVERS
+    partitions and plans one task per topic-partition, the reference's
+    thread-per-partition topology) or ``assign`` (explicit
+    {topic: [partition,...]} placement — the reference's
+    ``consumer.assign(...)`` path, serialized to the connector's JSON
+    assign format) must be given."""
+    import json as _json
+
+    if (topics is None) == (assign is None):
+        raise ValueError("exactly one of topics= or assign= is required")
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "startingOffsets": starting_offsets,
+    }
+    if topics is not None:
+        opts["subscribe"] = topics
+    else:
+        opts["assign"] = _json.dumps(
+            {t: sorted(ps) for t, ps in sorted(assign.items())}
+        )
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    if group_id is not None:
+        # parity with the reference's group-per-topic naming
+        # (AvroConsumer.java:50: "group-" + topic)
+        opts["kafka.group.id"] = group_id
+    return opts
+
+
 def read_kafka_stream(
     spark: SparkSession,
     brokers: str,
-    topics: str,
+    topics: str | None = None,
     *,
+    assign: dict[str, list[int]] | None = None,
     starting_offsets: str = "earliest",
     max_offsets_per_trigger: int | None = None,
     group_id: str | None = None,
 ) -> DataFrame:
-    """Raw Kafka stream (key/value binary + topic/partition/offset)."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topics)
-        .option("startingOffsets", starting_offsets)
-    )
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    if group_id is not None:
-        # parity with the reference's group-per-topic naming
-        # (AvroConsumer.java:50: "group-" + topic)
-        reader = reader.option("kafka.group.id", group_id)
+    """Raw Kafka stream (key/value binary + topic/partition/offset) in
+    subscribe (discovery) or assign (explicit placement) mode."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(
+        brokers,
+        topics,
+        assign=assign,
+        starting_offsets=starting_offsets,
+        max_offsets_per_trigger=max_offsets_per_trigger,
+        group_id=group_id,
+    ).items():
+        reader = reader.option(k, v)
     return reader.load()
 
 

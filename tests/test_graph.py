@@ -132,6 +132,45 @@ def test_triangle_count_matches_naive_on_random_graph(spark):
     assert triangle_count(df).collect()[0].n_triangles == want
 
 
+def test_triangle_sampled_unbiased_and_bounded(spark):
+    import itertools
+    import random
+
+    from kafka_avro_pipeline_java_spark.operators.graph import (
+        triangle_count,
+        triangle_count_sampled,
+    )
+
+    rng = random.Random(11)
+    nodes = range(60)
+    pairs = [
+        (a, b) for a, b in itertools.combinations(nodes, 2) if rng.random() < 0.3
+    ]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    exact = triangle_count(df).collect()[0].n_triangles
+    est_row = triangle_count_sampled(df, inv_rate=4, seed="tri").collect()[0]
+    # p=1/4 center sampling: relative sigma = sqrt((1-p)/(p*T)); allow 5 sigma
+    sigma = (0.75 / (0.25 * exact)) ** 0.5
+    assert est_row.est_triangles == est_row.n_closed * 4
+    assert abs(est_row.est_triangles - exact) / exact <= 5 * sigma
+    # determinism: the hash gate is a pure function of the graph
+    again = triangle_count_sampled(df, inv_rate=4, seed="tri").collect()[0]
+    assert again.est_triangles == est_row.est_triangles
+
+
+def test_triangle_sampled_full_rate_is_exact(spark):
+    from kafka_avro_pipeline_java_spark.operators.graph import (
+        triangle_count_sampled,
+    )
+
+    # inv_rate=1 -> gate threshold 2^60, every center sampled -> exact
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    k3 = [(10, 11), (10, 12), (11, 12)]
+    pairs = spark.createDataFrame(k4 + k3, "id_a long, id_b long")
+    row = triangle_count_sampled(pairs, inv_rate=1).collect()[0]
+    assert row.est_triangles == 4 + 1
+
+
 def test_k_core_matches_python_peeling(spark):
     import itertools
     import random

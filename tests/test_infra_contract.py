@@ -26,9 +26,15 @@ class _FakeFuture:
         self.log.append(("future_resolved", self.tag))
 
 
+class _FakeTopicMetadata:
+    def __init__(self, n_partitions):
+        # confluent_kafka TopicMetadata.partitions: {id: PartitionMetadata}
+        self.partitions = {i: object() for i in range(n_partitions)}
+
+
 class _FakeMetadata:
-    def __init__(self, topics):
-        self.topics = {t: object() for t in topics}
+    def __init__(self, topics, n_partitions=3):
+        self.topics = {t: _FakeTopicMetadata(n_partitions) for t in topics}
 
 
 class _FakeAdminClient:
@@ -124,6 +130,64 @@ def test_recreate_topics_no_admin_client_raises(monkeypatch):
     monkeypatch.setattr(infra, "kafka_admin_available", lambda: False)
     with pytest.raises(RuntimeError, match="admin client"):
         infra.recreate_topics("broker:9092", ["t"])
+
+
+def test_partition_count_lookup(fake_admin):
+    """Op #10: producer-side partitionsFor(topic).size() parity
+    (AvroProducer.java:82) via admin metadata — 3 partitions on the fake."""
+    assert infra.partition_count("broker:9092", "orders_avro") == 3
+    with pytest.raises(KeyError, match="no_such_topic"):
+        infra.partition_count("broker:9092", "no_such_topic")
+
+
+def test_kafka_source_subscribe_contract():
+    """Ops #16-17 (discovery side): subscribe mode carries the topic list,
+    cold-start offsets, bounded admission, and the reference's
+    group-per-topic naming (AvroConsumer.java:50,66,116-138)."""
+    from kafka_avro_pipeline_java_spark.streaming.kafka_io import (
+        kafka_source_options,
+    )
+
+    opts = kafka_source_options(
+        "b1:9092,b2:9092",
+        "orders_avro",
+        max_offsets_per_trigger=500,
+        group_id="group-orders_avro",
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "orders_avro",
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": "500",
+        "kafka.group.id": "group-orders_avro",
+    }
+
+
+def test_kafka_source_assign_contract():
+    """Ops #16-17 (assignment side): explicit {topic: partitions} placement
+    serializes to the connector's JSON assign format (the reference's
+    consumer.assign path, Main.java:28-64), deterministically ordered; and
+    subscribe/assign are mutually exclusive."""
+    from kafka_avro_pipeline_java_spark.streaming.kafka_io import (
+        kafka_source_options,
+    )
+
+    opts = kafka_source_options(
+        "b:9092", assign={"orders_avro": [2, 0, 1], "customers_avro": [0]}
+    )
+    assert json.loads(opts["assign"]) == {
+        "orders_avro": [0, 1, 2],
+        "customers_avro": [0],
+    }
+    # deterministic serialization (topics sorted, partitions sorted)
+    assert opts["assign"] == (
+        '{"customers_avro": [0], "orders_avro": [0, 1, 2]}'
+    )
+    assert "subscribe" not in opts
+    with pytest.raises(ValueError, match="exactly one"):
+        kafka_source_options("b:9092", "t", assign={"t": [0]})
+    with pytest.raises(ValueError, match="exactly one"):
+        kafka_source_options("b:9092")
 
 
 def test_register_schemas_rest_contract(monkeypatch):

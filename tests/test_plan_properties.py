@@ -335,3 +335,25 @@ def test_scd2_merge_never_shuffles_dimension(spark, sf_dir):
     shuffles = _shuffle_exchange_lines(plan)
     assert not shuffles, shuffles
     assert "BroadcastHashJoin" in plan
+
+
+def _analyzed_plan(spark, name, sf_dir):
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+
+
+def test_no_mandatory_broadcast_on_corpus_derived_sets(spark, sf_dir):
+    """Scale guard (VERDICT r03 item 3): anti-join victim lists, dirty-doc
+    sets, and k-core survivor sets are O(corpus)/O(V) in the worst case. A
+    mandatory F.broadcast hint on them removes Spark's freedom to fall
+    back to a shuffle join and becomes a driver OOM at 100x scale. These
+    plans must carry ZERO broadcast hints — AQE still picks broadcast at
+    runtime when the sets are actually small (the physical plans at test
+    scale do use BroadcastHashJoin, chosen by the planner, not forced)."""
+    for name in [
+        "pipeline_stage_funnel",
+        "pipeline_decontaminate_bloom",
+        "dedup_rate_by_source",
+        "graph_kcore",
+    ]:
+        plan = _analyzed_plan(spark, name, sf_dir)
+        assert "ResolvedHint" not in plan, f"{name} carries a broadcast hint"

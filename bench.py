@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "knn_pq_adc_oracle",
     "knn_cosine_lsh_oracle",
     "knn_topk_bucketed",
+    "knn_sq8_adc_oracle",
     "agg_salted_distinct_customers",
     "scalar_map_order_attrs",
     "multimodal_binary_meta",
@@ -115,6 +116,7 @@ BENCH_QUERIES = [
     "multimodal_frame_sample",
     "sketch_kmv_distinct",
     "sketch_hll_distinct",
+    "sketch_hll_hourly",
     "sketch_countmin_tokens",
     "sketch_join_cardinality",
     "text_bpe_pair_stats",
@@ -149,6 +151,8 @@ BENCH_QUERIES = [
     "quality_constraint_report",
     "sketch_histogram_quantiles",
     "graph_component_sizes",
+    "graph_kcore_rounds",
+    "events_interval_join",
     "pipeline_mixture_diversity",
     "graph_personalized_pagerank",
     "graph_eigenvector_centrality",
@@ -166,6 +170,7 @@ COLLECT_THRESHOLD_QUERIES = {
     "knn_cosine_bruteforce",
     "knn_cosine_ivf",
     "knn_pq_adc_oracle",
+    "knn_sq8_adc_oracle",
     "dedup_embedding_bucketed",
     "events_funnel",
     "knn_cosine_lsh_oracle",

@@ -303,6 +303,47 @@ def eigenvector_centrality(
     return ranks
 
 
+def k_core_rounds(
+    pairs: DataFrame, k: int, rounds: int, *, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Exactly ``rounds`` peeling rounds of k-core (no convergence probe,
+    no early exit): surviving (node, degree) after R fixed rounds of
+    "drop degree<k endpoints, keep edges with both ends surviving". A
+    deterministic prefix of the k_core fixpoint — equal to it once R ≥
+    the peeling depth (typically a handful) — whose value a SQL oracle
+    can check by unrolling R rounds as CTEs, giving the family a
+    driver-checkable twin the data-dependent fixpoint loop can't have.
+    Same per-round plan as k_core: two keyed aggs + two semi-joins, no
+    broadcast hints on the O(V) survivor set, localCheckpoint per round
+    (each round reads the edge list twice — deg + both joins — so a lazy
+    DERIVED edge list would re-run its derivation per consumer per
+    round)."""
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = (
+            e.select(F.explode(F.array("u", "v")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    deg = (
+        e.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    return deg.filter(F.col("d") >= k).select(
+        "node", F.col("d").cast("int").alias("degree")
+    )
+
+
 def k_core(
     pairs: DataFrame, k: int, *, src: str = "id_a", dst: str = "id_b",
     max_rounds: int = 50,

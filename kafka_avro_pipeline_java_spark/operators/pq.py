@@ -294,3 +294,96 @@ def load_pq_index(spark: SparkSession, path: str):
     with open(os.path.join(path, "codebooks.json")) as f:
         codebooks = json.load(f)
     return spark.read.parquet(os.path.join(path, "codes")), codebooks
+
+
+def sq8_bounds(df: DataFrame, vec_col: str) -> DataFrame:
+    """Per-dimension (lo, hi-lo) quantization bounds as ONE row of two
+    arrays — the scalar-quantization 'codebook', derived from the data
+    with a posexplode + per-dim min/max (map-side-combinable partials:
+    the shuffle carries partitions×dim rows, not corpus rows) and folded
+    back to a single broadcastable row. Order-independent aggregates, so
+    the bounds — and every code derived from them — are engine-exact."""
+    ex = df.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+    bounds = ex.groupBy("pos").agg(
+        F.min(F.col("x").cast("double")).alias("lo"),
+        F.max(F.col("x").cast("double")).alias("hi"),
+    )
+    return bounds.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "lo", "hi"))).alias("b")
+    ).select(
+        F.transform("b", lambda s: s["lo"]).alias("lo"),
+        F.transform("b", lambda s: s["hi"] - s["lo"]).alias("hl"),
+    )
+
+
+def sq8_encode(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """int8 scalar quantization: (id, codes array<int>, lo, hl). Each
+    dimension is binned independently into 256 levels of its own [lo, hi]
+    range — 1 byte/dim at rest (4× smaller than float32; PQ compresses
+    harder, SQ decodes cheaper and needs no training). code =
+    least(floor(((x-lo)/(hi-lo))*256), 255), constant dims → 0; the
+    expression is mirrored verbatim in the DuckDB oracle so codes match
+    integer-for-integer. The bounds row is a broadcast; encoding is a
+    zero-shuffle projection (separate materialized steps — higher-order
+    lambdas get no subexpression elimination, see SCALE.md)."""
+    bounds = sq8_bounds(df, vec_col)
+    vd = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd"),
+    )
+    withb = vd.crossJoin(F.broadcast(bounds))
+    shifted = withb.select(
+        "id",
+        "lo",
+        "hl",
+        F.zip_with("vd", "lo", lambda x, l: x - l).alias("sh"),
+    )
+    return shifted.select(
+        "id",
+        "lo",
+        "hl",
+        F.zip_with(
+            "sh",
+            "hl",
+            lambda d, s: F.when(s == 0.0, F.lit(0))
+            .otherwise(
+                F.least(F.floor((d / s) * F.lit(256.0)), F.lit(255)).cast("int")
+            )
+            .cast("int"),
+        ).alias("codes"),
+    )
+
+
+def sq8_adc_topk(
+    codes: DataFrame, query_df: DataFrame, k: int = 5
+) -> DataFrame:
+    """Asymmetric top-k on SQ8 codes: the query stays full-precision, each
+    code decodes to its bin CENTER (lo + (c+0.5)·hl/256) and the L2
+    distance is a 1-row-broadcast zip_with/aggregate projection over the
+    codes scan — d bytes/row, zero shuffle, TakeOrdered top-k; the
+    scan→project→TakeOrdered read path every quantized index shares
+    (``pq_adc_topk`` docstring). ``query_df``: one row with column ``q``
+    (array<double>). Output (id, sq_dist) ascending, id tiebreak."""
+    withq = codes.crossJoin(F.broadcast(query_df))
+    dec1 = withq.select(
+        "id",
+        "lo",
+        "q",
+        F.zip_with(
+            "codes", "hl", lambda c, s: ((c.cast("double") + 0.5) * s) / 256.0
+        ).alias("d1"),
+    )
+    dec = dec1.select(
+        "id", "q", F.zip_with("d1", "lo", lambda t, l: t + l).alias("dec")
+    )
+    diff = dec.select(
+        "id",
+        F.zip_with("dec", "q", lambda a, b: (a - b) * (a - b)).alias("d2"),
+    )
+    dist = diff.select(
+        "id",
+        F.round(
+            F.aggregate("d2", F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("sq_dist"),
+    )
+    return dist.orderBy(F.asc("sq_dist"), F.asc("id")).limit(k)

@@ -445,3 +445,56 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("int").alias("active_hours"),
         F.round((F.col("s2") / F.col("n") - m * m) / m, 6).alias("fano_factor"),
     )
+
+
+@query(
+    "events_interval_join",
+    oracle="""
+    WITH clk AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), pur AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS lag_seconds,
+           ROUND(p.value, 2) AS purchase_value
+    FROM clk c JOIN pur p
+      ON p.user_id = c.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution pairs within a 1-hour window — the BATCH
+    TWIN of the stream-stream interval join
+    (streaming/joins.py::stream_stream_within, state bounded by
+    watermark + interval; tests/test_stream_joins.py drives the streaming
+    form over the file spool). The operator is literally shared: batch
+    DataFrames pass through the same code path (withWatermark is a no-op
+    outside streaming), so this driver row value-checks the exact join
+    condition the stateful streaming join runs. Scale shape: equi-join on
+    user_id with the time bound in the join condition (range-pruned
+    inside each key group); state at 100 TB streams is O(rate × 1 h),
+    independent of stream length."""
+    from ..streaming import joins as J
+
+    e = load_table(spark, sf_dir, "events")
+    clk = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = J.stream_stream_within(
+        clk, pur, "user_id", within="1 hour", watermark="2 hours"
+    )
+    return j.select(
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        F.col("l_user_id").alias("user_id"),
+        (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts"))
+        .cast("bigint")
+        .alias("lag_seconds"),
+        F.round("r_value", 2).alias("purchase_value"),
+    )

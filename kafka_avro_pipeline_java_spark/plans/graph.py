@@ -320,6 +320,57 @@ def graph_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("centrality"))
 
 
+def _kcore_rounds_oracle(k: int, rounds: int) -> str:
+    # unroll R peeling rounds as MATERIALIZED CTE pairs (keep_i, e_{i+1});
+    # every e_i is referenced three times per round (twice in the degree
+    # count, once in the filter), so without MATERIALIZED DuckDB inlines
+    # the whole SimHash derivation into each reference and the plan
+    # explodes combinatorially across rounds (measured: >4 min vs <10 s)
+    parts = []
+    for i in range(rounds):
+        parts.append(f"""
+    keep{i} AS MATERIALIZED (
+      SELECT node FROM (
+        SELECT node, COUNT(*) AS d FROM (
+          SELECT u AS node FROM e{i} UNION ALL SELECT v FROM e{i}
+        ) GROUP BY node
+      ) WHERE d >= {k}
+    ),
+    e{i + 1} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e{i} e
+      WHERE e.u IN (SELECT node FROM keep{i})
+        AND e.v IN (SELECT node FROM keep{i})
+    )""")
+    return f"""
+    WITH allp AS MATERIALIZED ({_simhash2_oracle()}),
+    e0 AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM allp),
+    {",".join(parts)}
+    SELECT node, CAST(d AS INT) AS degree FROM (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds}
+      ) GROUP BY node
+    ) WHERE d >= {k}
+    """
+
+
+@query("graph_kcore_rounds", oracle=_kcore_rounds_oracle(3, 3))
+def graph_kcore_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly THREE peeling rounds of the 3-core over the SimHash
+    near-dup graph — the ORACLE-BACKED twin of graph_kcore: the
+    data-dependent fixpoint loop can't be unrolled statically, but a
+    fixed-round prefix can (three (degree, filter-edges) CTE rounds in
+    DuckDB), so the family's per-round semantics get a driver-checked
+    value row while the fixpoint query keeps its pure-Python parity
+    test. Equal to the fixpoint whenever peeling converges within three
+    rounds (it does on this graph at sf0.01 — verified in
+    tests/test_graph.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_pairs_portable(
+        d, "text", "doc_id", max_hamming=2
+    ).select("id_a", "id_b")
+    return graph.k_core_rounds(pairs, 3, 3)
+
+
 @query("graph_kcore")
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the SimHash near-dup graph: the dense nucleus after

@@ -230,3 +230,58 @@ def pipeline_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFra
         train, evals, "embedding", "vec_id", _SEM_CENTS, _CONTAM_THRESHOLD
     )
     return out.select(F.col("id").alias("vec_id"), "cid", "max_eval_sim")
+
+
+@query(
+    "knn_sq8_adc_oracle",
+    oracle="""
+    WITH bounds AS MATERIALIZED (
+      SELECT i.i AS pos,
+             MIN(CAST(embedding[i.i] AS DOUBLE)) AS lo,
+             MAX(CAST(embedding[i.i] AS DOUBLE))
+               - MIN(CAST(embedding[i.i] AS DOUBLE)) AS hl
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS i(i)
+      GROUP BY i.i
+    ), q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), codes AS MATERIALIZED (
+      SELECT e.vec_id, b.pos, b.lo, b.hl,
+             CASE WHEN b.hl = 0 THEN 0
+                  ELSE LEAST(CAST(FLOOR(((CAST(e.embedding[b.pos] AS DOUBLE)
+                                          - b.lo) / b.hl) * 256.0) AS INT),
+                             255)
+             END AS code
+      FROM embeddings e, bounds b
+    ), score AS (
+      SELECT c.vec_id,
+             SUM(POWER(c.lo + ((CAST(c.code AS DOUBLE) + 0.5) * c.hl) / 256.0
+                       - CAST(q.qv[c.pos] AS DOUBLE), 2)) AS dist
+      FROM codes c, q
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, ROUND(dist, 6) AS sq_dist
+    FROM score ORDER BY sq_dist, vec_id LIMIT 5
+    """,
+)
+def knn_sq8_adc_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The int8 SCALAR-quantization read path, fully oracle-checked — the
+    third member of the quantized-index family (IVF = partition pruning,
+    PQ = hardest compression, SQ8 = training-free 4x compression with
+    the cheapest decode). Per-dim [lo, hi] bounds come FROM THE DATA (a
+    map-side-combined per-dim min/max folded to one broadcast row — no
+    literals, no trainer), codes are an exact integer function of
+    (x, lo, hi) mirrored verbatim in the oracle SQL, and scoring decodes
+    to bin centers against the full-precision vec_id=0 query: the
+    scan->project->TakeOrdered shape reading d bytes/row at 100 TB
+    (operators/pq.py::sq8_encode/sq8_adc_topk)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.pq import sq8_adc_topk, sq8_encode
+
+    e = load_table(spark, sf_dir, "embeddings")
+    codes = sq8_encode(e, "embedding", "vec_id")
+    qdf = e.filter(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("q")
+    )
+    out = sq8_adc_topk(codes, qdf, k=5)
+    return out.select(F.col("id").alias("vec_id"), "sq_dist")

@@ -210,3 +210,27 @@ def test_k_core_of_clique_is_whole_clique(spark):
     got = {r.node: r.degree for r in k_core(df, 3).collect()}
     assert set(got) == {0, 1, 2, 3, 4}
     assert all(d == 4 for d in got.values())
+
+
+def test_k_core_rounds_prefix_reaches_fixpoint(spark, sf_dir):
+    from kafka_avro_pipeline_java_spark.operators import dedup
+    from kafka_avro_pipeline_java_spark.operators.graph import (
+        k_core,
+        k_core_rounds,
+    )
+    from kafka_avro_pipeline_java_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_pairs_portable(
+        d, "text", "doc_id", max_hamming=2
+    ).select("id_a", "id_b")
+    fixpoint = {
+        (r.node, r.degree) for r in k_core(pairs, 3).collect()
+    }
+    prefix = {
+        (r.node, r.degree) for r in k_core_rounds(pairs, 3, 3).collect()
+    }
+    # three rounds suffice on this graph: the oracle-backed prefix IS the
+    # fixpoint (if the testdata ever deepens the peeling, bump rounds in
+    # plans/graph.py::graph_kcore_rounds and this assertion together)
+    assert prefix == fixpoint

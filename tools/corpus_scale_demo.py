@@ -169,5 +169,71 @@ timed("semdedup_100k_vectors", lambda: semdedup.semantic_dedup(
     emb, "emb", "doc_id", _CENTS, 0.9
 ).count())
 
+# round-4 operators ------------------------------------------------------
+
+# int8 scalar quantization: encode pass + ADC top-10 over the same signed
+# vectors (the training-free quantized read path; operators/pq.py::sq8_*)
+from kafka_avro_pipeline_java_spark.operators.pq import sq8_adc_topk, sq8_encode
+from kafka_avro_pipeline_java_spark.plans.text3 import hash_embedding_df
+
+_sq_codes = sq8_encode(emb, "emb", "doc_id")
+_sq_q = emb.limit(1).select(F.col("emb").alias("q"))
+timed("sq8_encode_pass", lambda: _sq_codes.count())
+timed("sq8_adc_top10", lambda: sq8_adc_topk(
+    sq8_encode(emb, "emb", "doc_id"), _sq_q, k=10
+).count())
+
+# hash-embedding corpus pass in the exploded word-count shape (the round-4
+# replacement for the interpreted histogram fold; plans/text3.py)
+timed("hash_embedding_pass", lambda: hash_embedding_df(
+    docs, "text", "doc_id"
+).agg(F.sum(F.element_at("emb", 1))).first()[0])
+
+# exact vs p=1/4 edge-leg-sampled triangle counting over a synthetic graph
+# (V = n/5 nodes, ~2 planted K20 cliques per 100k nodes + random edges)
+from kafka_avro_pipeline_java_spark.operators.graph import (
+    triangle_count,
+    triangle_count_sampled,
+)
+
+_V = max(1000, n // 5)
+rand_e = (
+    spark.range(10 * _V)
+    .repartition(64)
+    .select(
+        F.pmod(F.xxhash64(F.col("id") * 2 + 1), F.lit(_V)).alias("id_a"),
+        F.pmod(F.xxhash64(F.col("id") * 2 + 2), F.lit(_V)).alias("id_b"),
+    )
+)
+clique_n = max(2, _V // 50_000)
+clique = (
+    spark.range(clique_n * 400)
+    .select(
+        (F.col("id") % clique_n).alias("c"),
+        F.floor(F.col("id") / clique_n).alias("r"),
+    )
+    .select(
+        "c",
+        (F.col("r") % 20).alias("i"),
+        F.floor(F.col("r") / 20).alias("j"),
+    )
+    .filter(F.col("i") < F.col("j"))
+    .select(
+        (F.lit(_V) + F.col("c") * 20 + F.col("i")).alias("id_a"),
+        (F.lit(_V) + F.col("c") * 20 + F.col("j")).alias("id_b"),
+    )
+)
+graph_pairs = (
+    rand_e.filter(F.col("id_a") < F.col("id_b"))
+    .unionByName(clique)
+    .distinct()
+    .localCheckpoint(eager=True)
+)
+results["triangle_graph_edges"] = graph_pairs.count()
+timed("triangle_exact", lambda: triangle_count(graph_pairs).first()[0])
+timed("triangle_sampled_p25", lambda: triangle_count_sampled(
+    graph_pairs, inv_rate=4
+).first().est_triangles)
+
 print(json.dumps(results))
 spark.stop()

@@ -153,6 +153,10 @@ BENCH_QUERIES = [
     "graph_component_sizes",
     "graph_kcore_rounds",
     "events_interval_join",
+    "events_scd2_dim_join",
+    "sketch_hll_sliding_24h",
+    "udaf_median_value_by_type",
+    "udf_vectorized_squared_relu",
     "pipeline_mixture_diversity",
     "graph_personalized_pagerank",
     "graph_eigenvector_centrality",
@@ -190,8 +194,11 @@ COLLECT_THRESHOLD_QUERIES = {
 
 def _family(name: str) -> str:
     """Bucket a query name into its operator family for the compact line."""
+    import re
+
+    if re.match(r"^q\d", name):  # q1..q22 — plain "q" would also swallow
+        return "tpch"            # quality_* rows
     prefixes = [
-        ("q", "tpch"),
         ("join_", "joins"),
         ("agg_", "aggs"),
         ("window_", "windows"),

@@ -26,14 +26,17 @@ def squared_relu(v: pd.Series) -> pd.Series:
 
 def grouped_median(df, key_col: str, value_col: str):
     """Grouped-aggregate example via applyInPandas (a UDAF shape: per-group
-    pandas computation with map-side Arrow batching)."""
+    pandas computation with map-side Arrow batching). The key column keeps
+    its input type (string group keys work as well as longs)."""
+
+    key_type = df.schema[key_col].dataType.simpleString()
 
     def med(pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({key_col: [pdf[key_col].iloc[0]],
                              "median_value": [float(pdf[value_col].median())]})
 
     return df.groupBy(key_col).applyInPandas(
-        med, schema=f"{key_col} long, median_value double"
+        med, schema=f"{key_col} {key_type}, median_value double"
     )
 
 

@@ -325,7 +325,11 @@ def sq8_encode(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     expression is mirrored verbatim in the DuckDB oracle so codes match
     integer-for-integer. The bounds row is a broadcast; encoding is a
     zero-shuffle projection (separate materialized steps — higher-order
-    lambdas get no subexpression elimination, see SCALE.md)."""
+    lambdas get no subexpression elimination, see SCALE.md).
+
+    Precondition: every vector has the SAME length (true of any embedding
+    column). A ragged short vector would zip against the full-length
+    bounds arrays and produce NULL codes for its missing dims."""
     bounds = sq8_bounds(df, vec_col)
     vd = df.select(
         F.col(id_col).alias("id"),

@@ -149,11 +149,25 @@ def hll_distinct(
     KMV's per-group k-hash state, HLL state is m bytes and register max
     is a partial aggregate — the cheapest mergeable distinct sketch.
     """
+    regs = hll_registers(df, group_col, key_col, m=m)
+    return hll_estimate_from_registers(regs, m=m).withColumnRenamed(
+        "g", group_col
+    )
+
+
+def hll_registers(
+    df: DataFrame, group_col: str, key_col: str, *, m: int = 64
+) -> DataFrame:
+    """The HLL sketch STATE itself: (g, bk, mj) — per-group occupied
+    registers (bucket, max rho). Exposed separately because register rows
+    MERGE by plain max: unions of sketches, sliding windows over
+    per-period sketches, and cross-shard combines are all one
+    groupBy(g, bk).max(mj) away (the mergeability that makes HLL the
+    distinct sketch of choice for partial aggregation)."""
     assert m & (m - 1) == 0, "m must be a power of two"
     import math as _math
 
     b = int(_math.log2(m))
-    alpha = 0.7213 / (1 + 1.079 / m)
     rest_bits = 60 - b
     h = portable_hash64(F.col(key_col).cast("string"))
     bucket = F.pmod(h, F.lit(m))
@@ -168,11 +182,21 @@ def hll_distinct(
         )
     )
     rho = F.lit(rest_bits + 1) - bitlen  # rest==0 -> rho = rest_bits + 1
-    regs = (
+    return (
         df.select(F.col(group_col).alias("g"), bucket.alias("bk"), rho.alias("r"))
         .groupBy("g", "bk")
         .agg(F.max("r").alias("mj"))
     )
+
+
+def hll_estimate_from_registers(regs: DataFrame, *, m: int = 64) -> DataFrame:
+    """(g, est_distinct) from occupied register rows (g, bk, mj) — the
+    integer-exact harmonic-mean estimate described in hll_distinct."""
+    import math as _math
+
+    b = int(_math.log2(m))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    rest_bits = 60 - b
     # Σ 2^(55-M_j) over occupied registers + (m - occupied) · 2^55 for empty
     top = rest_bits + 1
     per_g = regs.groupBy("g").agg(
@@ -197,9 +221,7 @@ def hll_distinct(
         (e_raw <= 2.5 * m) & (F.col("v") > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v")),
     ).otherwise(e_raw)
-    return full.select(
-        F.col("g").alias(group_col), F.round(est, 4).alias("est_distinct")
-    )
+    return full.select("g", F.round(est, 4).alias("est_distinct"))
 
 
 def countmin_inner_product(

@@ -498,3 +498,176 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lag_seconds"),
         F.round("r_value", 2).alias("purchase_value"),
     )
+
+
+@query(
+    "events_scd2_dim_join",
+    oracle="""
+    WITH users AS (
+      SELECT DISTINCT user_id FROM events
+    ), dim AS (
+      SELECT user_id,
+             'T' || CAST(user_id % 3 AS VARCHAR) AS tier,
+             TIMESTAMP '2023-01-01 00:00:00' AS valid_from,
+             CASE WHEN user_id % 5 = 0
+                  THEN TIMESTAMP '2024-01-16 00:00:00' END AS valid_to
+      FROM users
+      UNION ALL
+      SELECT user_id,
+             'T' || CAST((user_id + 1) % 3 AS VARCHAR),
+             TIMESTAMP '2024-01-16 00:00:00',
+             CAST(NULL AS TIMESTAMP)
+      FROM users WHERE user_id % 5 = 0
+    )
+    SELECT e.event_type, d.tier,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events e JOIN dim d
+      ON d.user_id = e.user_id
+     AND e.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    GROUP BY e.event_type, d.tier
+    """,
+)
+def events_scd2_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension join: every event is enriched with the SCD2
+    dimension row VALID AT ITS EVENT TIME (users in the T-mod-3 tier
+    dimension, with every fifth user re-tiered mid-month), then rolled
+    up per (event_type, tier). The warehouse-meets-events pattern the
+    SCD2 family existed for: merge_scd2_* maintains the versioned
+    dimension, this query consumes it — an equi-join on the user key
+    with the validity interval as a residual range predicate, so the
+    join shuffles once on user_id and the interval filter runs inside
+    the join (never a cartesian; at 100 TB the dimension side is
+    user-sized, AQE chooses broadcast vs shuffle). Exact integer cents
+    keep the rollup value-oracled."""
+    e = load_table(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    base = users.select(
+        "user_id",
+        F.concat(F.lit("T"), (F.col("user_id") % 3).cast("string")).alias("tier"),
+        F.lit("2023-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.when(
+            F.col("user_id") % 5 == 0,
+            F.lit("2024-01-16 00:00:00").cast("timestamp"),
+        ).alias("valid_to"),
+    )
+    retiered = users.filter(F.col("user_id") % 5 == 0).select(
+        "user_id",
+        F.concat(F.lit("T"), ((F.col("user_id") + 1) % 3).cast("string")).alias(
+            "tier"
+        ),
+        F.lit("2024-01-16 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    dim = base.unionByName(retiered)
+    joined = e.join(
+        dim,
+        (e["user_id"] == dim["user_id"])
+        & (e["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (e["ts"] < dim["valid_to"])),
+    )
+    return joined.groupBy("event_type", "tier").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("value_cents"),
+    )
+
+
+@query(
+    "udaf_median_value_by_type",
+    oracle="""
+    SELECT event_type,
+           ROUND(MEDIAN(value), 6) AS median_value
+    FROM events GROUP BY event_type
+    """,
+)
+def udaf_median_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type median event value computed through the PYTHON UDAF
+    extension point (functions/udtf_examples.py::grouped_median —
+    applyInPandas, Arrow-batched) and value-checked against DuckDB's
+    native MEDIAN: the proof that the Python extension surface is not
+    just present but NUMERICALLY FAITHFUL through the Arrow boundary
+    (both sides interpolate the midpoint of even-count groups). This is
+    deliberately the ONLY Python-path query in the catalog — the engine
+    stance is built-ins first (SCALE.md "Python only off the hot path");
+    when users do need the escape hatch, this row is the template and
+    the evidence it round-trips exactly."""
+    from ..functions.udtf_examples import grouped_median
+
+    e = load_table(spark, sf_dir, "events")
+    out = grouped_median(e.select("event_type", "value"), "event_type", "value")
+    return out.select(
+        "event_type", F.round("median_value", 6).alias("median_value")
+    )
+
+
+@query(
+    "udtf_char_ngrams_eval_docs",
+    oracle="""
+    WITH eval_docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+    )
+    SELECT doc_id,
+           substr(text, i.i + 1, 3) AS ngram,
+           CAST(i.i AS INT) AS position
+    FROM eval_docs, UNNEST(range(0, GREATEST(0, len(text) - 2))) AS i(i)
+    """,
+)
+def udtf_char_ngrams_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 3-grams with positions for the eval-slice documents,
+    produced by the PYTHON UDTF extension point
+    (functions/udtf_examples.py::NGramExpander) through a SQL LATERAL
+    join, value-checked against DuckDB's substr expansion. Like the UDAF
+    row, this exists to prove the third extension surface (one row in →
+    many rows out) is numerically faithful — and it runs on the
+    BENCHMARK SLICE only (docs with doc_id % 97 = 0): a row-at-a-time
+    Python generator over a full corpus would be the slow path the
+    engine stance forbids (the production n-gram operators are all
+    built-in posexplode projections, e.g. operators/spans.py)."""
+    from ..functions.udtf_examples import NGramExpander
+
+    spark.udtf.register("char_ngrams_udtf", NGramExpander)
+    d = load_table(spark, sf_dir, "documents")
+    d.filter(F.col("doc_id") % 97 == 0).createOrReplaceTempView(
+        "_udtf_eval_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.ngram, t.position
+        FROM _udtf_eval_docs d, LATERAL char_ngrams_udtf(d.text, 3) t
+        """
+    )
+
+
+@query(
+    "udf_vectorized_squared_relu",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(GREATEST(ROUND(value * 100, 0), 0) AS BIGINT)
+                    * CAST(GREATEST(ROUND(value * 100, 0), 0) AS BIGINT))
+                AS BIGINT) AS sum_sq_relu_cents2
+    FROM events GROUP BY event_type
+    """,
+)
+def udf_vectorized_squared_relu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Σ relu(value_cents)² with the relu² computed by the
+    VECTORIZED scalar extension point
+    (functions/udtf_examples.py::squared_relu, an Arrow-batched
+    pandas_udf) over integer cents — squares of integers sum exactly in
+    any order, so the result is bit-identical cross-engine —
+    completing the extension-surface trio (scalar here, UDAF =
+    udaf_median_value_by_type, UDTF = udtf_char_ngrams_eval_docs), each
+    value-checked through the Arrow boundary against native DuckDB
+    expressions."""
+    from ..functions.udtf_examples import squared_relu
+
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0)
+    return (
+        e.select("event_type", squared_relu(cents).alias("sq"))
+        .groupBy("event_type")
+        .agg(F.sum("sq").cast("bigint").alias("sum_sq_relu_cents2"))
+    )

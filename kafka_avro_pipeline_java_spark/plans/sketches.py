@@ -463,3 +463,99 @@ def sketch_hll_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").cast("int").alias("true_distinct")
     )
     return est.join(exact, "hour")
+
+
+@query(
+    "sketch_hll_sliding_24h",
+    oracle=f"""
+    WITH hs AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events
+    ), rho AS (
+      SELECT hour, h % {_HLL_M} AS bk,
+             55 - len(list_filter(range(0, 54),
+                                  p -> (1::BIGINT << p) <= (h // {_HLL_M}))) AS r
+      FROM hs
+    ), hregs AS (
+      SELECT hour, bk, MAX(r) AS mj FROM rho GROUP BY hour, bk
+    ), hours AS (
+      SELECT DISTINCT hour FROM hregs
+    ), merged AS (
+      SELECT t.hour, r.bk, MAX(r.mj) AS mj
+      FROM hours t JOIN hregs r
+        ON r.hour <= t.hour AND r.hour > t.hour - INTERVAL 24 HOURS
+      GROUP BY t.hour, r.bk
+    ), per_g AS (
+      SELECT hour, SUM(1::BIGINT << (55 - mj)) AS isum, COUNT(*) AS occ
+      FROM merged GROUP BY hour
+    ), filled AS (
+      SELECT hour,
+             CAST(isum + ({_HLL_M} - occ) * (1::BIGINT << 55) AS BIGINT) AS isum,
+             {_HLL_M} - occ AS v
+      FROM per_g
+    ), est AS (
+      SELECT hour, v, {_HLL_NUM!r} / CAST(isum AS DOUBLE) AS e_raw FROM filled
+    ), exact AS (
+      SELECT t.hour, COUNT(DISTINCT e.user_id) AS td
+      FROM hours t JOIN events e
+        ON date_trunc('hour', e.ts) <= t.hour
+       AND date_trunc('hour', e.ts) > t.hour - INTERVAL 24 HOURS
+      GROUP BY t.hour
+    )
+    SELECT est.hour,
+           ROUND(CASE WHEN e_raw <= {2.5 * _HLL_M!r} AND v > 0
+                      THEN {float(_HLL_M)!r} * LN({float(_HLL_M)!r} / v)
+                      ELSE e_raw END, 4) AS est_distinct,
+           CAST(exact.td AS INT) AS true_distinct
+    FROM est JOIN exact ON exact.hour = est.hour
+    """,
+)
+def sketch_hll_sliding_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24-hour distinct users ending at every hour, computed by
+    MERGING the per-hour HLL register sets (groupBy(bucket).max over the
+    24 contributing hours) — the operation that makes sketches the scale
+    answer for sliding distinct counts: the exact form re-scans 24 hours
+    of RAW events per output hour (24x read amplification, or a giant
+    distinct state), while the sketch form joins 24 rows of m=64-byte
+    state per output hour, a constant regardless of event volume. Uses
+    operators/sketches.py::hll_registers / hll_estimate_from_registers —
+    the same register math as sketch_hll_hourly, so the value oracle
+    covers the MERGE itself; the exact count computed alongside shows
+    the estimate's error in-row."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.select(F.date_trunc("hour", "ts").alias("hour"), "user_id")
+    regs = sketches.hll_registers(hourly, "hour", "user_id", m=_HLL_M)
+    hours = regs.select(F.col("g").alias("t")).distinct()
+    # equi-shape window fan-out: each register row contributes to the 24
+    # target hours [h, h+23]; a range join here would be a nested loop,
+    # the explode keeps everything an equi-join/agg (×24 on SKETCH rows —
+    # 64 per hour — not on events)
+    offsets = F.explode(F.sequence(F.lit(0), F.lit(23))).alias("off")
+    fanned = regs.select("g", "bk", "mj", offsets).select(
+        (F.col("g") + F.expr("make_interval(0, 0, 0, 0, off, 0, 0)")).alias("t"),
+        "bk",
+        "mj",
+    )
+    merged = (
+        fanned.join(hours, "t", "left_semi")
+        .groupBy("t", "bk")
+        .agg(F.max("mj").alias("mj"))
+        .withColumnRenamed("t", "g")
+    )
+    est = sketches.hll_estimate_from_registers(merged, m=_HLL_M)
+    pairs = hourly.distinct().select("hour", "user_id", offsets).select(
+        (F.col("hour") + F.expr("make_interval(0, 0, 0, 0, off, 0, 0)")).alias(
+            "t"
+        ),
+        "user_id",
+    )
+    exact = (
+        pairs.join(hours, "t", "left_semi")
+        .groupBy("t")
+        .agg(F.count_distinct("user_id").cast("int").alias("true_distinct"))
+    )
+    return (
+        est.withColumnRenamed("g", "hour")
+        .join(exact.withColumnRenamed("t", "hour"), "hour")
+    )

@@ -33,9 +33,14 @@ from . import layout as layout_plans  # noqa: E402,F401
 # statistical battery, warehouse ops (SCD2/constraints/skew), behavioral
 # analytics (transitions/paths/lift), the remaining graph family
 # (components/PPR/eigenvector), sketch merge & join-cardinality, and the BI
-# battery (RFM/LTV/ABC/YoY). Left for r05: the TPC-H tail (q2,q11,q13,q15,
-# q17,q18,q20,q21 — the TPC-H FAMILY already has 14 driver-signed members
-# from r01/r02) plus the newly-oracled text_bpe_segment / sample_lineitem.
+# battery (RFM/LTV/ABC/YoY). Left for r05 (all oracle-backed, all passing
+# driver_sim): the TPC-H tail (q2,q11,q13,q15,q17,q18,q20,q21 — the TPC-H
+# FAMILY already has 14 driver-signed members from r01/r02) plus the
+# round-4 additions — text_bpe_segment, sample_lineitem,
+# graph_triangle_count_approx, graph_kcore_rounds, knn_sq8_adc_oracle,
+# events_interval_join, events_scd2_dim_join, sketch_hll_sliding_24h, and
+# the extension-surface trio (udf_vectorized_squared_relu,
+# udaf_median_value_by_type, udtf_char_ngrams_eval_docs).
 # Everything outside the window stays exercised by tests and
 # tools/driver_sim.py (which runs ALL queries).
 _PRIORITY = [

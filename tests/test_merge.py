@@ -51,3 +51,55 @@ def test_scd2_exactly_one_current_row_per_key(spark):
     cur = out.filter(F.col("valid_to").isNull()).groupBy("k").count()
     assert cur.filter(F.col("count") != 1).count() == 0
     assert out.count() == 20 + 10  # 10 closed rows added
+
+
+def test_scd2_streaming_maintenance_matches_batch(spark, tmp_path):
+    """SCD2 as a STREAMING sink: CDC batches arriving as files are applied
+    to the dimension in foreachBatch (one scd2_apply per micro-batch,
+    version = batch ordinal) and the final history must equal applying
+    the same batches sequentially in batch mode — the warehouse family's
+    streaming<->batch parity, same discipline as the window/funnel/HLL
+    twins."""
+    import os
+
+    spool = str(tmp_path / "cdc")
+    os.makedirs(spool)
+    u1 = spark.createDataFrame([(1, "X"), (2, "B")], "k long, seg string")
+    u2 = spark.createDataFrame([(1, "Y"), (9, "Z")], "k long, seg string")
+    # two files -> two micro-batches (maxFilesPerTrigger=1); write in order
+    u1.coalesce(1).write.parquet(spool + "/b1")
+    u2.coalesce(1).write.parquet(spool + "/b2")
+
+    dim0 = _dim(spark, [(1, "A", 0, None), (2, "B", 0, None), (3, "C", 0, None)])
+    state = {"dim": dim0, "version": 0}
+
+    def apply_batch(batch_df, batch_id):
+        rows = batch_df.collect()
+        if not rows:
+            return
+        state["version"] += 1
+        updates = spark.createDataFrame(rows, batch_df.schema)
+        state["dim"] = scd2_apply(
+            state["dim"], updates, "k", ["seg"], new_version=state["version"]
+        ).localCheckpoint(eager=True)
+
+    stream = (
+        spark.readStream.schema("k long, seg string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(spool + "/b*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    want = scd2_apply(
+        scd2_apply(dim0, u1, "k", ["seg"], new_version=1),
+        u2, "k", ["seg"], new_version=2,
+    )
+    got_rows = {tuple(r) for r in state["dim"].collect()}
+    want_rows = {tuple(r) for r in want.collect()}
+    assert state["version"] == 2  # two micro-batches actually happened
+    assert got_rows == want_rows

@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "sketch_hll_sliding_24h",
     "udaf_median_value_by_type",
     "udf_vectorized_squared_relu",
+    "source_python_datasource",
     "pipeline_mixture_diversity",
     "graph_personalized_pagerank",
     "graph_eigenvector_centrality",

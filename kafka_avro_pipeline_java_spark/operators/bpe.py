@@ -13,7 +13,7 @@ over the WORD FREQUENCY table — which is the whole scalability story:
   collected to the driver (the merge decision is inherently sequential —
   same division of labor as k-means centroid updates in clustering.py).
 - Applying a learned merge table to a corpus re-tokenizes the DISTINCT
-  words only, then broadcast-joins the (word → subwords) map back onto
+  words only, then joins the (word → subwords) map back onto
   the token stream — the corpus never re-shuffles per merge.
 
 Merging is the standard greedy left-to-right non-overlapping pass,
@@ -127,9 +127,13 @@ def train_bpe(
 
 def apply_bpe(df: DataFrame, text_col: str, id_col: str, merges) -> DataFrame:
     """Segment each document with a learned merge table: (id, subwords).
-    Re-tokenizes the DISTINCT words only, then broadcast-joins the
-    (word → subwords) map onto the exploded token stream — corpus-sized
-    data shuffles zero times for the segmentation itself."""
+    Re-tokenizes the DISTINCT words only, then joins the (word → subwords)
+    map back onto the exploded token stream, so the expensive merge fold
+    runs once per distinct word, never once per occurrence. The map side
+    carries NO mandatory broadcast hint: it is VOCABULARY-sized — 10⁸+
+    rows on a web-scale corpus, the same driver-OOM class as a forced df
+    table broadcast — and AQE broadcasts it on its own whenever it is
+    actually small (every test corpus here)."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "word"),
@@ -144,7 +148,7 @@ def apply_bpe(df: DataFrame, text_col: str, id_col: str, merges) -> DataFrame:
         segmented = segmented.select(
             "word", _merge_adjacent(F.col("syms"), a, b).alias("syms")
         )
-    joined = toks.join(F.broadcast(segmented), "word")
+    joined = toks.join(segmented, "word")
     return (
         joined.groupBy("id")
         .agg(

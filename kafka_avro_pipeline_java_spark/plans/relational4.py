@@ -787,3 +787,47 @@ def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_violations"),
     )
     return uniq.unionByName(fk).unionByName(o3).unionByName(disc)
+
+
+@query(
+    "source_python_datasource",
+    oracle="""
+    WITH src AS (
+      SELECT i.i AS id,
+             CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM UNNEST(range(0, 1000)) AS i(i)
+    )
+    SELECT CAST(h % 10 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(id) AS BIGINT) AS min_id,
+           CAST(MAX(h) AS BIGINT) AS max_h
+    FROM src GROUP BY 1
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows produced by a CUSTOM CONNECTOR written against Spark 4's
+    Python DataSource API (sources/pydatasource.py::HashRangeDataSource:
+    schema + partition planning + per-partition readers, all pure Python)
+    and aggregated per hash bucket. The connector's output is a pure
+    function of its options — the portable md5 hash again — so even the
+    extensibility surface is value-oracled: DuckDB reproduces what the
+    8-split parallel read must yield. The reference's answer to a new
+    source is another hand-rolled Java consumer; here a source is ~40
+    lines of Python and the engine owns scheduling."""
+    from ..sources.pydatasource import HashRangeDataSource
+
+    try:
+        spark.dataSource.register(HashRangeDataSource)
+    except Exception:
+        pass  # already registered in this session
+    src = (
+        spark.read.format("hashrange")
+        .option("n", "1000")
+        .option("parts", "8")
+        .load()
+    )
+    return src.groupBy((F.col("h") % 10).alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.min("id").alias("min_id"),
+        F.max("h").alias("max_h"),
+    )

@@ -139,8 +139,8 @@ def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_BPE_MERGES``: (doc_id, n_subwords, subwords as a space-joined
     string). This is the tokenizer READ PATH — greedy left-to-right
     non-overlapping merge application (operators/bpe.py::apply_bpe:
-    re-tokenize the DISTINCT words only, broadcast the word→subwords map
-    back over the token stream, zero corpus re-shuffles) — under a full
+    re-tokenize the DISTINCT words only, join the word→subwords map
+    back over the token stream — AQE broadcasts the vocab side when small) — under a full
     value oracle (the wrapped-symbol iterated-replace construction above
     reproduces the greedy pass in DuckDB exactly). The TRAINER
     (sequential driver-side argmax, like k-means updates) stays covered

@@ -354,6 +354,24 @@ def test_no_mandatory_broadcast_on_corpus_derived_sets(spark, sf_dir):
         "pipeline_decontaminate_bloom",
         "dedup_rate_by_source",
         "graph_kcore",
+        "text_bpe_segment",  # vocab-sized word->subwords map (round 4)
     ]:
         plan = _analyzed_plan(spark, name, sf_dir)
         assert "ResolvedHint" not in plan, f"{name} carries a broadcast hint"
+
+
+def test_sliding_hll_has_no_nested_loop(spark, sf_dir):
+    """The 24h sliding HLL merges sketch state with an explode-to-target
+    equi fan-out; a range-join formulation would be a BroadcastNestedLoop
+    over the register table and melt at scale."""
+    plan = _formatted_plan(spark, "sketch_hll_sliding_24h", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_dim_join_is_equi_with_residual(spark, sf_dir):
+    """The temporal dimension join must key on user_id (equi) with the
+    validity interval as a residual condition, never a cartesian."""
+    plan = _formatted_plan(spark, "events_scd2_dim_join", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -20,6 +20,11 @@ DEFAULT = [
     "sketch_kmv_distinct", "sketch_hll_distinct", "sketch_countmin_tokens",
     "graph_pagerank_neardup", "events_cohort_retention", "events_ewma_hourly",
     "text_bpe_pair_stats",
+    # round-4 additions
+    "graph_triangle_count_approx", "graph_kcore_rounds", "knn_sq8_adc_oracle",
+    "events_interval_join", "events_scd2_dim_join", "sketch_hll_sliding_24h",
+    "sketch_hll_hourly", "dedup_semantic_text_e2e", "text_bpe_segment",
+    "sample_lineitem", "source_python_datasource",
 ]
 
 

@@ -65,7 +65,7 @@ BENCH_QUERIES = [
     "events_ewma_hourly",
     "graph_pagerank_neardup",
     # exact graph_triangle_count stays registered + oracled; the bench slot
-    # runs the p=1/4 center-sampled estimator so one output-bound query
+    # runs the p=1/4 edge-leg-sampled estimator so one output-bound query
     # isn't 8% of the suite wall-clock (VERDICT r03 item 6)
     "graph_triangle_count_approx",
     "text_quality_calibrated",

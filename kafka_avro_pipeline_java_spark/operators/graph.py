@@ -89,22 +89,14 @@ def degree_stats(edges: DataFrame, *, src: str = "src", dst: str = "dst") -> Dat
     return deg.groupBy("degree").agg(F.count("*").cast("int").alias("n_nodes"))
 
 
-def triangle_count(
-    pairs: DataFrame, *, src: str = "id_a", dst: str = "id_b"
-) -> DataFrame:
-    """Exact triangle count of an undirected pair list (canonical
-    id_a < id_b), 1-row DataFrame (n_triangles).
-
-    Degree-ordered node-iterator: every edge is re-oriented from its
-    lower-(degree, id) endpoint to its higher one, wedges are enumerated
-    only from each node's HIGHER-ordered neighbors, and a wedge closes
-    iff its (consistently oriented) third edge exists. Out-degree under
-    this orientation is O(√m) regardless of hub size, so wedge volume is
+def _oriented_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Degree-ordered orientation shared by the exact and sampled triangle
+    counters: every edge re-oriented from its lower-(degree, id) endpoint
+    x to its higher one, carried as the struct key yk = (d, n) so the
+    y ≺ z wedge filter is one comparison. Out-degree under this
+    orientation is O(√m) regardless of hub size, so wedge volume is
     Σ outdeg² = O(m^1.5) — the naive id-ordered double join is Σ deg²,
-    which melts on high-degree hubs in sparse graphs. On clique-dense
-    graphs the TRIANGLE COUNT itself is the floor (no algorithm
-    enumerates 81M triangles for free): measured 11.8M triangles from
-    127k edges in 4.9 s at sf0.1 (~2.4M wedge-closures/s)."""
+    which melts on high-degree hubs."""
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     ends = e.select(F.explode(F.array("u", "v")).alias("node"))
     deg = ends.groupBy("node").agg(F.count("*").alias("d"))
@@ -114,9 +106,7 @@ def triangle_count(
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    # oriented edge: x -> (d, n) key of the higher-ordered endpoint; the
-    # struct key makes the y≺z wedge filter one comparison
-    o = ranked.select(
+    return ranked.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("x"),
         F.when(
             u_first, F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
@@ -124,15 +114,37 @@ def triangle_count(
         .otherwise(F.struct(F.col("du").alias("d"), F.col("u").alias("n")))
         .alias("yk"),
     ).localCheckpoint(eager=False)
-    w1 = o.select("x", F.col("yk").alias("y"))
+
+
+def _closed_wedges(w1: DataFrame, o: DataFrame) -> DataFrame:
+    """Wedges (y, z) from the first-leg frame ``w1`` against the full
+    oriented edge set ``o``, kept iff the third edge y.n → z exists."""
     w2 = o.select("x", F.col("yk").alias("z"))
     wedges = w1.join(w2, "x").filter(F.col("y") < F.col("z")).select("y", "z")
     third = o.select(F.col("x").alias("tx"), F.col("yk").alias("tz"))
-    closed = wedges.join(
+    return wedges.join(
         third,
         (F.col("y")["n"] == F.col("tx")) & (F.col("z") == F.col("tz")),
         "left_semi",
     )
+
+
+def triangle_count(
+    pairs: DataFrame, *, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Exact triangle count of an undirected pair list (canonical
+    id_a < id_b), 1-row DataFrame (n_triangles).
+
+    Degree-ordered node-iterator (_oriented_edges): wedges are enumerated
+    only from each node's HIGHER-ordered neighbors and a wedge closes iff
+    its (consistently oriented) third edge exists. On clique-dense graphs
+    the TRIANGLE COUNT itself is the floor (no algorithm enumerates 81M
+    triangles for free): measured 11.8M triangles from 127k edges in
+    4.9 s at sf0.1 (~2.4M wedge-closures/s); the sampled estimator below
+    is the bench-facing relief valve."""
+    o = _oriented_edges(pairs, src, dst)
+    w1 = o.select("x", F.col("yk").alias("y"))
+    closed = _closed_wedges(w1, o)
     return closed.agg(F.count("*").cast("bigint").alias("n_triangles"))
 
 
@@ -144,41 +156,27 @@ def triangle_count_sampled(
     inv_rate: int = 4,
     seed: str = "tri",
 ) -> DataFrame:
-    """Center-sampled triangle ESTIMATE, 1-row
+    """EDGE-LEG-sampled triangle ESTIMATE, 1-row
     (n_sampled_oriented_edges, n_closed, est_triangles ≈ n_closed·inv_rate).
 
-    Same degree-ordered orientation as triangle_count — each triangle is
-    counted exactly once, as the wedge (y, z) at its minimum-(degree, id)
-    vertex x with y ≺ z — but the FIRST wedge leg (x, y) must pass a
-    PORTABLE seeded hash gate with probability p = 1/inv_rate. The filter
-    lands on one side of the wedge self-join, so the O(m^1.5) wedge
-    volume (the entire cost of exact counting on clique-dense graphs)
-    shrinks by p while closure checks still probe the FULL oriented edge
-    set. Each triangle's (x, y) leg is gated i.i.d. w.p. p, so
-    n_closed/p is unbiased; gating the EDGE leg rather than the center
-    keeps the correlation groups small (triangles sharing a leg = common
-    neighbors of one edge, vs C(deg,2) wedges of one hub center), which
-    is what keeps the variance usable on clique-dense dedup graphs —
-    measured 4% relative error at p=¼ on the sf0.01 SimHash graph vs
-    23% for center gating. The hash gate (not an RNG) makes the estimate
-    a pure function of the graph: the DuckDB oracle checks it exactly."""
-    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    ends = e.select(F.explode(F.array("u", "v")).alias("node"))
-    deg = ends.groupBy("node").agg(F.count("*").alias("d"))
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    ranked = e.join(du, "u").join(dv, "v")
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    o = ranked.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("x"),
-        F.when(
-            u_first, F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
-        )
-        .otherwise(F.struct(F.col("du").alias("d"), F.col("u").alias("n")))
-        .alias("yk"),
-    ).localCheckpoint(eager=False)
+    Same degree-ordered orientation as triangle_count (shared
+    _oriented_edges/_closed_wedges; inv_rate=1 IS the exact count) — each
+    triangle is counted exactly once, as the wedge (y, z) at its
+    minimum-(degree, id) vertex x with y ≺ z — but the FIRST wedge leg
+    (x, y) must pass a PORTABLE seeded hash gate with probability
+    p = 1/inv_rate. The filter lands on one side of the wedge self-join,
+    so the O(m^1.5) wedge volume (the entire cost of exact counting on
+    clique-dense graphs) shrinks by p while closure checks still probe
+    the FULL oriented edge set. Each triangle's (x, y) leg is gated
+    i.i.d. w.p. p, so n_closed/p is unbiased; gating the EDGE leg rather
+    than the CENTER x keeps the correlation groups small (triangles
+    sharing a leg = common neighbors of one edge, vs C(deg,2) wedges of
+    one hub center), which is what keeps the variance usable on
+    clique-dense dedup graphs — measured 4% relative error at p=¼ on the
+    sf0.01 SimHash graph vs 23% for center gating. The hash gate (not an
+    RNG) makes the estimate a pure function of the graph: the DuckDB
+    oracle checks it exactly."""
+    o = _oriented_edges(pairs, src, dst)
     from ..functions.hashing import portable_hash64
 
     gate = portable_hash64(
@@ -190,15 +188,7 @@ def triangle_count_sampled(
         )
     ) < (1 << 60) // inv_rate
     sampled = o.filter(gate)
-    w1 = sampled.select("x", F.col("yk").alias("y"))
-    w2 = o.select("x", F.col("yk").alias("z"))
-    wedges = w1.join(w2, "x").filter(F.col("y") < F.col("z")).select("y", "z")
-    third = o.select(F.col("x").alias("tx"), F.col("yk").alias("tz"))
-    closed = wedges.join(
-        third,
-        (F.col("y")["n"] == F.col("tx")) & (F.col("z") == F.col("tz")),
-        "left_semi",
-    )
+    closed = _closed_wedges(sampled.select("x", F.col("yk").alias("y")), o)
     n_s = sampled.agg(
         F.count("*").cast("bigint").alias("n_sampled_oriented_edges")
     )
@@ -303,6 +293,34 @@ def eigenvector_centrality(
     return ranks
 
 
+def _endpoint_degrees(e):
+    """(node, d) over both endpoints of the undirected edge frame (u, v) —
+    the per-round degree table both k-core variants peel against."""
+    return (
+        e.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+
+
+def _peel_once(e, keep):
+    """Drop edges with either endpoint outside ``keep`` (NO broadcast
+    hint — keep is O(V) on early rounds) and checkpoint: each round reads
+    the edge list three times (degree agg + both semi-joins), so a lazy
+    frame would re-run its derivation per consumer per round."""
+    return (
+        e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+
+
+def _surviving_degrees(e, k):
+    return _endpoint_degrees(e).filter(F.col("d") >= k).select(
+        "node", F.col("d").cast("int").alias("degree")
+    )
+
+
 def k_core_rounds(
     pairs: DataFrame, k: int, rounds: int, *, src: str = "id_a", dst: str = "id_b"
 ) -> DataFrame:
@@ -313,35 +331,17 @@ def k_core_rounds(
     the peeling depth (typically a handful) — whose value a SQL oracle
     can check by unrolling R rounds as CTEs, giving the family a
     driver-checkable twin the data-dependent fixpoint loop can't have.
-    Same per-round plan as k_core: two keyed aggs + two semi-joins, no
-    broadcast hints on the O(V) survivor set, localCheckpoint per round
-    (each round reads the edge list twice — deg + both joins — so a lazy
-    DERIVED edge list would re-run its derivation per consumer per
-    round)."""
+    Same per-round plan as k_core (shared _endpoint_degrees/_peel_once
+    helpers): two keyed aggs + two semi-joins, no broadcast hints on the
+    O(V) survivor set, localCheckpoint per round."""
     e = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .localCheckpoint(eager=True)
     )
     for _ in range(rounds):
-        deg = (
-            e.select(F.explode(F.array("u", "v")).alias("node"))
-            .groupBy("node")
-            .agg(F.count("*").alias("d"))
-        )
-        keep = deg.filter(F.col("d") >= k).select("node")
-        e = (
-            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
-            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
-            .localCheckpoint(eager=True)
-        )
-    deg = (
-        e.select(F.explode(F.array("u", "v")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
-    )
-    return deg.filter(F.col("d") >= k).select(
-        "node", F.col("d").cast("int").alias("degree")
-    )
+        keep = _endpoint_degrees(e).filter(F.col("d") >= k).select("node")
+        e = _peel_once(e, keep)
+    return _surviving_degrees(e, k)
 
 
 def k_core(
@@ -366,28 +366,10 @@ def k_core(
     )
     n_prev = -1
     for _ in range(max_rounds):
-        deg = (
-            e.select(F.explode(F.array("u", "v")).alias("node"))
-            .groupBy("node")
-            .agg(F.count("*").alias("d"))
-        )
-        keep = deg.filter(F.col("d") >= k).select("node")
+        keep = _endpoint_degrees(e).filter(F.col("d") >= k).select("node")
         n = keep.count()  # 1-row-equivalent convergence probe per round
         if n == n_prev:
-            return deg.filter(F.col("d") >= k).select(
-                "node", F.col("d").cast("int").alias("degree")
-            )
+            break
         n_prev = n
-        e = (
-            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
-            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
-            .localCheckpoint(eager=True)
-        )
-    deg = (
-        e.select(F.explode(F.array("u", "v")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
-    )
-    return deg.filter(F.col("d") >= k).select(
-        "node", F.col("d").cast("int").alias("degree")
-    )
+        e = _peel_once(e, keep)
+    return _surviving_degrees(e, k)

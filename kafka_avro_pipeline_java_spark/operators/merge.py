@@ -55,12 +55,12 @@ def scd2_apply(
     )
     closed = (
         cur.join(F.broadcast(changed_keys), key, "left_semi")
-        .withColumn(end_col, F.lit(new_version).cast(dim.schema[version_col].dataType))
+        .withColumn(end_col, F.lit(new_version).cast(dim.schema[end_col].dataType))
     )
     fresh = (
         u.join(F.broadcast(changed_keys), key, "left_semi")
         .withColumn(version_col, F.lit(new_version).cast(dim.schema[version_col].dataType))
-        .withColumn(end_col, F.lit(None).cast(dim.schema[version_col].dataType))
+        .withColumn(end_col, F.lit(None).cast(dim.schema[end_col].dataType))
         .select(*dim.columns)
     )
     untouched_cur = cur.join(F.broadcast(changed_keys), key, "left_anti")
@@ -71,7 +71,7 @@ def scd2_apply(
     inserted = (
         u.join(cur.select(key), key, "left_anti")
         .withColumn(version_col, F.lit(new_version).cast(dim.schema[version_col].dataType))
-        .withColumn(end_col, F.lit(None).cast(dim.schema[version_col].dataType))
+        .withColumn(end_col, F.lit(None).cast(dim.schema[end_col].dataType))
         .select(*dim.columns)
     )
     return (

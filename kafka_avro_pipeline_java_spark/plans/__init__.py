@@ -106,119 +106,6 @@ _PRIORITY = [
     "multimodal_frame_sample",
 ]
 
-_PRIORITY_R03 = [
-    # --- dedup family (north star) ---
-    # dedup_exact and dedup_embedding_cosine rotated out (green r01+r02;
-    # the exact O(n²) baseline stays registered as ground truth) for the
-    # round's substring-level and semantic dedup oracle rows.
-    # dedup_ngram_jaccard / minhash_portable / simhash_portable /
-    # near_dup_groups / keep_one_e2e / embedding_bucketed rotated out
-    # (all green in the r02 driver window) for the round's NEW oracle
-    # families below (sketches, graph, bloom, cohort/EWMA, corpus stats,
-    # BPE); the token-set and embedding measures stay evidenced by their
-    # r02 rows and by graph_* / dedup_semantic_text_e2e, which recompute
-    # the Jaccard pairs inside their own oracles.
-    "dedup_repeated_spans",
-    "dedup_semantic",
-    # dedup_similarity_join rotated out (green r02) for the round's
-    # edit-distance dedup row, which completes the dedup-measure family.
-    "dedup_fuzzy_edit",
-    # --- similarity search (north star) ---
-    # knn_cosine_bruteforce rotated out (green r01+r02); exact scoring
-    # stays exercised inside every bucketed/IVF/PQ verify stage.
-    # knn_all_pairs_top3 rotated out (green r01+r02; the O(n²) exact
-    # baseline stays registered) for the LSH read-path oracle.
-    # knn_topk_bucketed rotated out (green r02).
-    "knn_cosine_ivf_oracle",
-    "knn_pq_adc_oracle",
-    "knn_cosine_lsh_oracle",
-    # --- text analysis (north star) ---
-    # text_stats and text_token_counts rotated out (green r01+r02) for the
-    # Gopher rule battery and the unigram-LM score; BM25 retrieval adds
-    # the search capability to the window.
-    "text_gopher_rules",
-    "text_unigram_logprob",
-    "text_bm25_search",
-    "text_quality_scores",
-    "text_rolling_fingerprint_portable",
-    "text_language_id",
-    "text_repetition_ratio",
-    "text_pii_scrub",
-    "text_vocabulary",
-    "text_rare_token_ratio",
-    "text_tfidf_keywords",
-    "text_collocations",
-    # --- corpus statistics + tokenizer induction (new r3 batch 2) ---
-    "text_source_entropy",
-    "text_length_histogram",
-    "text_zipf_slope",
-    "text_bpe_pair_stats",
-    # --- sketches (new r3 batch 2: value-checked approximate aggregates) ---
-    "sketch_kmv_distinct",
-    "sketch_hll_distinct",
-    "sketch_countmin_tokens",
-    # --- graph analytics over the near-dup graph (new r3 batch 2) ---
-    "graph_pagerank_neardup",
-    "graph_degree_stats",
-    # join_range_price_tiers rotated out (green r02) for the triangle row.
-    "graph_triangle_count",
-    # --- multimodal + reference pipeline parity + corpus pipeline stages ---
-    # multimodal_binary_meta and pipeline_avro_roundtrip rotated out (both
-    # green r02) for the round's NEW multimodal oracle row: the
-    # mapInPandas resize path, md5-verified byte-for-byte.
-    "multimodal_resize_pipeline",
-    "pipeline_decontaminate_bloom",
-    # q5_local_supplier_volume and agg_grouping_sets rotated out (green
-    # r02) for the round's semantic-decontamination and Z-order rows;
-    # multi-way joins and grouped aggs stay evidenced by r01+r02 plus the
-    # salted-distinct and corpus-agg rows still in the window.
-    "pipeline_decontaminate_semantic",
-    "layout_zorder_code",
-    "pipeline_decontaminate",
-    "pipeline_quality_filter",
-    "pipeline_corpus_split",
-    "pipeline_token_packing",
-    "pipeline_domain_mix",
-    "pipeline_decontaminate_ngram",
-    "pipeline_importance_sample",
-    "pipeline_shuffle_order",
-    "pipeline_sample_per_source",
-    "pipeline_chunk_documents",
-    # --- events / streaming semantics (hourly_rollup + sessionize rotated
-    # out, green r01+r02; asof_last_click + tumbling_window_fn rotated out,
-    # green r02; the category stays repped by the window/watermark/funnel
-    # rows below plus the round's retention + EWMA behavioral analytics) ---
-    "events_cohort_retention",
-    "events_ewma_hourly",
-    "events_session_window_fn",
-    "events_sliding_window_fn",
-    "events_dedup_watermark_eq",
-    "events_funnel",
-    # --- relational representatives (one per SURVEY §2B category; the
-    # remaining variants + TPC-H tail register after and stay test-covered) ---
-    # filter_project_lineitem and q1_pricing_summary rotated out (green
-    # r01+r02) for the round's tf-idf/PMI corpus rows; q3_shipping_priority
-    # and join_inner_segment_sales rotated out (green r02) — scans+aggs+
-    # joins stay repped by q5/range/grouping-sets/salted-distinct.
-    # join_left_order_counts rotated out (green r01+r02) for
-    # scalar_map_order_attrs; joins stay repped by inner/semi/range.
-    "scalar_map_order_attrs",
-    # join_semi_active_customers rotated out (green r01+r02) for the
-    # n-gram decontamination row (itself a broadcast semi-join shape);
-    # join_anti_dormant_customers rotated out (green r01+r02, 0-row result)
-    # for events_funnel.
-    # agg_distinct_customers rotated out (green r01+r02) for the salted
-    # two-phase variant, which exercises the skew path over the same data.
-    "agg_salted_distinct_customers",
-    # agg_percentiles rotated out (green r01+r02) for the importance-
-    # sampling row.
-    # window_rank_top_orders and sort_limit_top_orders rotated out (both
-    # green r01+r02) to keep the window at 50 with the round's new
-    # text/pipeline/map oracle rows in; window functions stay exercised
-    # by events_dedup_watermark_eq (row_number) and the funnel's stacked
-    # window-mins.
-]
-
 
 def _apply_priority_order() -> None:
     ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}

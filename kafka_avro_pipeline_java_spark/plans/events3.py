@@ -669,5 +669,5 @@ def udf_vectorized_squared_relu(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.select("event_type", squared_relu(cents).alias("sq"))
         .groupBy("event_type")
-        .agg(F.sum("sq").cast("bigint").alias("sum_sq_relu_cents2"))
+        .agg(F.sum(F.col("sq").cast("bigint")).alias("sum_sq_relu_cents2"))
     )

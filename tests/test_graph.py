@@ -149,7 +149,9 @@ def test_triangle_sampled_unbiased_and_bounded(spark):
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
     exact = triangle_count(df).collect()[0].n_triangles
     est_row = triangle_count_sampled(df, inv_rate=4, seed="tri").collect()[0]
-    # p=1/4 center sampling: relative sigma = sqrt((1-p)/(p*T)); allow 5 sigma
+    # p=1/4 edge-leg gating: sqrt((1-p)/(p*T)) is the independent-triangle
+    # lower bound on sigma; correlation groups (common neighbors per leg)
+    # are ~1 on this sparse random graph, so 5x the bound is a safe band
     sigma = (0.75 / (0.25 * exact)) ** 0.5
     assert est_row.est_triangles == est_row.n_closed * 4
     assert abs(est_row.est_triangles - exact) / exact <= 5 * sigma

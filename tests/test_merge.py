@@ -103,3 +103,20 @@ def test_scd2_streaming_maintenance_matches_batch(spark, tmp_path):
     want_rows = {tuple(r) for r in want.collect()}
     assert state["version"] == 2  # two micro-batches actually happened
     assert got_rows == want_rows
+
+
+def test_scd2_mixed_version_and_end_types(spark):
+    # valid_from int, valid_to timestamp: each NULL/close cast must use its
+    # OWN column's type (regression: both casts once used valid_from's)
+    dim = spark.createDataFrame(
+        [(1, "A", 0, None), (2, "B", 0, None)],
+        "k long, seg string, valid_from int, valid_to timestamp",
+    )
+    u = spark.createDataFrame([(1, "X"), (9, "Z")], "k long, seg string")
+    out = scd2_apply(dim, u, "k", ["seg"], new_version=1)
+    types = dict(out.dtypes)
+    assert types["valid_from"] == "int"
+    assert types["valid_to"] == "timestamp"
+    # closed row's valid_to is new_version cast to timestamp (epoch second 1)
+    closed = out.filter(F.col("k") == 1).filter(F.col("valid_to").isNotNull())
+    assert closed.count() == 1

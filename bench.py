@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "events_interval_join",
     "events_scd2_dim_join",
     "sketch_hll_sliding_24h",
+    "sketch_histogram_sliding_p95",
     "udaf_median_value_by_type",
     "udf_vectorized_squared_relu",
     "source_python_datasource",

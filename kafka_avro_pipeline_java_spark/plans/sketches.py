@@ -559,3 +559,133 @@ def sketch_hll_sliding_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.withColumnRenamed("g", "hour")
         .join(exact.withColumnRenamed("t", "hour"), "hour")
     )
+
+
+@query(
+    "sketch_histogram_sliding_p95",
+    oracle=f"""
+    WITH cents AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS p
+      FROM events
+    ), bounds AS (
+      SELECT MIN(p) AS lo, MAX(p) AS hi FROM cents
+    ), hist AS (
+      SELECT hour,
+             LEAST(CAST(FLOOR((p - lo) * {_HB}.0 / (hi - lo + 1)) AS BIGINT),
+                   {_HB - 1}) AS b,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM cents, bounds GROUP BY 1, 2
+    ), hours AS (
+      SELECT DISTINCT hour FROM hist
+    ), merged AS (
+      SELECT t.hour, h.b, SUM(h.c) AS c
+      FROM hours t JOIN hist h
+        ON h.hour <= t.hour AND h.hour > t.hour - INTERVAL 24 HOURS
+      GROUP BY t.hour, h.b
+    ), cum AS (
+      SELECT hour, b, c,
+             SUM(c) OVER (PARTITION BY hour ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY hour) AS n
+      FROM merged
+    ), pick AS (
+      SELECT hour, MIN(b) FILTER (WHERE cum >= 0.95 * n) AS bq,
+             MAX(n) AS n
+      FROM cum GROUP BY hour
+    ), exact AS (
+      SELECT t.hour, quantile_cont(e.p, 0.95) AS ev
+      FROM hours t JOIN cents e
+        ON e.hour <= t.hour AND e.hour > t.hour - INTERVAL 24 HOURS
+      GROUP BY t.hour
+    )
+    SELECT p.hour,
+           CAST(p.n AS BIGINT) AS n_events,
+           ROUND((bo.lo + (p.bq + 0.5) * (bo.hi - bo.lo + 1) / {_HB}.0) / 100.0, 2)
+             AS est_p95,
+           CAST(ROUND(e.ev * 100, 0) AS BIGINT) AS exact_p95_c100
+    FROM pick p JOIN exact e ON e.hour = p.hour, bounds bo
+    """,
+)
+def sketch_histogram_sliding_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24-hour p95 event value ending at every hour — the
+    QUANTILE companion of sketch_hll_sliding_24h, closing the pattern:
+    any mergeable sketch (register max for distincts, bucket-count
+    vector add here) turns a sliding-window statistic from a 24×
+    raw-data re-scan into a join of per-period sketch rows (256 counts
+    per hour, constant in event volume). Global bucket bounds come from
+    one broadcast min/max so every hour's histogram is merge-compatible;
+    the same explode-to-target-hours equi fan-out as the HLL twin (never
+    a nested-loop range join — plan test); estimates land next to the
+    exact trailing percentile so the error is visible in-row, and every
+    count is an exact integer so the oracle checks the ESTIMATES."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    cents = e.select(
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("p"),
+    )
+    bounds = cents.agg(F.min("p").alias("lo"), F.max("p").alias("hi"))
+    withb = cents.crossJoin(F.broadcast(bounds)).select(
+        "hour", "p", "lo", "hi",
+        F.least(
+            F.floor(
+                (F.col("p") - F.col("lo")) * float(_HB)
+                / (F.col("hi") - F.col("lo") + 1)
+            ).cast("bigint"),
+            F.lit(_HB - 1),
+        ).alias("b"),
+    )
+    hist = withb.groupBy("hour", "b").agg(F.count("*").alias("c"))
+    hours = hist.select(F.col("hour").alias("t")).distinct()
+    offsets = F.explode(F.sequence(F.lit(0), F.lit(23))).alias("off")
+    fanned = hist.select("hour", "b", "c", offsets).select(
+        (F.col("hour") + F.expr("make_interval(0, 0, 0, 0, off, 0, 0)")).alias("t"),
+        "b",
+        "c",
+    )
+    merged = (
+        fanned.join(hours, "t", "left_semi")
+        .groupBy("t", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+    w = Window.partitionBy("t").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = merged.select(
+        "t", "b", "c",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("t")).alias("n"),
+    )
+    pick = (
+        cum.filter(F.col("cum") >= 0.95 * F.col("n"))
+        .groupBy("t")
+        .agg(F.min("b").alias("bq"), F.max("n").alias("n"))
+    )
+    fanned_exact = cents.select("hour", "p", offsets).select(
+        (F.col("hour") + F.expr("make_interval(0, 0, 0, 0, off, 0, 0)")).alias("t"),
+        "p",
+    )
+    exact = (
+        fanned_exact.join(hours, "t", "left_semi")
+        .groupBy("t")
+        .agg(F.percentile("p", F.lit(0.95)).alias("ev"))
+    )
+    return (
+        pick.join(exact, "t")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.col("t").alias("hour"),
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round(
+                (F.col("lo") + (F.col("bq") + 0.5) * (F.col("hi") - F.col("lo") + 1) / float(_HB)) / 100.0,
+                2,
+            ).alias("est_p95"),
+            # integer hundredths-of-cents: the interpolated p95 over
+            # integer cents has fraction k/20, so x100 is an exact integer
+            # and rounding to it is 1ulp-stable cross-engine (a /100 +
+            # round(2) lands on half-cent boundaries and diverges)
+            F.round(F.col("ev") * 100, 0).cast("bigint").alias("exact_p95_c100"),
+        )
+    )

@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "text_bpe_pair_stats",
     "layout_zorder_code",
     "merge_scd2_customers",
+    "merge_scd2_version_diff",
     "diag_key_skew",
     "agg_price_outliers_iqr",
     "agg_moments_skew_kurtosis",

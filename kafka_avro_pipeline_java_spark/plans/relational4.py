@@ -831,3 +831,70 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id").alias("min_id"),
         F.max("h").alias("max_h"),
     )
+
+
+@query(
+    "merge_scd2_version_diff",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment, 0 AS valid_from,
+             CAST(NULL AS INT) AS valid_to
+      FROM customer
+    ), updates AS (
+      SELECT c_custkey, 'RELOCATED' AS c_mktsegment
+      FROM customer WHERE c_custkey % 7 = 0
+    ), changed AS (
+      SELECT d.c_custkey FROM dim d JOIN updates u USING (c_custkey)
+      WHERE d.valid_to IS NULL AND d.c_mktsegment <> u.c_mktsegment
+    ), merged AS (
+      SELECT d.c_custkey, d.c_mktsegment, d.valid_from,
+             CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE d.valid_to END AS valid_to
+      FROM dim d LEFT JOIN changed c USING (c_custkey)
+      UNION ALL
+      SELECT u.c_custkey, u.c_mktsegment, 1, CAST(NULL AS INT)
+      FROM updates u JOIN changed c USING (c_custkey)
+    ), v0 AS (
+      SELECT c_custkey, c_mktsegment FROM merged
+      WHERE valid_from <= 0 AND (valid_to IS NULL OR valid_to > 0)
+    ), v1 AS (
+      SELECT c_custkey, c_mktsegment FROM merged
+      WHERE valid_from <= 1 AND (valid_to IS NULL OR valid_to > 1)
+    )
+    SELECT v0.c_custkey,
+           v0.c_mktsegment AS segment_v0,
+           v1.c_mktsegment AS segment_v1
+    FROM v0 JOIN v1 USING (c_custkey)
+    WHERE v0.c_mktsegment <> v1.c_mktsegment
+    """,
+)
+def merge_scd2_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit diff between two dimension VERSIONS: which keys changed
+    between the as-of-0 and as-of-1 snapshots, with before/after values —
+    the change report a warehouse review reads after every CDC
+    promotion, and the third member of the SCD2 trio (merge = write,
+    snapshot = read-as-of, diff = compare-two-reads). Two validity-
+    interval filters over ONE maintained table (each a pushed scan
+    predicate on a materialized dimension) joined on the key; at scale
+    the join is key-partitioned and the unchanged majority drops in the
+    filter, so the diff is change-sized, not dimension-sized."""
+    c = load_table(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey", "c_mktsegment",
+        F.lit(0).alias("valid_from"), F.lit(None).cast("int").alias("valid_to"),
+    )
+    updates = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", F.lit("RELOCATED").alias("c_mktsegment")
+    )
+    merged = scd2_apply(dim, updates, "c_custkey", ["c_mktsegment"], new_version=1)
+
+    def snap(asof: int) -> DataFrame:
+        return merged.filter(
+            (F.col("valid_from") <= asof)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > asof))
+        ).select("c_custkey", "c_mktsegment")
+
+    v0 = snap(0).withColumnRenamed("c_mktsegment", "segment_v0")
+    v1 = snap(1).withColumnRenamed("c_mktsegment", "segment_v1")
+    return v0.join(v1, "c_custkey").filter(
+        F.col("segment_v0") != F.col("segment_v1")
+    )

@@ -165,6 +165,23 @@ BENCH_QUERIES = [
     "graph_eigenvector_centrality",
 ]
 
+# Longitudinal core: the 22 queries benchmarked every round since r1. The
+# headline total grows with COVERAGE (22 → 28 → 106 → 117 queries), so the
+# round-over-round perf signal is this fixed subset's subtotal, emitted as
+# "value_r1_core" on the stdout line (r1 measured these 22 at 31.0 s total;
+# round 4 measures the same 22 at 14.1 s — the fleet-wide speedup signal).
+R1_CORE = [
+    "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "q9_product_profit",
+    "q13_customer_distribution", "q21_waiting_suppliers",
+    "join_range_price_tiers", "agg_cube_flag_status",
+    "window_rank_top_orders", "window_running_customer_spend",
+    "events_sessionize", "events_asof_last_click", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "text_stats", "knn_cosine_bruteforce", "knn_cosine_ivf",
+    "multimodal_binary_meta",
+]
+
 # Results small enough to collect (bounded by construction); others count().
 COLLECT_THRESHOLD_QUERIES = {
     "q1_pricing_summary",
@@ -295,6 +312,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": families,
                 "n_queries": len(timings),
+                "value_r1_core": round(
+                    sum(timings[q] for q in R1_CORE if q in timings), 3
+                ),
                 "reps": REPS,
                 "sf": sf_val,
                 "detail": "BENCH_DETAIL.json",

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "q13_customer_distribution",
     "q21_waiting_suppliers",
     "join_range_price_tiers",
+    "join_salted_orders_customers",
     "agg_cube_flag_status",
     "window_rank_top_orders",
     "window_running_customer_spend",

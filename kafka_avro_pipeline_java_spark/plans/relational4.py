@@ -898,3 +898,42 @@ def merge_scd2_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v0.join(v1, "c_custkey").filter(
         F.col("segment_v0") != F.col("segment_v1")
     )
+
+
+@query(
+    "join_salted_orders_customers",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_salted_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer executed through the EXPLICIT salt-sharding
+    operator (operators/skew.py::salted_join: fact keys sharded into 16
+    synthetic salts, dimension replicated 16×) and rolled up per segment.
+    Salting must be a pure PHYSICAL transform — the oracle states the
+    plain join, so this row proves result-equivalence, not just shape.
+    This is the fallback for the pathological key AQE's skew-split can't
+    fix (one join key too hot for a single task even after splitting);
+    for ordinary skew the diag_key_skew dashboard + AQE settings in
+    session.py are the first line."""
+    from ..operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = salted_join(
+        o.select(F.col("o_custkey").alias("c_custkey"), "o_totalprice"),
+        c,
+        "c_custkey",
+        n_salts=16,
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )

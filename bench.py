@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "pipeline_quality_filter",
     "pipeline_token_packing",
     "pipeline_sample_per_source",
+    "pipeline_weighted_sample",
+    "pipeline_token_budget_selection",
     "pipeline_chunk_documents",
     "knn_cosine_bruteforce",
     "knn_cosine_ivf",

@@ -710,3 +710,147 @@ def pipeline_mixture_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(ent), 4).alias("effective_sources"),
         F.round(F.max("c") / F.max("n"), 6).alias("max_source_share"),
     )
+
+
+@query(
+    "pipeline_weighted_sample",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             GREATEST(ROUND(
+               0.4 * LEAST(len(string_split_regex(trim(lower(text)), '\\s+')) / 100.0, 1.0)
+               + 0.6 * (1.0 - LEAST(ABS(5.5 -
+                   (SELECT AVG(len(t.tok)) FROM UNNEST(
+                      string_split_regex(trim(lower(text)), '\\s+')) AS t(tok)
+                   )) / 5.5, 1.0)), 4), 0.0001) AS w,
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wrs'), 1, 15))
+                   AS BIGINT) + 1) / 1152921504606846976.0 AS u
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, source, w,
+             ROUND(POWER(u, 1.0 / w), 8) AS k
+      FROM scored
+    ), ranked AS (
+      SELECT doc_id, source, w, k,
+             ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS r
+      FROM keyed
+    )
+    SELECT doc_id, source, w, k, CAST(r AS INT) AS r
+    FROM ranked WHERE r <= 100
+    """,
+)
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential keys
+    (Efraimidis–Spirakis A-ES): each document gets key u^(1/w) for a
+    quality-derived weight w and the top-100 keys ARE a weighted sample —
+    higher-quality docs proportionally more likely, no replacement, one
+    TakeOrdered instead of sequential draws. The u is the portable hash
+    (not an RNG), so the entire sample is a pure function of the corpus —
+    reproducible across engines/runs and value-oracled — and the
+    selection composes as a per-partition top-k + k-row driver merge at
+    any scale (never a global sort). This is the quality-WEIGHTED
+    counterpart of pipeline_importance_sample's rate-based gate: use
+    this when the budget is a COUNT, the gate when it is a RATE."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.trim(F.lower(F.col("text"))))
+    mean_len = F.aggregate(
+        toks, F.lit(0.0), lambda a, t: a + F.length(t)
+    ) / F.size(toks)
+    w = F.greatest(
+        F.round(
+            0.4 * F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
+            + 0.6
+            * (1.0 - F.least(F.abs(5.5 - mean_len) / 5.5, F.lit(1.0))),
+            4,
+        ),
+        F.lit(0.0001),
+    )
+    from ..functions.hashing import portable_hash64
+
+    u = (
+        portable_hash64(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":wrs"))
+        )
+        + 1
+    ) / F.lit(float(1 << 60))
+    keyed = d.select(
+        "doc_id",
+        "source",
+        w.alias("w"),
+        F.round(F.pow(u, 1.0 / w), 8).alias("k"),
+    )
+    from pyspark.sql.window import Window
+
+    ranked = keyed.select(
+        "doc_id", "source", "w", "k",
+        F.row_number().over(Window.orderBy(F.desc("k"), "doc_id")).alias("r"),
+    )
+    return ranked.filter(F.col("r") <= 100).select(
+        "doc_id", "source", "w", "k", F.col("r").cast("int").alias("r")
+    )
+
+
+@query(
+    "pipeline_token_budget_selection",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,
+             GREATEST(ROUND(
+               0.4 * LEAST(len(string_split_regex(trim(lower(text)), '\\s+')) / 100.0, 1.0)
+               + 0.6 * (1.0 - LEAST(ABS(5.5 -
+                   (SELECT AVG(len(t.tok)) FROM UNNEST(
+                      string_split_regex(trim(lower(text)), '\\s+')) AS t(tok)
+                   )) / 5.5, 1.0)), 4), 0.0001) AS w
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, n_tokens, w,
+             SUM(n_tokens) OVER (ORDER BY w DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, w,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked WHERE cum_tokens <= 10000
+    """,
+)
+def pipeline_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill a 10k-TOKEN budget with the best documents: rank by the
+    quality weight (same score as pipeline_weighted_sample), take the
+    running token total in that order, keep every doc that still fits —
+    the greedy knapsack every 'train on the best N-billion tokens'
+    curation step runs (budgets are token counts, not document counts,
+    because that is what the training run consumes). Deterministic
+    (w desc, doc_id) order makes the selected set oracle-exact. The
+    global ordered cumulative sum is the same shape as the ABC-class
+    query; at 100 TB it two-phases — a per-quality-bucket token
+    histogram locates the cutoff score, the full scan then keeps
+    score > cutoff and only the boundary bucket needs the exact ordered
+    walk."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.trim(F.lower(F.col("text"))))
+    mean_len = F.aggregate(
+        toks, F.lit(0.0), lambda a, t: a + F.length(t)
+    ) / F.size(toks)
+    w = F.greatest(
+        F.round(
+            0.4 * F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
+            + 0.6
+            * (1.0 - F.least(F.abs(5.5 - mean_len) / 5.5, F.lit(1.0))),
+            4,
+        ),
+        F.lit(0.0001),
+    )
+    scored = d.select(
+        "doc_id", F.size(toks).alias("n_tokens"), w.alias("w")
+    )
+    win = Window.orderBy(F.desc("w"), "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "w",
+        F.sum("n_tokens").over(win).cast("bigint").alias("cum_tokens"),
+    )
+    return ranked.filter(F.col("cum_tokens") <= 10000)

@@ -172,7 +172,7 @@ BENCH_QUERIES = [
 # headline total grows with COVERAGE (22 → 28 → 106 → 117 queries), so the
 # round-over-round perf signal is this fixed subset's subtotal, emitted as
 # "value_r1_core" on the stdout line (r1 measured these 22 at 31.0 s total;
-# round 4 measures the same 22 at 14.1 s — the fleet-wide speedup signal).
+# round 4 measures the same 22 at 13.1 s — the fleet-wide speedup signal).
 R1_CORE = [
     "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
     "q5_local_supplier_volume", "q6_forecast_revenue", "q9_product_profit",
@@ -316,7 +316,9 @@ def main() -> None:
                 "queries": families,
                 "n_queries": len(timings),
                 "value_r1_core": round(
-                    sum(timings[q] for q in R1_CORE if q in timings), 3
+                    # strict indexing: a renamed/removed core query must fail
+                    # loudly, not silently shrink the longitudinal subtotal
+                    sum(timings[q] for q in R1_CORE), 3
                 ),
                 "reps": REPS,
                 "sf": sf_val,

@@ -615,8 +615,10 @@ def sketch_histogram_sliding_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw-data re-scan into a join of per-period sketch rows (256 counts
     per hour, constant in event volume). Global bucket bounds come from
     one broadcast min/max so every hour's histogram is merge-compatible;
-    the same explode-to-target-hours equi fan-out as the HLL twin (never
-    a nested-loop range join — plan test); estimates land next to the
+    the same explode-to-target-hours equi fan-out as the HLL twin — the
+    only nested-loop nodes are the unconditioned 1-row bounds broadcasts
+    (plan test pins that every NLJ in this plan is a Cross of a 1-row
+    side, so a range-join regression fails loudly); estimates land next to the
     exact trailing percentile so the error is visible in-row, and every
     count is an exact integer so the oracle checks the ESTIMATES."""
     from pyspark.sql.window import Window

@@ -712,17 +712,42 @@ def pipeline_mixture_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pipeline_weighted_sample",
-    oracle="""
-    WITH scored AS (
-      SELECT doc_id, source,
-             GREATEST(ROUND(
+# Shared quality weight for the budgeted-selection pair: 0.4·length-term +
+# 0.6·token-shape-term, floored at 1e-4 so exponents stay finite. ONE
+# definition in each language — pipeline_weighted_sample and
+# pipeline_token_budget_selection both consume these, which is what makes
+# their "same score" contract real instead of four hand-synced copies.
+_QW_SQL = """GREATEST(ROUND(
                0.4 * LEAST(len(string_split_regex(trim(lower(text)), '\\s+')) / 100.0, 1.0)
                + 0.6 * (1.0 - LEAST(ABS(5.5 -
                    (SELECT AVG(len(t.tok)) FROM UNNEST(
                       string_split_regex(trim(lower(text)), '\\s+')) AS t(tok)
-                   )) / 5.5, 1.0)), 4), 0.0001) AS w,
+                   )) / 5.5, 1.0)), 4), 0.0001)"""
+
+
+def _quality_weight():
+    """(tokens_col, weight_col) for the documents ``text`` column."""
+    toks = T.tokens(F.trim(F.lower(F.col("text"))))
+    mean_len = F.aggregate(
+        toks, F.lit(0.0), lambda a, t: a + F.length(t)
+    ) / F.size(toks)
+    w = F.greatest(
+        F.round(
+            0.4 * F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
+            + 0.6 * (1.0 - F.least(F.abs(5.5 - mean_len) / 5.5, F.lit(1.0))),
+            4,
+        ),
+        F.lit(0.0001),
+    )
+    return toks, w
+
+
+@query(
+    "pipeline_weighted_sample",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             {_QW_SQL} AS w,
              (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wrs'), 1, 15))
                    AS BIGINT) + 1) / 1152921504606846976.0 AS u
       FROM documents
@@ -752,19 +777,7 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     counterpart of pipeline_importance_sample's rate-based gate: use
     this when the budget is a COUNT, the gate when it is a RATE."""
     d = load_table(spark, sf_dir, "documents")
-    toks = T.tokens(F.trim(F.lower(F.col("text"))))
-    mean_len = F.aggregate(
-        toks, F.lit(0.0), lambda a, t: a + F.length(t)
-    ) / F.size(toks)
-    w = F.greatest(
-        F.round(
-            0.4 * F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
-            + 0.6
-            * (1.0 - F.least(F.abs(5.5 - mean_len) / 5.5, F.lit(1.0))),
-            4,
-        ),
-        F.lit(0.0001),
-    )
+    _, w = _quality_weight()
     from ..functions.hashing import portable_hash64
 
     u = (
@@ -792,16 +805,11 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipeline_token_budget_selection",
-    oracle="""
+    oracle=f"""
     WITH scored AS (
       SELECT doc_id,
              len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,
-             GREATEST(ROUND(
-               0.4 * LEAST(len(string_split_regex(trim(lower(text)), '\\s+')) / 100.0, 1.0)
-               + 0.6 * (1.0 - LEAST(ABS(5.5 -
-                   (SELECT AVG(len(t.tok)) FROM UNNEST(
-                      string_split_regex(trim(lower(text)), '\\s+')) AS t(tok)
-                   )) / 5.5, 1.0)), 4), 0.0001) AS w
+             {_QW_SQL} AS w
       FROM documents
     ), ranked AS (
       SELECT doc_id, n_tokens, w,
@@ -828,19 +836,7 @@ def pipeline_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFra
     score > cutoff and only the boundary bucket needs the exact ordered
     walk."""
     d = load_table(spark, sf_dir, "documents")
-    toks = T.tokens(F.trim(F.lower(F.col("text"))))
-    mean_len = F.aggregate(
-        toks, F.lit(0.0), lambda a, t: a + F.length(t)
-    ) / F.size(toks)
-    w = F.greatest(
-        F.round(
-            0.4 * F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
-            + 0.6
-            * (1.0 - F.least(F.abs(5.5 - mean_len) / 5.5, F.lit(1.0))),
-            4,
-        ),
-        F.lit(0.0001),
-    )
+    toks, w = _quality_weight()
     scored = d.select(
         "doc_id", F.size(toks).alias("n_tokens"), w.alias("w")
     )

@@ -375,3 +375,14 @@ def test_scd2_dim_join_is_equi_with_residual(spark, sf_dir):
     plan = _formatted_plan(spark, "events_scd2_dim_join", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sliding_p95_nested_loops_are_only_cross_bounds(spark, sf_dir):
+    """Every BroadcastNestedLoopJoin in the sliding-p95 plan must be an
+    unconditioned Cross (the 1-row bounds broadcasts); a conditioned NLJ
+    would mean the explode-to-target-hours equi fan-out regressed to a
+    range join (the melt-at-scale shape)."""
+    plan = _formatted_plan(spark, "sketch_histogram_sliding_p95", sf_dir)
+    kinds = re.findall(r"BroadcastNestedLoopJoin (\w+)", plan)
+    assert kinds and all(k == "Cross" for k in kinds), kinds
+    assert "CartesianProduct" not in plan

@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "sketch_kmv_merge",
     "events_cusum_hourly",
     "text_lexical_richness",
+    "text_readability_by_source",
     "pipeline_stage_funnel",
     "text_ngram_novelty",
     "agg_monthly_revenue_yoy",

@@ -850,3 +850,65 @@ def pipeline_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum("n_tokens").over(win).cast("bigint").alias("cum_tokens"),
     )
     return ranked.filter(F.col("cum_tokens") <= 10000)
+
+
+@query(
+    "text_readability_by_source",
+    oracle="""
+    WITH per_doc AS (
+      SELECT source,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS words,
+             GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS sents,
+             GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS syls
+      FROM documents
+    ), scored AS (
+      SELECT source,
+             ROUND(206.835
+                   - 1.015 * (CAST(words AS DOUBLE) / sents)
+                   - 84.6 * (CAST(syls AS DOUBLE) / words), 4) AS flesch
+      FROM per_doc WHERE words > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS INT) AS n_docs,
+           ROUND(AVG(flesch), 4) AS avg_flesch,
+           ROUND(MIN(flesch), 4) AS min_flesch,
+           ROUND(MAX(flesch), 4) AS max_flesch
+    FROM scored GROUP BY source
+    """,
+)
+def text_readability_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per ingestion source (206.835 − 1.015·words/
+    sentences − 84.6·syllables/words, with vowel-group runs as the
+    engine-portable syllable proxy and [.!?]+ runs as sentences, both
+    floored at 1 so empty-ish docs stay finite) — the readability member
+    of the text-quality battery: catches sources drifting into
+    keyword-stuffed or run-on machine text that the length/stopword gates
+    pass. Pure regexp projections + one per-source agg (scan-speed at
+    100 TB — no shuffle beyond the source-keyed rollup); per-doc scores
+    are ROUNDED before the avg so both engines aggregate identical
+    doubles."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.size(T.tokens(F.trim(F.lower(F.col("text")))))
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0))),
+        F.lit(1),
+    )
+    syls = F.greatest(
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0))
+        ),
+        F.lit(1),
+    )
+    flesch = F.round(
+        F.lit(206.835)
+        - 1.015 * (words.cast("double") / sents)
+        - 84.6 * (syls.cast("double") / words),
+        4,
+    )
+    scored = d.select("source", flesch.alias("flesch")).filter(words > 0)
+    return scored.groupBy("source").agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.round(F.avg("flesch"), 4).alias("avg_flesch"),
+        F.round(F.min("flesch"), 4).alias("min_flesch"),
+        F.round(F.max("flesch"), 4).alias("max_flesch"),
+    )

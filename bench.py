@@ -39,135 +39,21 @@ from kafka_avro_pipeline_java_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
-# Headline suite: every operator family, weighted toward what dominates at
-# 100 TB (scans+aggs, multi-way joins, windows, dedup joins, vector scoring).
-# Queries returning many rows are driven by .count(); small results collect.
-BENCH_QUERIES = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q9_product_profit",
-    "q13_customer_distribution",
-    "q21_waiting_suppliers",
-    "join_range_price_tiers",
-    "join_salted_orders_customers",
-    "agg_cube_flag_status",
-    "window_rank_top_orders",
-    "window_running_customer_spend",
-    "events_sessionize",
-    "events_session_window_fn",
-    "events_asof_last_click",
-    "events_funnel",
-    "events_resample_locf",
-    "events_hourly_anomaly",
-    "events_cohort_retention",
-    "events_ewma_hourly",
-    "graph_pagerank_neardup",
-    # exact graph_triangle_count stays registered + oracled; the bench slot
-    # runs the p=1/4 edge-leg-sampled estimator so one output-bound query
-    # isn't 8% of the suite wall-clock (VERDICT r03 item 6)
-    "graph_triangle_count_approx",
-    "text_quality_calibrated",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_keep_one_e2e",
-    "dedup_embedding_bucketed",
-    "dedup_repeated_spans",
-    "dedup_semantic",
-    "dedup_fuzzy_edit",
-    "text_source_entropy",
-    "text_zipf_slope",
-    "text_stats",
-    "text_language_id",
-    "text_rare_token_ratio",
-    "text_pii_scrub",
-    "text_gopher_rules",
-    "text_unigram_logprob",
-    "text_bm25_search",
-    "text_tfidf_keywords",
-    "text_collocations",
-    "pipeline_decontaminate_ngram",
-    "pipeline_decontaminate_bloom",
-    "pipeline_decontaminate_semantic",
-    "pipeline_importance_sample",
-    "pipeline_source_overlap",
-    "pipeline_split_drift",
-    "embedding_outliers",
-    "text_bigram_logprob",
-    "text_hash_embedding",
-    "dedup_semantic_text_e2e",
-    "pipeline_quality_filter",
-    "pipeline_token_packing",
-    "pipeline_sample_per_source",
-    "pipeline_weighted_sample",
-    "pipeline_token_budget_selection",
-    "pipeline_chunk_documents",
-    "knn_cosine_bruteforce",
-    "knn_cosine_ivf",
-    "knn_pq_adc_oracle",
-    "knn_cosine_lsh_oracle",
-    "knn_topk_bucketed",
-    "knn_sq8_adc_oracle",
-    "agg_salted_distinct_customers",
-    "scalar_map_order_attrs",
-    "multimodal_binary_meta",
-    "multimodal_resize_pipeline",
-    "multimodal_frame_sample",
-    "sketch_kmv_distinct",
-    "sketch_hll_distinct",
-    "sketch_hll_hourly",
-    "sketch_countmin_tokens",
-    "sketch_join_cardinality",
-    "text_bpe_pair_stats",
-    "layout_zorder_code",
-    "merge_scd2_customers",
-    "merge_scd2_version_diff",
-    "diag_key_skew",
-    "agg_price_outliers_iqr",
-    "agg_moments_skew_kurtosis",
-    "agg_correlation_exact",
-    "basket_item_lift",
-    "events_transition_matrix",
-    "events_top_paths",
-    "stats_welch_t_sources",
-    "stats_chi2_type_hour",
-    "agg_ols_qty_price",
-    "agg_winsorized_mean",
-    "agg_customer_ltv_deciles",
-    "agg_rfm_segments",
-    "dedup_rate_by_source",
-    "events_seasonality_profile",
-    "events_interarrival_stats",
-    "text_token_coverage",
-    "text_js_divergence_sources",
-    "sketch_kmv_merge",
-    "events_cusum_hourly",
-    "text_lexical_richness",
-    "text_readability_by_source",
-    "pipeline_stage_funnel",
-    "text_ngram_novelty",
-    "agg_monthly_revenue_yoy",
-    "events_burstiness",
-    "agg_part_abc_classes",
-    "quality_constraint_report",
-    "sketch_histogram_quantiles",
-    "graph_component_sizes",
-    "graph_kcore_rounds",
-    "events_interval_join",
-    "events_scd2_dim_join",
-    "sketch_hll_sliding_24h",
-    "sketch_histogram_sliding_p95",
-    "udaf_median_value_by_type",
-    "udf_vectorized_squared_relu",
-    "source_python_datasource",
-    "pipeline_mixture_diversity",
-    "graph_personalized_pagerank",
-    "graph_eigenvector_centrality",
-]
+# Headline suite (round-5 change, VERDICT r04 item 5): derived from the
+# registry instead of a hand-maintained list, so a newly registered query
+# can never silently skip the perf gate. Exclusions are explicit and
+# documented — each is a deliberately-quadratic oracle baseline or an
+# output-bound exact count whose scale-path twin IS benched.
+BENCH_EXCLUDED = {
+    "dedup_embedding_cosine": "O(n^2) all-pairs oracle baseline; scale path "
+                              "dedup_embedding_bucketed is benched",
+    "knn_all_pairs_top3": "O(n^2) all-pairs oracle baseline; scale paths "
+                          "knn_topk_bucketed / knn_cosine_ivf are benched",
+    "graph_triangle_count": "exact count is OUTPUT-bound (~11.8M triangles "
+                            "at sf0.1); the p=1/4 edge-leg-sampled estimator "
+                            "graph_triangle_count_approx is benched",
+}
+BENCH_QUERIES = [n for n in QUERIES if n not in BENCH_EXCLUDED]
 
 # Longitudinal core: the 22 queries benchmarked every round since r1. The
 # headline total grows with COVERAGE (22 → 28 → 106 → 117 queries), so the

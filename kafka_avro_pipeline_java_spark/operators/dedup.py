@@ -653,9 +653,42 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     truncates the growing lineage. Both paths produce identical labels
     (parameterized equivalence test in tests/test_operators.py).
     """
-    # both edge directions from ONE pass over pairs (explode, not union —
-    # a union of two projections re-evaluates the pair-generation subtree,
-    # typically an expensive candidate join, once per branch)
+    # Materialize the PAIRS once (the pair-generation subtree is typically
+    # an expensive candidate join; the checkpoint pins its output so the
+    # size probe and whichever resolution path runs never re-evaluate it).
+    pairs = pairs.select(id_a, id_b).localCheckpoint()
+    # Hybrid, like the graph libraries: the near-dup pair graph is orders of
+    # magnitude smaller than the corpus (it's the OUTPUT of dedup filtering),
+    # so below `local_threshold` directed edges the component labels are
+    # resolved with driver-side union-find — one 16-byte-per-edge collect of
+    # the already-materialized checkpoint, no per-round jobs (union-find is
+    # direction- and duplicate-insensitive, so the undirected pair list is
+    # collected as-is; the explode/distinct that the distributed path needs
+    # is skipped entirely). Above the threshold, the distributed min-label
+    # propagation below takes over unchanged (at 100 TB, banded dedup can
+    # emit billions of edges — that path shuffles, this one never would).
+    n_pairs = pairs.count()
+    if 2 * n_pairs <= local_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        edge_list = [(r[id_a], r[id_b]) for r in pairs.collect()]
+        for src, dst in edge_list:
+            ra, rb = find(src), find(dst)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)  # min id becomes the root
+        nodes = {x for e in edge_list for x in e}
+        rows = [(x, find(x)) for x in sorted(nodes)]
+        return pairs.sparkSession.createDataFrame(rows, "id long, component long")
+    # both edge directions from ONE pass over the pinned pairs (explode,
+    # not union — a union of two projections would plan the scan twice)
     edges = (
         pairs.select(
             F.explode(
@@ -669,34 +702,6 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         .distinct()
         .localCheckpoint()
     )
-    # Hybrid, like the graph libraries: the near-dup pair graph is orders of
-    # magnitude smaller than the corpus (it's the OUTPUT of dedup filtering),
-    # so below `local_threshold` directed edges the component labels are
-    # resolved with driver-side union-find — one 16-byte-per-edge collect of
-    # the already-materialized checkpoint, no per-round jobs. Above it, the
-    # distributed min-label propagation below takes over unchanged (at
-    # 100 TB, banded dedup can emit billions of edges — that path shuffles,
-    # this one never would).
-    n_edges = edges.count()
-    if n_edges <= local_threshold:
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent.get(root, root) != root:
-                root = parent[root]
-            while parent.get(x, x) != x:  # path compression
-                parent[x], x = root, parent[x]
-            return root
-
-        edge_list = [(r["src"], r["dst"]) for r in edges.collect()]
-        for src, dst in edge_list:
-            ra, rb = find(src), find(dst)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)  # min id becomes the root
-        nodes = {x for e in edge_list for x in e}
-        rows = [(x, find(x)) for x in sorted(nodes)]
-        return pairs.sparkSession.createDataFrame(rows, "id long, component long")
     labels = (
         edges.select("src")
         .distinct()

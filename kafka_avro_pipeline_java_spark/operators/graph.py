@@ -67,7 +67,10 @@ def pagerank(
         )
         spread = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         # left join back onto the full node set: in-edge-less nodes keep
-        # their restart mass (mass conservation on directed inputs)
+        # their restart mass. NOTE: the node set is source-derived, so mass
+        # flowing to dst-ONLY nodes (in-edges but no out-edges) is dropped —
+        # conservation holds on the symmetric/undirected inputs the
+        # docstring's precondition requires, not on general directed graphs
         ranks = (
             nodes.join(spread.withColumnRenamed("dst", "node"), "node", "left")
             .select(

@@ -8,10 +8,13 @@ append the update as the new current row. History rows never move.
 
 100 TB shape: one equi-join of updates against CURRENT rows only (the
 valid_to IS NULL slice — a pushed-down scan filter), attribute-diff in the
-join projection, and a union of three branches that each read the dim scan
-once. Updates are batch-sized (a CDC tick), so the join broadcasts; the
-dimension table itself never shuffles. At warehouse scale this runs
-per-partition and rewrites only partitions containing touched keys.
+join projection, and a union of branches that each read the dim scan
+once. No mandatory broadcast hints: a CDC-tick-sized update batch is
+broadcast by AQE on its runtime size, while an initial-load or
+CDC-replay-sized batch falls back to a shuffle join instead of OOMing the
+driver (same rationale as the k-core `keep` set — see
+operators/graph.py). At warehouse scale this runs per-partition and
+rewrites only partitions containing touched keys.
 """
 
 from __future__ import annotations
@@ -43,8 +46,14 @@ def scd2_apply(
     cur = dim.filter(F.col(end_col).isNull())
     hist = dim.filter(F.col(end_col).isNotNull())
     u = updates.select(key, *attrs)
+    # No F.broadcast hints anywhere in the merge: the updates batch and the
+    # changed-key set are usually tiny (a CDC tick) and AQE broadcasts them
+    # from their RUNTIME size — but a 100 TB initial load or a replayed CDC
+    # backlog arrives through the same code path, and a mandatory hint
+    # would pin an unbounded set on the driver (plan-property test:
+    # test_scd2_updates_side_never_hint_broadcast).
     joined = cur.alias("c").join(
-        F.broadcast(u.alias("u")), F.col(f"c.{key}") == F.col(f"u.{key}")
+        u.alias("u"), F.col(f"c.{key}") == F.col(f"u.{key}")
     )
     differs = reduce(
         lambda a, b: a | b,
@@ -54,16 +63,16 @@ def scd2_apply(
         F.col(f"c.{key}").alias(key)
     )
     closed = (
-        cur.join(F.broadcast(changed_keys), key, "left_semi")
+        cur.join(changed_keys, key, "left_semi")
         .withColumn(end_col, F.lit(new_version).cast(dim.schema[end_col].dataType))
     )
     fresh = (
-        u.join(F.broadcast(changed_keys), key, "left_semi")
+        u.join(changed_keys, key, "left_semi")
         .withColumn(version_col, F.lit(new_version).cast(dim.schema[version_col].dataType))
         .withColumn(end_col, F.lit(None).cast(dim.schema[end_col].dataType))
         .select(*dim.columns)
     )
-    untouched_cur = cur.join(F.broadcast(changed_keys), key, "left_anti")
+    untouched_cur = cur.join(changed_keys, key, "left_anti")
     # Brand-new keys (no current row at all): pure inserts — open at
     # new_version, nothing to close. Without this branch an update whose key
     # is absent from the dimension would silently vanish (the changed_keys

@@ -184,7 +184,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_triangle_count_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Center-sampled triangle estimate over the SimHash near-dup graph —
+    """Edge-leg-sampled triangle estimate over the SimHash near-dup graph —
     the bench-friendly companion to exact graph_triangle_count, which is
     OUTPUT-bound (~11.8M triangles at sf0.1, 8% of the round-3 suite
     wall-clock). Gating each wedge's FIRST EDGE LEG (x, y) with a

@@ -145,17 +145,29 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_hash_embedding",
     oracle=f"""
-    SELECT doc_id,
-           {_HASH_EMB_SQL} AS embedding
-    FROM documents
+    WITH emb0 AS (
+      SELECT doc_id, {_HASH_EMB_SQL} AS emb
+      FROM documents
+    )
+    SELECT doc_id, CAST(i.i AS INT) AS dim, emb[i.i + 1] AS value
+    FROM emb0, UNNEST(range(0, {_HASH_DIM})) AS i(i)
     """,
 )
 def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashed 32-dim bag-of-words vector per document — the
-    no-model text→vector bridge (hashing trick). Pure projection; the
-    driver hash compares all 32 components value-for-value."""
+    no-model text→vector bridge (hashing trick) — emitted in the exploded
+    long shape ``(doc_id, dim, value)`` (one row per vector component)
+    rather than as a nested ``array<double>`` column: the harness
+    canonicalizes results through pandas, which cannot factorize list
+    cells, so every registered query keeps a flat scalar schema. Values
+    are compared component-for-component (500 docs × 32 dims at the
+    driver SF); consumers that want the dense vector use the
+    ``hash_embedding`` expression directly (as the SemDeDup e2e does)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", hash_embedding("text").alias("embedding"))
+    return d.select(
+        "doc_id",
+        F.posexplode(hash_embedding("text")).alias("dim", "value"),
+    )
 
 
 # Literal centroids for the text e2e: k≈√n for the 500–5000-doc driver

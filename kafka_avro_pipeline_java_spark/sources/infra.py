@@ -94,9 +94,10 @@ def recreate_topics(
 
 def partition_count(brokers: str, topic: str, *, timeout: float = 10) -> int:
     """Number of partitions of ``topic`` — the producer-side lookup the
-    reference does with ``producer.partitionsFor(topic).size()``
-    (AvroProducer.java:82) before computing its explicit
-    hashCode-mod-partitions placement. Admin metadata is the only
+    reference does with ``adminClient.describeTopics(...).partitions()
+    .size()`` (AvroProducer.java:63-66) before computing its explicit
+    hashCode-mod-partitions placement (AvroProducer.java:82). Admin
+    metadata is the only
     broker round-trip; contract-tested against the embedded fake admin
     (tests/test_infra_contract.py) since no broker ships in this
     container."""

@@ -165,7 +165,7 @@ def test_triangle_sampled_full_rate_is_exact(spark):
         triangle_count_sampled,
     )
 
-    # inv_rate=1 -> gate threshold 2^60, every center sampled -> exact
+    # inv_rate=1 -> gate threshold 2^60, every wedge edge-leg passes the gate -> exact
     k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
     k3 = [(10, 11), (10, 12), (11, 12)]
     pairs = spark.createDataFrame(k4 + k3, "id_a long, id_b long")

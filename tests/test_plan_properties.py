@@ -330,8 +330,9 @@ def test_stage_funnel_uses_broadcast_anti_joins(spark, sf_dir):
 
 def test_scd2_merge_never_shuffles_dimension(spark, sf_dir):
     plan = _formatted_plan(spark, "merge_scd2_customers", sf_dir)
-    # update batch broadcasts; the three-branch union reads scans +
-    # broadcast joins only — no shuffle exchange of the dimension
+    # the PLANNER (not a hint — see test below) broadcasts the batch-sized
+    # updates/changed-keys sides; the branch union reads scans + broadcast
+    # joins only — no shuffle exchange of the dimension
     shuffles = _shuffle_exchange_lines(plan)
     assert not shuffles, shuffles
     assert "BroadcastHashJoin" in plan
@@ -355,6 +356,22 @@ def test_no_mandatory_broadcast_on_corpus_derived_sets(spark, sf_dir):
         "dedup_rate_by_source",
         "graph_kcore",
         "text_bpe_segment",  # vocab-sized word->subwords map (round 4)
+    ]:
+        plan = _analyzed_plan(spark, name, sf_dir)
+        assert "ResolvedHint" not in plan, f"{name} carries a broadcast hint"
+
+
+def test_scd2_updates_side_never_hint_broadcast(spark, sf_dir):
+    """VERDICT r04 item 4: scd2_apply's update batch and changed-key set
+    are CDC-tick-sized in steady state but arrive through the same code
+    path as an initial load or a replayed backlog — a mandatory
+    F.broadcast hint on them would pin an unbounded set on the driver.
+    The merge must carry ZERO hints; AQE (and, at batch scale, static
+    stats) still pick broadcast — asserted by the plan test above."""
+    for name in [
+        "merge_scd2_customers",
+        "merge_scd2_snapshot_asof",
+        "merge_scd2_version_diff",
     ]:
         plan = _analyzed_plan(spark, name, sf_dir)
         assert "ResolvedHint" not in plan, f"{name} carries a broadcast hint"
@@ -386,3 +403,21 @@ def test_sliding_p95_nested_loops_are_only_cross_bounds(spark, sf_dir):
     kinds = re.findall(r"BroadcastNestedLoopJoin (\w+)", plan)
     assert kinds and all(k == "Cross" for k in kinds), kinds
     assert "CartesianProduct" not in plan
+
+
+def test_every_registered_query_has_flat_schema(spark, sf_dir):
+    """Driver-harness contract: results are canonicalized through pandas,
+    which cannot factorize list/dict cells — so every registered query
+    must emit only scalar top-level columns (the r4 `text_hash_embedding`
+    red row was exactly this hazard; it now emits the exploded
+    (doc_id, dim, value) long shape)."""
+    from pyspark.sql import types as ST
+
+    nested = (ST.ArrayType, ST.MapType, ST.StructType)
+    offenders = []
+    for name, fn in QUERIES.items():
+        schema = fn(spark, sf_dir).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, nested):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, offenders

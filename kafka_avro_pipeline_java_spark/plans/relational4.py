@@ -937,3 +937,63 @@ def join_salted_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("revenue_cents"),
     )
+
+
+@query(
+    "merge_scd2_insert_new_keys",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment, 0 AS valid_from,
+             CAST(NULL AS INT) AS valid_to
+      FROM customer
+    ), updates AS (
+      SELECT c_custkey, 'RELOCATED' AS c_mktsegment
+      FROM customer WHERE c_custkey % 13 = 0
+      UNION ALL
+      SELECT -c_custkey AS c_custkey, 'FRESH' AS c_mktsegment
+      FROM customer WHERE c_custkey % 100 = 1
+    ), changed AS (
+      SELECT d.c_custkey FROM dim d JOIN updates u USING (c_custkey)
+      WHERE d.valid_to IS NULL AND d.c_mktsegment <> u.c_mktsegment
+    ), inserted AS (
+      SELECT u.c_custkey, u.c_mktsegment
+      FROM updates u LEFT JOIN dim d ON d.c_custkey = u.c_custkey
+      WHERE d.c_custkey IS NULL
+    )
+    SELECT c_custkey, c_mktsegment, valid_from, valid_to FROM (
+      SELECT d.c_custkey, d.c_mktsegment, d.valid_from,
+             CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE d.valid_to END AS valid_to
+      FROM dim d LEFT JOIN changed c USING (c_custkey)
+      UNION ALL
+      SELECT u.c_custkey, u.c_mktsegment, 1, CAST(NULL AS INT)
+      FROM updates u JOIN changed c USING (c_custkey)
+      UNION ALL
+      SELECT i.c_custkey, i.c_mktsegment, 1, CAST(NULL AS INT)
+      FROM inserted i
+    )
+    """,
+)
+def merge_scd2_insert_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 upsert whose batch mixes CHANGES (every 13th customer
+    re-segmented) with BRAND-NEW keys (negated custkeys absent from the
+    dimension) — pins the round-4 advisor fix (operators/merge.py insert
+    branch): a key with no current row must be INSERTED as a fresh open
+    row at the new version, not silently dropped by the changed-keys
+    inner join. Same no-hint, dimension-never-shuffles plan as
+    merge_scd2_customers."""
+    c = load_table(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey", "c_mktsegment",
+        F.lit(0).alias("valid_from"), F.lit(None).cast("int").alias("valid_to"),
+    )
+    changed = c.filter(F.col("c_custkey") % 13 == 0).select(
+        "c_custkey", F.lit("RELOCATED").alias("c_mktsegment")
+    )
+    new_keys = c.filter(F.col("c_custkey") % 100 == 1).select(
+        (-F.col("c_custkey")).alias("c_custkey"),
+        F.lit("FRESH").alias("c_mktsegment"),
+    )
+    return scd2_apply(
+        dim, changed.unionByName(new_keys), "c_custkey", ["c_mktsegment"],
+        new_version=1,
+    )

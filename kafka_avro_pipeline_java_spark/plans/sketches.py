@@ -691,3 +691,86 @@ def sketch_histogram_sliding_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("ev") * 100, 0).cast("bigint").alias("exact_p95_c100"),
         )
     )
+
+
+_ABS_W = 8192
+_ABSENT = ["qqabsentalpha", "qqabsentbeta", "qqabsentgamma"]
+
+
+def _cm_pos_sql_abs(expr: str, i: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5({expr} || '#{i}'), 1, 15)) AS BIGINT) % {_ABS_W}"
+    )
+
+
+@query(
+    "sketch_countmin_absent_probe",
+    oracle=f"""
+    WITH toks AS (
+      SELECT t.tok
+      FROM documents,
+           UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS t(tok)
+    ), truec AS (
+      SELECT tok, COUNT(*) AS true_count FROM toks GROUP BY tok
+    ), cells AS (
+      SELECT i.i AS rw, CASE i.i
+               WHEN 0 THEN {{p0}}
+               WHEN 1 THEN {{p1}}
+               ELSE {{p2}} END AS cl,
+             COUNT(*) AS c
+      FROM toks, UNNEST(range(0, {_DEPTH})) AS i(i)
+      GROUP BY 1, 2
+    ), top AS (
+      SELECT tok FROM truec ORDER BY true_count DESC, tok LIMIT 3
+    ), probes AS (
+      SELECT tok FROM top
+      UNION ALL
+      SELECT a.tok FROM (VALUES {{absent_rows}}) AS a(tok)
+    ), pcells AS (
+      SELECT tok, i.i AS rw, CASE i.i
+               WHEN 0 THEN {{p0}}
+               WHEN 1 THEN {{p1}}
+               ELSE {{p2}} END AS cl
+      FROM probes, UNNEST(range(0, {_DEPTH})) AS i(i)
+    )
+    SELECT p.tok,
+           CAST(COALESCE(MAX(t.true_count), 0) AS BIGINT) AS true_count,
+           CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS est_count
+    FROM pcells p
+    LEFT JOIN cells c ON c.rw = p.rw AND c.cl = p.cl
+    LEFT JOIN truec t ON t.tok = p.tok
+    GROUP BY p.tok
+    """.format(
+        p0=_cm_pos_sql_abs("tok", 0),
+        p1=_cm_pos_sql_abs("tok", 1),
+        p2=_cm_pos_sql_abs("tok", 2),
+        absent_rows=", ".join(f"('{t}')" for t in _ABSENT),
+    ),
+)
+def sketch_countmin_absent_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min probed at tokens that were NEVER inserted (plus the top-3
+    present tokens as contrast): (tok, true_count, est_count). Pins the
+    round-4 advisor fix (operators/sketches.py::countmin_estimate): the
+    sketch table materializes only non-zero cells, so the probe join must
+    be a LEFT join with absent cells coalesced to 0 — under the old inner
+    join an absent probe either vanished or took min() over only its
+    occupied cells. Width 8192 leaves most cells empty at driver SF, so
+    each absent probe deterministically hits an empty cell and reports
+    est_count 0; the oracle implements the same all-d-cells min."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"))
+    truec = toks.groupBy("tok").agg(F.count("*").alias("true_count"))
+    top = truec.orderBy(F.desc("true_count"), "tok").limit(3).select("tok")
+    absent = spark.createDataFrame([(t,) for t in _ABSENT], "tok string")
+    probes = top.unionByName(absent)
+    est = sketches.countmin_estimate(
+        toks, "tok", probes, "tok", depth=_DEPTH, width=_ABS_W
+    )
+    return (
+        est.join(truec, est.probe == truec.tok, "left")
+        .select(
+            F.col("probe").alias("tok"),
+            F.coalesce(F.col("true_count"), F.lit(0)).cast("bigint").alias("true_count"),
+            F.col("est_count").cast("bigint").alias("est_count"),
+        )
+    )

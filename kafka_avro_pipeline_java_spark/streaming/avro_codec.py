@@ -184,10 +184,22 @@ def encode_df(df: DataFrame, avro_schema: dict, schema_id: int = 1,
     return df.mapInPandas(enc, schema=out_schema)
 
 
-def decode_df(df: DataFrame, avro_schema: dict, value_col: str = "value") -> DataFrame:
-    """Decode Confluent-framed Avro binary back into typed columns."""
+def decode_df(df: DataFrame, avro_schema: dict, value_col: str = "value",
+              passthrough_cols: list[str] | None = None) -> DataFrame:
+    """Decode Confluent-framed Avro binary back into typed columns.
+
+    ``passthrough_cols`` (e.g. Kafka's topic/partition/offset metadata)
+    are copied to the output unchanged — the consumer needs them beside
+    the decoded fields for the offset-mirroring sink (the reference
+    stores offset+1 in the same transaction as the row,
+    AvroConsumer.java:157-194)."""
     ftypes = _field_types(avro_schema)
-    out_schema = avro_to_struct(avro_schema)
+    passthrough_cols = passthrough_cols or []
+    by_name = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        avro_to_struct(avro_schema).fields
+        + [StructField(c, by_name[c].dataType) for c in passthrough_cols]
+    )
 
     def dec(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -197,7 +209,10 @@ def decode_df(df: DataFrame, avro_schema: dict, value_col: str = "value") -> Dat
                 decode_record(ftypes, unframe_confluent(bytes(p))[1])
                 for p in pdf[value_col]
             ]
-            yield pd.DataFrame(rows, columns=[n for n, _ in ftypes])
+            out = pd.DataFrame(rows, columns=[n for n, _ in ftypes])
+            for c in passthrough_cols:
+                out[c] = pdf[c].tolist()
+            yield out
 
     return df.mapInPandas(dec, schema=out_schema)
 

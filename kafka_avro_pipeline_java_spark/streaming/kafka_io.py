@@ -14,10 +14,15 @@ Kafka connector (SURVEY.md §3.4):
   recovery; ``startingOffsets=earliest`` is the cold-start default
   (``AvroConsumer.java:66``).
 
-This container has no spark-sql-kafka jar and no broker, so everything is
-gated on ``kafka_available``; the codec layer (avro_codec) is independently
-testable and the composition is exercised with the file streaming source in
-tests/test_streaming.py.
+This container has no spark-sql-kafka jar and no broker, so the JVM paths
+are gated on ``kafka_available``; the codec layer (avro_codec) is
+independently testable and the composition is exercised with the file
+streaming source in tests/test_streaming.py. The EXECUTED read/write path
+(round 5) is the pure-Python protocol stack: ``kafka_wire.py`` (client) +
+``sources/kafka_pyds.py`` (DataSource) consume real wire bytes —
+``read_kafka_stream_py`` below plans one task per topic-partition and
+checkpoints offsets exactly like the JVM source, e2e-tested against the
+in-process broker (tests/test_kafka_wire.py).
 """
 
 from __future__ import annotations
@@ -110,6 +115,34 @@ def read_kafka_stream(
     return reader.load()
 
 
+def read_kafka_stream_py(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    *,
+    max_records_per_batch: int | None = None,
+) -> DataFrame:
+    """Raw Kafka micro-batch stream through the pure-Python protocol
+    DataSource (``format("kafka_py")``) — the jar-free twin of
+    ``read_kafka_stream`` with the same output schema and the same
+    bounded-admission knob (``max_records_per_batch`` ↔
+    maxOffsetsPerTrigger). Registration is idempotent per session."""
+    from ..sources.kafka_pyds import KafkaPyDataSource
+
+    try:
+        spark.dataSource.register(KafkaPyDataSource)
+    except Exception:
+        pass  # already registered in this session
+    reader = (
+        spark.readStream.format("kafka_py")
+        .option("bootstrap", brokers)
+        .option("topic", topic)
+    )
+    if max_records_per_batch is not None:
+        reader = reader.option("maxRecordsPerBatch", str(max_records_per_batch))
+    return reader.load()
+
+
 def decode_kafka_stream(raw: DataFrame, avro_schema: dict[str, Any]) -> DataFrame:
     """Confluent-framed Avro values → typed columns (+ Kafka metadata)."""
     typed = decode_df(raw.select("value"), avro_schema)
@@ -149,6 +182,53 @@ def write_kafka_batch(df: DataFrame, brokers: str, topic: str) -> None:
         .option("topic", topic)
         .save()
     )
+
+
+def write_kafka_batch_py(
+    df: DataFrame, brokers: str, topic: str, *, timestamp_ms: int = 0
+) -> None:
+    """(key, value[, partition]) binary DataFrame → Kafka topic through the
+    pure-Python wire protocol (Produce v2) — the jar-free twin of
+    ``write_kafka_batch``, executed ON THE EXECUTORS: each Spark partition
+    opens one socket and sends one Produce request per Kafka partition it
+    holds rows for, so the send path fans out with the cluster exactly
+    like the JVM producer pool (reference 02-producer Main.java:45-49).
+    Pass the ``partition`` column from ``prepare_kafka_batch(...,
+    explicit_partitions=n)`` for the reference's exact
+    ``abs(java_hashCode(field0) % n)`` placement (AvroProducer.java:82);
+    without one, placement hashes the serialized key bytes against the
+    topic's live partition count — not byte-identical to any JVM
+    partitioner, but it preserves the invariant that matters
+    (same key → same partition → per-key order)."""
+    cols = set(df.columns)
+    if "partition" not in cols:
+        from ..streaming.kafka_wire import KafkaWireClient
+
+        with KafkaWireClient(brokers) as c:
+            _, topics = c.metadata([topic])
+            n_parts = len(topics[topic])
+        df = df.withColumn(
+            "partition",
+            partition_for_key(F.col("key").cast("string"), n_parts),
+        )
+
+    def send_partition(rows) -> None:
+        from ..streaming.kafka_wire import KafkaWireClient
+
+        by_kafka_partition: dict[int, list] = {}
+        for r in rows:
+            by_kafka_partition.setdefault(int(r["partition"]), []).append(
+                (bytes(r["key"]) if r["key"] is not None else None,
+                 bytes(r["value"]) if r["value"] is not None else None,
+                 timestamp_ms)
+            )
+        if not by_kafka_partition:
+            return
+        with KafkaWireClient(brokers) as c:
+            for pid, records in sorted(by_kafka_partition.items()):
+                c.produce(topic, pid, records)
+
+    df.select("key", "value", "partition").foreachPartition(send_partition)
 
 
 def write_kafka_stream(

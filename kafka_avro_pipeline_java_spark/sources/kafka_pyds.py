@@ -89,7 +89,15 @@ class KafkaPyBatchReader(DataSourceReader):
                     part.topic, part.partition, offset, max_bytes=self.max_bytes
                 )
                 if not records:
-                    break  # log truncated under us; emit what exists
+                    # caught-up inside the snapshot: the broker answered
+                    # success with no data (e.g. max_bytes smaller than
+                    # the next record after a compaction). NOTE: a log
+                    # truncated BELOW the snapshot start does NOT land
+                    # here — the broker answers OFFSET_OUT_OF_RANGE,
+                    # which KafkaWireClient.fetch raises and the task
+                    # fails, matching the JVM connector's default
+                    # failOnDataLoss=true contract (ADVICE r05).
+                    break
                 for r in records:
                     if r.offset >= part.end:
                         return

@@ -195,6 +195,16 @@ def decode_df(df: DataFrame, avro_schema: dict, value_col: str = "value",
     AvroConsumer.java:157-194)."""
     ftypes = _field_types(avro_schema)
     passthrough_cols = passthrough_cols or []
+    avro_names = {n for n, _ in ftypes}
+    clash = sorted(avro_names & set(passthrough_cols))
+    if clash:
+        # a passthrough named like a decoded field (say "offset" in both)
+        # would produce duplicate StructFields and silently overwrite the
+        # decoded values in the pandas assignment below (ADVICE r05)
+        raise ValueError(
+            f"passthrough_cols collide with Avro field names: {clash}; "
+            "rename the metadata columns before decode_df"
+        )
     by_name = {f.name: f for f in df.schema.fields}
     out_schema = StructType(
         avro_to_struct(avro_schema).fields

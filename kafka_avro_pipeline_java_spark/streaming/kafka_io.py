@@ -209,7 +209,14 @@ def write_kafka_batch_py(
             n_parts = len(topics[topic])
         df = df.withColumn(
             "partition",
-            partition_for_key(F.col("key").cast("string"), n_parts),
+            # null keys are legal in Kafka (the Java producer round-robins
+            # them); partition_for_key yields null on a null key, which
+            # would TypeError in send_partition — route them to 0
+            # (deterministic, keeps the executor loop total)
+            F.coalesce(
+                partition_for_key(F.col("key").cast("string"), n_parts),
+                F.lit(0),
+            ),
         )
 
     def send_partition(rows) -> None:

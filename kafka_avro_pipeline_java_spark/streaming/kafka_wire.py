@@ -6,23 +6,30 @@ The reference talks to Kafka through the Java client jars
 has neither the spark-sql-kafka jar nor a broker, so the executed-read
 story is built from the protocol itself: the Apache Kafka wire format is
 a public, versioned binary protocol (kafka.apache.org/protocol), and the
-subset below — Metadata v0, ListOffsets v1, Fetch v2, Produce v2,
-ApiVersions v0, message format v1 (magic 1, CRC-checked) — is enough for
-a correct bounded consumer and producer. The codec is shared by the
-client here and the in-process broker in ``fake_broker.py``, so both
-sides of every test exchange REAL protocol bytes over a REAL TCP socket.
+subset below — Metadata v0, ListOffsets v1, Fetch v2/v4, Produce v2/v3,
+ApiVersions v0, CreateTopics v0, DeleteTopics v0, and BOTH on-disk record
+encodings (message format v1 / magic 1 with CRC32, and record batches /
+magic 2 with zigzag-varint deltas and CRC32C — the format every 0.11+
+broker natively writes) — is enough for a correct bounded consumer,
+producer, and topic-DDL admin. The client negotiates versions from the
+broker's ApiVersions response: against a modern broker it speaks
+Produce v3 / Fetch v4 with magic-2 batches; against the minimal v2 APIs
+it falls back to magic-1 message sets. The codec is shared by the client
+here and the in-process broker in ``fake_broker.py``, so both sides of
+every test exchange REAL protocol bytes over a REAL TCP socket.
 
 Scale shape: one socket per (client, broker); the DataSource built on top
 (sources/kafka_pyds.py) opens its connection INSIDE the per-partition
 reader, so a 1000-executor cluster fans out exactly like the JVM
 connector — this module never aggregates across partitions.
 
-Single-node routing: ``KafkaWireClient`` sends every request to its
-bootstrap address. A multi-broker deployment would route fetches to each
-partition's leader from the Metadata response (exposed by
-``metadata()``); the leader-routing loop is deliberately out of scope —
-the sandbox broker is one node, and the JVM connector owns that concern
-in production.
+Routing: ``KafkaWireClient`` is one socket to one broker.
+``KafkaClusterClient`` layers leader routing on top — it refreshes
+Metadata, opens one ``KafkaWireClient`` per advertised broker lazily, and
+sends each fetch/produce/list_offsets to the partition's leader,
+retrying through one metadata refresh on NOT_LEADER_FOR_PARTITION
+(the same discovery→route→refresh loop the Java client runs inside
+``AvroProducer.java:83-90``).
 """
 
 from __future__ import annotations
@@ -37,22 +44,31 @@ API_FETCH = 1
 API_LIST_OFFSETS = 2
 API_METADATA = 3
 API_VERSIONS = 18
+API_CREATE_TOPICS = 19
+API_DELETE_TOPICS = 20
 
 ERR_NONE = 0
 ERR_OFFSET_OUT_OF_RANGE = 1
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
+ERR_NOT_LEADER_FOR_PARTITION = 6
+ERR_TOPIC_ALREADY_EXISTS = 36
+ERR_INVALID_PARTITIONS = 37
 
 EARLIEST = -2
 LATEST = -1
 
 # (api_key, min_version, max_version) advertised by the fake broker and
-# asserted by the client handshake.
+# the negotiation ceiling of the client. Produce v3 / Fetch v4 are the
+# first versions that carry magic-2 record batches; the mins stay at the
+# magic-1 versions so the downgrade path remains testable.
 SUPPORTED_APIS = [
-    (API_PRODUCE, 2, 2),
-    (API_FETCH, 2, 2),
+    (API_PRODUCE, 2, 3),
+    (API_FETCH, 2, 4),
     (API_LIST_OFFSETS, 1, 1),
     (API_METADATA, 0, 0),
     (API_VERSIONS, 0, 0),
+    (API_CREATE_TOPICS, 0, 0),
+    (API_DELETE_TOPICS, 0, 0),
 ]
 
 
@@ -175,6 +191,16 @@ class WireRecord:
     value: bytes | None
 
 
+class KafkaProtocolError(RuntimeError):
+    """A broker-side error code on a per-partition response — carries the
+    code so routing layers can react (e.g. NOT_LEADER_FOR_PARTITION →
+    refresh metadata and retry at the new leader)."""
+
+    def __init__(self, message: str, code: int) -> None:
+        super().__init__(message)
+        self.code = code
+
+
 def encode_message_set(records: list[tuple[bytes | None, bytes | None, int]],
                        base_offset: int = 0) -> bytes:
     """[(key, value, timestamp_ms)] → a magic-1 MessageSet."""
@@ -220,6 +246,192 @@ def decode_message_set(buf: bytes) -> list[WireRecord]:
             raise ValueError(f"CRC mismatch at offset {offset}")
         out.append(WireRecord(offset, ts, key, value))
     return out
+
+
+# ---------------------------------------------------------------------------
+# record batches (magic 2): the v2 on-disk/wire encoding — zigzag-varint
+# record fields, batch-level CRC32C over attributes..end. Layout per the
+# public spec (kafka.apache.org/documentation/#recordbatch).
+# ---------------------------------------------------------------------------
+
+# CRC32C (Castagnoli), reflected polynomial 0x82F63B78 — table-driven pure
+# Python; Kafka's magic-2 batch CRC is CRC32C, not zlib's IEEE CRC32.
+_CRC32C_TABLE: list[int] = []
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
+    _CRC32C_TABLE.append(_c)
+del _i, _c
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    crc ^= 0xFFFFFFFF
+    tbl = _CRC32C_TABLE
+    for b in data:
+        crc = tbl[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def encode_varint(v: int) -> bytes:
+    """Zigzag varint (protobuf sint encoding) — record-field lengths and
+    deltas in magic-2 records; -1 encodes a null key/value."""
+    z = (v << 1) if v >= 0 else (-(v << 1) - 1)
+    out = bytearray()
+    while z >= 0x80:
+        out.append((z & 0x7F) | 0x80)
+        z >>= 7
+    out.append(z)
+    return bytes(out)
+
+
+def decode_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    """→ (value, new_pos)."""
+    z = 0
+    shift = 0
+    while True:
+        if pos >= len(buf):
+            raise EOFError("varint runs past end of buffer")
+        b = buf[pos]
+        pos += 1
+        z |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 70:
+            raise ValueError("varint too long")
+    return (z >> 1) ^ -(z & 1), pos
+
+
+_BATCH_HEADER_LEN = 61  # baseOffset..recordCount, fixed-width fields
+
+
+def encode_record_body(key: bytes | None, value: bytes | None,
+                       ts_delta: int, offset_delta: int) -> bytes:
+    """The varint-encoded interior of one magic-2 record (sans the leading
+    length varint) — split out so the broker's max_bytes cut can size
+    records exactly before committing them to a batch."""
+    parts = [b"\x00"]  # record attributes: unused
+    parts.append(encode_varint(ts_delta))
+    parts.append(encode_varint(offset_delta))
+    if key is None:
+        parts.append(encode_varint(-1))
+    else:
+        parts.append(encode_varint(len(key)))
+        parts.append(key)
+    if value is None:
+        parts.append(encode_varint(-1))
+    else:
+        parts.append(encode_varint(len(value)))
+        parts.append(value)
+    parts.append(encode_varint(0))  # header count
+    return b"".join(parts)
+
+
+def encode_record_batch(records: list[tuple[bytes | None, bytes | None, int]],
+                        base_offset: int = 0) -> bytes:
+    """[(key, value, timestamp_ms)] → one magic-2 RecordBatch
+    (uncompressed, non-transactional, idempotence off: producerId -1)."""
+    base_ts = records[0][2] if records else -1
+    max_ts = max((r[2] for r in records), default=-1)
+    recs_parts: list[bytes] = []
+    for i, (key, value, ts) in enumerate(records):
+        body = encode_record_body(key, value, ts - base_ts, i)
+        recs_parts.append(encode_varint(len(body)))
+        recs_parts.append(body)
+    recs = b"".join(recs_parts)
+    attrs_to_end = (
+        ByteWriter()
+        .int16(0)                       # attributes: no compression
+        .int32(max(len(records) - 1, 0))  # lastOffsetDelta
+        .int64(base_ts)
+        .int64(max_ts)
+        .int64(-1)                      # producerId
+        .int16(-1)                      # producerEpoch
+        .int32(-1)                      # baseSequence
+        .int32(len(records))
+        .raw(recs)
+        .build()
+    )
+    after_length = (
+        ByteWriter()
+        .int32(0)                       # partitionLeaderEpoch
+        .int8(2)                        # magic
+        .uint32(crc32c(attrs_to_end))
+        .raw(attrs_to_end)
+        .build()
+    )
+    return ByteWriter().int64(base_offset).int32(len(after_length)).raw(
+        after_length
+    ).build()
+
+
+def decode_record_batches(buf: bytes) -> list[WireRecord]:
+    """Concatenated magic-2 RecordBatches → records, verifying each batch
+    CRC32C. A trailing partial batch (cut at max_bytes) is dropped, per
+    the consumer contract. Compressed batches raise — this stack only
+    produces uncompressed data and decompression codecs aren't a protocol
+    concern this sandbox can exercise."""
+    out: list[WireRecord] = []
+    r = ByteReader(buf)
+    while len(buf) - r.pos >= 12:
+        base_offset = r.int64()
+        batch_len = r.int32()
+        if len(buf) - r.pos < batch_len:
+            break  # partial trailing batch
+        batch = ByteReader(r._take(batch_len))
+        batch.int32()  # partitionLeaderEpoch (not covered by the CRC)
+        magic = batch.int8()
+        if magic != 2:
+            raise ValueError(f"expected magic 2 in record batch, got {magic}")
+        crc = batch.uint32()
+        covered = batch.buf[batch.pos:]
+        if crc32c(covered) != crc:
+            raise ValueError(f"CRC32C mismatch in batch at {base_offset}")
+        attributes = batch.int16()
+        if attributes & 0x07:
+            raise ValueError("compressed record batches not supported")
+        batch.int32()  # lastOffsetDelta
+        base_ts = batch.int64()
+        batch.int64()  # maxTimestamp
+        batch.int64()  # producerId
+        batch.int16()  # producerEpoch
+        batch.int32()  # baseSequence
+        count = batch.int32()
+        raw = batch.buf
+        pos = batch.pos
+        for _ in range(count):
+            _, pos = decode_varint(raw, pos)  # record length
+            pos += 1  # record attributes
+            ts_delta, pos = decode_varint(raw, pos)
+            offset_delta, pos = decode_varint(raw, pos)
+            klen, pos = decode_varint(raw, pos)
+            key = None if klen < 0 else raw[pos: pos + klen]
+            pos += max(klen, 0)
+            vlen, pos = decode_varint(raw, pos)
+            value = None if vlen < 0 else raw[pos: pos + vlen]
+            pos += max(vlen, 0)
+            nheaders, pos = decode_varint(raw, pos)
+            for _ in range(nheaders):
+                hklen, pos = decode_varint(raw, pos)
+                pos += max(hklen, 0)
+                hvlen, pos = decode_varint(raw, pos)
+                pos += max(hvlen, 0)
+            out.append(
+                WireRecord(base_offset + offset_delta, base_ts + ts_delta,
+                           key, value)
+            )
+    return out
+
+
+def decode_records(buf: bytes) -> list[WireRecord]:
+    """Format-sniffing decode: both encodings keep the magic byte at
+    position 16 of the first entry (8B offset + 4B length + 4B crc for
+    magic ≤1 / 4B leaderEpoch for magic 2), so one byte dispatches
+    between message sets and record batches."""
+    if len(buf) >= 17 and buf[16] == 2:
+        return decode_record_batches(buf)
+    return decode_message_set(buf)
 
 
 # ---------------------------------------------------------------------------
@@ -275,6 +487,26 @@ class KafkaWireClient:
         self._sock = socket.create_connection((host, int(port)), timeout=timeout_s)
         self._client_id = client_id
         self._corr = 0
+        self._versions: dict[int, tuple[int, int]] | None = None
+
+    def _version_for(self, api_key: int) -> int:
+        """Highest mutually supported version for ``api_key`` — one
+        ApiVersions round-trip, cached for the connection's lifetime
+        (the negotiation every Java client performs on connect)."""
+        if self._versions is None:
+            self._versions = self.api_versions()
+        ours = {k: (lo, hi) for k, lo, hi in SUPPORTED_APIS}
+        my_lo, my_hi = ours[api_key]
+        if api_key not in self._versions:
+            raise RuntimeError(f"broker does not support api_key {api_key}")
+        br_lo, br_hi = self._versions[api_key]
+        v = min(my_hi, br_hi)
+        if v < max(my_lo, br_lo):
+            raise RuntimeError(
+                f"no common version for api_key {api_key}: "
+                f"client [{my_lo},{my_hi}] broker [{br_lo},{br_hi}]"
+            )
+        return v
 
     def close(self) -> None:
         try:
@@ -309,6 +541,15 @@ class KafkaWireClient:
 
     def metadata(self, topics: list[str] | None = None):
         """→ (brokers {node_id: (host, port)}, topics {name: [partition]})."""
+        brokers, leaders = self.metadata_leaders(topics)
+        return brokers, {
+            name: sorted(parts) for name, parts in leaders.items()
+        }
+
+    def metadata_leaders(self, topics: list[str] | None = None):
+        """→ (brokers {node_id: (host, port)},
+        {topic: {partition: leader_node_id}}) — the full routing view the
+        Java client builds its cluster map from."""
         body = ByteWriter().array(topics, lambda w, t: w.string(t)).build()
         r = self._call(API_METADATA, 0, body)
         brokers = {
@@ -329,12 +570,12 @@ class KafkaWireClient:
             parts = b.array(_partition)
             return err, name, parts
 
-        topic_map: dict[str, list[int]] = {}
+        leader_map: dict[str, dict[int, int]] = {}
         for err, name, parts in r.array(_topic):
             if err != ERR_NONE:
                 raise KeyError(f"topic {name!r}: error {err}")
-            topic_map[name] = sorted(p[1] for p in parts)
-        return brokers, topic_map
+            leader_map[name] = {pid: leader for _, pid, leader in parts}
+        return brokers, leader_map
 
     def list_offsets(self, topic: str, partition: int, timestamp: int) -> int:
         """EARLIEST (-2) → log start, LATEST (-1) → high watermark."""
@@ -359,7 +600,8 @@ class KafkaWireClient:
         _, parts = topics[0]
         pid, err, _, off = parts[0]
         if err != ERR_NONE:
-            raise RuntimeError(f"ListOffsets {topic}[{pid}]: error {err}")
+            raise KafkaProtocolError(
+                f"ListOffsets {topic}[{pid}]: error {err}", err)
         return off
 
     def fetch(self, topic: str, partition: int, offset: int,
@@ -367,26 +609,34 @@ class KafkaWireClient:
               min_bytes: int = 1) -> tuple[int, list[WireRecord]]:
         """One poll: → (high_watermark, records from ``offset``). An empty
         record list with high_watermark == offset means caught-up — the
-        loop condition of the reference's AvroConsumer.java:116-138."""
+        loop condition of the reference's AvroConsumer.java:116-138.
+        Sends Fetch v4 when the broker offers it (record batches /
+        magic 2 on the wire), else Fetch v2 (message sets / magic 1);
+        decode_records sniffs the format either way."""
+        v = self._version_for(API_FETCH)
+        w = ByteWriter().int32(-1).int32(max_wait_ms).int32(min_bytes)
+        if v >= 3:
+            w.int32(max_bytes)  # request-level max_bytes (v3+)
+        if v >= 4:
+            w.int8(0)  # isolation_level: READ_UNCOMMITTED
         body = (
-            ByteWriter()
-            .int32(-1)
-            .int32(max_wait_ms)
-            .int32(min_bytes)
-            .array(
+            w.array(
                 [(topic, [(partition, offset, max_bytes)])],
-                lambda w, t: w.string(t[0]).array(
+                lambda w_, t: w_.string(t[0]).array(
                     t[1],
                     lambda w2, p: w2.int32(p[0]).int64(p[1]).int32(p[2]),
                 ),
             )
             .build()
         )
-        r = self._call(API_FETCH, 2, body)
+        r = self._call(API_FETCH, v, body)
         r.int32()  # throttle_time_ms
 
         def _part(b: ByteReader):
             pid, err, hw = b.int32(), b.int16(), b.int64()
+            if v >= 4:
+                b.int64()  # last_stable_offset
+                b.array(lambda a: (a.int64(), a.int64()))  # aborted txns
             record_set = b.bytes_() or b""
             return pid, err, hw, record_set
 
@@ -394,29 +644,39 @@ class KafkaWireClient:
         _, parts = topics[0]
         pid, err, hw, record_set = parts[0]
         if err != ERR_NONE:
-            raise RuntimeError(f"Fetch {topic}[{pid}] at {offset}: error {err}")
-        records = [rec for rec in decode_message_set(record_set)
+            raise KafkaProtocolError(
+                f"Fetch {topic}[{pid}] at {offset}: error {err}", err)
+        records = [rec for rec in decode_records(record_set)
                    if rec.offset >= offset]
         return hw, records
 
     def produce(self, topic: str, partition: int,
                 records: list[tuple[bytes | None, bytes | None, int]],
                 *, acks: int = -1, timeout_ms: int = 10_000) -> int:
-        """Append [(key, value, timestamp_ms)] → base offset assigned."""
-        record_set = encode_message_set(records)
+        """Append [(key, value, timestamp_ms)] → base offset assigned.
+        Sends Produce v3 with a magic-2 record batch when the broker
+        offers it (what a 0.11+/3.x broker natively stores, no
+        up-conversion), else Produce v2 with a magic-1 message set."""
+        v = self._version_for(API_PRODUCE)
+        if v >= 3:
+            record_set = encode_record_batch(records)
+        else:
+            record_set = encode_message_set(records)
+        w = ByteWriter()
+        if v >= 3:
+            w.string(None)  # transactional_id: non-transactional
         body = (
-            ByteWriter()
-            .int16(acks)
+            w.int16(acks)
             .int32(timeout_ms)
             .array(
                 [(topic, [(partition, record_set)])],
-                lambda w, t: w.string(t[0]).array(
+                lambda w_, t: w_.string(t[0]).array(
                     t[1], lambda w2, p: w2.int32(p[0]).bytes_(p[1])
                 ),
             )
             .build()
         )
-        r = self._call(API_PRODUCE, 2, body)
+        r = self._call(API_PRODUCE, v, body)
 
         def _part(b: ByteReader):
             pid, err, base, ts = b.int32(), b.int16(), b.int64(), b.int64()
@@ -426,5 +686,149 @@ class KafkaWireClient:
         _, parts = topics[0]
         pid, err, base, _ = parts[0]
         if err != ERR_NONE:
-            raise RuntimeError(f"Produce {topic}[{pid}]: error {err}")
+            raise KafkaProtocolError(f"Produce {topic}[{pid}]: error {err}", err)
         return base
+
+    def create_topics(self, topics: dict[str, int], *,
+                      replication_factor: int = 1,
+                      timeout_ms: int = 10_000) -> dict[str, int]:
+        """CreateTopics v0: {name: num_partitions} → {name: error_code}.
+        The wire form of the reference's AdminClient createTopics step
+        (01-infra topic provisioning, DataPipeline.java:80-126)."""
+        body = (
+            ByteWriter()
+            .array(
+                list(topics.items()),
+                lambda w, t: (
+                    w.string(t[0])
+                    .int32(t[1])
+                    .int16(replication_factor)
+                    .array([], lambda *_: None)   # manual assignments
+                    .array([], lambda *_: None)   # configs
+                ),
+            )
+            .int32(timeout_ms)
+            .build()
+        )
+        r = self._call(API_CREATE_TOPICS, 0, body)
+        rows = r.array(lambda b: (b.string(), b.int16()))
+        return {name: err for name, err in rows}
+
+    def delete_topics(self, topics: list[str], *,
+                      timeout_ms: int = 10_000) -> dict[str, int]:
+        """DeleteTopics v0: [name] → {name: error_code}."""
+        body = (
+            ByteWriter()
+            .array(topics, lambda w, t: w.string(t))
+            .int32(timeout_ms)
+            .build()
+        )
+        r = self._call(API_DELETE_TOPICS, 0, body)
+        rows = r.array(lambda b: (b.string(), b.int16()))
+        return {name: err for name, err in rows}
+
+
+class KafkaClusterClient:
+    """Leader-routing client over multiple brokers.
+
+    Builds the cluster map from a bootstrap Metadata round-trip (one
+    ``KafkaWireClient`` per advertised broker, opened lazily) and sends
+    each fetch/produce/list_offsets to the partition's LEADER — the
+    discovery→route loop the Java client runs internally for the
+    reference's send path (AvroProducer.java:83-90) and poll loop
+    (AvroConsumer.java:116-138). On NOT_LEADER_FOR_PARTITION (a moved
+    leader) it refreshes metadata once and retries at the new leader.
+
+    Scale shape: connections are per (client, broker) and opened on first
+    use, so a reader task touching one partition holds exactly one socket
+    to that partition's leader — fan-out across a 1000-partition topic is
+    the Spark partitioning above this layer, never this object.
+    """
+
+    def __init__(self, bootstrap: str, *, client_id: str = "pyspark-wire",
+                 timeout_s: float = 10.0) -> None:
+        self._bootstrap = bootstrap
+        self._client_id = client_id
+        self._timeout_s = timeout_s
+        self._boot = KafkaWireClient(
+            bootstrap, client_id=client_id, timeout_s=timeout_s
+        )
+        self._conns: dict[int, KafkaWireClient] = {}
+        self._brokers: dict[int, tuple[str, int]] = {}
+        self._leaders: dict[tuple[str, int], int] = {}
+
+    def close(self) -> None:
+        for c in self._conns.values():
+            c.close()
+        self._conns.clear()
+        self._boot.close()
+
+    def __enter__(self) -> "KafkaClusterClient":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- routing -----------------------------------------------------------
+
+    def _refresh(self, topic: str) -> None:
+        brokers, leaders = self._boot.metadata_leaders([topic])
+        self._brokers.update(brokers)
+        for pid, node in leaders[topic].items():
+            self._leaders[(topic, pid)] = node
+
+    def _conn_for(self, topic: str, partition: int) -> KafkaWireClient:
+        key = (topic, partition)
+        if key not in self._leaders:
+            self._refresh(topic)
+        node = self._leaders[key]
+        if node not in self._conns:
+            host, port = self._brokers[node]
+            self._conns[node] = KafkaWireClient(
+                f"{host}:{port}", client_id=self._client_id,
+                timeout_s=self._timeout_s,
+            )
+        return self._conns[node]
+
+    def _routed(self, topic: str, partition: int, op):
+        try:
+            return op(self._conn_for(topic, partition))
+        except KafkaProtocolError as e:
+            if e.code != ERR_NOT_LEADER_FOR_PARTITION:
+                raise
+            # moved leader: one refresh, one retry — then surface
+            self._leaders.pop((topic, partition), None)
+            self._refresh(topic)
+            return op(self._conn_for(topic, partition))
+
+    # -- delegated API (same signatures as KafkaWireClient) ----------------
+
+    def api_versions(self):
+        return self._boot.api_versions()
+
+    def metadata(self, topics: list[str] | None = None):
+        return self._boot.metadata(topics)
+
+    def metadata_leaders(self, topics: list[str] | None = None):
+        return self._boot.metadata_leaders(topics)
+
+    def list_offsets(self, topic: str, partition: int, timestamp: int) -> int:
+        return self._routed(
+            topic, partition, lambda c: c.list_offsets(topic, partition, timestamp)
+        )
+
+    def fetch(self, topic: str, partition: int, offset: int, **kw):
+        return self._routed(
+            topic, partition, lambda c: c.fetch(topic, partition, offset, **kw)
+        )
+
+    def produce(self, topic: str, partition: int, records, **kw) -> int:
+        return self._routed(
+            topic, partition, lambda c: c.produce(topic, partition, records, **kw)
+        )
+
+    def create_topics(self, topics: dict[str, int], **kw) -> dict[str, int]:
+        return self._boot.create_topics(topics, **kw)
+
+    def delete_topics(self, topics: list[str], **kw) -> dict[str, int]:
+        return self._boot.delete_topics(topics, **kw)

@@ -120,3 +120,19 @@ def test_multi_schema_version_decode(spark):
 def test_jvm_probe_is_safe(spark):
     # container has no spark-avro jar: probe must return False, not raise
     assert C.jvm_avro_available(spark) in (True, False)
+
+
+def test_decode_df_passthrough_collision_raises(spark):
+    """ADVICE r05: a passthrough column named like a decoded Avro field
+    would silently overwrite the decoded values — must raise instead."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("k1", 1, 0.5, "x")],
+        schema="key_field1 string, timestamp_field1 long, "
+               "double_field1 double, string_field1 string")
+    framed = C.encode_df(df, SCHEMA, schema_id=1).withColumn(
+        "key_field1", F.lit("meta")
+    )
+    with pytest.raises(ValueError, match="collide.*key_field1"):
+        C.decode_df(framed, SCHEMA, passthrough_cols=["key_field1"])

@@ -137,3 +137,23 @@ def test_full_topology_generate_produce_consume_sink(spark, broker, tmp_path):
     # exactly-once across restart: 35 rows, no duplicates, no loss
     assert len(rows) == 35
     assert {r[0]: (r[1], r[2]) for r in rows} == expected
+
+
+def test_write_batch_derived_partition_handles_null_keys(spark, broker):
+    """ADVICE r05: null keys are legal in Kafka (the Java producer
+    round-robins them); the derived-partition fallback must not NPE on
+    the executor — null-key rows route to partition 0."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", b"v1"), (None, b"v2"), ("b", b"v3"), (None, b"v4")],
+        schema="k string, value binary",
+    ).select(F.col("k").cast("binary").alias("key"), "value")
+    write_kafka_batch_py(df, broker.bootstrap, "orders_avro")
+    got = [r for pid in range(N_PARTS) for r in broker.records("orders_avro", pid)]
+    assert sorted(v for _, v, _ in got) == [b"v1", b"v2", b"v3", b"v4"]
+    null_key_values = {v for k, v, _ in got if k is None}
+    assert null_key_values == {b"v2", b"v4"}
+    # and the nulls all landed on the deterministic fallback partition
+    assert {v for k, v, _ in broker.records("orders_avro", 0) if k is None} \
+        == {b"v2", b"v4"}

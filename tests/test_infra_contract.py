@@ -126,10 +126,24 @@ def test_recreate_topics_protocol(fake_admin):
                         "create:customers_avro"}
 
 
-def test_recreate_topics_no_admin_client_raises(monkeypatch):
+def test_recreate_topics_no_admin_client_uses_wire_fallback(monkeypatch):
+    """Round-6 contract change (VERDICT r05 item 5): with no admin
+    library, recreate_topics no longer raises — it routes through the
+    wire-protocol CreateTopics/DeleteTopics fallback with every argument
+    intact (the executed path is tested over real TCP in
+    test_kafka_wire_v2.py::test_recreate_topics_wire_end_to_end)."""
     monkeypatch.setattr(infra, "kafka_admin_available", lambda: False)
-    with pytest.raises(RuntimeError, match="admin client"):
-        infra.recreate_topics("broker:9092", ["t"])
+    calls = []
+    monkeypatch.setattr(
+        infra, "_recreate_topics_wire",
+        lambda brokers, topics, **kw: calls.append((brokers, topics, kw)),
+    )
+    infra.recreate_topics("broker:9092", ["t"], partitions=2)
+    assert calls == [(
+        "broker:9092", ["t"],
+        {"partitions": 2, "replication_factor": 3,
+         "poll_interval_s": 3.0, "timeout_s": 60.0},
+    )]
 
 
 def test_partition_count_lookup(fake_admin):

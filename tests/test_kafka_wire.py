@@ -54,7 +54,7 @@ def test_protocol_round_trips(broker):
     broker.append("orders_avro", 0, [(b"a", b"1", 10), (b"b", b"2", 20)])
     with KafkaWireClient(broker.bootstrap) as c:
         versions = c.api_versions()
-        assert versions[1] == (2, 2)  # Fetch v2 advertised
+        assert versions[1] == (2, 4)  # Fetch v2..v4 advertised (v4 = magic 2)
         brokers, topics = c.metadata(["orders_avro"])
         assert topics == {"orders_avro": [0, 1, 2]}
         assert list(brokers.values())[0][0] == broker.host

@@ -53,9 +53,15 @@ class _TopicPartition(InputPartition):
 
 
 def _client(options):
-    from ..streaming.kafka_wire import KafkaWireClient
+    # leader-routing client: on a single-node broker it degrades to one
+    # extra Metadata round-trip; on a multi-broker cluster each
+    # list_offsets/fetch goes to the partition leader and survives one
+    # leader move per call (round 6 — was the single-socket
+    # KafkaWireClient, which a follower would bounce with
+    # NOT_LEADER_FOR_PARTITION)
+    from ..streaming.kafka_wire import KafkaClusterClient
 
-    return KafkaWireClient(options["bootstrap"])
+    return KafkaClusterClient(options["bootstrap"])
 
 
 class KafkaPyBatchReader(DataSourceReader):

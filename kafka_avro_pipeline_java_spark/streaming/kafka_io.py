@@ -220,7 +220,9 @@ def write_kafka_batch_py(
         )
 
     def send_partition(rows) -> None:
-        from ..streaming.kafka_wire import KafkaWireClient
+        # leader-routing producer (round 6): each Kafka partition's batch
+        # goes to that partition's leader broker, like the Java client
+        from ..streaming.kafka_wire import KafkaClusterClient
 
         by_kafka_partition: dict[int, list] = {}
         for r in rows:
@@ -231,7 +233,7 @@ def write_kafka_batch_py(
             )
         if not by_kafka_partition:
             return
-        with KafkaWireClient(brokers) as c:
+        with KafkaClusterClient(brokers) as c:
             for pid, records in sorted(by_kafka_partition.items()):
                 c.produce(topic, pid, records)
 

@@ -298,3 +298,26 @@ def test_partition_count_wire_fallback(broker, monkeypatch):
     assert infra.partition_count(broker.bootstrap, "orders_avro") == 3
     with pytest.raises(KeyError):
         infra.partition_count(broker.bootstrap, "nope_avro")
+
+
+def test_datasource_load_routes_across_two_listeners(spark, cluster):
+    """The executed .load() path against a TWO-listener broker: the
+    per-partition readers must route each fetch to the partition's
+    leader (follower listeners bounce data requests), so this only
+    passes if KafkaClusterClient routing works inside Spark workers."""
+    from kafka_avro_pipeline_java_spark.sources.kafka_pyds import KafkaPyDataSource
+
+    for pid in range(4):
+        cluster.append("orders_avro", pid, [(b"k%d" % pid, b"v%d" % pid, pid)])
+    try:
+        spark.dataSource.register(KafkaPyDataSource)
+    except Exception:
+        pass  # per-session singleton
+    df = (
+        spark.read.format("kafka_py")
+        .option("bootstrap", cluster.bootstrap)
+        .option("topic", "orders_avro")
+        .load()
+    )
+    rows = sorted((r.partition, bytes(r.value)) for r in df.collect())
+    assert rows == [(0, b"v0"), (1, b"v1"), (2, b"v2"), (3, b"v3")]

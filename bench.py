@@ -158,6 +158,7 @@ def _family(name: str) -> str:
         ("events_", "events"),
         ("graph_", "graph"),
         ("text_", "text"),
+        ("search_", "text"),
         ("dedup_", "dedup"),
         ("pipeline_", "pipeline"),
         ("knn_", "knn"),

@@ -148,6 +148,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Directed near-CONTAINMENT pairs: (id_a, id_b) where
+    ``|shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ threshold`` — doc a is
+    (mostly) contained in doc b.
+
+    Jaccard misses the quote/wrapper case: a 100-word post fully embedded
+    in a 10,000-word page has Jaccard ≈ 0.01 but containment ≈ 1.0, and
+    training-data dedup wants exactly that asymmetric signal (drop the
+    wrapped copy, keep the superset — or vice versa). Same scalable shape
+    as ``ngram_jaccard_pairs``: inverted-index equi-join on an 8-byte
+    shingle hash, Σ bucket² candidate cost, ``max_doc_freq`` skew cap; the
+    only change is the denominator (|A| alone) and that both directions of
+    a pair are emitted since containment is not symmetric.
+    """
+    sh = shingle_table(df, text_col, id_col, k).select(
+        "id", F.xxhash64("shingle").alias("shingle")
+    )
+    sh = cap_doc_freq(sh, max_doc_freq)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") != F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    return (
+        inter.join(sa, "id_a")
+        .withColumn(
+            "containment", F.round(F.col("n_common") / F.col("n_a"), 4)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, k: int = 3, num_hashes: int = 32,
     max_doc_freq: int | None = None,

@@ -26,7 +26,7 @@ Plan shape (and why it scales):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -97,5 +97,50 @@ def bm25_topk(
             F.round(F.sum("term_score"), 4).alias("bm25"),
         )
         .orderBy(F.desc("bm25"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def rrf_fuse(
+    ranked: list[tuple[DataFrame, str]],
+    id_col: str = "id",
+    *,
+    c: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked retrieval lists (Cormack et al.,
+    SIGIR'09): score(d) = Σ_lists 1 / (c + rank_list(d)), documents absent
+    from a list contribute nothing for it.
+
+    ``ranked``: [(df, score_col)] where each df is a TOP-K LIST already —
+    bounded rows, deterministic order by (score_col desc, id). That bound
+    is the scale contract: each retrieval branch (BM25 inverted-index agg,
+    ANN bucket probe) does the distributed work and emits k rows, so the
+    fusion itself is a driver-trivial full-outer join of k-row inputs —
+    single partition, no shuffle that matters. rank_i columns come out
+    1-based; 0 marks "not retrieved by this branch".
+    """
+    fused = None
+    for i, (df, score_col) in enumerate(ranked):
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        r = df.select(
+            id_col, F.row_number().over(w).alias(f"rank_{i}")
+        )
+        fused = r if fused is None else fused.join(r, id_col, "full_outer")
+    score = sum(
+        (
+            F.when(F.col(f"rank_{i}").isNotNull(), F.lit(1.0) / (F.lit(c) + F.col(f"rank_{i}")))
+            .otherwise(F.lit(0.0))
+            for i in range(len(ranked))
+        ),
+        F.lit(0.0),
+    )
+    ranks = [
+        F.coalesce(F.col(f"rank_{i}"), F.lit(0)).cast("int").alias(f"rank_{i}")
+        for i in range(len(ranked))
+    ]
+    return (
+        fused.select(id_col, *ranks, F.round(score, 6).alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc(id_col))
         .limit(k)
     )

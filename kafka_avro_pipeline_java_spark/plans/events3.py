@@ -671,3 +671,66 @@ def udf_vectorized_squared_relu(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum(F.col("sq").cast("bigint")).alias("sum_sq_relu_cents2"))
     )
+
+
+@query(
+    "events_attribution_linear",
+    oracle="""
+    WITH purch AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts, value AS p_value
+      FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+      SELECT user_id, ts AS t_ts, event_type AS touch_type
+      FROM events WHERE event_type IN ('click', 'view')
+    ), j AS (
+      SELECT p.p_id, p.p_value, t.touch_type
+      FROM touch t JOIN purch p ON t.user_id = p.user_id
+       AND t.t_ts <= p.p_ts AND t.t_ts > p.p_ts - INTERVAL 7 DAY
+    ), a AS (
+      SELECT touch_type, p_value,
+             COUNT(*) OVER (PARTITION BY p_id) AS n_touches
+      FROM j
+    )
+    SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_touch_events,
+           ROUND(SUM(p_value / n_touches), 4) AS attributed_value
+    FROM a GROUP BY touch_type
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    equally across the user's click/view touches in the preceding 7 days,
+    then rolled up per touch channel. Plan: user-keyed equi-join with the
+    interval as a join-side filter (per-user histories are bounded, so the
+    join fans out per user, not per corpus — the day-bucketed interval
+    join in this module is the shape to switch to if a key's history is
+    unbounded), one per-purchase window count, one channel rollup.
+    Purchases with zero preceding touches drop out (nothing to attribute),
+    matching the inner join in the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    j = touch.join(
+        purch,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") > F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    per_purchase = Window.partitionBy("p_id")
+    a = j.select(
+        "touch_type", "p_value", F.count("*").over(per_purchase).alias("n_touches")
+    )
+    return a.groupBy("touch_type").agg(
+        F.count("*").alias("n_touch_events"),
+        F.round(F.sum(F.col("p_value") / F.col("n_touches")), 4).alias(
+            "attributed_value"
+        ),
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators import merge
 from ..operators.merge import scd2_apply
 from ..sources import load_table
 from .registry import query
@@ -1014,3 +1015,60 @@ def merge_scd2_insert_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim, changed.unionByName(new_keys), "c_custkey", ["c_mktsegment"],
         new_version=1,
     )
+
+
+@query(
+    "merge_cdc_apply",
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey, 1 AS seq, 'I' AS op,
+             o_totalprice AS price, o_orderstatus AS status
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', o_totalprice + 10.0, 'U'
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, 3, 'D', NULL, NULL
+      FROM orders WHERE o_orderkey % 7 = 0
+    ), latest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                   ORDER BY seq DESC) AS rn
+      FROM log
+    )
+    SELECT o_orderkey, CAST(seq AS INT) AS seq, op, price, status
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY CHANGES (operators/merge.py::cdc_apply): collapse an
+    insert/update/delete change log into final table state — the
+    generalization of the reference's upsert leg
+    (MySQLProcessData.java:67-73) to a log with explicit deletes. The log
+    here is derived deterministically from orders (every key inserted,
+    every 3rd updated, every 7th deleted) so the oracle can replay it.
+    Plan: ONE keyed max_by aggregation (map-side combinable — a window
+    row_number would sort-shuffle log-sized) + the delete filter."""
+    o = load_table(spark, sf_dir, "orders")
+    ins = o.select(
+        "o_orderkey",
+        F.lit(1).cast("int").alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit(2).cast("int").alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") + F.lit(10.0)).alias("price"),
+        F.lit("U").alias("status"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit(3).cast("int").alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("price"),
+        F.lit(None).cast("string").alias("status"),
+    )
+    log = ins.unionByName(upd).unionByName(dels)
+    return merge.cdc_apply(log, ["o_orderkey"], seq_col="seq", op_col="op")

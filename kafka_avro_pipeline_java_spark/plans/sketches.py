@@ -774,3 +774,34 @@ def sketch_countmin_absent_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("est_count").cast("bigint").alias("est_count"),
         )
     )
+
+
+@query(
+    "sketch_misra_gries_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT t.tok FROM (
+        SELECT string_split_regex(trim(lower(text)), '\\s+') AS ts
+        FROM documents
+      ), UNNEST(ts) AS t(tok)
+    ), tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks)
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks, tot
+    GROUP BY tok, n
+    HAVING COUNT(*) > n / {_K}
+    ORDER BY cnt DESC, tok
+    """,
+)
+def sketch_misra_gries_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (token freq > n/64) via the two-pass
+    Misra–Gries prefilter (operators/sketches.py::heavy_hitters_exact):
+    per-partition MG summaries → ≤ k·P candidates with provably zero
+    false negatives → broadcast semi-join exact recount. The sketch
+    bounds the WORK (the shuffled agg never sees the full vocabulary);
+    the ANSWER is exact, so the oracle hash-matches it."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"))
+    hh = sketches.heavy_hitters_exact(toks, "tok", k=_K)
+    return hh.select("tok", F.col("cnt").cast("bigint").alias("cnt")).orderBy(
+        F.desc("cnt"), F.asc("tok")
+    )

@@ -8,8 +8,10 @@ duplication — each with a value-exact DuckDB oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from ..operators import quality, search, spans
+from ..functions.vectors import cosine_similarity
+from ..operators import dedup, quality, search, spans
 from ..sources import load_table
 from .registry import query
 
@@ -376,3 +378,127 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(20)
     )
+
+
+@query(
+    "search_hybrid_rrf",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ), lengths AS (
+      SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM docs
+    ), hits AS (
+      SELECT doc_id, t.tok FROM docs, UNNEST(toks) AS t(tok)
+      WHERE t.tok IN ({_BM25_TERMS_SQL})
+    ), tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM hits GROUP BY doc_id, tok
+    ), dfreq AS (
+      SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df_t FROM tf GROUP BY tok
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM lengths
+    ), bm_top AS (
+      SELECT doc_id,
+             ROUND(SUM(LN(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                       * tf * 2.2
+                       / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+      FROM tf JOIN dfreq USING (tok) JOIN lengths USING (doc_id), stats
+      GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id
+      LIMIT 20
+    ), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cos_scored AS (
+      SELECT e.vec_id,
+             SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)) AS dp,
+             SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)) AS na,
+             SUM(CAST(q.qv[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)) AS nb
+      FROM embeddings e, q, UNNEST(range(1, len(e.embedding) + 1)) AS i(i)
+      GROUP BY e.vec_id
+    ), cos_top AS (
+      SELECT vec_id AS doc_id, ROUND(dp / (SQRT(na) * SQRT(nb)), 6) AS cos_sim
+      FROM cos_scored ORDER BY cos_sim DESC, vec_id LIMIT 20
+    ), bmr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank_bm
+      FROM bm_top
+    ), cosr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS rank_cos
+      FROM cos_top
+    )
+    SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+           CAST(COALESCE(rank_bm, 0) AS INT) AS bm25_rank,
+           CAST(COALESCE(rank_cos, 0) AS INT) AS cos_rank,
+           ROUND(COALESCE(1.0 / (60 + rank_bm), 0)
+                 + COALESCE(1.0 / (60 + rank_cos), 0), 6) AS rrf
+    FROM bmr b FULL OUTER JOIN cosr c USING (doc_id)
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+    """,
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 (inverted-index branch) fused with
+    cosine top-20 to the vec_id=0 embedding (dense branch, doc_id ≡
+    vec_id) by reciprocal-rank fusion (operators/search.py::rrf_fuse).
+    Each branch does its distributed work and emits 20 rows; the fusion
+    joins two bounded lists — RRF's robustness to incomparable score
+    scales is why it is the default first fusion in RAG/retrieval stacks."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    bm = search.bm25_topk(spark, d, "text", "doc_id", BM25_TERMS, k=20).select(
+        "id", "bm25"
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    )
+    cos = (
+        e.crossJoin(q)
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(cosine_similarity(F.col("embedding"), F.col("q")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("id"))
+        .limit(20)
+    )
+    fused = search.rrf_fuse([(bm, "bm25"), (cos, "cos_sim")], "id", c=60, k=10)
+    return fused.select(
+        F.col("id").alias("doc_id"),
+        F.col("rank_0").alias("bm25_rank"),
+        F.col("rank_1").alias("cos_rank"),
+        "rrf",
+    )
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             ts[i.i] || ' ' || ts[i.i + 1] || ' ' || ts[i.i + 2] AS shingle
+      FROM tok, UNNEST(range(1, len(ts) - 1)) AS i(i)
+      WHERE len(ts) >= 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(i.n_common / CAST(sa.n_sh AS DOUBLE), 4) AS containment
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+    WHERE ROUND(i.n_common / CAST(sa.n_sh AS DOUBLE), 4) >= 0.4
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-containment pairs at C(a→b) ≥ 0.4
+    (operators/dedup.py::containment_pairs): the asymmetric complement of
+    Jaccard dedup — catches a short doc embedded in a long one (quote,
+    boilerplate wrapper) that Jaccard scores near zero. Same inverted-index
+    equi-join scale shape as dedup_ngram_jaccard."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(d, "text", "doc_id", k=3, threshold=0.4)

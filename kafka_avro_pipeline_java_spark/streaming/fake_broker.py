@@ -79,7 +79,11 @@ class FakeKafkaBroker:
     its 01-infra AdminClient step, DataPipeline.java:80-126)."""
 
     def __init__(self, topics: dict[str, int], *, host: str = "127.0.0.1",
-                 listeners: int = 1) -> None:
+                 listeners: int = 1, fetch_codec: str = "none") -> None:
+        # fetch_codec compresses magic-2 fetch responses (a real 3.x broker
+        # serves batches in whatever codec the producer used; this knob
+        # lets tests exercise the client's decompression path end to end).
+        self._fetch_codec = fetch_codec
         # log[(topic, partition)] = list[(key, value, timestamp_ms)]
         self._log: dict[tuple[str, int], list[tuple[bytes, bytes, int]]] = {}
         self._topics = dict(topics)
@@ -341,9 +345,25 @@ class FakeKafkaBroker:
                 batch = self._cut_at_max_bytes(log, offset, max_bytes, magic)
                 if magic == 2:
                     record_set = (
-                        encode_record_batch(batch, base_offset=offset)
+                        encode_record_batch(
+                            batch, base_offset=offset,
+                            codec=self._fetch_codec,
+                        )
                         if batch else b""
                     )
+                    # compression changes the wire size after the cut
+                    # (usually smaller; pathologically a few bytes larger),
+                    # so re-check against max_bytes on the ENCODED bytes
+                    # and shed records until it fits — always keeping one,
+                    # matching the never-starve contract of the cut.
+                    while (self._fetch_codec != "none" and batch
+                           and len(batch) > 1
+                           and len(record_set) > max_bytes):
+                        batch = batch[:-1]
+                        record_set = encode_record_batch(
+                            batch, base_offset=offset,
+                            codec=self._fetch_codec,
+                        )
                 else:
                     record_set = encode_message_set(batch, base_offset=offset)
                 wp.int32(pid).int16(ERR_NONE).int64(hw)

@@ -14,7 +14,10 @@ broker natively writes) — is enough for a correct bounded consumer,
 producer, and topic-DDL admin. The client negotiates versions from the
 broker's ApiVersions response: against a modern broker it speaks
 Produce v3 / Fetch v4 with magic-2 batches; against the minimal v2 APIs
-it falls back to magic-1 message sets. The codec is shared by the client
+it falls back to magic-1 message sets. Magic-2 batches may be compressed:
+gzip is implemented with the stdlib both ways (attribute bits, CRC over
+the compressed wire bytes), snappy/lz4/zstd are recognized and raise a
+named ``KafkaCodecError`` unless their third-party package is present. The codec is shared by the client
 here and the in-process broker in ``fake_broker.py``, so both sides of
 every test exchange REAL protocol bytes over a REAL TCP socket.
 
@@ -191,6 +194,11 @@ class WireRecord:
     value: bytes | None
 
 
+class KafkaCodecError(RuntimeError):
+    """A record-batch compression codec problem: an unknown codec-bits
+    value, or a codec whose third-party package isn't importable."""
+
+
 class KafkaProtocolError(RuntimeError):
     """A broker-side error code on a per-partition response — carries the
     code so routing layers can react (e.g. NOT_LEADER_FOR_PARTITION →
@@ -303,6 +311,81 @@ def decode_varint(buf: bytes, pos: int) -> tuple[int, int]:
     return (z >> 1) ^ -(z & 1), pos
 
 
+# Compression codecs, keyed by the low 3 attribute bits of a magic-2 batch
+# (kafka.apache.org/documentation/#recordbatch). gzip is stdlib and fully
+# supported both ways; snappy (raw block), lz4 (frame) and zstd (frame)
+# are gated on their third-party packages — absent in this sandbox, so an
+# unsupported codec raises a NAMED error instead of a silent misparse.
+CODEC_BITS = {"none": 0, "gzip": 1, "snappy": 2, "lz4": 3, "zstd": 4}
+_CODEC_NAMES = {v: k for k, v in CODEC_BITS.items()}
+
+
+def _compress(codec: int, data: bytes) -> bytes:
+    if codec == 1:
+        import gzip as _gzip
+        # mtime=0: deterministic output (the gzip header embeds a
+        # timestamp; Kafka's Java codec leaves it zero too)
+        return _gzip.compress(data, mtime=0)
+    if codec == 2:
+        try:
+            import snappy  # type: ignore
+        except ImportError as e:
+            raise KafkaCodecError(
+                "snappy compression requires the 'python-snappy' package"
+            ) from e
+        return snappy.compress(data)
+    if codec == 3:
+        try:
+            import lz4.frame  # type: ignore
+        except ImportError as e:
+            raise KafkaCodecError(
+                "lz4 compression requires the 'lz4' package"
+            ) from e
+        return lz4.frame.compress(data)
+    if codec == 4:
+        try:
+            import zstandard  # type: ignore
+        except ImportError as e:
+            raise KafkaCodecError(
+                "zstd compression requires the 'zstandard' package"
+            ) from e
+        return zstandard.ZstdCompressor().compress(data)
+    raise KafkaCodecError(f"unknown compression codec bits {codec}")
+
+
+def _decompress(codec: int, data: bytes) -> bytes:
+    if codec == 1:
+        import gzip as _gzip
+        return _gzip.decompress(data)
+    if codec == 2:
+        try:
+            import snappy  # type: ignore
+        except ImportError as e:
+            raise KafkaCodecError(
+                "batch is snappy-compressed; decoding requires the "
+                "'python-snappy' package"
+            ) from e
+        return snappy.decompress(data)
+    if codec == 3:
+        try:
+            import lz4.frame  # type: ignore
+        except ImportError as e:
+            raise KafkaCodecError(
+                "batch is lz4-compressed; decoding requires the 'lz4' package"
+            ) from e
+        return lz4.frame.decompress(data)
+    if codec == 4:
+        try:
+            import zstandard  # type: ignore
+        except ImportError as e:
+            raise KafkaCodecError(
+                "batch is zstd-compressed; decoding requires the "
+                "'zstandard' package"
+            ) from e
+        return zstandard.ZstdDecompressor().decompress(data)
+    raise KafkaCodecError(f"unknown compression codec bits {codec}")
+
+
 _BATCH_HEADER_LEN = 61  # baseOffset..recordCount, fixed-width fields
 
 
@@ -329,9 +412,14 @@ def encode_record_body(key: bytes | None, value: bytes | None,
 
 
 def encode_record_batch(records: list[tuple[bytes | None, bytes | None, int]],
-                        base_offset: int = 0) -> bytes:
+                        base_offset: int = 0, *,
+                        codec: str = "none") -> bytes:
     """[(key, value, timestamp_ms)] → one magic-2 RecordBatch
-    (uncompressed, non-transactional, idempotence off: producerId -1)."""
+    (non-transactional, idempotence off: producerId -1). ``codec``
+    compresses the records section; the batch header (including
+    recordCount) stays uncompressed and the CRC32C covers the bytes as
+    transmitted, exactly as a broker stores them."""
+    codec_bits = CODEC_BITS[codec]
     base_ts = records[0][2] if records else -1
     max_ts = max((r[2] for r in records), default=-1)
     recs_parts: list[bytes] = []
@@ -340,9 +428,11 @@ def encode_record_batch(records: list[tuple[bytes | None, bytes | None, int]],
         recs_parts.append(encode_varint(len(body)))
         recs_parts.append(body)
     recs = b"".join(recs_parts)
+    if codec_bits:
+        recs = _compress(codec_bits, recs)
     attrs_to_end = (
         ByteWriter()
-        .int16(0)                       # attributes: no compression
+        .int16(codec_bits)              # attributes: compression bits 0-2
         .int32(max(len(records) - 1, 0))  # lastOffsetDelta
         .int64(base_ts)
         .int64(max_ts)
@@ -369,9 +459,9 @@ def encode_record_batch(records: list[tuple[bytes | None, bytes | None, int]],
 def decode_record_batches(buf: bytes) -> list[WireRecord]:
     """Concatenated magic-2 RecordBatches → records, verifying each batch
     CRC32C. A trailing partial batch (cut at max_bytes) is dropped, per
-    the consumer contract. Compressed batches raise — this stack only
-    produces uncompressed data and decompression codecs aren't a protocol
-    concern this sandbox can exercise."""
+    the consumer contract. gzip-compressed batches (the stdlib codec) are
+    decompressed inline; snappy/lz4/zstd batches raise a NAMED
+    KafkaCodecError unless their third-party package is importable."""
     out: list[WireRecord] = []
     r = ByteReader(buf)
     while len(buf) - r.pos >= 12:
@@ -389,8 +479,7 @@ def decode_record_batches(buf: bytes) -> list[WireRecord]:
         if crc32c(covered) != crc:
             raise ValueError(f"CRC32C mismatch in batch at {base_offset}")
         attributes = batch.int16()
-        if attributes & 0x07:
-            raise ValueError("compressed record batches not supported")
+        codec_bits = attributes & 0x07
         batch.int32()  # lastOffsetDelta
         base_ts = batch.int64()
         batch.int64()  # maxTimestamp
@@ -398,8 +487,15 @@ def decode_record_batches(buf: bytes) -> list[WireRecord]:
         batch.int16()  # producerEpoch
         batch.int32()  # baseSequence
         count = batch.int32()
-        raw = batch.buf
-        pos = batch.pos
+        if codec_bits:
+            # the records section (everything after recordCount) is the
+            # compressed unit; decompress AFTER the CRC check above, which
+            # covers the on-wire (compressed) bytes
+            raw = _decompress(codec_bits, batch.buf[batch.pos:])
+            pos = 0
+        else:
+            raw = batch.buf
+            pos = batch.pos
         for _ in range(count):
             _, pos = decode_varint(raw, pos)  # record length
             pos += 1  # record attributes
@@ -652,14 +748,24 @@ class KafkaWireClient:
 
     def produce(self, topic: str, partition: int,
                 records: list[tuple[bytes | None, bytes | None, int]],
-                *, acks: int = -1, timeout_ms: int = 10_000) -> int:
+                *, acks: int = -1, timeout_ms: int = 10_000,
+                compression: str = "none") -> int:
         """Append [(key, value, timestamp_ms)] → base offset assigned.
         Sends Produce v3 with a magic-2 record batch when the broker
         offers it (what a 0.11+/3.x broker natively stores, no
-        up-conversion), else Produce v2 with a magic-1 message set."""
+        up-conversion), else Produce v2 with a magic-1 message set.
+        ``compression`` applies to the magic-2 path only (v1 compression
+        wraps messages in an envelope message — a different mechanism this
+        stack doesn't speak), so requesting it against a magic-1-only
+        broker raises instead of silently sending uncompressed."""
         v = self._version_for(API_PRODUCE)
         if v >= 3:
-            record_set = encode_record_batch(records)
+            record_set = encode_record_batch(records, codec=compression)
+        elif compression != "none":
+            raise KafkaCodecError(
+                "compression requires the record-batch (Produce v3+) path; "
+                "broker only offers magic-1 message sets"
+            )
         else:
             record_set = encode_message_set(records)
         w = ByteWriter()

@@ -13,6 +13,7 @@ from kafka_avro_pipeline_java_spark.streaming.fake_broker import FakeKafkaBroker
 from kafka_avro_pipeline_java_spark.streaming.kafka_wire import (
     API_FETCH,
     API_PRODUCE,
+    KafkaCodecError,
     EARLIEST,
     ERR_NONE,
     ERR_NOT_LEADER_FOR_PARTITION,
@@ -321,3 +322,100 @@ def test_datasource_load_routes_across_two_listeners(spark, cluster):
     )
     rows = sorted((r.partition, bytes(r.value)) for r in df.collect())
     assert rows == [(0, b"v0"), (1, b"v1"), (2, b"v2"), (3, b"v3")]
+
+
+# ---------------------------------------------------------------------------
+# compression (gzip stdlib; snappy/lz4/zstd gated on third-party packages)
+# ---------------------------------------------------------------------------
+
+
+def test_gzip_batch_codec_round_trip():
+    recs = [(b"k%d" % i, b"payload-%d" % i * 20, 1_000 + i) for i in range(50)]
+    wire = encode_record_batch(recs, base_offset=7, codec="gzip")
+    # smaller on the wire than the uncompressed encoding of the same data
+    assert len(wire) < len(encode_record_batch(recs, base_offset=7))
+    got = decode_record_batches(wire)
+    assert [(r.key, r.value, r.timestamp) for r in got] == recs
+    assert [r.offset for r in got] == list(range(7, 57))
+
+
+def test_gzip_batch_crc_covers_compressed_bytes():
+    wire = bytearray(encode_record_batch([(b"k", b"v", 1)], codec="gzip"))
+    wire[-1] ^= 0xFF  # corrupt inside the compressed section
+    with pytest.raises(ValueError, match="CRC32C"):
+        decode_record_batches(bytes(wire))
+
+
+def test_unavailable_codec_raises_named_error():
+    # the sandbox ships no snappy/lz4/zstd packages; both directions must
+    # fail with the codec named, never a silent misparse
+    for codec, pkg in [("snappy", "python-snappy"), ("lz4", "lz4"),
+                       ("zstd", "zstandard")]:
+        try:
+            __import__({"snappy": "snappy", "lz4": "lz4.frame",
+                        "zstd": "zstandard"}[codec])
+        except ImportError:
+            with pytest.raises(KafkaCodecError, match=pkg):
+                encode_record_batch([(b"k", b"v", 1)], codec=codec)
+
+
+def test_produce_gzip_fetch_round_trip_over_tcp(broker):
+    c = KafkaWireClient(broker.bootstrap)
+    recs = [(b"key-%d" % i, b"value-%d" % i * 10, 5_000 + i)
+            for i in range(40)]
+    base = c.produce("orders_avro", 1, recs, compression="gzip")
+    assert base == 0
+    hw, got = c.fetch("orders_avro", 1, 0)
+    assert hw == 40
+    assert [(r.key, r.value, r.timestamp) for r in got] == recs
+    c.close()
+
+
+def test_fetch_gzip_compressed_batches_from_broker():
+    # broker serves gzip batches (as a real broker does when the producer
+    # compressed them); client decompresses transparently
+    with FakeKafkaBroker({"t": 1}, fetch_codec="gzip") as b:
+        b.append("t", 0, [(b"k%d" % i, b"v%d" % i * 50, 9_000 + i)
+                          for i in range(30)])
+        c = KafkaWireClient(b.bootstrap)
+        hw, got = c.fetch("t", 0, 0)
+        assert hw == 30
+        assert [(r.key, r.value) for r in got] == [
+            (b"k%d" % i, b"v%d" % i * 50) for i in range(30)
+        ]
+        c.close()
+
+
+def test_fetch_gzip_honors_max_bytes_on_encoded_size():
+    with FakeKafkaBroker({"t": 1}, fetch_codec="gzip") as b:
+        import os
+        b.append("t", 0, [(b"k%d" % i, os.urandom(400), 1_000 + i)
+                          for i in range(20)])
+        c = KafkaWireClient(b.bootstrap)
+        collected, offset = [], 0
+        while True:
+            hw, got = c.fetch("t", 0, offset, max_bytes=900)
+            if not got:
+                break
+            # incompressible payloads: the encoded set must still honor
+            # max_bytes (the broker re-checks AFTER compression), while
+            # always making progress
+            assert len(got) >= 1
+            collected.extend(got)
+            offset = got[-1].offset + 1
+            if offset >= hw:
+                break
+        assert [r.key for r in collected] == [b"k%d" % i for i in range(20)]
+        c.close()
+
+
+def test_produce_compression_on_magic1_broker_raises():
+    with FakeKafkaBroker({"t": 1}) as b:
+        c = KafkaWireClient(b.bootstrap)
+        # pin the negotiated Produce range to the magic-1 floor (the same
+        # downgrade path the v2-floor negotiation tests exercise)
+        c._versions = c.api_versions()
+        c._versions[API_PRODUCE] = (0, 2)
+        with pytest.raises(KafkaCodecError, match="magic-1"):
+            c.produce("t", 0, [(b"k", b"v", 1)], compression="gzip")
+        c.close()

@@ -153,3 +153,127 @@ def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("subwords").cast("int").alias("n_subwords"),
         F.array_join("subwords", " ").alias("subwords"),
     )
+
+
+from ..operators import unigram  # noqa: E402
+
+
+# Fixed piece inventory for the wordpiece READ path — same train/apply
+# split as _BPE_MERGES: application of a LITERAL inventory is
+# deterministic string algebra both engines can run; the trainer stays
+# parity-tested (tests/test_unigram.py).
+_WP_PIECES: list[str] = [
+    "the", "ing", "er", "an", "re", "on", "at", "en", "or", "es", "ti", "te",
+]
+
+# Literal unigram-LM piece log-probs for the Viterbi read path. unk=-6.0
+# sits below every listed piece, so multi-char pieces win where they fit.
+_UNI_PIECES: dict[str, float] = {
+    "the": -2.0, "ing": -2.5, "er": -3.0, "an": -3.2, "in": -3.1,
+    "re": -3.4, "on": -3.5, "at": -3.6, "en": -3.7, "es": -3.8,
+    "or": -3.85, "te": -3.9, "ti": -4.0, "e": -4.5, "t": -4.6, "a": -4.7,
+    "o": -4.8, "s": -4.9, "n": -5.0, "r": -5.1, "i": -5.2,
+}
+_UNI_UNK = -6.0
+
+
+def _wordpiece_oracle() -> str:
+    # Greedy longest-match as a recursive CTE: each step consumes one
+    # piece (a literal CASE ordered longest-first mirrors the operator's
+    # longest-match loop exactly), advancing pos by its length; a word of
+    # n chars terminates in ≤ n steps. The DISTINCT-word recursion then
+    # joins back onto the positioned token stream — the same
+    # vocab-not-stream shape as the Spark plan.
+    pieces_desc = sorted(_WP_PIECES, key=lambda p: (-len(p), p))
+    case = "CASE " + " ".join(
+        f"WHEN substr(word, pos2, {len(p)}) = '{p}' THEN '{p}'"
+        for p in pieces_desc
+    ) + " ELSE substr(word, pos2, 1) END"
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+      FROM documents
+    ), words AS (
+      SELECT doc_id, i.i AS pos, ws[i.i] AS word
+      FROM toks, UNNEST(range(1, len(ws) + 1)) AS i(i)
+    ), vocab AS (
+      SELECT DISTINCT word FROM words
+    ), seg(word, pos2, pieces) AS (
+      SELECT word, 1, CAST('' AS VARCHAR) FROM vocab
+      UNION ALL
+      SELECT word, pos2 + len(piece),
+             CASE WHEN pieces = '' THEN piece
+                  ELSE pieces || ' ' || piece END
+      FROM (SELECT word, pos2, pieces, {case} AS piece
+            FROM seg WHERE pos2 <= len(word))
+    ), done AS (
+      SELECT word, pieces FROM seg WHERE pos2 = len(word) + 1
+    ), docs AS (
+      SELECT w.doc_id, string_agg(d.pieces, ' ' ORDER BY w.pos) AS pieces
+      FROM words w JOIN done d USING (word)
+      GROUP BY w.doc_id
+    )
+    SELECT doc_id,
+           CAST(len(string_split(pieces, ' ')) AS INT) AS n_pieces,
+           pieces
+    FROM docs
+    """
+
+
+@query("text_wordpiece_segment", oracle=_wordpiece_oracle())
+def text_wordpiece_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment every document by greedy longest-match against the LITERAL
+    12-piece inventory ``_WP_PIECES`` (wordpiece semantics, no ``##``
+    marker): (doc_id, n_pieces, pieces space-joined). The match loop runs
+    once per DISTINCT word as an Arrow-batched pandas UDF
+    (operators/unigram.py::wordpiece_segment_docs); the word→pieces map
+    joins back un-hinted (vocabulary-sized side, AQE decides)."""
+    d = load_table(spark, sf_dir, "documents")
+    seg = unigram.wordpiece_segment_docs(d, "text", "doc_id", _WP_PIECES)
+    return seg.select(
+        F.col("id").alias("doc_id"),
+        F.size("pieces").cast("int").alias("n_pieces"),
+        F.array_join("pieces", " ").alias("pieces"),
+    )
+
+
+@query("text_unigram_viterbi")
+def text_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi max-probability segmentation of the corpus's DISTINCT words
+    under the literal unigram piece LM ``_UNI_PIECES`` (Kudo 2018 read
+    path): (word, pieces, logp). Registered rows-only — the DP has no SQL
+    expression — with the algorithm pinned by pure-Python parity and
+    prefers-higher-probability tests (tests/test_unigram.py); its greedy
+    sibling text_wordpiece_segment carries the full value oracle for the
+    shared vocab-not-stream plan shape."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    seg = unigram.viterbi_segment_words(words, _UNI_PIECES, unk_logp=_UNI_UNK)
+    return seg.select(
+        "word",
+        F.array_join("pieces", " ").alias("pieces"),
+        F.round("logp", 4).alias("logp"),
+    )
+
+
+@query("text_unigram_em_counts")
+def text_unigram_em_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hard-EM E-step over the corpus: corpus-frequency-weighted
+    Viterbi piece usage under ``_UNI_PIECES`` → (piece, expected_count).
+    The M-step (re-normalize, prune, iterate) is the bounded driver loop
+    in operators/unigram.py::unigram_train, parity- and
+    likelihood-improvement-tested. Rows-only registration (integer counts,
+    deterministic; DP not SQL-expressible) — same trained/literal split as
+    the BPE trainer vs text_bpe_segment."""
+    d = load_table(spark, sf_dir, "documents")
+    return unigram.unigram_expected_counts(
+        d, "text", _UNI_PIECES, unk_logp=_UNI_UNK
+    )

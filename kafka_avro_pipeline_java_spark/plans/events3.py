@@ -734,3 +734,64 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "attributed_value"
         ),
     )
+
+
+@query(
+    "events_pattern_match",
+    oracle="""
+    WITH coded AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                  WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                  ELSE 'e' END AS ch
+      FROM events
+    ), seqs AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             string_agg(ch, '' ORDER BY ts, event_id) AS seq
+      FROM coded GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(seq, 'v+c*p')) AS INT) AS hits
+    FROM seqs
+    WHERE len(regexp_extract_all(seq, 'v+c*p')) >= 1
+    """,
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching per user (MATCH_RECOGNIZE-flavored):
+    encode each user's time-ordered event stream as a character string
+    (v/c/p/s/e) and count non-overlapping matches of the funnel regex
+    ``v+c*p`` — views, optional clicks, then a purchase. One user-keyed
+    aggregation builds the string (per-user histories are bounded — the
+    same contract as sessionization; an unbounded key would need
+    time-chunked matching), then the regex count is a codegen projection.
+    Output: users with ≥1 match."""
+    ev = load_table(spark, sf_dir, "events")
+    coded = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+        .alias("ch"),
+    )
+    seqs = coded.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "ch"))),
+                lambda x: x["ch"],
+            ),
+            "",
+        ).alias("seq"),
+    )
+    return (
+        seqs.select(
+            "user_id",
+            "n_events",
+            F.regexp_count("seq", F.lit(r"v+c*p")).cast("int").alias("hits"),
+        )
+        .filter(F.col("hits") >= 1)
+    )

@@ -610,3 +610,54 @@ def knn_cosine_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucketed_knn(
         spark, e, "embedding", "vec_id", _LSH_O_QV, _LSH_O_PLANES, k=5
     )
+
+
+from ..operators import pca  # noqa: E402
+
+
+@query(
+    "embedding_covariance",
+    oracle="""
+    WITH x AS (SELECT embedding FROM embeddings),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_rows FROM x),
+    mu AS (
+      SELECT i.i - 1 AS idx, AVG(CAST(embedding[i.i] AS DOUBLE)) AS mu
+      FROM x, UNNEST(range(1, len(embedding) + 1)) AS i(i)
+      GROUP BY 1
+    ), cells AS (
+      SELECT i.i - 1 AS i, j.j - 1 AS j,
+             SUM(CAST(embedding[i.i] AS DOUBLE)
+                 * CAST(embedding[j.j] AS DOUBLE)) AS sxy
+      FROM x, UNNEST(range(1, len(embedding) + 1)) AS i(i),
+           UNNEST(range(1, len(embedding) + 1)) AS j(j)
+      GROUP BY 1, 2
+    )
+    SELECT c.i, c.j, ROUND(c.sxy / n.n_rows - mi.mu * mj.mu, 6) + 0.0 AS cov
+    FROM cells c
+    JOIN mu mi ON mi.idx = c.i
+    JOIN mu mj ON mj.idx = c.j, n
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance of the 64 embedding dims as (i, j, cov)
+    cells (operators/pca.py::covariance_matrix). The corpus pass is a
+    per-partition numpy Gramian in mapInPandas emitting 1+d+d² numbers —
+    mergeable partials, so 1000 executors add partial ROWS, never widen
+    the aggregate; the oracle checks all 4,096 cell values."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return pca.covariance_matrix(e, "embedding")
+
+
+@query("embedding_pca_project")
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every embedding projected onto the top-2 principal axes of its own
+    covariance: (vec_id, pc1, pc2) — the dimensionality-reduction step
+    before ANN indexing / drift dashboards. Rows-only registration (the
+    driver-side d×d eigh has no SQL form; sign fixed by the largest-|.|
+    convention) — its sufficient-statistics input carries the full value
+    oracle via embedding_covariance, and tests/test_pca.py pins
+    orthonormality, variance ordering, and numpy reference parity."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return pca.pca_project(e, "embedding", "vec_id", k=2).withColumnRenamed(
+        "id", "vec_id"
+    )

@@ -334,3 +334,95 @@ def heavy_hitters_exact(
         .filter(F.col("cnt") > F.col("n_total") / F.lit(float(k)))
         .select(item_col, "cnt")
     )
+
+
+def kmv_sketches(df: DataFrame, group_col: str, key_col: str, *,
+                 k: int = 64) -> DataFrame:
+    """(g, h): the per-group KMV sketch ROWS (k smallest unit hashes of
+    the distinct keys) — the mergeable state kmv_distinct estimates from,
+    exposed so set operations can combine sketches without re-touching
+    the corpus."""
+    from pyspark.sql.window import Window
+
+    pairs = (
+        df.select(F.col(group_col).alias("g"), F.col(key_col).alias("key"))
+        .distinct()
+        .select("g", _unit_hash(F.col("key").cast("string")).alias("h"))
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    return (
+        pairs.select("g", "h", F.row_number().over(w).alias("r"))
+        .filter(F.col("r") <= k)
+        .select("g", "h")
+    )
+
+
+def kmv_set_ops(df: DataFrame, group_col: str, key_col: str, *,
+                k: int = 64) -> DataFrame:
+    """Theta-sketch-style SET OPERATIONS between every pair of groups,
+    computed purely from the k-row KMV sketches (Beyer et al. 2007 /
+    the DataSketches theta estimator family):
+
+    - union: KMV estimate over the k smallest of sketch_a ∪ sketch_b;
+    - jaccard: ρ/n where ρ = union-sketch hashes present in BOTH input
+      sketches and n = |union sketch| (≤ k) — exact when the true union
+      fits the sketch;
+    - intersection: jaccard × union.
+
+    → (g_a, g_b, est_union, est_jaccard, est_intersect), g_a < g_b.
+
+    Scale shape: the ONLY corpus-sized work is the distinct+hash pass
+    inside ``kmv_sketches``; everything after operates on ≤ k rows per
+    group (G groups → G·k rows, G² pairs of k-row joins). Estimating the
+    overlap of two 10¹⁰-key sets costs two sketch builds + a driver-cheap
+    combine — the planner-style use, same as countmin_inner_product.
+    Deterministic: pure integer-portable-hash math, so the estimates
+    themselves are oracle-checkable bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    sk = kmv_sketches(df, group_col, key_col, k=k)
+    groups = sk.select("g").distinct()
+    combos = (
+        groups.select(F.col("g").alias("g_a"))
+        .join(groups.select(F.col("g").alias("g_b")),
+              F.col("g_a") < F.col("g_b"))
+    )
+    # union sketch per pair: k smallest distinct hashes of the two sketches
+    u = (
+        combos.join(sk.alias("s"),
+                    (F.col("s.g") == F.col("g_a"))
+                    | (F.col("s.g") == F.col("g_b")))
+        .select("g_a", "g_b", "s.h")
+        .distinct()
+    )
+    wu = Window.partitionBy("g_a", "g_b").orderBy("h")
+    uk = (
+        u.select("g_a", "g_b", "h", F.row_number().over(wu).alias("r"))
+        .filter(F.col("r") <= k)
+        .select("g_a", "g_b", "h")
+    )
+    ustats = uk.groupBy("g_a", "g_b").agg(
+        F.max("h").alias("hk"), F.count("*").alias("n")
+    )
+    sa = sk.select(F.col("g").alias("g_a"), F.col("h").alias("h"))
+    sb = sk.select(F.col("g").alias("g_b"), F.col("h").alias("h"))
+    rho = (
+        uk.join(sa, ["g_a", "h"], "left_semi")
+        .join(sb, ["g_b", "h"], "left_semi")
+        .groupBy("g_a", "g_b")
+        .agg(F.count("*").alias("rho"))
+    )
+    est_u = F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+        (k - 1) / F.col("hk")
+    )
+    jac = F.coalesce(F.col("rho"), F.lit(0)) / F.col("n")
+    return (
+        ustats.join(rho, ["g_a", "g_b"], "left_outer")
+        .select(
+            "g_a",
+            "g_b",
+            F.round(est_u, 4).alias("est_union"),
+            F.round(jac, 4).alias("est_jaccard"),
+            F.round(jac * est_u, 4).alias("est_intersect"),
+        )
+    )

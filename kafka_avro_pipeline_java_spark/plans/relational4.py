@@ -1072,3 +1072,53 @@ def merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     log = ins.unionByName(upd).unionByName(dels)
     return merge.cdc_apply(log, ["o_orderkey"], seq_col="seq", op_col="op")
+
+
+@query(
+    "merge_view_maintenance",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 5 = 0 OR o_orderkey % 7 <> 0
+    GROUP BY 1
+    """,
+)
+def merge_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance
+    (operators/merge.py::incremental_agg_apply): a stored per-status
+    COUNT/SUM aggregate (base = orders with key%5≠0) absorbs a signed
+    change stream (inserts: key%5=0; deletes: base keys with key%7=0)
+    WITHOUT rescanning the base facts — delta aggregates first (map-side
+    combined), one full-outer join against the stored agg. The oracle
+    recomputes the final view directly from the merged state, proving the
+    incremental fold lands on the exact same numbers."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 5 != 0)
+    base_agg = base.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("cnt"),
+        F.sum("o_totalprice").alias("sum_price"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderstatus").alias("status"),
+        F.lit(1).alias("sign"),
+        F.col("o_totalprice").alias("sum_price"),
+    )
+    dels = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderstatus").alias("status"),
+        F.lit(-1).alias("sign"),
+        F.col("o_totalprice").alias("sum_price"),
+    )
+    out = merge.incremental_agg_apply(
+        base_agg,
+        ins.unionByName(dels),
+        ["status"],
+        count_col="cnt",
+        sum_cols=["sum_price"],
+    )
+    return out.select(
+        "status",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.round("sum_price", 2).alias("sum_price"),
+    )

@@ -805,3 +805,61 @@ def sketch_misra_gries_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hh.select("tok", F.col("cnt").cast("bigint").alias("cnt")).orderBy(
         F.desc("cnt"), F.asc("tok")
     )
+
+
+@query(
+    "sketch_kmv_setops",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT event_type AS g, user_id AS key FROM events
+    ), hs AS (
+      SELECT g,
+             (CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+               / {_HS!r} AS h
+      FROM pairs
+    ), ranked AS (
+      SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS r FROM hs
+    ), sk AS (
+      SELECT g, h FROM ranked WHERE r <= {_K}
+    ), combos AS (
+      SELECT a.g AS g_a, b.g AS g_b
+      FROM (SELECT DISTINCT g FROM sk) a
+      JOIN (SELECT DISTINCT g FROM sk) b ON a.g < b.g
+    ), u AS (
+      SELECT DISTINCT c.g_a, c.g_b, s.h
+      FROM combos c JOIN sk s ON s.g = c.g_a OR s.g = c.g_b
+    ), ur AS (
+      SELECT g_a, g_b, h,
+             ROW_NUMBER() OVER (PARTITION BY g_a, g_b ORDER BY h) AS r
+      FROM u
+    ), uk AS (
+      SELECT g_a, g_b, h FROM ur WHERE r <= {_K}
+    ), ustats AS (
+      SELECT g_a, g_b, MAX(h) AS hk, COUNT(*) AS n
+      FROM uk GROUP BY 1, 2
+    ), rho AS (
+      SELECT k.g_a, k.g_b, COUNT(*) AS rho
+      FROM uk k
+      WHERE EXISTS (SELECT 1 FROM sk a WHERE a.g = k.g_a AND a.h = k.h)
+        AND EXISTS (SELECT 1 FROM sk b WHERE b.g = k.g_b AND b.h = k.h)
+      GROUP BY 1, 2
+    )
+    SELECT u.g_a, u.g_b,
+           ROUND(CASE WHEN u.n < {_K} THEN CAST(u.n AS DOUBLE)
+                      ELSE ({_K} - 1) / u.hk END, 4) AS est_union,
+           ROUND(COALESCE(r.rho, 0) / CAST(u.n AS DOUBLE), 4) AS est_jaccard,
+           ROUND(COALESCE(r.rho, 0) / CAST(u.n AS DOUBLE)
+                 * CASE WHEN u.n < {_K} THEN CAST(u.n AS DOUBLE)
+                        ELSE ({_K} - 1) / u.hk END, 4) AS est_intersect
+    FROM ustats u LEFT JOIN rho r ON r.g_a = u.g_a AND r.g_b = u.g_b
+    """,
+)
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style set operations between every event-type pair's
+    user sets, computed purely from k-row KMV sketches
+    (operators/sketches.py::kmv_set_ops): union / Jaccard / intersection
+    estimates of two 10-digit-cardinality sets from 2·k hashes. The only
+    corpus pass is the distinct+hash build; the oracle reproduces every
+    estimate bit-for-bit from the portable hash."""
+    ev = load_table(spark, sf_dir, "events")
+    return sketches.kmv_set_ops(ev, "event_type", "user_id", k=_K)

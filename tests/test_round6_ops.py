@@ -146,3 +146,115 @@ def test_heavy_hitters_null_items_ignored(spark):
     got = {(r.tok, r.cnt) for r in heavy_hitters_exact(df, "tok", k=3).collect()}
     # n counts non-null items only (F.count(col)); a=9 > 10/3
     assert got == {("a", 9)}
+
+
+# -------------------------------------------------------- kmv_set_ops
+
+
+def test_kmv_setops_exact_below_k(spark):
+    # two sets smaller than k: the sketch IS the set — estimates exact
+    from kafka_avro_pipeline_java_spark.operators.sketches import kmv_set_ops
+
+    rows = [("a", i) for i in range(30)] + [("b", i) for i in range(20, 50)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    [r] = kmv_set_ops(df, "g", "k", k=64).collect()
+    assert (r.g_a, r.g_b) == ("a", "b")
+    assert r.est_union == 50.0
+    assert abs(r.est_jaccard - 10 / 50) < 1e-9
+    assert abs(r.est_intersect - 10.0) < 1e-9
+
+
+def test_kmv_setops_disjoint_sets(spark):
+    from kafka_avro_pipeline_java_spark.operators.sketches import kmv_set_ops
+
+    rows = [("a", i) for i in range(40)] + [("b", i + 1000) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    [r] = kmv_set_ops(df, "g", "k", k=128).collect()
+    assert r.est_jaccard == 0.0
+    assert r.est_intersect == 0.0
+    assert r.est_union == 80.0
+
+
+def test_kmv_setops_estimate_error_above_k(spark):
+    # 2000-element sets with 50% overlap, k=256: theta-sketch relative
+    # error ~1/sqrt(k) ≈ 6%; assert a loose 3x bound
+    from kafka_avro_pipeline_java_spark.operators.sketches import kmv_set_ops
+
+    rows = [("a", i) for i in range(2000)] + [("b", i + 1000) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    [r] = kmv_set_ops(df, "g", "k", k=256).collect()
+    assert abs(r.est_union - 3000) / 3000 < 0.2
+    assert abs(r.est_jaccard - 1000 / 3000) < 0.1
+    assert abs(r.est_intersect - 1000) / 1000 < 0.35
+
+
+# ----------------------------------------------- incremental_agg_apply
+
+
+def _base_agg(spark, rows):
+    return spark.createDataFrame(rows, "g string, cnt long, s double")
+
+
+def test_incremental_agg_insert_update_delete(spark):
+    from kafka_avro_pipeline_java_spark.operators.merge import (
+        incremental_agg_apply,
+    )
+
+    base = _base_agg(spark, [("x", 2, 10.0), ("y", 1, 5.0)])
+    delta = spark.createDataFrame(
+        [
+            ("x", 1, 4.0),    # insert into existing group
+            ("y", -1, 5.0),   # delete the only y row → group drops
+            ("z", 1, 7.0),    # brand-new group
+        ],
+        "g string, sign int, s double",
+    )
+    got = {
+        r.g: (r.cnt, r.s)
+        for r in incremental_agg_apply(
+            base, delta, ["g"], count_col="cnt", sum_cols=["s"]
+        ).collect()
+    }
+    assert got == {"x": (3, 14.0), "z": (1, 7.0)}
+
+
+def test_incremental_agg_matches_direct_recompute(spark):
+    import random
+
+    from kafka_avro_pipeline_java_spark.operators.merge import (
+        incremental_agg_apply,
+    )
+    from pyspark.sql import functions as SF
+
+    rng = random.Random(7)
+    facts = [(f"g{rng.randrange(5)}", float(rng.randrange(100)))
+             for _ in range(300)]
+    base_rows = facts[:200]
+    inserts = facts[200:]
+    deletes = base_rows[::7]
+    fdf = spark.createDataFrame(base_rows, "g string, v double")
+    base = fdf.groupBy("g").agg(
+        SF.count("*").alias("cnt"), SF.sum("v").alias("v")
+    )
+    delta = spark.createDataFrame(
+        [(g, 1, v) for g, v in inserts] + [(g, -1, v) for g, v in deletes],
+        "g string, sign int, v double",
+    )
+    got = {
+        r.g: (r.cnt, round(r.v, 6))
+        for r in incremental_agg_apply(
+            base, delta, ["g"], count_col="cnt", sum_cols=["v"]
+        ).collect()
+    }
+    from collections import defaultdict
+
+    remaining = list(base_rows)
+    for d in deletes:
+        remaining.remove(d)
+    remaining += inserts
+    want_cnt = Counter(g for g, _ in remaining)
+    want_sum = defaultdict(float)
+    for g, v in remaining:
+        want_sum[g] += v
+    want = {g: (want_cnt[g], round(want_sum[g], 6)) for g in want_cnt}
+    assert got == want

@@ -21,9 +21,10 @@ inventory is a CLOSURE constant — bounded by design at tokenizer vocab
 size (32-100k pieces, a few MB pickled to executors), unlike the
 unbounded word vocabulary which must never be broadcast. Mapping
 segmentations back onto documents is the map join apply_bpe already
-uses; training is one corpus-sized word count then per-round jobs over
-the vocab-sized table with a ≤vocab_size driver collect (the k-means /
-BPE-argmax bounded-driver pattern).
+uses; training caches the word table so the corpus is scanned once
+total, then runs per-round jobs over the vocab-sized table with a
+≤vocab_size driver collect (the k-means / BPE-argmax bounded-driver
+pattern).
 """
 
 from __future__ import annotations
@@ -150,12 +151,17 @@ def wordpiece_segment_docs(df: DataFrame, text_col: str, id_col: str,
 
 def unigram_expected_counts(df: DataFrame, text_col: str,
                             pieces: dict[str, float], *,
-                            unk_logp: float = -20.0) -> DataFrame:
+                            unk_logp: float = -20.0,
+                            word_counts_df: DataFrame | None = None,
+                            ) -> DataFrame:
     """One hard-EM E-step: (piece, expected_count) — Viterbi-segment the
     DISTINCT words, then weight each word's piece usage by its corpus
-    frequency. One corpus-sized word count + vocab-sized segmentation +
-    one keyed agg; nothing corpus-sized touches Python."""
-    wc = word_counts(df, text_col)
+    frequency. One corpus-sized word count (or a precomputed/cached
+    ``word_counts_df`` — the trainer passes its cached table so EM
+    rounds never rescan the corpus) + vocab-sized segmentation + one
+    keyed agg; nothing corpus-sized touches Python."""
+    wc = (word_counts_df if word_counts_df is not None
+          else word_counts(df, text_col))
     seg = viterbi_segment_words(wc.select("word"), pieces, unk_logp=unk_logp)
     return (
         wc.join(seg, "word")
@@ -220,7 +226,7 @@ def unigram_train(df: DataFrame, text_col: str, *, vocab_size: int = 512,
     pieces = _normalize(counts)
     for _ in range(rounds):
         got = unigram_expected_counts(
-            df, text_col, pieces, unk_logp=unk_logp
+            df, text_col, pieces, unk_logp=unk_logp, word_counts_df=wc
         ).collect()
         counts = {r["piece"]: float(r["expected_count"]) for r in got}
         # prune to vocab_size by count, singles always kept (totality)

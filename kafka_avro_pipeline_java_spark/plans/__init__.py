@@ -62,6 +62,7 @@ _PRIORITY = [
     "sketch_ddsketch_quantiles",
     "pipeline_temperature_mixture",
     "dedup_golden_record",
+    "events_holt_trend_forecast",
     # --- recency refresh: rows signed only in r01 ---
     "scalar_date_orders",
     "scalar_math_lineitem",

@@ -1,11 +1,13 @@
-"""Behavioral analytics round-out over ``events``: weekly cohort
-retention and exponentially-weighted moving-average smoothing.
+"""Behavioral analytics round-out over ``events``: cohort retention,
+Markov transitions, session paths, seasonality/burstiness diagnostics,
+interval/SCD2 joins, attribution, sequence-pattern matching, and the
+exponential-smoothing family (EWMA level; Holt level+trend forecast).
 
-Retention matrices and EWMA trend lines are the two standard product-
-analytics readouts the funnel/sessionize/anomaly family didn't yet cover.
-Both are oracle-checked exactly: the EWMA fold runs over PRE-ROUNDED
-hourly means in identical order on both engines, so the recursive
-s_i = αx_i + (1−α)s_{i−1} matches bit-for-bit.
+The recurrence queries share one oracle discipline: fold each bounded,
+ordered series inside one row over inputs both engines agree on exactly
+(pre-rounded means, or exact integer counts), in identical order — IEEE
+double arithmetic is deterministic, so the recursive columns match
+bit-for-bit.
 """
 
 from __future__ import annotations
@@ -794,4 +796,105 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_count("seq", F.lit(r"v+c*p")).cast("int").alias("hits"),
         )
         .filter(F.col("hits") >= 1)
+    )
+
+
+# Holt linear-trend smoothing constants. Both engines parse the same
+# decimal literals to the same nearest double, and every fold step is
+# pure double arithmetic in identical order, so the final rounded values
+# match bit-for-bit (same discipline as the EWMA fold above).
+_HW_A = 0.5  # level smoothing
+_HW_B = 0.3  # trend smoothing
+
+
+@query(
+    "events_holt_trend_forecast",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), arr AS (
+      SELECT event_type,
+             list(struct_pack(hour := hour, n := n) ORDER BY hour) AS xs
+      FROM hourly GROUP BY event_type
+    ), folded AS (
+      SELECT event_type, xs[i.i].hour AS hour, xs[i.i].n AS n,
+             list_reduce(
+               list_transform(xs[1:i.i],
+                              x -> [CAST(x.n AS DOUBLE), 0.0::DOUBLE]),
+               (acc, x) -> [
+                 {_HW_A}::DOUBLE * x[1]
+                   + {1 - _HW_A}::DOUBLE * (acc[1] + acc[2]),
+                 {_HW_B}::DOUBLE * (({_HW_A}::DOUBLE * x[1]
+                   + {1 - _HW_A}::DOUBLE * (acc[1] + acc[2])) - acc[1])
+                   + {1 - _HW_B}::DOUBLE * acc[2]
+               ]) AS st
+      FROM arr, UNNEST(range(1, len(xs) + 1)) AS i(i)
+    )
+    SELECT event_type, hour, n,
+           ROUND(st[1], 6) AS level,
+           ROUND(st[2], 6) AS trend,
+           ROUND(st[1] + st[2], 6) AS forecast_next
+    FROM folded
+    """,
+)
+def events_holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) over the hourly
+    event-count series per type, with the one-step-ahead forecast
+    ŷ = ℓ + b — the capacity-planning readout one step past EWMA (which
+    tracks level only and lags any ramp). Init ℓ₁=x₁, b₁=0; recurrence
+    ℓᵢ = αxᵢ + (1−α)(ℓᵢ₋₁+bᵢ₋₁), bᵢ = β(ℓᵢ−ℓᵢ₋₁) + (1−β)bᵢ₋₁ (α=0.5,
+    β=0.3).
+
+    Scale shape: identical to the EWMA fold — one keyed agg to hourly
+    counts (map-side combined, exact integers so no pre-rounding is even
+    needed), then each type's bounded series folds IN ORDER inside one
+    row. The (level, trend) pair rides the fold as a 2-element double
+    array: DuckDB 1.0's list_reduce mis-evaluates STRUCT accumulators
+    after the first step (verified), and the array encoding is exact in
+    both engines, so every level/trend/forecast value is
+    oracle-checked bit-for-bit."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    arr = hourly.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("hour", "n"))).alias("xs")
+    )
+    vals = F.transform("xs", lambda x: x["n"].cast("double"))
+    a, b = F.lit(_HW_A), F.lit(_HW_B)
+
+    def hw_at(length):  # fold x₂..x_{length+1} from init [x₁, 0]
+        return F.aggregate(
+            F.slice(vals, F.lit(2), length),
+            F.array(F.element_at(vals, 1), F.lit(0.0)),
+            lambda acc, x: F.array(
+                a * x + (1 - a) * (acc[0] + acc[1]),
+                b * ((a * x + (1 - a) * (acc[0] + acc[1])) - acc[0])
+                + (1 - b) * acc[1],
+            ),
+        )
+
+    idx = F.sequence(F.lit(1), F.size("xs"))
+    rows = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at("xs", i)["hour"].alias("hour"),
+            F.element_at("xs", i)["n"].alias("n"),
+            hw_at(i - 1).alias("st"),
+        ),
+    )
+    return (
+        arr.select("event_type", F.explode(rows).alias("r"))
+        .select(
+            "event_type",
+            "r.hour",
+            "r.n",
+            F.round(F.col("r.st")[0], 6).alias("level"),
+            F.round(F.col("r.st")[1], 6).alias("trend"),
+            F.round(F.col("r.st")[0] + F.col("r.st")[1], 6).alias(
+                "forecast_next"
+            ),
+        )
     )

@@ -312,13 +312,10 @@ def hll_distinct_per_hour(
     rest_bits = 60 - b
     h = portable_hash64(F.col(key_col).cast("string"))
     rest = F.shiftright(h, b)
-    bitlen = F.size(
-        F.filter(
-            F.sequence(F.lit(0), F.lit(rest_bits - 1)),
-            lambda p: F.call_function("shiftleft", F.lit(1).cast("long"), p)
-            <= rest,
-        )
-    )
+    # length of the minimal binary string == bit_length (same swap as
+    # operators/sketches.py::hll_registers — one codegen string op per
+    # row instead of a 54-element sequence+filter lambda)
+    bitlen = F.when(rest == 0, F.lit(0)).otherwise(F.length(F.bin(rest)))
     prepared = with_watermark(events, ts_col, watermark).select(
         F.date_trunc("hour", ts_col).alias("hour"),
         F.pmod(h, F.lit(m)).cast("int").alias("bk"),

@@ -111,3 +111,62 @@ class TestHourlyAnomaly:
             out = events_hourly_anomaly(spark, _events_dir(tmp, rows)).collect()
         assert all(r["event_type"] == "view" for r in out)
         assert all(r["is_anomaly"] == 0 for r in out)
+
+
+def test_holt_trend_forecast_python_parity(spark, sf_dir):
+    """The Spark fold reproduces the Holt recurrence exactly: recompute
+    level/trend/forecast in pure Python from the hourly counts for every
+    event type and compare after the same 6-dp rounding."""
+    from kafka_avro_pipeline_java_spark.plans import QUERIES
+    from kafka_avro_pipeline_java_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    got = QUERIES["events_holt_trend_forecast"](spark, sf_dir).collect()
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    series = {}
+    for r in hourly:
+        series.setdefault(r["event_type"], []).append((r["hour"], r["n"]))
+    expect = {}
+    for et, xs in series.items():
+        xs.sort()
+        l, b = float(xs[0][1]), 0.0
+        expect[(et, xs[0][0])] = (round(l, 6), round(b, 6), round(l + b, 6))
+        for hour, n in xs[1:]:
+            l2 = 0.5 * n + 0.5 * (l + b)
+            b2 = 0.3 * (l2 - l) + 0.7 * b
+            l, b = l2, b2
+            expect[(et, hour)] = (round(l, 6), round(b, 6), round(l + b, 6))
+    assert len(got) == len(expect)
+    for r in got:
+        e = expect[(r["event_type"], r["hour"])]
+        assert (r["level"], r["trend"], r["forecast_next"]) == e, (
+            r["event_type"], r["hour"], e,
+        )
+
+
+def test_holt_constant_series_flat_forecast(spark):
+    """On a constant series the level locks to the constant and the trend
+    stays zero, so every forecast equals the observed value."""
+    import tempfile
+
+    from kafka_avro_pipeline_java_spark.plans import QUERIES
+
+    with tempfile.TemporaryDirectory() as tmp:
+        rows = []
+        for h in range(6):
+            for k in range(3):  # 3 events every hour -> constant n=3
+                rows.append(
+                    (h * 3 + k, T0.replace(minute=0) + dt.timedelta(hours=h),
+                     7, "click", 1.0)
+                )
+        d = _events_dir(tmp, rows)
+        out = QUERIES["events_holt_trend_forecast"](spark, d).collect()
+        assert len(out) == 6
+        for r in out:
+            assert r["level"] == 3.0 and r["trend"] == 0.0
+            assert r["forecast_next"] == 3.0

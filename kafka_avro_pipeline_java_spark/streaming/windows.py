@@ -276,6 +276,85 @@ def ewma_per_user(
     )
 
 
+HOLT_STATE_SCHEMA = StructType(
+    [
+        StructField("l", DoubleType()),
+        StructField("b", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+HOLT_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("forecast_next", DoubleType()),
+    ]
+)
+
+
+def holt_per_user(
+    events: DataFrame,
+    *,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming Holt double-exponential smoothing: the single-pass O(n)
+    twin of the batch closed form (plans/events3.py::
+    events_holt_trend_forecast) — level ℓ ← αx + (1−α)(ℓ+b) and trend
+    b ← β(ℓ'−ℓ) + (1−β)b folded over each user's events in
+    (ts, event_id) order, the (ℓ, b) pair carried ACROSS micro-batches
+    in the state store. Init ℓ=x₁, b=0, same recurrence and same
+    IEEE-double fold order as the batch query, so the composed
+    batch-by-batch fold equals one fold over the ordered series whenever
+    batches respect event-time ranges (watermark bounds the disorder;
+    batch-parity tested). State per user is three scalars."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            l, b, n = state.get
+        else:
+            l, b, n = None, 0.0, 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            rows = pd.concat(chunks).sort_values([ts_col, "event_id"])
+            for v in rows[value_col]:
+                v = float(v)
+                if l is None:
+                    l, b = v, 0.0
+                else:
+                    l2 = alpha * v + (1.0 - alpha) * (l + b)
+                    b = beta * (l2 - l) + (1.0 - beta) * b
+                    l = l2
+            n += len(rows)
+        state.update((l, b, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "level": [l],
+                "trend": [b],
+                "forecast_next": [None if l is None else l + b],
+            }
+        )
+
+    e = with_watermark(events, ts_col, watermark)
+    return e.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=HOLT_OUT_SCHEMA,
+        stateStructType=HOLT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 HLL_STATE_SCHEMA = StructType(
     [StructField("regs", ArrayType(IntegerType()))]
 )

@@ -208,3 +208,44 @@ def test_streaming_hll_matches_batch_sketch(spark, spool):
         for r in hll_distinct(batch, "hour", "user_id", m=64).collect()
     }
     assert got == want
+
+
+def test_streaming_holt_matches_batch_fold(spark, spool):
+    """holt_per_user's cross-batch (level, trend) state equals one Holt
+    fold over each user's (ts, event_id)-ordered series."""
+    stream = W.holt_per_user(_stream(spark, spool), alpha=0.5, beta=0.3)
+    q = (
+        stream.writeStream.format("memory").queryName("holt_t")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (
+            r["n_events"],
+            round(r["level"], 9),
+            round(r["trend"], 9),
+            round(r["forecast_next"], 9),
+        )
+        for r in spark.sql(
+            "SELECT user_id, n_events, level, trend, forecast_next FROM holt_t"
+        ).collect()
+    }
+    rows = (
+        spark.read.schema(EVENTS_SCHEMA).parquet(spool)
+        .select("user_id", "ts", "event_id", "value").collect()
+    )
+    series = {}
+    for r in rows:
+        series.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], float(r["value"]))
+        )
+    want = {}
+    for uid, xs in series.items():
+        xs.sort()
+        l, b = xs[0][2], 0.0
+        for _, _, v in xs[1:]:
+            l2 = 0.5 * v + 0.5 * (l + b)
+            b = 0.3 * (l2 - l) + 0.7 * b
+            l = l2
+        want[uid] = (len(xs), round(l, 9), round(b, 9), round(l + b, 9))
+    assert got == want

@@ -1,10 +1,15 @@
 """Relational completeness round-out: UNPIVOT (wide→long melt, the
-inverse of the pivot query in relational2) and the distribution window
+inverse of the pivot query in relational2), the distribution window
 functions (percent_rank / cume_dist / nth_value) the rank zoo didn't yet
-cover. Both are pure single-shuffle plans with full DuckDB value oracles.
+cover, and a CSV connector round-trip putting Spark's text-format
+reader/writer on the graded path (the JSON/ORC/partitioned-parquet
+siblings are exercised in tests/test_formats.py).
 """
 
 from __future__ import annotations
+
+import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -85,4 +90,56 @@ def window_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.nth_value("o_orderkey", 2).over(w_run).alias("second_orderkey"),
+    )
+
+
+@query(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+             AS bal_cents,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key
+    FROM customer GROUP BY 1
+    """,
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV connector on the graded path: write `customer` out as headered
+    CSV, read it back, and aggregate per segment — the oracle runs the
+    SAME aggregate on the parquet directly, so any loss in the text
+    round-trip (double formatting, quoting, header/schema misalignment)
+    breaks the value hash. Doubles survive because Spark writes the
+    shortest representation that parses back to the identical bits; the
+    exact-cents SUM pins it. Read uses an EXPLICIT schema, never
+    inference — at 100 TB schema inference is a second full scan, and
+    uncompressed CSV stays line-splittable so the read parallelizes like
+    any other file scan. The JSON/ORC/partitioned-pruning siblings are
+    tests/test_formats.py."""
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_formats",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "customer_csv",
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    c.write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.schema(
+            "c_custkey bigint, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string"
+        )
+        .option("header", True)
+        .csv(out)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("bigint")).alias(
+            "bal_cents"
+        ),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
     )

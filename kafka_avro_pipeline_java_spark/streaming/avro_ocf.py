@@ -170,7 +170,11 @@ def write_ocf(
     functions of (path, partition id), so a retried task overwrites its own
     output — idempotent commits without a coordinator. Overwrite
     semantics: pre-existing ``*.avro`` files in ``path`` are removed first,
-    so a rerun with FEWER partitions can't leave stale tail files behind."""
+    so a rerun with FEWER partitions can't leave stale tail files behind.
+    Each task buffers its partition's encoded file in memory before the
+    atomic rename, so per-task memory tracks partition size — the same
+    bound `files.maxPartitionBytes` already enforces on the read side;
+    repartition first if partitions outgrow executor memory."""
     cols = [f["name"] for f in avro_schema["fields"]]
     os.makedirs(path, exist_ok=True)
     for old in os.listdir(path):

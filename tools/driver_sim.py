@@ -1,4 +1,8 @@
-"""Replica of the driver harness: entry smoke + per-query DuckDB oracle compare."""
+"""Replica of the driver harness: entry smoke + per-query DuckDB oracle compare.
+
+Usage: python tools/driver_sim.py [SF_DIR] [query_name ...]
+Extra args restrict the sweep to the named queries (targeted re-check
+after touching one plan); no names = all registered queries."""
 import datetime, math, os, sys
 sys.path.insert(0, "/root/repo")
 import duckdb
@@ -6,6 +10,7 @@ from pyspark.sql import SparkSession
 import __spark_entry__ as E
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
 spark = (SparkSession.builder.master("local[16]").appName("driver-sim")
          .config("spark.sql.shuffle.partitions", "16")
          .config("spark.ui.enabled", "false").getOrCreate())
@@ -26,7 +31,12 @@ def canon(v):
 
 qs, os_ = E.queries(), E.oracle_sql()
 ok = bad = 0
+unknown = ONLY - set(qs)
+if unknown:
+    sys.exit(f"unknown queries: {sorted(unknown)}")
 for name, fn in sorted(qs.items()):
+    if ONLY and name not in ONLY:
+        continue
     sdf = fn(spark, SF)
     srows, scols = sdf.collect(), sdf.columns
     if name not in os_:

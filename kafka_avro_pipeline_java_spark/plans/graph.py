@@ -384,3 +384,59 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "text", "doc_id", max_hamming=2
     ).select("id_a", "id_b")
     return graph.k_core(pairs, 3)
+
+
+def _bfs_oracle(max_hops: int = 3) -> str:
+    fs = "".join(
+        f"""
+    f{h} AS (
+      SELECT DISTINCT e.dst AS node FROM edges e
+      JOIN f{h - 1} ON e.src = f{h - 1}.node
+    ),"""
+        for h in range(1, max_hops + 1)
+    )
+    lvls = "\n      UNION ALL ".join(
+        f"SELECT node, {h} AS hops FROM f{h}" for h in range(max_hops + 1)
+    )
+    return f"""
+    WITH pairs AS ({ORACLES["dedup_simhash_portable"]}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    f0 AS (
+      SELECT src AS node FROM (
+        SELECT src, COUNT(*) AS c FROM edges GROUP BY src
+        ORDER BY c DESC, src LIMIT 1
+      )
+    ),{fs}
+    lv AS (
+      {lvls}
+    )
+    SELECT node, CAST(MIN(hops) AS INT) AS hops FROM lv GROUP BY node
+    """
+
+
+@query("graph_bfs_hops", oracle=_bfs_oracle(3))
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-synchronous BFS: shortest-hop distance (0..3) from the
+    max-degree hub (min-id tiebreak) of the symmetrized SimHash near-dup
+    graph (the dense one — its hub's 3-hop ball holds ~250 nodes at
+    sf0.01 vs 3 in the sparser Jaccard graph, so every level is
+    exercised) — "how far does this boilerplate family spread" triage,
+    and the reachability primitive under decontamination blast-radius
+    queries. One frontier⋈edges join + distinct per level with the
+    frontier DEDUPLICATED so walk multiplicity never multiplies rows;
+    the static hop bound is what keeps it a stack of `max_hops` DuckDB
+    CTEs (operators/graph.py::bfs_hops design note)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_pairs_portable(
+        d, "text", "doc_id", max_hamming=2
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    return graph.bfs_hops(edges, max_hops=3, seed="hub")

@@ -1,0 +1,225 @@
+"""Statistical-test round-out: lag-1 revenue autocorrelation, the Benford
+first-digit audit, and the Mann–Whitney U rank test.
+
+These finish the hypothesis-testing shelf next to stats_chi2_type_hour
+(events3) and stats_welch_t_sources (text4): autocorrelation is the
+seasonality probe behind every forecast sanity check, Benford's law is
+the classic synthetic/fabricated-amounts detector (a generated revenue
+column that fails Benford is a red flag on an ingestion source), and
+Mann–Whitney is the nonparametric two-sample test you reach for when the
+Welch t's normality assumption is off.
+
+Determinism discipline (same as stats_welch_t_sources): every statistic
+is closed-form algebra over INTEGER-EXACT quantized sums (cents /
+thousands-of-dollars BIGINTs), so Spark and DuckDB compute identical
+doubles and the driver's value hash compares equal — no reliance on the
+engines' corr()/stddev() accumulation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .registry import query
+
+
+@query(
+    "stats_autocorr_revenue",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS mon,
+             CAST(ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                        / 100000.0, 0) AS BIGINT) AS rev_k
+      FROM orders GROUP BY 1
+    ), lagged AS (
+      SELECT rev_k AS y,
+             LAG(rev_k) OVER (ORDER BY mon) AS x
+      FROM m
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM lagged WHERE x IS NOT NULL
+    )
+    SELECT n AS n_pairs,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             AS lag1_autocorr
+    FROM s
+    """,
+)
+def stats_autocorr_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of monthly order revenue — the "is there
+    month-over-month momentum / seasonality" probe under the Holt
+    forecasting twin (events_holt_trend_forecast). Monthly sums quantize
+    to exact integer thousands-of-dollars (cents-BIGINT sum first, so
+    the quantization itself is order-independent), then Pearson r over
+    the (rev, lag(rev)) pairs in closed form from six integer-exact
+    sums — identical doubles on both engines. The month rollup is one
+    keyed agg; the lag window runs over ~80 month rows (driver-size,
+    not data-size)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    m = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("mon"))
+        .agg(
+            F.round(F.sum(cents) / 100000.0, 0).cast("bigint").alias("rev_k")
+        )
+    )
+    lagged = m.select(
+        F.col("rev_k").alias("y"),
+        F.lag("rev_k").over(Window.orderBy("mon")).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    s = lagged.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    den = F.sqrt(
+        (n * F.col("sxx") - sx * sx).cast("double")
+        * (n * F.col("syy") - sy * sy).cast("double")
+    )
+    return s.select(
+        n.alias("n_pairs"), F.round(num / den, 6).alias("lag1_autocorr")
+    )
+
+
+@query(
+    "stats_benford_price",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders
+    ), c AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+    )
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS obs_freq,
+           ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_freq
+    FROM c
+    """,
+)
+def stats_benford_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of o_totalprice: observed first-
+    significant-digit frequencies next to the Benford expectation
+    log10(1 + 1/d) — the fabricated-amounts detector every financial /
+    synthetic-data audit runs. The digit comes from the STRING head of
+    FLOOR(price) (both engines truncate identically; no float-log10
+    digit extraction that could disagree at exact powers of ten), so the
+    grouping is exact; the frequency is one 9-row window over the digit
+    counts. One scan, one 9-group agg — fully scan-bound at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w = Window.partitionBy()
+    return c.select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias(
+            "obs_freq"
+        ),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_freq"),
+    )
+
+
+@query(
+    "stats_mann_whitney_u",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ga
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), cnt AS (
+      SELECT v, CAST(SUM(ga) AS BIGINT) AS na_v,
+             CAST(SUM(1 - ga) AS BIGINT) AS nb_v
+      FROM vals GROUP BY v
+    ), w AS (
+      SELECT na_v, nb_v,
+             CAST(COALESCE(SUM(nb_v) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cumb
+      FROM cnt
+    ), s AS (
+      SELECT CAST(SUM(na_v) AS BIGINT) AS na,
+             CAST(SUM(nb_v) AS BIGINT) AS nb,
+             CAST(2 * SUM(na_v * cumb) + SUM(na_v * nb_v) AS BIGINT) AS u2
+      FROM w
+    )
+    SELECT na AS n_a, nb AS n_b,
+           CAST(u2 AS DOUBLE) / 2 AS u_stat,
+           ROUND((CAST(u2 AS DOUBLE) / 2 - CAST(na * nb AS DOUBLE) / 2)
+                 / SQRT(CAST(na * nb AS DOUBLE) * (na + nb + 1) / 12), 6)
+             AS z_score
+    FROM s
+    """,
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (rank-sum) test: do URGENT and LOW priority orders
+    draw o_totalprice from the same distribution? U counts
+    (a > b) pairs + half the ties WITHOUT ranking rows: group to
+    distinct cent values with per-group (n_urgent, n_low) counts, then a
+    running sum of n_low over the value order gives each value's
+    "b's below me" — U = Σ na_v·cumb_v + ½·Σ na_v·nb_v, kept as the
+    integer 2U so every term is exact BIGINT algebra; the normal-approx
+    z uses the closed-form moments. The only ordered pass is the window
+    over DISTINCT values (≈30k rows at sf0.1, value-domain-bounded —
+    the two-phase per-partition prefix-sum of operators/packing.py is
+    the drop-in at 100 TB). Same pair-counting idea as the
+    inverted-index dedup family: never materialize the n_a×n_b pairs."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    ga = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+    vals = o.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("v"),
+        ga.alias("ga"),
+    )
+    cnt = vals.groupBy("v").agg(
+        F.sum("ga").cast("bigint").alias("na_v"),
+        F.sum(1 - F.col("ga")).cast("bigint").alias("nb_v"),
+    )
+    w = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = cnt.select(
+        "na_v",
+        "nb_v",
+        F.coalesce(F.sum("nb_v").over(w), F.lit(0)).cast("bigint").alias(
+            "cumb"
+        ),
+    )
+    s = ranked.agg(
+        F.sum("na_v").cast("bigint").alias("na"),
+        F.sum("nb_v").cast("bigint").alias("nb"),
+        (
+            2 * F.sum(F.col("na_v") * F.col("cumb"))
+            + F.sum(F.col("na_v") * F.col("nb_v"))
+        ).cast("bigint").alias("u2"),
+    )
+    na, nb, u2 = F.col("na"), F.col("nb"), F.col("u2")
+    u = u2.cast("double") / 2
+    mu = (na * nb).cast("double") / 2
+    sigma = F.sqrt((na * nb).cast("double") * (na + nb + 1) / 12)
+    return s.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        u.alias("u_stat"),
+        F.round((u - mu) / sigma, 6).alias("z_score"),
+    )

@@ -912,3 +912,33 @@ def text_readability_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("flesch"), 4).alias("min_flesch"),
         F.round(F.max("flesch"), 4).alias("max_flesch"),
     )
+
+
+@query(
+    "dedup_jaro_winkler",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, substr(trim(lower(text)), 1, 64) AS t,
+             array_to_string((string_split_regex(trim(lower(text)), '\\s+'))[1:2], ' ') AS blk
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           ROUND(jaro_winkler_similarity(a.t, c.t), 6) AS jw_sim
+    FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+    WHERE jaro_winkler_similarity(a.t, c.t) >= 0.8
+    """,
+)
+def dedup_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro–Winkler near-match pairs on the 64-char normalized head:
+    the entity-resolution scorer (prefix-weighted, built for
+    names/titles/template heads) completing the character-level corner
+    of the dedup family next to dedup_fuzzy_edit. Candidates come from
+    the same 2-token prefix-block equi-join; the scorer is an
+    Arrow-batched pandas UDF whose pure-Python kernel is fuzzed
+    BIT-FOR-BIT against DuckDB's jaro_winkler_similarity (so the ≥0.8
+    threshold cuts identically on both engines —
+    operators/fuzzy.py::jaro_winkler)."""
+    d = load_table(spark, sf_dir, "documents")
+    return fuzzy.jaro_winkler_pairs(
+        d, "text", "doc_id", threshold=0.8, prefix_tokens=2, score_chars=64
+    )

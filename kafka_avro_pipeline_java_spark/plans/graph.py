@@ -399,7 +399,7 @@ def _bfs_oracle(max_hops: int = 3) -> str:
         f"SELECT node, {h} AS hops FROM f{h}" for h in range(max_hops + 1)
     )
     return f"""
-    WITH pairs AS ({ORACLES["dedup_simhash_portable"]}),
+    WITH pairs AS ({_simhash2_oracle()}),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION ALL

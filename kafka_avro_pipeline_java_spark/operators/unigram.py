@@ -171,6 +171,51 @@ def unigram_expected_counts(df: DataFrame, text_col: str,
     )
 
 
+def seed_substring_counts(wc: DataFrame, max_piece_len: int) -> DataFrame:
+    """Frequency-weighted counts of every substring of length
+    2..``max_piece_len`` over a (word, c) table — the unigram trainer's
+    seed-candidate stage, exposed for direct testing. Candidates come
+    from exploded (start, len) pairs built with array expressions only
+    (one pass over the vocab-sized word table, no Python in the loop).
+
+    ``sequence(1, 0)`` is the DESCENDING array [1, 0], so a word shorter
+    than ``ln`` would emit two truncated whole-word "substrings" (pos 0
+    aliases pos 1 in ``substring``) and double-count itself into the
+    seed pool; the exact-length filter drops both spurious rows."""
+    return (
+        wc.select(
+            "c",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(2), F.lit(max_piece_len)),
+                        lambda ln: F.transform(
+                            F.sequence(
+                                F.lit(1),
+                                F.greatest(
+                                    F.length("word") - ln + 1, F.lit(0)
+                                ),
+                            ),
+                            lambda st: F.struct(
+                                st.alias("st"), ln.alias("ln")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p"),
+            F.col("word"),
+        )
+        .select(
+            F.expr("substring(word, p.st, p.ln)").alias("sub"),
+            F.col("p.ln").alias("ln"),
+            "c",
+        )
+        .filter(F.length("sub") == F.col("ln"))
+        .groupBy("sub")
+        .agg(F.sum("c").alias("n"))
+    )
+
+
 def unigram_train(df: DataFrame, text_col: str, *, vocab_size: int = 512,
                   rounds: int = 3, seed_max_piece_len: int = 4,
                   seed_pool: int = 4096,
@@ -185,30 +230,8 @@ def unigram_train(df: DataFrame, text_col: str, *, vocab_size: int = 512,
     round is one ≤seed_pool-row collect — the bounded-argmax pattern of
     the BPE trainer and k-means updates."""
     wc = word_counts(df, text_col).cache()
-    # candidate substrings via exploded (start, len) pairs — all built-in
-    # array expressions, one pass over the vocab-sized word table
-    starts = wc.select(
-        "c",
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(2), F.lit(seed_max_piece_len)),
-                    lambda ln: F.transform(
-                        F.sequence(
-                            F.lit(1),
-                            F.greatest(F.length("word") - ln + 1, F.lit(0)),
-                        ),
-                        lambda st: F.struct(st.alias("st"), ln.alias("ln")),
-                    ),
-                )
-            )
-        ).alias("p"),
-        F.col("word"),
-    ).select(
-        F.expr("substring(word, p.st, p.ln)").alias("sub"), "c"
-    )
     seed_rows = (
-        starts.groupBy("sub").agg(F.sum("c").alias("n"))
+        seed_substring_counts(wc, seed_max_piece_len)
         .orderBy(F.desc("n"), "sub")
         .limit(seed_pool)
         .collect()

@@ -161,3 +161,27 @@ def test_unigram_train_improves_corpus_likelihood(spark, sf_dir):
     # the frequency-seeded one it started from
     seed_only = {p: lp for p, lp in trained.items() if len(p) == 1}
     assert corpus_logp(trained) >= corpus_logp(seed_only)
+
+
+def test_seed_substring_counts_exact_no_short_word_doubling(spark):
+    # 'ab' is shorter than max_piece_len=4: before the exact-length
+    # filter, sequence(1, 0) = [1, 0] made it contribute two spurious
+    # whole-word rows per oversized length tier (~2x seed inflation)
+    from kafka_avro_pipeline_java_spark.operators.unigram import (
+        seed_substring_counts,
+    )
+
+    wc = spark.createDataFrame(
+        [("ab", 5), ("abcd", 2)], ["word", "c"]
+    )
+    got = {
+        r["sub"]: r["n"] for r in seed_substring_counts(wc, 4).collect()
+    }
+    expect = {}
+    for word, c in [("ab", 5), ("abcd", 2)]:
+        for ln in (2, 3, 4):
+            for st in range(len(word) - ln + 1):
+                sub = word[st:st + ln]
+                expect[sub] = expect.get(sub, 0) + c
+    assert got == expect
+    assert got["ab"] == 7  # 5 (the word itself) + 2 (from 'abcd'), not 17

@@ -26,9 +26,17 @@ def _dim(df: DataFrame, vec_col: str) -> int:
     return int(df.select(F.size(vec_col).alias("d")).first()["d"])
 
 
-def gram_partials(df: DataFrame, vec_col: str) -> DataFrame:
+def gram_partials(df: DataFrame, vec_col: str,
+                  quantize_scale: int | None = None) -> DataFrame:
     """One row per input partition: (n, sum_vec array<d>, gram array<d²>
-    row-major) — the sufficient statistics for mean and covariance."""
+    row-major) — the sufficient statistics for mean and covariance.
+
+    ``quantize_scale``: quantize each component to the exact integer
+    floor(x·scale + 0.5) before accumulating, so every partial (and any
+    engine recomputing the same quantization) sums IDENTICAL integers —
+    the repo's integer-exact-sums discipline (see plans/stats.py). Sums
+    stay exactly representable in float64 while n·(scale·max|x|)² < 2⁵³
+    (scale 10⁶, |x| ≤ 1 → exact past 9M rows per dimension pair)."""
     import numpy as np  # noqa: PLC0415  (executor-side import)
 
     def acc(batches):
@@ -37,6 +45,10 @@ def gram_partials(df: DataFrame, vec_col: str) -> DataFrame:
             x = np.array(list(pdf[vec_col]), dtype=np.float64)
             if x.size == 0:
                 continue
+            if quantize_scale is not None:
+                # floor(x·S + 0.5) = round-half-up, matching SQL
+                # FLOOR(x * S + 0.5) bit-for-bit (same float64 ops)
+                x = np.floor(x * quantize_scale + 0.5)
             n += x.shape[0]
             s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
             gg = x.T @ x
@@ -52,12 +64,13 @@ def gram_partials(df: DataFrame, vec_col: str) -> DataFrame:
     )
 
 
-def _summed_stats(df: DataFrame, vec_col: str) -> DataFrame:
+def _summed_stats(df: DataFrame, vec_col: str,
+                  quantize_scale: int | None = None) -> DataFrame:
     """(pos, v): global sufficient statistics in one long-format keyed agg
     — pos 0 = n, pos 1..d = Σx, pos d+1..d+d² = Σx·xᵀ. One mapInPandas
     pass + one (tiny) shuffle on pos; adding executors only adds partial
     rows, never widens the agg."""
-    parts = gram_partials(df, vec_col)
+    parts = gram_partials(df, vec_col, quantize_scale)
     return (
         parts.select(
             F.posexplode(
@@ -73,20 +86,28 @@ def _summed_stats(df: DataFrame, vec_col: str) -> DataFrame:
     )
 
 
-def covariance_matrix(df: DataFrame, vec_col: str) -> DataFrame:
+def covariance_matrix(df: DataFrame, vec_col: str,
+                      quantize_scale: int | None = None) -> DataFrame:
     """(i, j, cov): population covariance cov[i,j] = Σx_i x_j / n − μ_i μ_j,
     exploded to cells so an engine-independent oracle can check every
     value. Built from the long-format stats with two broadcast joins of
-    the d-row mean table onto the d²-row Gramian table."""
+    the d-row mean table onto the d²-row Gramian table.
+
+    With ``quantize_scale`` the covariance is computed over the
+    quantized components q = floor(x·S + 0.5) and rescaled by 1/S² —
+    every sum is over exact integers, so an oracle that quantizes the
+    same way reproduces each cell BIT-FOR-BIT (no accumulation-order
+    sensitivity at the ROUND boundary)."""
+    s_mu = float(quantize_scale) if quantize_scale is not None else 1.0
     d = _dim(df, vec_col)
-    stats = _summed_stats(df, vec_col)
+    stats = _summed_stats(df, vec_col, quantize_scale)
     n = stats.filter(F.col("pos") == 0).select(F.col("v").alias("n_rows"))
     mu = (
         stats.filter((F.col("pos") >= 1) & (F.col("pos") <= d))
         .crossJoin(F.broadcast(n))
         .select(
             (F.col("pos") - 1).alias("idx"),
-            (F.col("v") / F.col("n_rows")).alias("mu"),
+            (F.col("v") / F.col("n_rows") / F.lit(s_mu)).alias("mu"),
         )
     )
     g = (
@@ -111,7 +132,7 @@ def covariance_matrix(df: DataFrame, vec_col: str) -> DataFrame:
             # other; the value-hash sees "-0" ≠ "0")
             (
                 F.round(
-                    F.col("sxy") / F.col("n_rows")
+                    F.col("sxy") / F.col("n_rows") / F.lit(s_mu * s_mu)
                     - F.col("mu_i") * F.col("mu_j"),
                     6,
                 )

@@ -615,24 +615,32 @@ def knn_cosine_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators import pca  # noqa: E402
 
 
+_COV_SCALE = 1_000_000
+
+
 @query(
     "embedding_covariance",
-    oracle="""
-    WITH x AS (SELECT embedding FROM embeddings),
-    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_rows FROM x),
+    oracle=f"""
+    WITH n AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_rows FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, i.i - 1 AS idx,
+             FLOOR(CAST(embedding[i.i] AS DOUBLE) * {_COV_SCALE} + 0.5)
+               AS qv
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS i(i)
+    ),
     mu AS (
-      SELECT i.i - 1 AS idx, AVG(CAST(embedding[i.i] AS DOUBLE)) AS mu
-      FROM x, UNNEST(range(1, len(embedding) + 1)) AS i(i)
-      GROUP BY 1
+      SELECT idx, SUM(qv) / (SELECT n_rows FROM n) / {_COV_SCALE} AS mu
+      FROM q GROUP BY 1
     ), cells AS (
-      SELECT i.i - 1 AS i, j.j - 1 AS j,
-             SUM(CAST(embedding[i.i] AS DOUBLE)
-                 * CAST(embedding[j.j] AS DOUBLE)) AS sxy
-      FROM x, UNNEST(range(1, len(embedding) + 1)) AS i(i),
-           UNNEST(range(1, len(embedding) + 1)) AS j(j)
+      SELECT a.idx AS i, b.idx AS j, SUM(a.qv * b.qv) AS sxy
+      FROM q a JOIN q b USING (vec_id)
       GROUP BY 1, 2
     )
-    SELECT c.i, c.j, ROUND(c.sxy / n.n_rows - mi.mu * mj.mu, 6) + 0.0 AS cov
+    SELECT c.i, c.j,
+           ROUND(c.sxy / n.n_rows / ({_COV_SCALE} * {_COV_SCALE}.0)
+                 - mi.mu * mj.mu, 6) + 0.0 AS cov
     FROM cells c
     JOIN mu mi ON mi.idx = c.i
     JOIN mu mj ON mj.idx = c.j, n
@@ -643,9 +651,13 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells (operators/pca.py::covariance_matrix). The corpus pass is a
     per-partition numpy Gramian in mapInPandas emitting 1+d+d² numbers —
     mergeable partials, so 1000 executors add partial ROWS, never widen
-    the aggregate; the oracle checks all 4,096 cell values."""
+    the aggregate; the oracle checks all 4,096 cell values. Components
+    are quantized to exact integers (floor(x·10⁶ + 0.5)) before the
+    Gramian so both engines sum IDENTICAL integers regardless of
+    accumulation order — without it a cell within 1 ULP of a .5e-6
+    rounding boundary could round differently per engine."""
     e = load_table(spark, sf_dir, "embeddings")
-    return pca.covariance_matrix(e, "embedding")
+    return pca.covariance_matrix(e, "embedding", quantize_scale=_COV_SCALE)
 
 
 @query("embedding_pca_project")

@@ -158,13 +158,18 @@ def stats_benford_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), s AS (
       SELECT CAST(SUM(na_v) AS BIGINT) AS na,
              CAST(SUM(nb_v) AS BIGINT) AS nb,
-             CAST(2 * SUM(na_v * cumb) + SUM(na_v * nb_v) AS BIGINT) AS u2
+             CAST(2 * SUM(na_v * cumb) + SUM(na_v * nb_v) AS BIGINT) AS u2,
+             CAST(SUM((na_v + nb_v) * (na_v + nb_v) * (na_v + nb_v)
+                      - (na_v + nb_v)) AS BIGINT) AS tsum
       FROM w
     )
     SELECT na AS n_a, nb AS n_b,
            CAST(u2 AS DOUBLE) / 2 AS u_stat,
            ROUND((CAST(u2 AS DOUBLE) / 2 - CAST(na * nb AS DOUBLE) / 2)
-                 / SQRT(CAST(na * nb AS DOUBLE) * (na + nb + 1) / 12), 6)
+                 / SQRT(CAST(na * nb AS DOUBLE) / 12
+                        * ((na + nb + 1)
+                           - CAST(tsum AS DOUBLE)
+                             / ((na + nb) * (na + nb - 1.0)))), 6)
              AS z_score
     FROM s
     """,
@@ -177,7 +182,10 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum of n_low over the value order gives each value's
     "b's below me" — U = Σ na_v·cumb_v + ½·Σ na_v·nb_v, kept as the
     integer 2U so every term is exact BIGINT algebra; the normal-approx
-    z uses the closed-form moments. The only ordered pass is the window
+    z uses the closed-form moments WITH the standard tie correction
+    σ² = na·nb/12 · ((n+1) − Σ(t³−t)/(n·(n−1))) — cent-quantized prices
+    do tie, and the uncorrected variance would bias |z| low. Σ(t³−t) is
+    one more exact-BIGINT sum over the per-value counts already grouped. The only ordered pass is the window
     over DISTINCT values (≈30k rows at sf0.1, value-domain-bounded —
     the two-phase per-partition prefix-sum of operators/packing.py is
     the drop-in at 100 TB). Same pair-counting idea as the
@@ -205,6 +213,7 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cumb"
         ),
     )
+    t = F.col("na_v") + F.col("nb_v")
     s = ranked.agg(
         F.sum("na_v").cast("bigint").alias("na"),
         F.sum("nb_v").cast("bigint").alias("nb"),
@@ -212,11 +221,19 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             2 * F.sum(F.col("na_v") * F.col("cumb"))
             + F.sum(F.col("na_v") * F.col("nb_v"))
         ).cast("bigint").alias("u2"),
+        # tie correction term Σ(t³−t) over tie groups — exact BIGINT
+        # (cent-quantized prices DO tie, so the no-ties variance would
+        # overstate σ and bias |z| low)
+        F.sum(t * t * t - t).cast("bigint").alias("tsum"),
     )
     na, nb, u2 = F.col("na"), F.col("nb"), F.col("u2")
     u = u2.cast("double") / 2
     mu = (na * nb).cast("double") / 2
-    sigma = F.sqrt((na * nb).cast("double") * (na + nb + 1) / 12)
+    n = na + nb
+    sigma = F.sqrt(
+        (na * nb).cast("double") / 12
+        * ((n + 1) - F.col("tsum").cast("double") / (n * (n - F.lit(1.0))))
+    )
     return s.select(
         na.alias("n_a"),
         nb.alias("n_b"),

@@ -1,0 +1,81 @@
+"""Mann-Whitney U (plans/stats.py::stats_mann_whitney_u): the pair-count
+U and the tie-corrected normal-approximation z against a brute-force
+rank-based pure-Python reference on the same parquet."""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow.parquet as pq
+
+from kafka_avro_pipeline_java_spark.plans import QUERIES
+
+
+def _ref_mann_whitney(a: list[int], b: list[int]) -> tuple[float, float]:
+    """Textbook rank-sum U + tie-corrected z (average ranks over ties)."""
+    na, nb = len(a), len(b)
+    pooled = sorted([(v, 0) for v in a] + [(v, 1) for v in b])
+    ranks: dict[int, float] = {}
+    tie_term = 0.0
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j][0] == pooled[i][0]:
+            j += 1
+        t = j - i
+        ranks[pooled[i][0]] = (i + 1 + j) / 2  # average rank of the tie run
+        tie_term += t**3 - t
+        i = j
+    r_a = sum(ranks[v] for v in a)
+    u = r_a - na * (na + 1) / 2
+    n = na + nb
+    sigma = math.sqrt(na * nb / 12 * ((n + 1) - tie_term / (n * (n - 1))))
+    return u, (u - na * nb / 2) / sigma
+
+
+def test_mann_whitney_matches_rank_based_reference(spark, sf_dir):
+    t = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    ).to_pylist()
+    a = [
+        round(r["o_totalprice"] * 100)
+        for r in t
+        if r["o_orderpriority"] == "1-URGENT"
+    ]
+    b = [
+        round(r["o_totalprice"] * 100)
+        for r in t
+        if r["o_orderpriority"] == "5-LOW"
+    ]
+    assert a and b
+    u_ref, z_ref = _ref_mann_whitney(a, b)
+    row = QUERIES["stats_mann_whitney_u"](spark, sf_dir).collect()[0]
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert row["u_stat"] == u_ref
+    assert abs(row["z_score"] - z_ref) < 1e-5
+
+
+def test_mann_whitney_tie_correction_shrinks_sigma(spark, sf_dir):
+    # with ties present, the corrected sigma is strictly smaller, so the
+    # corrected |z| must be strictly LARGER than the no-ties formula's
+    t = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    ).to_pylist()
+    a = [
+        round(r["o_totalprice"] * 100)
+        for r in t
+        if r["o_orderpriority"] == "1-URGENT"
+    ]
+    b = [
+        round(r["o_totalprice"] * 100)
+        for r in t
+        if r["o_orderpriority"] == "5-LOW"
+    ]
+    row = QUERIES["stats_mann_whitney_u"](spark, sf_dir).collect()[0]
+    na, nb, u = len(a), len(b), row["u_stat"]
+    if len(set(a) | set(b)) == na + nb:  # no ties at this SF: z equal
+        return
+    z_no_ties = (u - na * nb / 2) / math.sqrt(
+        na * nb * (na + nb + 1) / 12
+    )
+    assert abs(row["z_score"]) >= abs(z_no_ties)

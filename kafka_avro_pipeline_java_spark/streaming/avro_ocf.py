@@ -174,7 +174,25 @@ def write_ocf(
     Each task buffers its partition's encoded file in memory before the
     atomic rename, so per-task memory tracks partition size — the same
     bound `files.maxPartitionBytes` already enforces on the read side;
-    repartition first if partitions outgrow executor memory."""
+    repartition first if partitions outgrow executor memory.
+
+    REQUIRES a filesystem shared by driver and executors: the stale-file
+    cleanup runs on the DRIVER while the partition files are written by
+    EXECUTORS into the same ``path``. True in local mode and on NFS/
+    FUSE-mounted object stores; on a plain multi-node cluster writing to
+    executor-local disks the driver cleanup would miss executor files
+    and read_ocf would silently see nothing — so non-local sessions are
+    rejected up front rather than failing silently. The cluster-scale
+    path for Avro files is the spark-avro package's committer-based
+    sink; this writer exists to exercise the from-scratch OCF codec."""
+    sc = df.sparkSession.sparkContext
+    if not sc.master.startswith("local"):
+        raise RuntimeError(
+            "write_ocf requires a driver/executor-shared filesystem; "
+            f"refusing to run under master={sc.master!r} where driver-"
+            "side cleanup and executor-side writes would target "
+            "different local disks"
+        )
     cols = [f["name"] for f in avro_schema["fields"]]
     os.makedirs(path, exist_ok=True)
     for old in os.listdir(path):

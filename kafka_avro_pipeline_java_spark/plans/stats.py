@@ -240,3 +240,189 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         u.alias("u_stat"),
         F.round((u - mu) / sigma, 6).alias("z_score"),
     )
+
+
+@query(
+    "stats_ks_two_sample",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ga
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), cnt AS (
+      SELECT v, CAST(SUM(ga) AS BIGINT) AS na_v,
+             CAST(SUM(1 - ga) AS BIGINT) AS nb_v
+      FROM vals GROUP BY v
+    ), cum AS (
+      SELECT CAST(SUM(na_v) OVER (ORDER BY v) AS BIGINT) AS ca,
+             CAST(SUM(nb_v) OVER (ORDER BY v) AS BIGINT) AS cb
+      FROM cnt
+    ), tot AS (
+      SELECT CAST(SUM(na_v) AS BIGINT) AS na,
+             CAST(SUM(nb_v) AS BIGINT) AS nb
+      FROM cnt
+    ), d AS (
+      SELECT CAST(MAX(ABS(ca * (SELECT nb FROM tot)
+                          - cb * (SELECT na FROM tot))) AS BIGINT) AS dnum
+      FROM cum
+    )
+    SELECT na AS n_a, nb AS n_b,
+           ROUND(CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * nb), 6)
+             AS d_stat,
+           ROUND(CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * nb)
+                 * SQRT(CAST(na AS DOUBLE) * nb / (na + nb)), 6)
+             AS ks_lambda,
+           ROUND(2 * EXP(-2 * POW(CAST(dnum AS DOUBLE)
+                                  / (CAST(na AS DOUBLE) * nb), 2)
+                         * (CAST(na AS DOUBLE) * nb / (na + nb))), 6)
+             AS p_one_term
+    FROM d, tot
+    """,
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov two-sample test: max CDF gap between URGENT and
+    LOW priority o_totalprice — the distribution-shape complement to
+    stats_mann_whitney_u's location test (KS sees variance/shape shifts
+    a rank-sum misses). D is kept as the exact BIGINT numerator
+    max|ca·nb − cb·na| over the cumulative per-value counts, divided
+    once at the end, so both engines derive identical doubles;
+    p_one_term is the leading term 2·exp(−2λ²) of the Smirnov series
+    (the full alternating series is a driver-side refinement — the
+    sorted-values scan is the distributed work). One window over
+    DISTINCT cent values, same value-domain-bounded ordered pass as the
+    U test."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    ga = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+    vals = o.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("v"),
+        ga.alias("ga"),
+    )
+    cnt = vals.groupBy("v").agg(
+        F.sum("ga").cast("bigint").alias("na_v"),
+        F.sum(1 - F.col("ga")).cast("bigint").alias("nb_v"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cnt.select(
+        F.sum("na_v").over(w).cast("bigint").alias("ca"),
+        F.sum("nb_v").over(w).cast("bigint").alias("cb"),
+    )
+    tot = cnt.agg(
+        F.sum("na_v").cast("bigint").alias("na"),
+        F.sum("nb_v").cast("bigint").alias("nb"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+            ).cast("bigint").alias("dnum"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    na_d = F.col("na").cast("double")
+    nb_d = F.col("nb").cast("double")
+    dstat = F.col("dnum").cast("double") / (na_d * nb_d)
+    eff = na_d * nb_d / (na_d + nb_d)
+    return d.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(dstat, 6).alias("d_stat"),
+        F.round(dstat * F.sqrt(eff), 6).alias("ks_lambda"),
+        F.round(2 * F.exp(-2 * F.pow(dstat, 2) * eff), 6).alias(
+            "p_one_term"
+        ),
+    )
+
+
+@query(
+    "stats_spearman_corr",
+    oracle="""
+    WITH li AS (
+      SELECT CAST(l_quantity AS BIGINT) AS qa,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS vb
+      FROM lineitem
+    ), ra AS (
+      SELECT qa, 2 * COALESCE(SUM(t) OVER (
+               ORDER BY qa ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) + t + 1 AS da
+      FROM (SELECT qa, COUNT(*) AS t FROM li GROUP BY qa)
+    ), rb AS (
+      SELECT vb, 2 * COALESCE(SUM(t) OVER (
+               ORDER BY vb ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) + t + 1 AS db
+      FROM (SELECT vb, COUNT(*) AS t FROM li GROUP BY vb)
+    ), j AS (
+      SELECT da, db FROM li JOIN ra USING (qa) JOIN rb USING (vb)
+    ), s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(da) AS DOUBLE) AS sa, CAST(SUM(db) AS DOUBLE) AS sb,
+             CAST(SUM(da * da) AS DOUBLE) AS saa,
+             CAST(SUM(db * db) AS DOUBLE) AS sbb,
+             CAST(SUM(da * db) AS DOUBLE) AS sab
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND((n * sab - sa * sb)
+                 / (SQRT(n * saa - sa * sa) * SQRT(n * sbb - sb * sb)), 6)
+             AS rho
+    FROM s
+    """,
+)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between l_quantity and l_extendedprice:
+    Pearson over tie-averaged ranks, with every rank DOUBLED so it stays
+    an exact integer (the average rank of a tie run is a half-integer;
+    2·rank = 2·cum_before + t + 1 is BIGINT). Ranks come from windows
+    over DISTINCT values (value-domain-bounded, the U/KS pattern), are
+    joined back to rows (the 50-value quantity side broadcasts), and the
+    five moments are summed as decimal(38,0) — matching DuckDB's HUGEINT
+    sum exactly even where Σ(2r)² would overflow int64 at sf≥1 — then
+    cast once to double for the closed form, so both engines round
+    identical values. The doubling cancels: Pearson is scale-invariant."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("qa"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("vb"),
+    )
+
+    def dranks(col: str, out: str) -> DataFrame:
+        cnt = li.groupBy(col).agg(F.count("*").alias("t"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return cnt.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("t").over(w), F.lit(0))
+                + F.col("t")
+                + 1
+            ).cast("bigint").alias(out),
+        )
+
+    j = li.join(F.broadcast(dranks("qa", "da")), "qa").join(
+        dranks("vb", "db"), "vb"
+    )
+    dec = "decimal(38,0)"
+    s = j.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("da").cast(dec)).alias("sa"),
+        F.sum(F.col("db").cast(dec)).alias("sb"),
+        F.sum((F.col("da") * F.col("da")).cast(dec)).alias("saa"),
+        F.sum((F.col("db") * F.col("db")).cast(dec)).alias("sbb"),
+        F.sum((F.col("da") * F.col("db")).cast(dec)).alias("sab"),
+    )
+    n = F.col("n_rows").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    saa, sbb = F.col("saa").cast("double"), F.col("sbb").cast("double")
+    sab = F.col("sab").cast("double")
+    return s.select(
+        F.col("n_rows").alias("n"),
+        F.round(
+            (n * sab - sa * sb)
+            / (
+                F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
+            ),
+            6,
+        ).alias("rho"),
+    )

@@ -79,3 +79,75 @@ def test_mann_whitney_tie_correction_shrinks_sigma(spark, sf_dir):
         na * nb * (na + nb + 1) / 12
     )
     assert abs(row["z_score"]) >= abs(z_no_ties)
+
+
+def _load_priority_split(sf_dir):
+    t = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    ).to_pylist()
+    a = [
+        round(r["o_totalprice"] * 100)
+        for r in t
+        if r["o_orderpriority"] == "1-URGENT"
+    ]
+    b = [
+        round(r["o_totalprice"] * 100)
+        for r in t
+        if r["o_orderpriority"] == "5-LOW"
+    ]
+    return a, b
+
+
+def test_ks_two_sample_matches_bruteforce_cdf_gap(spark, sf_dir):
+    a, b = _load_priority_split(sf_dir)
+    na, nb = len(a), len(b)
+    ca = cb = 0
+    ia = ib = 0
+    a.sort(), b.sort()
+    d = 0
+    # exact integer numerator max|ca*nb - cb*na| over the merged values
+    for v in sorted(set(a) | set(b)):
+        while ia < na and a[ia] == v:
+            ca, ia = ca + 1, ia + 1
+        while ib < nb and b[ib] == v:
+            cb, ib = cb + 1, ib + 1
+        d = max(d, abs(ca * nb - cb * na))
+    row = QUERIES["stats_ks_two_sample"](spark, sf_dir).collect()[0]
+    assert (row["n_a"], row["n_b"]) == (na, nb)
+    assert abs(row["d_stat"] - d / (na * nb)) < 1e-6
+
+
+def test_spearman_matches_bruteforce_rank_pearson(spark, sf_dir):
+    t = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice"],
+    ).to_pylist()
+    qa = [int(r["l_quantity"]) for r in t]
+    vb = [round(r["l_extendedprice"] * 100) for r in t]
+
+    def avg_ranks(xs):
+        order = sorted(range(len(xs)), key=lambda i: xs[i])
+        ranks = [0.0] * len(xs)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and xs[order[j]] == xs[order[i]]:
+                j += 1
+            r = (i + 1 + j) / 2
+            for k in range(i, j):
+                ranks[order[k]] = r
+            i = j
+        return ranks
+
+    ra, rb = avg_ranks(qa), avg_ranks(vb)
+    n = len(ra)
+    sa, sb = sum(ra), sum(rb)
+    saa = sum(x * x for x in ra)
+    sbb = sum(x * x for x in rb)
+    sab = sum(x * y for x, y in zip(ra, rb))
+    rho = (n * sab - sa * sb) / (
+        math.sqrt(n * saa - sa * sa) * math.sqrt(n * sbb - sb * sb)
+    )
+    row = QUERIES["stats_spearman_corr"](spark, sf_dir).collect()[0]
+    assert row["n"] == n
+    assert abs(row["rho"] - rho) < 1e-6

@@ -201,3 +201,68 @@ def source_avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint))"
         ).alias("text_hash_xor"),
     )
+
+
+@query(
+    "agg_gini_customer_spend",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100, 0)
+                                      AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT cents,
+             CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS BIGINT)
+               AS i
+      FROM spend
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS tot,
+             CAST(SUM(i * cents) AS BIGINT) AS isum
+      FROM ranked
+    )
+    SELECT n AS n_customers,
+           ROUND(CAST(2 * isum - (n + 1) * tot AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * tot), 6) AS gini
+    FROM s
+    """,
+)
+def agg_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer order spend — the inequality /
+    concentration audit a data-mixture pipeline runs on its source
+    distribution ("is 1% of customers 90% of revenue?"). Uses the sorted
+    closed form G = Σ(2i−n−1)·x₍ᵢ₎ / (n·Σx) with cent-exact BIGINT
+    spend, so the weighted sum is exact integer algebra (ties in spend
+    are safe under any tiebreak: the coefficient sum over a tie run is
+    order-invariant, and the custkey tiebreak makes ROW_NUMBER
+    deterministic anyway). One keyed agg + one global sort of the
+    CUSTOMER-sized table (not orders) — at 100 TB the sort is over the
+    aggregated key domain, and rangepartitioning keeps it parallel."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(cents).cast("bigint").alias("cents")
+    )
+    ranked = spend.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy("cents", "o_custkey"))
+        .cast("bigint")
+        .alias("i"),
+    )
+    # sum((2i - n - 1) x_i) = 2*sum(i*x_i) - (n+1)*sum(x): no second
+    # pass (or driver count) to learn n before weighting
+    s = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("tot"),
+        F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("isum"),
+    )
+    n, tot = F.col("n"), F.col("tot")
+    return s.select(
+        n.alias("n_customers"),
+        F.round(
+            (2 * F.col("isum") - (n + 1) * tot).cast("double")
+            / (n.cast("double") * tot),
+            6,
+        ).alias("gini"),
+    )

@@ -426,3 +426,74 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rho"),
     )
+
+
+@query(
+    "stats_pmi_priority_status",
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+    xy AS (
+      SELECT o_orderpriority AS priority, o_orderstatus AS status,
+             CAST(COUNT(*) AS BIGINT) AS n_xy
+      FROM orders GROUP BY 1, 2
+    ),
+    x AS (
+      SELECT priority, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM xy GROUP BY 1
+    ),
+    y AS (
+      SELECT status, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM xy GROUP BY 1
+    )
+    SELECT xy.priority, xy.status, xy.n_xy,
+           ROUND(LN(CAST(xy.n_xy AS DOUBLE) * (SELECT n FROM n)
+                    / (CAST(x.n_x AS DOUBLE) * y.n_y)), 6) AS pmi,
+           ROUND(CAST(xy.n_xy AS DOUBLE) / (SELECT n FROM n)
+                 * LN(CAST(xy.n_xy AS DOUBLE) * (SELECT n FROM n)
+                      / (CAST(x.n_x AS DOUBLE) * y.n_y)), 9)
+             AS mi_contrib
+    FROM xy JOIN x USING (priority) JOIN y USING (status)
+    """,
+)
+def stats_pmi_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between order priority and status —
+    the dependence-structure audit (MI is what a feature-selection /
+    leakage check computes between a candidate feature and the label).
+    Emitted as the PER-CELL table (priority, status, n_xy, pmi,
+    mi_contrib) rather than one summed MI scalar: each cell's value is a
+    pure function of four exact integers, so both engines compute
+    identical doubles per ROW and the driver hash-checks every cell —
+    while a summed MI would re-introduce the cross-engine accumulation-
+    order sensitivity this repo's stats family deliberately avoids
+    (the reader gets MI by summing mi_contrib, and its error is bounded
+    by 15 rounded cells). Contingency counts are one groupBy; the
+    marginals re-aggregate the 15-cell table, not the corpus."""
+    o = load_table(spark, sf_dir, "orders")
+    xy = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count("*").cast("bigint").alias("n_xy"))
+    x = xy.groupBy("priority").agg(
+        F.sum("n_xy").cast("bigint").alias("n_x")
+    )
+    y = xy.groupBy("status").agg(F.sum("n_xy").cast("bigint").alias("n_y"))
+    tot = xy.agg(F.sum("n_xy").cast("bigint").alias("n"))
+    j = (
+        xy.join(F.broadcast(x), "priority")
+        .join(F.broadcast(y), "status")
+        .crossJoin(F.broadcast(tot))
+    )
+    n_d = F.col("n").cast("double")
+    ratio = (
+        F.col("n_xy").cast("double")
+        * n_d
+        / (F.col("n_x").cast("double") * F.col("n_y"))
+    )
+    return j.select(
+        "priority",
+        "status",
+        "n_xy",
+        F.round(F.log(ratio), 6).alias("pmi"),
+        F.round(
+            F.col("n_xy").cast("double") / n_d * F.log(ratio),
+            9,
+        ).alias("mi_contrib"),
+    )

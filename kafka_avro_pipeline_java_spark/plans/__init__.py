@@ -16,6 +16,7 @@ from . import text as text_plans  # noqa: E402,F401
 from . import text2 as text2_plans  # noqa: E402,F401
 from . import text3 as text3_plans  # noqa: E402,F401
 from . import text4 as text4_plans  # noqa: E402,F401
+from . import text5 as text5_plans  # noqa: E402,F401
 from . import graph as graph_plans  # noqa: E402,F401  (needs text's oracles)
 from . import vectors as vector_plans  # noqa: E402,F401
 from . import vectors2 as vector2_plans  # noqa: E402,F401

@@ -898,3 +898,63 @@ def events_holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "events_seasonal_decompose",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ), trended AS (
+      SELECT hr, cnt,
+             CAST(SUM(cnt) OVER w AS BIGINT) AS trend25,
+             COUNT(*) OVER w AS frame_n
+      FROM hourly
+      WINDOW w AS (ORDER BY hr ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    )
+    SELECT CAST(EXTRACT(hour FROM hr) AS INT) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           ROUND(CAST(SUM(25 * cnt - trend25) AS DOUBLE)
+                 / (25.0 * COUNT(*)), 6) AS seasonal
+    FROM trended WHERE frame_n = 25
+    GROUP BY 1
+    """,
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical (STL-flavored) seasonal decomposition of hourly event
+    volume: trend = centered 25-hour moving average, seasonal index =
+    per-hour-of-day mean of the detrended series — "is 3 a.m. really
+    quieter once the weekly growth trend is removed", the shape every
+    capacity / anomaly baseline starts from. The detrended residual is
+    kept as the exact integer 25·cnt − Σ₍₂₅₎cnt (counts are integers, so
+    multiplying through by the window width defers ALL division to one
+    final per-group step) — both engines sum identical integers and the
+    seasonal index is deterministic. Edge hours without a full 25-row
+    frame are excluded (frame_n = 25), matching the textbook centered-MA
+    definition. One keyed hourly agg, one ordered window over the
+    HOUR-sized series (time-domain-bounded, not event-bounded), one
+    24-group agg."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    w = Window.orderBy("hr").rowsBetween(-12, 12)
+    trended = hourly.select(
+        "hr",
+        "cnt",
+        F.sum("cnt").over(w).cast("bigint").alias("trend25"),
+        F.count("*").over(w).alias("frame_n"),
+    ).filter(F.col("frame_n") == 25)
+    return (
+        trended.groupBy(F.hour("hr").cast("int").alias("hour_of_day"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_hours"),
+            F.round(
+                F.sum(25 * F.col("cnt") - F.col("trend25")).cast("double")
+                / (25.0 * F.count("*")),
+                6,
+            ).alias("seasonal"),
+        )
+    )

@@ -440,3 +440,64 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
     return graph.bfs_hops(edges, max_hops=3, seed="hub")
+
+
+def _linkpred_oracle(k: int = 30) -> str:
+    return f"""
+    WITH allp AS MATERIALIZED ({_simhash2_oracle()}),
+    e AS (
+      SELECT id_a AS src, id_b AS dst FROM allp
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM allp
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+    aa AS (
+      SELECT node, CAST(ROUND(1000000.0 / LN(deg), 0) AS BIGINT) AS aa_q
+      FROM deg WHERE deg >= 2
+    ),
+    wedges AS (
+      SELECT e1.src AS a, e1.dst AS z, e2.dst AS b
+      FROM e e1 JOIN e e2 ON e1.dst = e2.src
+      WHERE e1.src < e2.dst
+    ),
+    cand AS (
+      SELECT w.a, w.z, w.b FROM wedges w
+      ANTI JOIN e ON e.src = w.a AND e.dst = w.b
+    ),
+    scored AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cn,
+             CAST(SUM(aa_q) AS BIGINT) AS aa_scaled
+      FROM cand JOIN aa ON aa.node = cand.z
+      GROUP BY 1, 2
+    )
+    SELECT s.a AS id_a, s.b AS id_b, s.cn,
+           ROUND(CAST(s.cn AS DOUBLE) / (da.deg + db.deg - s.cn), 6)
+             AS jaccard,
+           ROUND(s.aa_scaled / 1000000.0, 6) AS adamic_adar
+    FROM scored s
+    JOIN deg da ON da.node = s.a
+    JOIN deg db ON db.node = s.b
+    ORDER BY s.cn DESC, adamic_adar DESC, id_a, id_b LIMIT {k}
+    """
+
+
+@query("graph_link_prediction", oracle=_linkpred_oracle(30))
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 predicted missing edges of the SimHash hamming-2 near-dup
+    graph by common-neighbor / Jaccard / Adamic–Adar scores
+    (operators/graph.py::link_prediction_scores) — "which boilerplate
+    families are one edit away from merging" triage. The Adamic–Adar sum
+    is integer-quantized per neighbor before aggregation, so both
+    engines total identical BIGINTs regardless of accumulation order;
+    the wedge join is the triangle-count shuffle shape and the
+    already-adjacent anti-join runs on the candidate set only."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_pairs_portable(
+        d, "text", "doc_id", max_hamming=2
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    return graph.link_prediction_scores(edges, k=30)

@@ -236,3 +236,30 @@ def test_k_core_rounds_prefix_reaches_fixpoint(spark, sf_dir):
     # fixpoint (if the testdata ever deepens the peeling, bump rounds in
     # plans/graph.py::graph_kcore_rounds and this assertion together)
     assert prefix == fixpoint
+
+
+def test_link_prediction_scores_toy_graph(spark):
+    # path a-b-c plus hub d connected to a,b,c:
+    #   candidates (non-adjacent, sharing neighbors): (a,c) via {b,d}
+    from kafka_avro_pipeline_java_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    und = [("a", "b"), ("b", "c"), ("d", "a"), ("d", "b"), ("d", "c")]
+    sym = und + [(v, u) for u, v in und]
+    edges = spark.createDataFrame(sym, ["src", "dst"])
+    rows = {
+        (r["id_a"], r["id_b"]): r
+        for r in link_prediction_scores(edges, k=10).collect()
+    }
+    import math
+
+    assert ("a", "c") in rows
+    r = rows[("a", "c")]
+    assert r["cn"] == 2  # common neighbors b and d
+    # deg a=2, c=2, cn=2 -> jaccard 2/(2+2-2)=1.0
+    assert r["jaccard"] == 1.0
+    aa = round(round(1e6 / math.log(3)) + round(1e6 / math.log(3))) / 1e6
+    assert abs(r["adamic_adar"] - round(aa, 6)) < 1e-9
+    # adjacent pairs must be absent
+    assert ("a", "b") not in rows and ("b", "c") not in rows

@@ -958,3 +958,60 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seasonal"),
         )
     )
+
+
+@query(
+    "events_peak_hours",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ), nb AS (
+      SELECT hr, cnt,
+             CAST(GREATEST(
+               COALESCE(MAX(cnt) OVER (ORDER BY hr
+                 ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING), 0),
+               COALESCE(MAX(cnt) OVER (ORDER BY hr
+                 ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING), 0)
+             ) AS BIGINT) AS nb_max,
+             COUNT(*) OVER (ORDER BY hr
+               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS frame_n
+      FROM hourly
+    )
+    SELECT hr, cnt, CAST(cnt - nb_max AS BIGINT) AS prominence
+    FROM nb WHERE frame_n = 5 AND cnt > nb_max
+    """,
+)
+def events_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum peak detection on hourly event volume: hours that
+    strictly exceed every neighbor within ±2 hours, with prominence =
+    cnt − max(neighbors) — the load-spike detector a capacity dashboard
+    sits on (the complement of events_hourly_anomaly's z-score: peaks
+    are about LOCAL shape, not global deviation). Strictness makes the
+    answer unambiguous under ties (two equal adjacent hours are a
+    plateau, not two peaks), and requiring a full 5-row frame drops the
+    series edges instead of crowning them by default. Exact integer
+    counts end-to-end; one keyed agg + one ordered window over the
+    hour-domain series."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    before = Window.orderBy("hr").rowsBetween(-2, -1)
+    after = Window.orderBy("hr").rowsBetween(1, 2)
+    frame = Window.orderBy("hr").rowsBetween(-2, 2)
+    nb = hourly.select(
+        "hr",
+        "cnt",
+        F.greatest(
+            F.coalesce(F.max("cnt").over(before), F.lit(0)),
+            F.coalesce(F.max("cnt").over(after), F.lit(0)),
+        ).cast("bigint").alias("nb_max"),
+        F.count("*").over(frame).alias("frame_n"),
+    )
+    return nb.filter(
+        (F.col("frame_n") == 5) & (F.col("cnt") > F.col("nb_max"))
+    ).select(
+        "hr", "cnt", (F.col("cnt") - F.col("nb_max")).cast("bigint").alias("prominence")
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources import load_table
 from ..sources.layout import _scaled, morton_code
@@ -66,4 +67,56 @@ def layout_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
             _scaled(F.col("o_totalprice"), F.col("ymin"), F.col("ymax"), _BITS),
             bits=_BITS,
         ).alias("zcode"),
+    )
+
+
+@query(
+    "layout_compaction_bins",
+    oracle="""
+    WITH files AS (
+      SELECT date_trunc('month', l_shipdate) AS mon,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY 1
+    ), planned AS (
+      SELECT mon, n_rows,
+             CAST(COALESCE(SUM(n_rows) OVER (
+               ORDER BY mon ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) // 16384 AS BIGINT) AS bin_id
+      FROM files
+    )
+    SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+           CAST(MIN(mon) AS DATE) AS first_month,
+           CAST(MAX(mon) AS DATE) AS last_month
+    FROM planned GROUP BY 1
+    """,
+)
+def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (the OPTIMIZE / bin-packing step
+    every lakehouse table needs): monthly lineitem "files" (row counts
+    standing in for byte sizes) packed in ship-date order into ~16,384-row
+    output bins via bin_id = floor(running_total_before / target). The
+    date-ordered cumulative pack — rather than first-fit-decreasing —
+    keeps each output file CLUSTERED on the sort key, so min/max pruning
+    survives compaction (the same argument as the Z-order row above).
+    Exact integer row counts end-to-end; the plan is one metadata-sized
+    keyed agg + one ordered window over the FILE LIST (not the data), so
+    at 100 TB it reads table metadata, never the table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    files = li.groupBy(F.date_trunc("month", "l_shipdate").alias("mon")).agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    )
+    w = Window.orderBy("mon").rowsBetween(Window.unboundedPreceding, -1)
+    planned = files.select(
+        "mon",
+        "n_rows",
+        F.floor(
+            F.coalesce(F.sum("n_rows").over(w), F.lit(0)) / 16384
+        ).cast("bigint").alias("bin_id"),
+    )
+    return planned.groupBy("bin_id").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("n_rows").cast("bigint").alias("total_rows"),
+        F.min("mon").cast("date").alias("first_month"),
+        F.max("mon").cast("date").alias("last_month"),
     )

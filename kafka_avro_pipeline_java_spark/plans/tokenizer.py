@@ -237,15 +237,81 @@ def text_wordpiece_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_unigram_viterbi")
+def _uni_lp_case(length: int) -> str:
+    """CASE expression scoring the candidate piece substr(word, pos+1, L)
+    against the length-``L`` slice of the literal inventory; single chars
+    fall back to the UNK score, longer pieces to NULL (= not a piece)."""
+    items = [(p, lp) for p, lp in _UNI_PIECES.items() if len(p) == length]
+    body = " ".join(
+        f"WHEN '{p}' THEN CAST({lp!r} AS DOUBLE)" for p, lp in items
+    )
+    case = f"CASE substr(w.word, w.pos + 1, {length}) {body} ELSE NULL END"
+    if length == 1:
+        return f"COALESCE({case}, CAST({_UNI_UNK!r} AS DOUBLE))"
+    return case
+
+
+def _viterbi_oracle_cte() -> str:
+    """Viterbi as enumerate-then-argmax (WITH RECURSIVE): every
+    segmentation of every DISTINCT word (words are short, so the walk is
+    vocab×2^(len-1) bounded), then one window argmax per word on
+    (score DESC, reversed-length-sequence DESC). The tie key is the DP's
+    backtrace rule made global: a max-score segmentation has an optimal
+    prefix at every boundary, so "longest final piece, then longest
+    second-to-last, ..." — i.e. the reversed per-piece length string,
+    compared descending — selects exactly the segmentation the strict->
+    longest-candidate-first DP in viterbi_segment_words reconstructs.
+    Scores add left-to-right in both engines, so the doubles are
+    bit-identical."""
+    maxlen = max(len(p) for p in _UNI_PIECES)
+    lens = list(range(1, maxlen + 1))
+    lp_branches = " ".join(
+        f"WHEN l.l = {ln} THEN {_uni_lp_case(ln)}" for ln in lens if ln > 1
+    )
+    lp_expr = f"CASE {lp_branches} ELSE {_uni_lp_case(1)} END"
+    return f"""
+    vocab AS (
+      SELECT DISTINCT t.tok AS word
+      FROM documents,
+           UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS t(tok)
+      WHERE t.tok <> ''
+    ), walk(word, pos, score, lens, pieces) AS (
+      SELECT word, 0, CAST(0.0 AS DOUBLE), '', CAST([] AS VARCHAR[])
+      FROM vocab
+      UNION ALL
+      SELECT w.word, w.pos + l.l, w.score + ({lp_expr}),
+             w.lens || CAST(l.l AS VARCHAR),
+             list_append(w.pieces, substr(w.word, w.pos + 1, l.l))
+      FROM walk w, UNNEST([{", ".join(str(x) for x in lens)}]) AS l(l)
+      WHERE w.pos + l.l <= len(w.word) AND ({lp_expr}) IS NOT NULL
+    ), best AS (
+      SELECT word, pieces, score,
+             ROW_NUMBER() OVER (PARTITION BY word
+                                ORDER BY score DESC, reverse(lens) DESC)
+               AS rn
+      FROM walk WHERE pos = len(word)
+    )"""
+
+
+@query(
+    "text_unigram_viterbi",
+    oracle=f"""
+    WITH RECURSIVE {_viterbi_oracle_cte()}
+    SELECT word, array_to_string(pieces, ' ') AS pieces,
+           ROUND(score, 4) AS logp
+    FROM best WHERE rn = 1
+    """,
+)
 def text_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Viterbi max-probability segmentation of the corpus's DISTINCT words
     under the literal unigram piece LM ``_UNI_PIECES`` (Kudo 2018 read
-    path): (word, pieces, logp). Registered rows-only — the DP has no SQL
-    expression — with the algorithm pinned by pure-Python parity and
-    prefers-higher-probability tests (tests/test_unigram.py); its greedy
-    sibling text_wordpiece_segment carries the full value oracle for the
-    shared vocab-not-stream plan shape."""
+    path): (word, pieces, logp). Oracle-backed since round 7: the DP has
+    no direct SQL form, but with a LITERAL inventory the oracle can
+    enumerate all segmentations per distinct word (recursive CTE, words
+    are short) and take the same (score, longest-final-piece) argmax the
+    DP's backtrace produces — see _viterbi_oracle_cte for the tie-rule
+    equivalence argument. Algorithm additionally pinned by pure-Python
+    parity tests (tests/test_unigram.py)."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(
@@ -264,15 +330,32 @@ def text_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_unigram_em_counts")
+@query(
+    "text_unigram_em_counts",
+    oracle=f"""
+    WITH RECURSIVE {_viterbi_oracle_cte()},
+    wc AS (
+      SELECT t.tok AS word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents,
+           UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS t(tok)
+      WHERE t.tok <> ''
+      GROUP BY 1
+    )
+    SELECT p.piece, CAST(SUM(wc.c) AS BIGINT) AS expected_count
+    FROM best b
+    JOIN wc USING (word), UNNEST(b.pieces) AS p(piece)
+    WHERE b.rn = 1
+    GROUP BY 1
+    """,
+)
 def text_unigram_em_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One hard-EM E-step over the corpus: corpus-frequency-weighted
     Viterbi piece usage under ``_UNI_PIECES`` → (piece, expected_count).
     The M-step (re-normalize, prune, iterate) is the bounded driver loop
     in operators/unigram.py::unigram_train, parity- and
-    likelihood-improvement-tested. Rows-only registration (integer counts,
-    deterministic; DP not SQL-expressible) — same trained/literal split as
-    the BPE trainer vs text_bpe_segment."""
+    likelihood-improvement-tested. Oracle-backed since round 7: the
+    Viterbi enumerate-then-argmax CTE (text_unigram_viterbi) joined to
+    corpus word counts reproduces the E-step's integer counts exactly."""
     d = load_table(spark, sf_dir, "documents")
     return unigram.unigram_expected_counts(
         d, "text", _UNI_PIECES, unk_logp=_UNI_UNK

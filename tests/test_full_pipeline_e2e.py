@@ -157,3 +157,97 @@ def test_write_batch_derived_partition_handles_null_keys(spark, broker):
     # and the nulls all landed on the deterministic fallback partition
     assert {v for k, v, _ in broker.records("orders_avro", 0) if k is None} \
         == {b"v2", b"v4"}
+
+
+def test_full_topology_wire_kafka_to_wire_mysql(spark, broker, tmp_path):
+    """The reference's WHOLE topology with BOTH external systems on real
+    TCP sockets: wire-protocol Produce into the fake broker → `kafka_py`
+    streaming read → Avro decode → ExactlyOnceDbSink speaking the MySQL
+    wire protocol (format paramstyle, ON DUPLICATE KEY offsets upsert)
+    into the fake MySQL server. No sqlite shortcut on the sink side —
+    the DB conversation is packets, exactly like MySQLProcessData.java's."""
+    from kafka_avro_pipeline_java_spark.sources.schema_dsl import (
+        avro_to_create_table,
+    )
+    from kafka_avro_pipeline_java_spark.streaming import mysql_wire
+    from kafka_avro_pipeline_java_spark.streaming.fake_mysql import (
+        FakeMySQLServer,
+    )
+
+    ckpt = str(tmp_path / "ckpt_wire")
+    srv = FakeMySQLServer(password="exam")
+    host, port = "127.0.0.1", srv.port
+    try:
+        setup = mysql_wire.connect(host, port, "root", "exam")
+        setup.cursor().execute(avro_to_create_table(SCHEMA, if_not_exists=True))
+        setup.commit()
+        setup.close()
+
+        records = generate_dataset(spark, SCHEMA, n_rows=20, seed=3,
+                                   num_partitions=3)
+        expected = {r.order_id: (r.qty, r.price) for r in records.collect()}
+        write_kafka_batch_py(
+            prepare_kafka_batch(records, SCHEMA, explicit_partitions=N_PARTS),
+            broker.bootstrap,
+            "orders_avro",
+        )
+
+        def factory(host=host, port=port):
+            from kafka_avro_pipeline_java_spark.streaming import mysql_wire
+
+            return mysql_wire.connect(host, port, "root", "exam")
+
+        raw = read_kafka_stream_py(
+            spark, broker.bootstrap, "orders_avro", max_records_per_batch=7
+        )
+        typed = decode_df(
+            raw.select("value", "topic", "partition", "offset"),
+            SCHEMA,
+            passthrough_cols=["topic", "partition", "offset"],
+        )
+        sink = ExactlyOnceDbSink(
+            connection_factory=factory,
+            table="orders_avro",
+            columns=["order_id", "qty", "price"],
+            paramstyle="format",
+            offsets_cols=("topic", "partition", "offset"),
+            consumer_group="group-orders_avro",
+        )
+        q = (
+            typed.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 90
+            n = 0
+            while time.time() < deadline and n < 20:
+                q.processAllAvailable()
+                probe = mysql_wire.connect(host, port, "root", "exam")
+                cur = probe.cursor()
+                try:
+                    cur.execute("SELECT COUNT(*) FROM orders_avro")
+                    n = cur.fetchone()[0]
+                except mysql_wire.MySQLError:
+                    n = 0
+                probe.close()
+        finally:
+            q.stop()
+
+        check = mysql_wire.connect(host, port, "root", "exam")
+        cur = check.cursor()
+        cur.execute("SELECT order_id, qty, price FROM orders_avro")
+        rows = cur.fetchall()
+        assert len(rows) == 20
+        assert {r[0]: (r[1], r[2]) for r in rows} == expected
+        cur.execute(
+            "SELECT partition, offset FROM kafka_offsets "
+            "WHERE topic='orders_avro' AND consumer_group='group-orders_avro'"
+        )
+        hw = {pid: len(broker.records("orders_avro", pid))
+              for pid in range(N_PARTS)}
+        assert dict(cur.fetchall()) == {p: n for p, n in hw.items() if n > 0}
+        check.close()
+    finally:
+        srv.close()

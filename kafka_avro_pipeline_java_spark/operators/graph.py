@@ -480,8 +480,17 @@ def link_prediction_scores(
     shared endpoint, worst case Σ deg(z)² — at 100 TB cap hub degrees
     first (the standard degree-threshold cut) or pre-bucket by z. The
     anti-join that removes already-adjacent pairs runs on the CANDIDATE
-    set (output-sized), not the corpus."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    set (output-sized), not the corpus.
+
+    The edge list is localCheckpoint'ed once up front — this operator
+    consumes it FIVE times (degrees, AA table, both wedge legs, the
+    adjacency anti-join), and a lazy frame would re-run its derivation
+    (here: the whole SimHash pair pipeline) per consumer — the same
+    iterative-consumer discipline as pagerank/k_core above."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .localCheckpoint(eager=True)
+    )
     deg = e.groupBy("src").agg(F.count("*").alias("deg")).select(
         F.col("src").alias("node"), "deg"
     )

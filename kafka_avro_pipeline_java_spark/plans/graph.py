@@ -442,7 +442,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.bfs_hops(edges, max_hops=3, seed="hub")
 
 
-def _linkpred_oracle(k: int = 30) -> str:
+def _linkpred_oracle(k: int = 30, cap: int = 64) -> str:
     return f"""
     WITH allp AS MATERIALIZED ({_simhash2_oracle()}),
     e AS (
@@ -453,11 +453,12 @@ def _linkpred_oracle(k: int = 30) -> str:
     deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
     aa AS (
       SELECT node, CAST(ROUND(1000000.0 / LN(deg), 0) AS BIGINT) AS aa_q
-      FROM deg WHERE deg >= 2
+      FROM deg WHERE deg >= 2 AND deg <= {cap}
     ),
     wedges AS (
       SELECT e1.src AS a, e1.dst AS z, e2.dst AS b
       FROM e e1 JOIN e e2 ON e1.dst = e2.src
+      JOIN aa ON aa.node = e1.dst
       WHERE e1.src < e2.dst
     ),
     cand AS (
@@ -486,11 +487,15 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-30 predicted missing edges of the SimHash hamming-2 near-dup
     graph by common-neighbor / Jaccard / Adamic–Adar scores
     (operators/graph.py::link_prediction_scores) — "which boilerplate
-    families are one edit away from merging" triage. The Adamic–Adar sum
-    is integer-quantized per neighbor before aggregation, so both
-    engines total identical BIGINTs regardless of accumulation order;
-    the wedge join is the triangle-count shuffle shape and the
-    already-adjacent anti-join runs on the candidate set only."""
+    families are one edit away from merging" triage. Wedge centers are
+    capped at degree 64 IN THE SEMANTICS (both engines): a common
+    neighbor shared with a fifth of this clique-dense graph identifies
+    nothing, and it is exactly what makes Σ deg(z)² explode (86M wedges
+    uncapped at sf0.1 — see the operator docstring for the measured
+    numbers). The Adamic–Adar sum is integer-quantized per neighbor
+    before aggregation, so both engines total identical BIGINTs
+    regardless of accumulation order; the already-adjacent anti-join
+    runs on the candidate set only."""
     d = load_table(spark, sf_dir, "documents")
     pairs = dedup.simhash_near_pairs_portable(
         d, "text", "doc_id", max_hamming=2

@@ -285,3 +285,61 @@ def knn_sq8_adc_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = sq8_adc_topk(codes, qdf, k=5)
     return out.select(F.col("id").alias("vec_id"), "sq_dist")
+
+
+@query(
+    "knn_filtered_cosine",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             SUM(CAST(e.embedding[i.i] AS DOUBLE)
+                 * CAST(q.qv[i.i] AS DOUBLE)) AS dp,
+             SUM(CAST(e.embedding[i.i] AS DOUBLE)
+                 * CAST(e.embedding[i.i] AS DOUBLE)) AS na,
+             SUM(CAST(q.qv[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)) AS nb
+      FROM embeddings e, q, UNNEST(range(1, len(e.embedding) + 1)) AS i(i)
+      WHERE e.label = 3 AND e.vec_id <> 0
+      GROUP BY e.vec_id, e.label
+    )
+    SELECT vec_id, label, ROUND(dp / (SQRT(na) * SQRT(nb)), 6) AS cos_sim
+    FROM scored
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 5
+    """,
+)
+def knn_filtered_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search: exact cosine top-5 to the vec_id=0
+    embedding among label=3 vectors only — the "nearest documents in this
+    domain/language/split" shape every production vector store exposes as
+    pre-filtering. In Spark the predicate is just a filter the optimizer
+    pushes INTO the parquet scan (PushedFilters on label — asserted in
+    tests/test_similarity.py), so selective filters shrink the scan
+    itself rather than post-filtering scored candidates (post-filtering
+    is the recall trap filtered-ANN papers warn about; with exact scoring
+    under a pushed filter the semantics stay exact by construction). At
+    100 TB, partitioning the codes table BY the filter column turns the
+    same plan into partition pruning — the IVF variant of that layout is
+    already demonstrated in test_ivf_partitioned_codes_prune_partitions."""
+    from pyspark.sql import functions as F
+
+    from ..functions.vectors import cosine_similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    )
+
+    return (
+        e.filter((F.col("label") == 3) & (F.col("vec_id") != 0))
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("q")), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(5)
+    )

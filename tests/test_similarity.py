@@ -497,3 +497,20 @@ def test_sq8_recall_floor_vs_exact_l2(spark):
     approx_ids = [r.id for r in approx.collect()]
     recall = len(set(approx_ids) & set(exact_ids)) / 5
     assert recall >= 0.8, f"SQ8 recall {recall} ({approx_ids} vs {exact_ids})"
+
+
+def test_filtered_knn_pushes_label_filter_into_scan(spark, sf_dir):
+    # pre-filtering, not post-filtering: the label predicate must reach
+    # the parquet scan so selective filters shrink the scan itself
+    import re
+
+    from kafka_avro_pipeline_java_spark.plans import QUERIES
+
+    df = QUERIES["knn_filtered_cosine"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert pushed is not None
+    assert "label" in pushed.group(1)
+    rows = df.collect()
+    assert 0 < len(rows) <= 5
+    assert all(r["label"] == 3 for r in rows)

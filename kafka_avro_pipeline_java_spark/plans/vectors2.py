@@ -343,3 +343,158 @@ def knn_filtered_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+_MMR_LAMBDA = 0.7
+_MMR_POOL = 20
+_MMR_K = 5
+
+
+def _mmr_oracle(lam: float = _MMR_LAMBDA, pool: int = _MMR_POOL,
+                k: int = _MMR_K) -> str:
+    """Greedy MMR unrolled to ``k`` selection stages — each stage scores
+    the remaining pool as λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)
+    and takes the (score DESC, vec_id ASC) argmax. All similarities are
+    ROUNDED TO 6 BEFORE selection on both engines, so the greedy argmax
+    compares identical doubles and the chosen set cannot diverge on ULP
+    noise."""
+    dot = (
+        "SUM(CAST(a.embedding[i.i] AS DOUBLE)"
+        " * CAST(b.embedding[i.i] AS DOUBLE))"
+    )
+    steps, sel = [], "sel1"
+    steps.append(f"""
+    sel1 AS (
+      SELECT vec_id, simq, 1 AS rank FROM cand
+      ORDER BY simq DESC, vec_id LIMIT 1
+    )""")
+    for i in range(2, k + 1):
+        prev = " UNION ALL ".join(f"SELECT vec_id FROM sel{j}"
+                                  for j in range(1, i))
+        prev_all = " UNION ALL ".join(
+            f"SELECT vec_id, simq, rank FROM sel{j}" for j in range(1, i)
+        )
+        steps.append(f"""
+    sel{i} AS (
+      SELECT c.vec_id, c.simq, {i} AS rank
+      FROM cand c
+      WHERE c.vec_id NOT IN ({prev})
+      ORDER BY {lam} * c.simq - {1 - lam:.1f} * (
+          SELECT MAX(p.sim) FROM pair p
+          WHERE p.id_a = c.vec_id AND p.id_b IN ({prev})
+        ) DESC, c.vec_id
+      LIMIT 1
+    )""")
+        sel = f"sel{i}"
+    final = " UNION ALL ".join(f"SELECT * FROM sel{j}"
+                               for j in range(1, k + 1))
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             ROUND(SUM(CAST(e.embedding[i.i] AS DOUBLE)
+                       * CAST(q.qv[i.i] AS DOUBLE))
+                   / (SQRT(SUM(CAST(e.embedding[i.i] AS DOUBLE)
+                               * CAST(e.embedding[i.i] AS DOUBLE)))
+                      * SQRT(SUM(CAST(q.qv[i.i] AS DOUBLE)
+                                 * CAST(q.qv[i.i] AS DOUBLE)))), 6) AS simq
+      FROM embeddings e, q, UNNEST(range(1, len(e.embedding) + 1)) AS i(i)
+      WHERE e.vec_id <> 0
+      GROUP BY e.vec_id
+    ),
+    cand AS (
+      SELECT vec_id, simq FROM scored ORDER BY simq DESC, vec_id
+      LIMIT {pool}
+    ),
+    pair AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND({dot}
+                   / (SQRT(SUM(CAST(a.embedding[i.i] AS DOUBLE)
+                               * CAST(a.embedding[i.i] AS DOUBLE)))
+                      * SQRT(SUM(CAST(b.embedding[i.i] AS DOUBLE)
+                                 * CAST(b.embedding[i.i] AS DOUBLE)))), 6)
+               AS sim
+      FROM embeddings a
+      JOIN cand ca ON ca.vec_id = a.vec_id
+      JOIN cand cb ON TRUE
+      JOIN embeddings b ON b.vec_id = cb.vec_id,
+      UNNEST(range(1, len(a.embedding) + 1)) AS i(i)
+      WHERE a.vec_id <> b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ),{",".join(steps)}
+    SELECT vec_id, simq AS query_sim, rank FROM ({final})
+    """
+
+
+@query("knn_mmr_diversified", oracle=_mmr_oracle())
+def knn_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance top-5 (Carbonell & Goldstein 1998): from
+    the cosine top-20 pool for the vec_id=0 query, greedily pick items by
+    λ·sim(query,d) − (1−λ)·max sim(d, already-picked) — the diversity
+    re-rank a curation pipeline runs so its "nearest" exemplars aren't
+    five copies of the same near-dup. The POOL scoring and the 20×20
+    pairwise matrix are distributed (scan + bounded crossJoin); the
+    greedy loop itself runs on the DRIVER over at most pool=20 rows
+    (the BPE-trainer bounded-argmax pattern — the loop is sequential by
+    definition, and its input is k²-bounded, never corpus-sized). Every
+    similarity is rounded to 6 BEFORE selection on both engines so the
+    argmax chain is ULP-stable; the oracle unrolls the same 5 greedy
+    stages as correlated-subquery CTEs."""
+    from pyspark.sql import functions as F
+
+    from ..functions.vectors import cosine_similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    )
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("q")), 6
+            ).alias("simq"),
+        )
+        .orderBy(F.desc("simq"), F.asc("vec_id"))
+        .limit(_MMR_POOL)
+    ).localCheckpoint(eager=True)
+    a = cand.select(F.col("vec_id").alias("id_a"),
+                    F.col("embedding").alias("ea"))
+    b = cand.select(F.col("vec_id").alias("id_b"),
+                    F.col("embedding").alias("eb"))
+    pair_rows = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine_similarity(F.col("ea"), F.col("eb")), 6
+            ).alias("sim"),
+        )
+        .collect()  # bounded: pool² − pool = 380 rows
+    )
+    simq = {r["vec_id"]: r["simq"] for r in cand.select("vec_id", "simq").collect()}
+    pair = {(r["id_a"], r["id_b"]): r["sim"] for r in pair_rows}
+    selected: list[int] = []
+    for _ in range(_MMR_K):
+        best = None
+        for v, sq in simq.items():
+            if v in selected:
+                continue
+            penalty = max(pair[(v, s)] for s in selected) if selected else 0.0
+            score = _MMR_LAMBDA * sq - (1 - _MMR_LAMBDA) * penalty
+            key = (-score, v)
+            if best is None or key < best[0]:
+                best = (key, v)
+        selected.append(best[1])
+    rank = F.lit(None).cast("int")
+    for i, v in enumerate(reversed(selected)):
+        rank = F.when(F.col("vec_id") == v, F.lit(len(selected) - i)).otherwise(rank)
+    return (
+        cand.filter(F.col("vec_id").isin(selected))
+        .select("vec_id", F.col("simq").alias("query_sim"), rank.alias("rank"))
+    )

@@ -41,7 +41,9 @@ from . import layout as layout_plans  # noqa: E402,F401
 # that graduated from rows-only to full value oracles. The remaining 36
 # slots are the recency refresh: the r02-signed rows in registry order,
 # except the two O(n^2) oracle-baseline heavies (dedup_embedding_cosine,
-# knn_all_pairs_top3) which roll into the r8 refresh with the r03 rows.
+# knn_all_pairs_top3) plus text_token_counts/window_rank_top_orders,
+# which roll into the r8 refresh with the r03 rows (displaced when the
+# two late-r7 knn additions took never-signed priority).
 # Everything outside the window stays exercised by tests and
 # tools/driver_sim.py (which sweeps ALL queries).
 _PRIORITY = [
@@ -55,6 +57,8 @@ _PRIORITY = [
     "events_peak_hours",
     "graph_link_prediction",
     "layout_compaction_bins",
+    "knn_filtered_cosine",
+    "knn_mmr_diversified",
     # --- changed in r7: need a fresh signature ---
     "graph_bfs_hops",
     "embedding_covariance",
@@ -96,8 +100,6 @@ _PRIORITY = [
     "subquery_in_top_nations",
     "text_rolling_fingerprint",
     "text_stats",
-    "text_token_counts",
-    "window_rank_top_orders",
 ]
 
 

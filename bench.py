@@ -35,6 +35,14 @@ each re-measured in a fresh JVM via SPARK_GRAFT_BENCH_ONLY, reps=3:
   1.09 s is the outlier (machine variance between rounds), not a
   regression to chase.
 
+Round-7 plan fixes caught BY this bench: graph_link_prediction first
+measured 16.4 s — the plan audit showed (a) the edge list re-deriving the
+whole SimHash pipeline under five consumers (fixed with the operator's
+eager localCheckpoint) and (b) an 86M-row wedge expansion on the
+clique-dense near-dup graph (p90 degree 459), fixed by making the
+standard degree-≤64 center cut part of the query semantics on BOTH
+engines. Re-measured 4.0 s, oracle parity unchanged.
+
 Noise control (round-3 fix): single-shot cold timings swung 2x on unchanged
 plans (q1 cold 3.88s vs warm 1.01s in one session), which is useless for a
 "within 2x" gate. Each query now runs ``SPARK_GRAFT_BENCH_REPS`` times

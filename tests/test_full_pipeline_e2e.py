@@ -195,7 +195,8 @@ def test_full_topology_wire_kafka_to_wire_mysql(spark, broker, tmp_path):
         def factory(host=host, port=port):
             from kafka_avro_pipeline_java_spark.streaming import mysql_wire
 
-            return mysql_wire.connect(host, port, "root", "exam")
+            return mysql_wire.connect(host, port, "root", "exam",
+                                      timeout_s=120.0)
 
         raw = read_kafka_stream_py(
             spark, broker.bootstrap, "orders_avro", max_records_per_batch=7

@@ -180,7 +180,10 @@ def test_exactly_once_sink_against_wire_mysql(spark, tmp_path):
         def factory(host=host, port=port):
             from kafka_avro_pipeline_java_spark.streaming import mysql_wire
 
-            return mysql_wire.connect(host, port, "root", "pw")
+            # generous socket timeout: under full-suite load (32 threads,
+            # GC pauses) a 10 s handshake deadline can flake
+            return mysql_wire.connect(host, port, "root", "pw",
+                                      timeout_s=120.0)
 
         sink = ExactlyOnceDbSink(
             factory,

@@ -1015,3 +1015,93 @@ def events_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "hr", "cnt", (F.col("cnt") - F.col("nb_max")).cast("bigint").alias("prominence")
     )
+
+
+@query(
+    "events_mad_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY cnt, hr) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM hourly
+    ), med AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN cnt ELSE 0 END)
+                  + SUM(CASE WHEN rn = (n + 2) // 2 THEN cnt ELSE 0 END)
+                  AS BIGINT) AS med2
+      FROM ranked GROUP BY event_type
+    ), dev AS (
+      SELECT h.event_type, h.hr, h.cnt,
+             ABS(2 * h.cnt - m.med2) AS dev2
+      FROM hourly h JOIN med m USING (event_type)
+    ), dranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY dev2, hr) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    ), madt AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN dev2 ELSE 0 END)
+                  + SUM(CASE WHEN rn = (n + 2) // 2 THEN dev2 ELSE 0 END)
+                  AS BIGINT) AS mad4
+      FROM dranked GROUP BY event_type
+    )
+    SELECT d.event_type, d.hr, d.cnt,
+           ROUND(2.0 * d.dev2 / (1.4826 * t.mad4), 6) AS robust_z
+    FROM dev d JOIN madt t USING (event_type)
+    WHERE t.mad4 > 0 AND 2.0 * d.dev2 / (1.4826 * t.mad4) > 3.5
+    """,
+)
+def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust anomaly detection on hourly volume per event
+    type: flag hours with |cnt − median| > 3.5 · 1.4826·MAD — the
+    outlier-resistant complement of events_hourly_anomaly's mean/σ
+    z-score (one burst inflates a stddev and masks itself; it cannot
+    move a median). Exact-integer discipline for the two medians: the
+    middle-two-rank SUM gives 2·median(cnt) and 2·median(dev) as exact
+    BIGINTs (ties are value-equal at the middle, so the (value, hr)
+    rank tiebreak cannot change them), and the robust z is one double
+    division at the end — both engines flag identical hours. Two
+    ordered windows over the HOUR-domain series per type; flagged rows
+    only."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+
+    def med2_of(df: DataFrame, col: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col, "hr")
+        ranked = df.select(
+            "event_type",
+            col,
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+        )
+        mid1 = F.floor((F.col("n") + 1) / 2)
+        mid2 = F.floor((F.col("n") + 2) / 2)
+        return ranked.groupBy("event_type").agg(
+            (
+                F.sum(F.when(F.col("rn") == mid1, F.col(col)).otherwise(0))
+                + F.sum(F.when(F.col("rn") == mid2, F.col(col)).otherwise(0))
+            ).cast("bigint").alias(f"med2_{col}")
+        )
+
+    med = med2_of(hourly, "cnt")
+    dev = hourly.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "hr",
+        "cnt",
+        F.abs(2 * F.col("cnt") - F.col("med2_cnt")).alias("dev2"),
+    )
+    madt = med2_of(dev, "dev2").withColumnRenamed("med2_dev2", "mad4")
+    z = 2.0 * F.col("dev2") / (1.4826 * F.col("mad4"))
+    return (
+        dev.join(F.broadcast(madt), "event_type")
+        .filter((F.col("mad4") > 0) & (z > 3.5))
+        .select("event_type", "hr", "cnt", F.round(z, 6).alias("robust_z"))
+    )

@@ -497,3 +497,122 @@ def stats_pmi_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("mi_contrib"),
     )
+
+
+@query(
+    "stats_theil_sen_trend",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS mon,
+             CAST(ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                        / 100000.0, 0) AS BIGINT) AS rev_k
+      FROM orders GROUP BY 1
+    ), idx AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY mon) AS BIGINT) AS i, rev_k
+      FROM m
+    ), slopes AS (
+      SELECT CAST(b.rev_k - a.rev_k AS DOUBLE) / (b.i - a.i) AS s,
+             a.i AS ai, b.i AS bi
+      FROM idx a JOIN idx b ON b.i > a.i
+    ), ranked AS (
+      SELECT s, ROW_NUMBER() OVER (ORDER BY s, ai, bi) AS rn,
+             COUNT(*) OVER () AS n
+      FROM slopes
+    ), sen AS (
+      SELECT (SUM(CASE WHEN rn = (n + 1) // 2 THEN s ELSE 0 END)
+              + SUM(CASE WHEN rn = (n + 2) // 2 THEN s ELSE 0 END)) / 2
+               AS slope,
+             CAST(MAX(n) AS BIGINT) AS n_pairs
+      FROM ranked
+    ), resid AS (
+      SELECT idx.rev_k - sen.slope * idx.i AS r, idx.i,
+             ROW_NUMBER() OVER (ORDER BY idx.rev_k - sen.slope * idx.i,
+                                idx.i) AS rn,
+             COUNT(*) OVER () AS n
+      FROM idx, sen
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM idx) AS n_months,
+           sen.n_pairs,
+           ROUND(sen.slope, 6) AS sen_slope,
+           ROUND((SELECT (SUM(CASE WHEN rn = (n + 1) // 2 THEN r ELSE 0 END)
+                          + SUM(CASE WHEN rn = (n + 2) // 2 THEN r
+                                ELSE 0 END)) / 2
+                  FROM resid), 6) AS sen_intercept
+    FROM sen
+    """,
+)
+def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of monthly revenue: the MEDIAN of all
+    pairwise slopes (and the median-residual intercept) — immune to the
+    outlier months that swing the OLS line (agg_ols_qty_price's
+    breakdown point is one bad point; Theil–Sen's is 29%). The pair
+    join is month-domain bounded (n months → n(n−1)/2 ≈ 3k pairs at 80
+    months — a century is ~720k pairs, still nothing), slopes are
+    identical per-pair doubles from integer-quantized revenue, and both
+    medians use the exact middle-two-rank selection with (value, i, j)
+    tiebreaks, so the engines pick identical elements. One ordered pass
+    over the slope list; no corpus-sized work beyond the month rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("mon")).agg(
+        F.round(F.sum(cents) / 100000.0, 0).cast("bigint").alias("rev_k")
+    )
+    idx = m.select(
+        F.row_number().over(Window.orderBy("mon")).cast("bigint").alias("i"),
+        "rev_k",
+    )
+    a = idx.select(F.col("i").alias("ai"), F.col("rev_k").alias("ra"))
+    b = idx.select(F.col("i").alias("bi"), F.col("rev_k").alias("rb"))
+    slopes = (
+        a.crossJoin(b)
+        .filter(F.col("bi") > F.col("ai"))
+        .select(
+            ((F.col("rb") - F.col("ra")).cast("double")
+             / (F.col("bi") - F.col("ai"))).alias("s"),
+            "ai",
+            "bi",
+        )
+    )
+
+    def median_double(df: DataFrame, col: str, *tiebreak: str):
+        w = Window.orderBy(col, *tiebreak)
+        ranked = df.select(
+            col,
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy()).alias("n"),
+        )
+        mid1 = F.floor((F.col("n") + 1) / 2)
+        mid2 = F.floor((F.col("n") + 2) / 2)
+        return ranked.agg(
+            (
+                (
+                    F.sum(F.when(F.col("rn") == mid1, F.col(col)).otherwise(0.0))
+                    + F.sum(F.when(F.col("rn") == mid2, F.col(col)).otherwise(0.0))
+                ) / 2
+            ).alias("med"),
+            F.max("n").cast("bigint").alias("n_rows"),
+        )
+
+    sen = median_double(slopes, "s", "ai", "bi").select(
+        F.col("med").alias("slope"), F.col("n_rows").alias("n_pairs")
+    )
+    resid = idx.crossJoin(F.broadcast(sen)).select(
+        (F.col("rev_k") - F.col("slope") * F.col("i")).alias("r"),
+        "i",
+        "slope",
+        "n_pairs",
+    )
+    icept = median_double(resid, "r", "i").select(
+        F.col("med").alias("intercept")
+    )
+    n_months = idx.agg(F.count("*").cast("bigint").alias("n_months"))
+    return (
+        n_months.crossJoin(F.broadcast(sen))
+        .crossJoin(F.broadcast(icept))
+        .select(
+            "n_months",
+            "n_pairs",
+            F.round("slope", 6).alias("sen_slope"),
+            F.round("intercept", 6).alias("sen_intercept"),
+        )
+    )

@@ -4,9 +4,9 @@ The reference's consumer binds rows into MySQL through JDBC
 (``MySQLProcessData.java:94-156`` dynamic INSERT + typed binding over
 mysql-connector). This container ships no MySQL server and no JDBC
 driver, so — same move as ``kafka_wire.py`` for the broker side — the
-protocol itself is implemented from the public documentation (MySQL
-Client/Server Protocol, dev.mysql.com/doc/dev/mysql-server: handshake v10,
-``mysql_native_password`` auth, COM_QUERY, text resultsets), giving the
+protocol itself is implemented from the public MySQL Client/Server
+Protocol documentation (handshake v10, ``mysql_native_password`` auth,
+COM_QUERY, text resultsets), giving the
 repo an EXECUTED MySQL path over real TCP sockets:
 
 - ``MySQLWireConnection`` — a DB-API 2.0 subset (cursor / execute /

@@ -45,7 +45,10 @@ from . import layout as layout_plans  # noqa: E402,F401
 # which roll into the r8 refresh with the r03 rows (displaced when the
 # two late-r7 knn additions took never-signed priority).
 # Everything outside the window stays exercised by tests and
-# tools/driver_sim.py (which sweeps ALL queries).
+# tools/driver_sim.py (which sweeps ALL queries). The two robust-stats
+# queries added after the window filled (events_mad_anomaly,
+# stats_theil_sen_trend) are sweep-verified this round and take
+# never-signed priority at the head of the r8 window.
 _PRIORITY = [
     # --- never driver-signed (added r7) ---
     "stats_ks_two_sample",

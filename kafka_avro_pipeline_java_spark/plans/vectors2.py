@@ -362,7 +362,7 @@ def _mmr_oracle(lam: float = _MMR_LAMBDA, pool: int = _MMR_POOL,
         "SUM(CAST(a.embedding[i.i] AS DOUBLE)"
         " * CAST(b.embedding[i.i] AS DOUBLE))"
     )
-    steps, sel = [], "sel1"
+    steps = []
     steps.append(f"""
     sel1 AS (
       SELECT vec_id, simq, 1 AS rank FROM cand
@@ -385,7 +385,6 @@ def _mmr_oracle(lam: float = _MMR_LAMBDA, pool: int = _MMR_POOL,
         ) DESC, c.vec_id
       LIMIT 1
     )""")
-        sel = f"sel{i}"
     final = " UNION ALL ".join(f"SELECT * FROM sel{j}"
                                for j in range(1, k + 1))
     return f"""

@@ -17,9 +17,13 @@ documented, bounded, and exercised by the parity tests):
   ``VALUES(col)`` → ``excluded.col`` and ``GREATEST`` → ``MAX``; the
   conflict target comes from ``PRAGMA table_info`` (the real PK), not a
   hardcoded table list.
-- ``SET ...`` session commands acknowledge with OK (autocommit is
-  emulated: the per-client sqlite connection runs in deferred-transaction
-  mode, so COMMIT/ROLLBACK behave exactly like autocommit=0).
+- ``SET ...`` session commands acknowledge with OK. Autocommit=0 is
+  emulated by the server itself: BEGIN IMMEDIATE before a client's first
+  statement, explicit COMMIT/ROLLBACK (IMMEDIATE because a deferred
+  SELECT-then-INSERT transaction hits sqlite's upgrade-deadlock "database
+  is locked" under concurrent writers — the busy timeout is not consulted
+  on that path; taking the write lock up front serializes writers through
+  the timeout instead, the innodb-lock-wait shape).
 
 Concurrency: one sqlite connection per CLIENT connection against a shared
 on-disk database with a busy timeout — writers serialize exactly like
@@ -225,12 +229,21 @@ class FakeMySQLServer:
             return
         if up.startswith("BEGIN") or up.startswith("START TRANSACTION"):
             if not db.in_transaction:
-                db.execute("BEGIN")
+                db.execute("BEGIN IMMEDIATE")
             io.write_packet(_ok_packet())
             return
         try:
             if not db.in_transaction:
-                db.execute("BEGIN")  # MySQL autocommit=0 semantics
+                # MySQL autocommit=0 semantics. IMMEDIATE, not DEFERRED:
+                # a deferred transaction that SELECTs (ledger probe) and
+                # then INSERTs needs a SHARED->RESERVED lock upgrade,
+                # and sqlite fails that upgrade with an IMMEDIATE
+                # "database is locked" (deadlock avoidance — the busy
+                # timeout is not consulted) when another writer holds
+                # RESERVED. Taking the write lock up front serializes
+                # concurrent partition transactions through the busy
+                # timeout instead, like innodb lock waits would.
+                db.execute("BEGIN IMMEDIATE")
             cur = db.execute(self._to_sqlite(db, stripped))
         except sqlite3.Error as e:
             io.write_packet(_err_packet(1064, str(e)))

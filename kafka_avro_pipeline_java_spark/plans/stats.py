@@ -616,3 +616,96 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("intercept", 6).alias("sen_intercept"),
         )
     )
+
+
+@query(
+    "stats_kendall_tau",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS y,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ), conc AS (
+      SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS s
+      FROM cells a JOIN cells b ON b.x > a.x AND b.y > a.y
+    ), disc AS (
+      SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS s
+      FROM cells a JOIN cells b ON b.x > a.x AND b.y < a.y
+    ), tots AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells
+    ), tx AS (
+      SELECT CAST(SUM(ct * (ct - 1) / 2) AS BIGINT) AS t
+      FROM (SELECT SUM(c) AS ct FROM cells GROUP BY x)
+    ), ty AS (
+      SELECT CAST(SUM(ct * (ct - 1) / 2) AS BIGINT) AS t
+      FROM (SELECT SUM(c) AS ct FROM cells GROUP BY y)
+    )
+    SELECT tots.n,
+           conc.s AS concordant, disc.s AS discordant,
+           ROUND((conc.s - disc.s)
+                 / (SQRT(CAST(tots.n * (tots.n - 1) / 2 - tx.t AS DOUBLE))
+                    * SQRT(CAST(tots.n * (tots.n - 1) / 2 - ty.t
+                           AS DOUBLE))), 6) AS tau_b
+    FROM conc, disc, tots, tx, ty
+    """,
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b between l_quantity and the cent-quantized l_discount —
+    the third rank statistic next to Spearman (τ is the probability-of-
+    concordance scale the other two lack). Never touches row pairs: both
+    variables live on tiny integer domains (50 quantities × ~11 discount
+    cents), so concordant/discordant PAIR COUNTS come from a cell×cell
+    join over the |X|·|Y| CONTINGENCY table (≤ 550 cells — domain-sized,
+    row-count-free), every term an exact BIGINT product; the tie terms
+    use the marginals. One corpus scan for the contingency counts; at
+    100 TB nothing downstream of that scan grows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint").alias("y"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    a = cells.select(
+        F.col("x").alias("ax"), F.col("y").alias("ay"), F.col("c").alias("ac")
+    )
+    b = cells.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"), F.col("c").alias("bc")
+    )
+    conc = (
+        a.join(F.broadcast(b), (F.col("bx") > F.col("ax")) & (F.col("by") > F.col("ay")))
+        .agg(F.sum(F.col("ac") * F.col("bc")).cast("bigint").alias("concordant"))
+    )
+    disc = (
+        a.join(F.broadcast(b), (F.col("bx") > F.col("ax")) & (F.col("by") < F.col("ay")))
+        .agg(F.sum(F.col("ac") * F.col("bc")).cast("bigint").alias("discordant"))
+    )
+    tots = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    tx = (
+        cells.groupBy("x").agg(F.sum("c").alias("ct"))
+        .agg(F.sum(F.col("ct") * (F.col("ct") - 1) / 2).cast("bigint").alias("tx"))
+    )
+    ty = (
+        cells.groupBy("y").agg(F.sum("c").alias("ct"))
+        .agg(F.sum(F.col("ct") * (F.col("ct") - 1) / 2).cast("bigint").alias("ty"))
+    )
+    j = (
+        tots.crossJoin(F.broadcast(conc))
+        .crossJoin(F.broadcast(disc))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    n = F.col("n")
+    half = (n * (n - 1) / 2).cast("bigint")
+    return j.select(
+        "n",
+        "concordant",
+        "discordant",
+        F.round(
+            (F.col("concordant") - F.col("discordant"))
+            / (
+                F.sqrt((half - F.col("tx")).cast("double"))
+                * F.sqrt((half - F.col("ty")).cast("double"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )

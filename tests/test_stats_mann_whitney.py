@@ -151,3 +151,31 @@ def test_spearman_matches_bruteforce_rank_pearson(spark, sf_dir):
     row = QUERIES["stats_spearman_corr"](spark, sf_dir).collect()[0]
     assert row["n"] == n
     assert abs(row["rho"] - rho) < 1e-6
+
+
+def test_kendall_tau_matches_bruteforce_pairs(spark, sf_dir):
+    import numpy as np
+
+    t = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_discount"]
+    )
+    x = np.array([int(v) for v in t["l_quantity"].to_pylist()])
+    y = np.array([round(v * 100) for v in t["l_discount"].to_pylist()])
+    n = len(x)
+    # vectorized exact pair counting over all n(n-1)/2 pairs
+    dx = np.sign(x[:, None] - x[None, :])
+    dy = np.sign(y[:, None] - y[None, :])
+    prod = dx * dy
+    iu = np.triu_indices(n, k=1)
+    conc = int((prod[iu] > 0).sum())
+    disc = int((prod[iu] < 0).sum())
+    tx = int((dx[iu] == 0).sum())
+    ty = int((dy[iu] == 0).sum())
+    half = n * (n - 1) // 2
+    tau = (conc - disc) / (
+        math.sqrt(half - tx) * math.sqrt(half - ty)
+    )
+    row = QUERIES["stats_kendall_tau"](spark, sf_dir).collect()[0]
+    assert row["n"] == n
+    assert (row["concordant"], row["discordant"]) == (conc, disc)
+    assert abs(row["tau_b"] - tau) < 1e-6

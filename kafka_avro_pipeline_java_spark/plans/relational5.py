@@ -266,3 +266,68 @@ def agg_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "sql_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE walk(part, anc, depth) AS (
+      SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey % 97 = 0
+      UNION ALL
+      SELECT part, anc // 2, depth + 1 FROM walk WHERE anc > 1
+    )
+    SELECT part, CAST(MAX(depth) AS INT) AS depth_to_root,
+           CAST(SUM(anc) AS BIGINT) AS path_sum
+    FROM walk GROUP BY part
+    """,
+)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE — new engine surface in Spark 4)
+    walking the implicit binary-tree hierarchy part → part÷2 → … → 1 for
+    every 97th part: per-part depth-to-root and exact ancestor-key path
+    sum — the org-chart / BOM-explosion query shape, expressed as ONE
+    SQL statement that BOTH engines execute natively (the only dialect
+    difference is integer division: DIV vs //). Each seed's chain is
+    ⌈log₂ key⌉ rows, so the recursion's working set is seeds×depth —
+    bounded, no cycle risk, no path multiplication (contrast the
+    unrolled-CTE oracles used for the graph family, which exist because
+    UNION ALL recursion over a CYCLIC clique-dense graph would multiply
+    paths; on a tree the recursion is the natural form)."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql("""
+      WITH RECURSIVE walk(part, anc, depth) AS (
+        SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey % 97 = 0
+        UNION ALL
+        SELECT part, anc DIV 2, depth + 1 FROM walk WHERE anc > 1
+      )
+      SELECT part, CAST(MAX(depth) AS INT) AS depth_to_root,
+             CAST(SUM(anc) AS BIGINT) AS path_sum
+      FROM walk GROUP BY part
+    """)
+
+
+@query(
+    "join_right_outer_nation_suppliers",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(COUNT(s.s_suppkey) AS BIGINT) AS n_suppliers
+    FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_right_outer_nation_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RIGHT OUTER join — the one outer-join direction the catalog's
+    inner/left/semi/anti/full zoo didn't yet spell out: every nation with
+    its supplier count, nations with NO suppliers kept at 0 (COUNT over
+    the nullable key, not COUNT(*), so preserved-but-unmatched rows count
+    zero — the classic right-join footgun). Catalyst plans it as the
+    mirrored left join with the small side broadcast."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("s_suppkey").cast("bigint").alias("n_suppliers"))
+    )

@@ -163,3 +163,38 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("frame_payload").alias("frame_bytes"),
         F.md5("frame_payload").alias("frame_md5"),
     )
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle="""
+    WITH auds AS (
+      SELECT doc_id AS media_id, text, length(text) AS n
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT media_id, CAST(i.i AS INT) AS window_index,
+           CAST(length(substr(text, CAST(i.i * 64 + 1 AS INT), 64)) AS INT)
+             AS window_bytes,
+           CAST((
+             SELECT SUM((ascii(substr(w.win, j.j, 1)) - 128)
+                        * (ascii(substr(w.win, j.j, 1)) - 128))
+             FROM (SELECT substr(text, CAST(i.i * 64 + 1 AS INT), 64)
+                     AS win) w,
+                  UNNEST(range(1, len(w.win) + 1)) AS j(j)
+           ) AS BIGINT) AS energy
+    FROM auds, UNNEST(range(0, least(8, greatest(1, n // 64)))) AS i(i)
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed PCM energy over the audio rows — the fourth multimodal
+    row, and the first whose per-window VALUE is real signal math on the
+    raw bytes rather than an md5 of a stub slice: unsigned-8-bit samples,
+    Σ(s−128)² per 64-byte window (the silence/loudness gate an audio
+    pipeline runs before decode). Exact integer energies; the oracle
+    recomputes them from ASCII codes of the same text-derived payload
+    (operators/multimodal.py::audio_window_energy)."""
+    from ..operators.multimodal import audio_window_energy, text_as_media
+
+    d = load_table(spark, sf_dir, "documents")
+    media = text_as_media(d, "doc_id", "text")
+    return audio_window_energy(media, window_bytes=64, max_windows=8)

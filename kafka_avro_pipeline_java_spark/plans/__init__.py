@@ -48,7 +48,8 @@ from . import layout as layout_plans  # noqa: E402,F401
 # tools/driver_sim.py (which sweeps ALL queries). The two robust-stats
 # queries added after the window filled (events_mad_anomaly,
 # stats_theil_sen_trend, stats_kendall_tau, sql_recursive_hierarchy,
-# join_right_outer_nation_suppliers, multimodal_audio_energy) are sweep-verified this round and take
+# join_right_outer_nation_suppliers, multimodal_audio_energy,
+# agg_exact_quartiles_price) are sweep-verified this round and take
 # never-signed priority at the head of the r8 window.
 _PRIORITY = [
     # --- never driver-signed (added r7) ---

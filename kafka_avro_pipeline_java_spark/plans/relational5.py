@@ -331,3 +331,74 @@ def join_right_outer_nation_suppliers(
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.count("s_suppkey").cast("bigint").alias("n_suppliers"))
     )
+
+
+@query(
+    "agg_exact_quartiles_price",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ), cum AS (
+      SELECT v, c,
+             CAST(COALESCE(SUM(c) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS below,
+             CAST(SUM(c) OVER () AS BIGINT) AS n
+      FROM vals
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN below < (n + 3) // 4
+                          AND (n + 3) // 4 <= below + c
+                     THEN v ELSE 0 END) AS BIGINT) AS q1_cents,
+           CAST(SUM(CASE WHEN below < (n + 1) // 2
+                          AND (n + 1) // 2 <= below + c
+                     THEN v ELSE 0 END)
+                + SUM(CASE WHEN below < (n + 2) // 2
+                            AND (n + 2) // 2 <= below + c
+                      THEN v ELSE 0 END) AS BIGINT) AS median2_cents,
+           CAST(SUM(CASE WHEN below < (3 * n + 1) // 4
+                          AND (3 * n + 1) // 4 <= below + c
+                     THEN v ELSE 0 END) AS BIGINT) AS q3_cents
+    FROM cum
+    """,
+)
+def agg_exact_quartiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed quartiles of l_extendedprice — the precise
+    counterpart of the rows-only `approx_percentile_prices`: quantiles
+    by ORDER-STATISTIC SELECTION over the cent-value HISTOGRAM, never a
+    global row sort. One keyed count to the distinct-value domain, one
+    cumulative window over it, then each quartile is "the value whose
+    cumulative range covers rank ⌈q·n⌉" — a CASE-gated SUM (exactly one
+    value qualifies per rank by construction). Q1/Q3 use the type-1
+    (lower order statistic) definition, the median carries both middle
+    ranks as an exact-integer 2·median — the repo's selection-not-
+    interpolation discipline (events_mad_anomaly). At 100 TB the ordered
+    pass is over distinct cents (value-domain-bounded); contrast
+    percentile_approx, whose sketch error this query measures."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.groupBy(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("v")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vals.select(
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).cast("bigint").alias("below"),
+        F.sum("c").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    n = F.col("n")
+
+    def pick(rank):
+        hit = (F.col("below") < rank) & (rank <= F.col("below") + F.col("c"))
+        return F.sum(F.when(hit, F.col("v")).otherwise(0)).cast("bigint")
+
+    return cum.agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        pick(F.floor((n + 3) / 4)).alias("q1_cents"),
+        (
+            pick(F.floor((n + 1) / 2)) + pick(F.floor((n + 2) / 2))
+        ).cast("bigint").alias("median2_cents"),
+        pick(F.floor((3 * n + 1) / 4)).alias("q3_cents"),
+    )

@@ -1,9 +1,14 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
 
-The container has no image/audio codecs, so the decode step is a
-deterministic fake behind ``decode_stub`` (clearly marked). Everything
-Spark-side is real and tested: schema, Arrow batching via ``mapInPandas``,
-partition-preserving iteration, and metadata extraction with built-ins.
+Image decode is REAL for the one mainstream container that needs no codec
+library: 24-bpp uncompressed BMP (``decode_bmp``/``encode_bmp``, golden-
+bytes-pinned), with an integer-exact box-filter resize (``box_resize``)
+and windowed PCM energy for audio (``audio_window_energy``). Only the
+compressed-codec paths (JPEG/ffmpeg frame seeking) remain deterministic
+fakes behind ``decode_stub``/``sample_frames`` (clearly marked — those
+libraries are absent here). Everything Spark-side is real and tested:
+schema, Arrow batching via ``mapInPandas``, partition-preserving
+iteration, and metadata extraction with built-ins.
 
 At 100 TB this is the pattern for media processing: binary column stays
 opaque through shuffles; per-batch Python touches only the rows of its
@@ -188,6 +193,148 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
             )
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# REAL image decode: 24-bit uncompressed BMP (BI_RGB), pure numpy.
+# BMP is the one mainstream raster container that needs no codec library —
+# the pixel array is raw bytes behind a 54-byte header (BITMAPFILEHEADER +
+# BITMAPINFOHEADER, Windows GDI public spec): little-endian fields, rows
+# stored BOTTOM-UP, each row padded to a 4-byte boundary, pixels as BGR.
+# decode_bmp/encode_bmp below implement that spec exactly (golden-bytes
+# pinned in tests/test_operators.py), replacing the md5 decode stub for
+# the image path.
+# --------------------------------------------------------------------------
+_BMP_HEADER_SIZE = 54
+
+
+def encode_bmp(pixels) -> bytes:
+    """HxWx3 uint8 RGB array → 24-bpp BI_RGB BMP file bytes."""
+    import numpy as np
+    import struct
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row_raw = w * 3
+    row_padded = (row_raw + 3) & ~3
+    img_size = row_padded * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", _BMP_HEADER_SIZE + img_size, 0, 0, _BMP_HEADER_SIZE
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = np.zeros((h, row_padded), dtype=np.uint8)
+    # bottom-up, BGR
+    rows[:, :row_raw] = px[::-1, :, ::-1].reshape(h, row_raw)
+    return header + rows.tobytes()
+
+
+def decode_bmp(data: bytes):
+    """BMP file bytes → HxWx3 uint8 RGB array. Supports the 24-bpp
+    uncompressed (BI_RGB) case only; anything else raises loudly."""
+    import numpy as np
+    import struct
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP file (missing BM magic)")
+    pixel_offset = struct.unpack_from("<I", data, 10)[0]
+    (hdr_size, w, h, _planes, bpp, compression) = struct.unpack_from(
+        "<IiiHHI", data, 14
+    )
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    top_down = h < 0
+    h = abs(h)
+    row_raw = w * 3
+    row_padded = (row_raw + 3) & ~3
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=row_padded * h, offset=pixel_offset
+    ).reshape(h, row_padded)
+    bgr = rows[:, :row_raw].reshape(h, w, 3)
+    if not top_down:
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1].copy()  # BGR → RGB
+
+
+def box_resize(img, factor: int):
+    """Integer-exact box-filter downsample: each output pixel is the
+    FLOOR-MEAN of its factor×factor input block (Σblock // factor²) —
+    deterministic integer math, so resized pixels value-oracle exactly."""
+    import numpy as np
+
+    px = np.asarray(img, dtype=np.int64)
+    h, w, c = px.shape
+    oh, ow = h // factor, w // factor
+    blocks = px[: oh * factor, : ow * factor].reshape(
+        oh, factor, ow, factor, c
+    )
+    return (blocks.sum(axis=(1, 3)) // (factor * factor)).astype(np.uint8)
+
+
+GRAY_BMP_SCHEMA = "media_id long, payload binary"
+
+
+def text_to_gray_bmp(
+    media: DataFrame, *, width: int = 8, height: int = 8
+) -> DataFrame:
+    """Synthesize REAL BMP payloads from the text-derived media table:
+    pixel (r, c) is the grayscale byte text[(r*width + c) mod n] repeated
+    across RGB — the codec-free stand-in for reading image files via
+    binaryFile (the bytes ARE a spec-compliant BMP; only their provenance
+    is synthetic). Image-typed rows only; empty payloads dropped."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = (
+            np.arange(height * width).reshape(height, width)
+        )
+        for pdf in it:
+            imgs = pdf[pdf["media_type"] == "image"]
+            ids, payloads = [], []
+            for mid, p in zip(imgs["media_id"], imgs["payload"]):
+                b = np.frombuffer(bytes(p), dtype=np.uint8)
+                if len(b) == 0:
+                    continue
+                gray = b[idx % len(b)]
+                ids.append(mid)
+                payloads.append(encode_bmp(np.repeat(gray[:, :, None], 3, axis=2)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return media.mapInPandas(batches, schema=GRAY_BMP_SCHEMA)
+
+
+RESIZED_PIXEL_SCHEMA = "media_id long, out_r int, out_c int, gray int"
+
+
+def decode_resize_pixels(bmp_media: DataFrame, *, factor: int = 2) -> DataFrame:
+    """REAL image decode + resize over binary payloads: parse each BMP
+    (header, bottom-up row order, 4-byte padding — decode_bmp), box-filter
+    downsample by ``factor`` with integer-exact floor-mean pixels
+    (box_resize), emit one row per output pixel (R channel; inputs here
+    are grayscale so channels agree). This retires the md5 resize stub as
+    the only image path: the pixel VALUES are real math on decoded bytes.
+    Arrow-batched mapInPandas; at 100 TB the pass is scan-bound over the
+    binary column with zero shuffles, the same shape as audio energy."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, rs, cs, vals = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                small = box_resize(decode_bmp(bytes(p)), factor)
+                oh, ow, _ = small.shape
+                rr, cc = np.meshgrid(
+                    np.arange(oh), np.arange(ow), indexing="ij"
+                )
+                ids.extend([mid] * (oh * ow))
+                rs.extend(rr.ravel().tolist())
+                cs.extend(cc.ravel().tolist())
+                vals.extend(small[:, :, 0].ravel().tolist())
+            yield pd.DataFrame(
+                {"media_id": ids, "out_r": rs, "out_c": cs, "gray": vals}
+            )
+
+    return bmp_media.mapInPandas(batches, schema=RESIZED_PIXEL_SCHEMA)
 
 
 AUDIO_ENERGY_SCHEMA = (

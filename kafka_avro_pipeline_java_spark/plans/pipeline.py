@@ -198,3 +198,52 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = text_as_media(d, "doc_id", "text")
     return audio_window_energy(media, window_bytes=64, max_windows=8)
+
+
+@query(
+    "multimodal_image_resize",
+    oracle="""
+    WITH imgs AS (
+      SELECT doc_id AS media_id, text, length(text) AS n
+      FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0
+    ), px AS (
+      SELECT media_id, r.r AS r, c.c AS c,
+             ascii(substr(text,
+                          CAST((r.r * 8 + c.c) % n + 1 AS INT), 1)) AS v
+      FROM imgs,
+           UNNEST(range(0, 8)) AS r(r),
+           UNNEST(range(0, 8)) AS c(c)
+    )
+    SELECT media_id,
+           CAST(r // 2 AS INT) AS out_r,
+           CAST(c // 2 AS INT) AS out_c,
+           CAST(SUM(v) // 4 AS INT) AS gray
+    FROM px
+    GROUP BY media_id, r // 2, c // 2
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode + box-filter resize — the row that flips the
+    multimodal component from partial to done. Image-typed docs are
+    rendered as spec-compliant 24-bpp BMP files (54-byte header,
+    bottom-up rows, 4-byte padding — encode_bmp), then the operator under
+    test DECODES those bytes (decode_bmp: header parse, row unflip,
+    BGR→RGB, pad strip) and box-downsamples 8×8→4×4 with integer-exact
+    floor-mean pixels (Σ 2×2 block // 4). One row per output pixel; the
+    oracle recomputes every gray value straight from the document's
+    ASCII bytes, so a decoder that misreads padding, row order, or
+    channel order CANNOT hash-match (and the golden-bytes pytest pins the
+    format independently of this encode→decode round trip). No codec
+    library involved — BMP's pixel array is raw bytes behind a public
+    54-byte header, which is exactly why it's the scale-path container
+    for decode-side tests (operators/multimodal.py::decode_bmp)."""
+    from ..operators.multimodal import (
+        decode_resize_pixels,
+        text_as_media,
+        text_to_gray_bmp,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    media = text_as_media(d, "doc_id", "text")
+    bmps = text_to_gray_bmp(media, width=8, height=8)
+    return decode_resize_pixels(bmps, factor=2)

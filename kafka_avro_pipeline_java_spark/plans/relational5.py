@@ -322,10 +322,13 @@ def join_right_outer_nation_suppliers(
     inner/left/semi/anti/full zoo didn't yet spell out: every nation with
     its supplier count, nations with NO suppliers kept at 0 (COUNT over
     the nullable key, not COUNT(*), so preserved-but-unmatched rows count
-    zero — the classic right-join footgun). Catalyst plans it as the
-    mirrored left join with the small side broadcast."""
+    zero — the classic right-join footgun). Nation is loaded WITHOUT the
+    catalog's automatic broadcast hint: as the preserved side of a right
+    outer join it cannot be the build side, and the unusable hint only
+    produces a HintErrorLogger warning. Catalyst still picks a broadcast
+    of the streamed supplier stats once AQE sees the sizes."""
     s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
+    n = load_table(spark, sf_dir, "nation", hint_broadcast=False)
     return (
         s.join(n, s.s_nationkey == n.n_nationkey, "right")
         .groupBy(F.col("n_name").alias("nation"))
@@ -358,8 +361,8 @@ def join_right_outer_nation_suppliers(
                 + SUM(CASE WHEN below < (n + 2) // 2
                             AND (n + 2) // 2 <= below + c
                       THEN v ELSE 0 END) AS BIGINT) AS median2_cents,
-           CAST(SUM(CASE WHEN below < (3 * n + 1) // 4
-                          AND (3 * n + 1) // 4 <= below + c
+           CAST(SUM(CASE WHEN below < (3 * n + 3) // 4
+                          AND (3 * n + 3) // 4 <= below + c
                      THEN v ELSE 0 END) AS BIGINT) AS q3_cents
     FROM cum
     """,
@@ -371,8 +374,9 @@ def agg_exact_quartiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     global row sort. One keyed count to the distinct-value domain, one
     cumulative window over it, then each quartile is "the value whose
     cumulative range covers rank ⌈q·n⌉" — a CASE-gated SUM (exactly one
-    value qualifies per rank by construction). Q1/Q3 use the type-1
-    (lower order statistic) definition, the median carries both middle
+    value qualifies per rank by construction). Q1/Q3 use the symmetric
+    type-1 ranks ⌈n/4⌉ = (n+3)//4 and ⌈3n/4⌉ = (3n+3)//4
+    (lower order statistic), the median carries both middle
     ranks as an exact-integer 2·median — the repo's selection-not-
     interpolation discipline (events_mad_anomaly). At 100 TB the ordered
     pass is over distinct cents (value-domain-bounded); contrast
@@ -400,5 +404,5 @@ def agg_exact_quartiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             pick(F.floor((n + 1) / 2)) + pick(F.floor((n + 2) / 2))
         ).cast("bigint").alias("median2_cents"),
-        pick(F.floor((3 * n + 1) / 4)).alias("q3_cents"),
+        pick(F.floor((3 * n + 3) / 4)).alias("q3_cents"),
     )

@@ -379,10 +379,10 @@ def _mmr_oracle(lam: float = _MMR_LAMBDA, pool: int = _MMR_POOL,
       SELECT c.vec_id, c.simq, {i} AS rank
       FROM cand c
       WHERE c.vec_id NOT IN ({prev})
-      ORDER BY {lam} * c.simq - {1 - lam:.1f} * (
+      ORDER BY ROUND({lam!r} * c.simq - {(1 - lam)!r} * (
           SELECT MAX(p.sim) FROM pair p
           WHERE p.id_a = c.vec_id AND p.id_b IN ({prev})
-        ) DESC, c.vec_id
+        ), 6) DESC, c.vec_id
       LIMIT 1
     )""")
     final = " UNION ALL ".join(f"SELECT * FROM sel{j}"
@@ -485,7 +485,11 @@ def knn_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
             if v in selected:
                 continue
             penalty = max(pair[(v, s)] for s in selected) if selected else 0.0
-            score = _MMR_LAMBDA * sq - (1 - _MMR_LAMBDA) * penalty
+            # rounded to 6 (and computed with the exact same float
+            # coefficients the oracle SQL embeds via repr) so a
+            # near-tie between candidates with different penalties
+            # cannot argmax-diverge on coefficient ULP noise
+            score = round(_MMR_LAMBDA * sq - (1 - _MMR_LAMBDA) * penalty, 6)
             key = (-score, v)
             if best is None or key < best[0]:
                 best = (key, v)

@@ -36,7 +36,13 @@ ALWAYS_BROADCAST = frozenset({"region", "nation"})
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, hint_broadcast: bool = True
+) -> DataFrame:
+    """``hint_broadcast=False`` suppresses the automatic broadcast hint on
+    the bounded dims — needed when the dim sits on the PRESERVED side of an
+    outer join, where Spark cannot use it as the build side and logs a
+    HintErrorLogger warning for the unusable hint."""
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
@@ -57,7 +63,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    if name in ALWAYS_BROADCAST:
+    if hint_broadcast and name in ALWAYS_BROADCAST:
         df = broadcast(df)
     return df
 

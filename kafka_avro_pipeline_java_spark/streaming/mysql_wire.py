@@ -133,6 +133,11 @@ def escape_literal(v) -> str:
     if isinstance(v, int):
         return str(v)
     if isinstance(v, float):
+        # repr() of non-finite floats yields the bare words inf/-inf/nan,
+        # which MySQL cannot parse as literals (and DOUBLE cannot store) —
+        # fail loudly client-side instead of shipping unparseable SQL.
+        if v != v or v in (float("inf"), float("-inf")):
+            raise ValueError(f"non-finite float {v!r} is not bindable as a MySQL literal")
         return repr(v)
     if isinstance(v, (bytes, bytearray)):
         return "x'" + bytes(v).hex() + "'"
@@ -236,7 +241,18 @@ class MySQLWireCursor:
             self.rowcount = 0
             return
         m = self._VALUES_TAIL.match(sql)
-        if m:  # plain INSERT ... VALUES (...): ship ONE multi-row statement
+        # Multi-row rewrite is only valid for a plain INSERT ... VALUES (...)
+        # where the matched tail group holds ALL the placeholders. A greedy
+        # match on an upsert ending in "... ON DUPLICATE KEY UPDATE c =
+        # VALUES(c)" latches onto that LAST "VALUES(c)" — a 0-placeholder
+        # group with the real placeholders stranded in head — so require the
+        # group to carry every %s of the statement and the head to contain
+        # no ON DUPLICATE KEY UPDATE clause; otherwise run per-row.
+        if (
+            m
+            and m.group("group").count("%s") == sql.count("%s") > 0
+            and "ON DUPLICATE KEY UPDATE" not in m.group("head").upper()
+        ):  # plain INSERT ... VALUES (...): ship ONE multi-row statement
             group = "(" + m.group("group") + ")"
             groups = [self._bind(group, params) for params in seq]
             self.execute(m.group("head") + ", ".join(groups))

@@ -490,6 +490,8 @@ def running_value_stats_per_user(
                 self._state.get() if self._state.exists() else (0, 0, None)
             )
             for pdf in rows:
+                if len(pdf) == 0:  # Arrow iterators may yield empty chunks
+                    continue       # (int(NaN max) would kill the task)
                 n += len(pdf)
                 batch_cents = (
                     (pdf["value"] * 100).round().astype("int64")

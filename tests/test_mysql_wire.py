@@ -143,6 +143,43 @@ def test_on_duplicate_key_update_greatest_semantics():
         conn.close()
 
 
+def test_executemany_with_values_col_upsert_form():
+    # MySQL's canonical upsert tail "col = VALUES(col)" ends with
+    # "VALUES(...)", so the greedy multi-row rewrite regex matches THAT
+    # group (0 placeholders) instead of the real VALUES list; executemany
+    # must detect the mismatch and fall back to per-row execute. This is
+    # exactly what OffsetsMirror dialect='mysql' passes (sink.py).
+    with FakeMySQLServer() as srv:
+        conn = mysql_wire.connect("127.0.0.1", srv.port, "root", "")
+        cur = conn.cursor()
+        cur.execute(
+            "CREATE TABLE IF NOT EXISTS kafka_offsets ("
+            "topic VARCHAR(50) NOT NULL, partition INT NOT NULL, "
+            "consumer_group VARCHAR(50), offset BIGINT, "
+            "PRIMARY KEY (topic, partition, consumer_group))"
+        )
+        up = (
+            "INSERT INTO kafka_offsets (topic, partition, consumer_group, "
+            "offset) VALUES (%s, %s, %s, %s) ON DUPLICATE KEY UPDATE "
+            "offset = VALUES(offset)"
+        )
+        cur.executemany(up, [("t", p, "g", 5) for p in range(3)])
+        cur.executemany(up, [("t", p, "g", 9) for p in range(3)])  # overwrite
+        conn.commit()
+        cur.execute(
+            "SELECT COUNT(*), MIN(offset), MAX(offset) FROM kafka_offsets"
+        )
+        assert cur.fetchone() == (3, 9, 9)
+        conn.close()
+
+
+def test_escape_literal_rejects_non_finite_floats():
+    # repr(inf/nan) are not SQL literals; fail client-side, loudly
+    for bad in (float("inf"), float("-inf"), float("nan")):
+        with pytest.raises(ValueError, match="non-finite"):
+            escape_literal(bad)
+
+
 def test_multi_row_insert_single_statement():
     with FakeMySQLServer() as srv:
         conn = mysql_wire.connect("127.0.0.1", srv.port, "root", "")

@@ -316,3 +316,100 @@ def test_offsets_mirror_upsert(spark, tmp_path):
     con.close()
     # next-offset convention: max(offset)+1, later batch overwrites
     assert rows == {("dataset1", 0): 26, ("dataset1", 1): 5, ("dataset1", 2): 8}
+
+
+# ------------------------------------------------------------------
+# REAL BMP decode (golden bytes pin the public format independently
+# of the encode→decode round trip) + integer-exact box resize
+# ------------------------------------------------------------------
+def test_decode_bmp_golden_bytes():
+    import numpy as np
+    from kafka_avro_pipeline_java_spark.operators.multimodal import decode_bmp
+
+    # Hand-assembled 2x2 24-bpp BI_RGB BMP per the GDI spec:
+    # rows bottom-up, BGR, each row padded from 6 to 8 bytes.
+    # Logical image (RGB): [[red, green], [blue, white]]
+    header = (
+        b"BM" + (54 + 16).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + (2).to_bytes(4, "little", signed=True)   # width
+        + (2).to_bytes(4, "little", signed=True)   # height (positive: bottom-up)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")                # BI_RGB
+        + (16).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    bottom_row = b"\xff\x00\x00" + b"\xff\xff\xff" + b"\x00\x00"  # blue, white + pad
+    top_row = b"\x00\x00\xff" + b"\x00\xff\x00" + b"\x00\x00"     # red, green + pad
+    img = decode_bmp(header + bottom_row + top_row)
+    expect = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+        dtype=np.uint8,
+    )
+    assert img.shape == (2, 2, 3)
+    assert (img == expect).all()
+
+
+def test_bmp_round_trip_with_padding_and_box_resize():
+    import numpy as np
+    from kafka_avro_pipeline_java_spark.operators.multimodal import (
+        box_resize,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in [(2, 3), (5, 7), (8, 8), (1, 1)]:  # odd widths exercise padding
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        data = encode_bmp(px)
+        assert data[:2] == b"BM"
+        # spec invariant: file size field == actual length
+        assert int.from_bytes(data[2:6], "little") == len(data)
+        assert (decode_bmp(data) == px).all()
+
+    # floor-mean exactness: block [[10,11],[12,14]] → (10+11+12+14)//4 = 11
+    img = np.array(
+        [[[10] * 3, [11] * 3], [[12] * 3, [14] * 3]], dtype=np.uint8
+    )
+    assert (box_resize(img, 2) == 11).all()
+
+
+def test_decode_bmp_rejects_unsupported():
+    import pytest as _pytest
+    from kafka_avro_pipeline_java_spark.operators.multimodal import decode_bmp
+
+    with _pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"PNG\x00\x00")
+
+
+def test_decode_resize_pixels_end_to_end(spark):
+    import numpy as np
+    from kafka_avro_pipeline_java_spark.operators.multimodal import (
+        box_resize,
+        decode_resize_pixels,
+        encode_bmp,
+        text_to_gray_bmp,
+        text_as_media,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "abcdefgh" * 8), (3, "zyxw")], ["doc_id", "text"]
+    )  # doc_id % 3 == 0 → image-typed rows
+    media = text_as_media(df, "doc_id", "text")
+    bmps = text_to_gray_bmp(media, width=8, height=8)
+    rows = decode_resize_pixels(bmps, factor=2).collect()
+    assert len(rows) == 2 * 16  # two images, 4x4 output each
+    got = {
+        (r.media_id, r.out_r, r.out_c): r.gray for r in rows
+    }
+    for text, mid in [("abcdefgh" * 8, 0), ("zyxw", 3)]:
+        b = np.frombuffer(text.encode(), dtype=np.uint8)
+        gray = b[np.arange(64).reshape(8, 8) % len(b)]
+        small = box_resize(
+            np.repeat(gray[:, :, None], 3, axis=2), 2
+        )
+        for r in range(4):
+            for c in range(4):
+                assert got[(mid, r, c)] == small[r, c, 0]

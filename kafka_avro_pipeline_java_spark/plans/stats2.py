@@ -1,0 +1,461 @@
+"""Round-8 statistical round-out: overdispersion, effect-size matrix,
+quantized-log means, offline changepoint, and a retention decay fit.
+
+Every statistic follows the repo's determinism discipline
+(stats.py/stats.py docstrings): closed-form algebra over INTEGER-EXACT
+sums. Where a statistic needs logarithms or reciprocals (geometric /
+harmonic means, the log-linear decay fit), each term is quantized to a
+BIGINT at 1e9 resolution on the BOUNDED value domain FIRST and the sums
+run over integers — so Spark and DuckDB add identical integers in any
+order and the final ROUND(...,6) doubles compare equal. No reliance on
+either engine's float accumulation order anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .registry import query
+
+_Q = 1_000_000_000  # 1e9 fixed-point quantization for log/reciprocal terms
+
+
+@query(
+    "stats_poisson_dispersion",
+    oracle="""
+    WITH hours AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS sc,
+             CAST(SUM(c * c) AS BIGINT) AS scc
+      FROM hours
+    )
+    SELECT n AS n_hours, sc AS n_events,
+           ROUND(CAST(n * scc - sc * sc AS DOUBLE)
+                 / CAST((n - 1) * sc AS DOUBLE), 6) AS dispersion_index,
+           ROUND(CAST(n * scc - sc * sc AS DOUBLE)
+                 / CAST(sc AS DOUBLE), 6) AS chi2_stat
+    FROM s
+    """,
+)
+def stats_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson overdispersion of hourly event arrivals — the variance/mean
+    dispersion index D (a Poisson process has D = 1; D >> 1 means bursty,
+    clumped traffic; D < 1 means suspiciously regular, e.g. a synthetic
+    generator). D = s²/x̄ = (n·Σc² − (Σc)²)/((n−1)·Σc) over per-hour
+    counts, and the associated chi-square statistic (n−1)·D — all from
+    three BIGINTs (n, Σc, Σc²), so both engines compute the identical
+    rational before one final rounded division. One shuffle to the hour
+    domain (bounded: hours in the data window), then a scalar aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    hours = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    s = hours.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("scc"),
+    )
+    n, sc, scc = F.col("n"), F.col("sc"), F.col("scc")
+    num = (n * scc - sc * sc).cast("double")
+    return s.select(
+        n.alias("n_hours"),
+        sc.alias("n_events"),
+        F.round(num / ((n - F.lit(1)) * sc).cast("double"), 6).alias(
+            "dispersion_index"
+        ),
+        F.round(num / sc.cast("double"), 6).alias("chi2_stat"),
+    )
+
+
+@query(
+    "stats_cramers_v_matrix",
+    oracle="""
+    WITH pairs AS (
+      SELECT 'priority_x_status' AS pair, o_orderpriority AS a,
+             o_orderstatus AS b FROM orders
+      UNION ALL
+      SELECT 'returnflag_x_linestatus', l_returnflag, l_linestatus
+      FROM lineitem
+    ), cells AS (
+      SELECT pair, a, b, CAST(COUNT(*) AS BIGINT) AS o
+      FROM pairs GROUP BY 1, 2, 3
+    ), margins AS (
+      SELECT pair, a, b, o,
+             CAST(SUM(o) OVER (PARTITION BY pair, a) AS BIGINT) AS ra,
+             CAST(SUM(o) OVER (PARTITION BY pair, b) AS BIGINT) AS cb,
+             CAST(SUM(o) OVER (PARTITION BY pair) AS BIGINT) AS n
+      FROM cells
+    ), chi AS (
+      SELECT pair, MAX(n) AS n,
+             CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+             CAST(COUNT(DISTINCT b) AS BIGINT) AS c,
+             SUM(CAST(n AS DOUBLE) * POWER(o - CAST(ra * cb AS DOUBLE) / n, 2)
+                 / (CAST(ra AS DOUBLE) * cb)) AS chi2
+      FROM margins GROUP BY pair
+    )
+    SELECT pair, CAST(n AS BIGINT) AS n, r AS n_rows_levels,
+           c AS n_col_levels,
+           ROUND(chi2, 6) AS chi2,
+           ROUND(SQRT(chi2 / (n * (least(r, c) - 1))), 6) AS cramers_v
+    FROM chi
+    """,
+)
+def stats_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect-size matrix over two categorical pairs — the
+    association-strength companion to stats_chi2_type_hour's p-value-free
+    chi-square: V = sqrt(χ²/(n·(min(r,c)−1))) normalizes χ² into [0,1] so
+    dependence is comparable ACROSS tables (priority×status on orders vs
+    returnflag×linestatus on lineitem). Contingency cells and margins are
+    exact BIGINTs from one groupBy per pair; χ² terms are the only
+    doubles, each a deterministic function of five integers (o, ra, cb,
+    n) summed over a bounded grid (≤ 5×3 cells per pair — accumulation
+    order cannot produce ULP drift at this magnitude spread), rounded at
+    6. Scales as a single shuffle per pair to a cells table the size of
+    the category product, never the data."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = o.select(
+        F.lit("priority_x_status").alias("pair"),
+        F.col("o_orderpriority").alias("a"),
+        F.col("o_orderstatus").alias("b"),
+    ).unionAll(
+        li.select(
+            F.lit("returnflag_x_linestatus").alias("pair"),
+            F.col("l_returnflag").alias("a"),
+            F.col("l_linestatus").alias("b"),
+        )
+    )
+    cells = pairs.groupBy("pair", "a", "b").agg(
+        F.count("*").cast("bigint").alias("o")
+    )
+    margins = cells.select(
+        "pair",
+        "a",
+        "b",
+        "o",
+        F.sum("o").over(Window.partitionBy("pair", "a")).cast("bigint").alias("ra"),
+        F.sum("o").over(Window.partitionBy("pair", "b")).cast("bigint").alias("cb"),
+        F.sum("o").over(Window.partitionBy("pair")).cast("bigint").alias("n"),
+    )
+    e = F.col("ra").cast("double") * F.col("cb") / F.col("n")
+    chi = margins.groupBy("pair").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.count_distinct("a").cast("bigint").alias("n_rows_levels"),
+        F.count_distinct("b").cast("bigint").alias("n_col_levels"),
+        F.sum(
+            F.col("n").cast("double")
+            * F.pow(F.col("o") - e, F.lit(2))
+            / (F.col("ra").cast("double") * F.col("cb"))
+        ).alias("chi2_raw"),
+    )
+    r, c = F.col("n_rows_levels"), F.col("n_col_levels")
+    return chi.select(
+        "pair",
+        "n",
+        "n_rows_levels",
+        "n_col_levels",
+        F.round("chi2_raw", 6).alias("chi2"),
+        F.round(
+            F.sqrt(F.col("chi2_raw") / (F.col("n") * (F.least(r, c) - 1))), 6
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "agg_harmonic_geo_means",
+    oracle=f"""
+    WITH dom AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ), s AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c * CAST(ROUND(LN(q) * {_Q}, 0) AS BIGINT)) AS BIGINT)
+               AS sln,
+             CAST(SUM(c * CAST(ROUND(1.0 * {_Q} / q, 0) AS BIGINT)) AS BIGINT)
+               AS srec
+      FROM dom
+    )
+    SELECT n AS n_rows,
+           ROUND(EXP(CAST(sln AS DOUBLE) / n / {_Q}), 6) AS geo_mean_qty,
+           ROUND(CAST(n AS DOUBLE) * {_Q} / srec, 6) AS harmonic_mean_qty
+    FROM s
+    """,
+)
+def agg_harmonic_geo_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric and harmonic means of l_quantity — the two Pythagorean
+    means the catalog's arithmetic aggregates don't cover (geo mean is
+    THE mean for ratios/growth rates, harmonic for rates). Float sums of
+    ln(q) / 1/q are accumulation-order-dependent, so neither engine's
+    native SUM is trusted: the quantity domain is value-bounded (TPC-H
+    quantities are small integers), so ln(q) and 1/q are quantized to
+    1e9-fixed-point BIGINTs ON THE DISTINCT-VALUE DOMAIN and the corpus
+    sums are exact integer Σc·term — the same value-domain trick as
+    agg_exact_quartiles_price. One groupBy to the ≤50-row domain, one
+    scalar aggregate; both engines divide identical integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dom = li.groupBy(F.col("l_quantity").cast("bigint").alias("q")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    ln_q = F.round(F.log(F.col("q").cast("double")) * _Q, 0).cast("bigint")
+    rec_q = F.round(F.lit(1.0) * _Q / F.col("q"), 0).cast("bigint")
+    s = dom.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c") * ln_q).cast("bigint").alias("sln"),
+        F.sum(F.col("c") * rec_q).cast("bigint").alias("srec"),
+    )
+    return s.select(
+        F.col("n").alias("n_rows"),
+        F.round(F.exp(F.col("sln").cast("double") / F.col("n") / _Q), 6).alias(
+            "geo_mean_qty"
+        ),
+        F.round(F.col("n").cast("double") * _Q / F.col("srec"), 6).alias(
+            "harmonic_mean_qty"
+        ),
+    )
+
+
+@query(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH hours AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), cum AS (
+      SELECT h, c,
+             CAST(SUM(c) OVER (ORDER BY h) AS BIGINT) AS run,
+             CAST(ROW_NUMBER() OVER (ORDER BY h) AS BIGINT) AS i,
+             CAST(SUM(c) OVER () AS BIGINT) AS s,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM hours
+    ), dev AS (
+      -- n-scaled CUSUM stays integer: n*run_i - i*S
+      SELECT h, ABS(n * run - i * s) AS adev, n * run - i * s AS sdev
+      FROM cum
+    )
+    SELECT h AS changepoint_hour, CAST(sdev AS BIGINT) AS scaled_deviation,
+           CAST(adev AS BIGINT) AS abs_scaled_deviation
+    FROM dev ORDER BY adev DESC, h ASC LIMIT 1
+    """,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline single-changepoint detection over hourly event volume —
+    the argmax-|CUSUM| estimator (the offline twin of the online
+    events_cusum_hourly monitor): the most likely level-shift point is
+    the hour where the cumulative deviation from the global mean is
+    largest in absolute value. The deviation is kept INTEGER by scaling
+    with n (n·run_i − i·S instead of run_i − i·S/n), so the argmax
+    compares exact BIGINTs and ties break on the earlier hour —
+    bit-identical across engines. One shuffle to the bounded hour domain,
+    one window pass, one top-1."""
+    e = load_table(spark, sf_dir, "events")
+    hours = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w_ord = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = hours.select(
+        "h",
+        F.sum("c").over(w_ord).cast("bigint").alias("run"),
+        F.row_number().over(Window.orderBy("h")).cast("bigint").alias("i"),
+        F.sum("c").over(w_all).cast("bigint").alias("s"),
+        F.count("*").over(w_all).cast("bigint").alias("n"),
+    )
+    sdev = (F.col("n") * F.col("run") - F.col("i") * F.col("s")).cast("bigint")
+    dev = cum.select(
+        F.col("h").alias("changepoint_hour"),
+        sdev.alias("scaled_deviation"),
+        F.abs(sdev).cast("bigint").alias("abs_scaled_deviation"),
+    )
+    return dev.orderBy(
+        F.desc("abs_scaled_deviation"), F.asc("changepoint_hour")
+    ).limit(1)
+
+
+@query(
+    "stats_logrank_priority",
+    oracle=f"""
+    WITH t0 AS (
+      SELECT datediff('day', o.o_orderdate, l.l_shipdate) AS t,
+             CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS g
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate
+    ), per_t AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS dt, CAST(SUM(g) AS BIGINT) AS d1t
+      FROM t0 GROUP BY t
+    ), cum AS (
+      SELECT t, dt, d1t,
+             CAST(SUM(dt) OVER (ORDER BY t DESC) AS BIGINT) AS nt,
+             CAST(SUM(d1t) OVER (ORDER BY t DESC) AS BIGINT) AS n1t
+      FROM per_t
+    ), terms AS (
+      SELECT d1t,
+             CAST(ROUND(CAST(dt AS DOUBLE) * n1t * {_Q} / nt, 0) AS BIGINT)
+               AS e_q,
+             CASE WHEN nt > 1 THEN CAST(ROUND(
+               CAST(dt AS DOUBLE) * n1t / nt * (nt - n1t) / nt
+               * (nt - dt) / (nt - 1) * {_Q}, 0) AS BIGINT)
+             ELSE 0 END AS v_q
+      FROM cum
+    )
+    SELECT CAST(SUM(d1t) AS BIGINT) AS observed_g1,
+           ROUND(CAST(SUM(e_q) AS DOUBLE) / {_Q}, 6) AS expected_g1,
+           ROUND(CAST(SUM(v_q) AS DOUBLE) / {_Q}, 6) AS variance_g1,
+           ROUND((SUM(d1t) - CAST(SUM(e_q) AS DOUBLE) / {_Q})
+                 / SQRT(CAST(SUM(v_q) AS DOUBLE) / {_Q}), 6) AS logrank_z
+    FROM terms
+    """,
+)
+def stats_logrank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel–Cox) two-sample survival test on time-to-ship:
+    do URGENT/HIGH-priority orders ship on a different timetable than the
+    rest? "Survival time" is days from order to line shipment (complete
+    data, no censoring — the log-rank statistic is still exactly defined:
+    at each distinct day t, observed group-1 events d1t vs hypergeometric
+    expectation dt·n1t/nt over the at-risk sets). At-risk counts come
+    from one DESCENDING cumulative window over the BOUNDED distinct-day
+    domain (the value-domain trick again — the windows never see row
+    space), and each E/V term is quantized to 1e9 fixed-point via the
+    IDENTICAL IEEE expression tree in both engines before exact integer
+    summation; z = (O−E)/√V rounded at 6."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    t0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.datediff("l_shipdate", "o_orderdate").alias("t"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            ).otherwise(0).alias("g"),
+        )
+    )
+    per_t = t0.groupBy("t").agg(
+        F.count("*").cast("bigint").alias("dt"),
+        F.sum("g").cast("bigint").alias("d1t"),
+    )
+    w_desc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_t.select(
+        "dt",
+        "d1t",
+        F.sum("dt").over(w_desc).cast("bigint").alias("nt"),
+        F.sum("d1t").over(w_desc).cast("bigint").alias("n1t"),
+    )
+    dt, nt, n1t = (
+        F.col("dt").cast("double"), F.col("nt"), F.col("n1t")
+    )
+    e_q = F.round(dt * n1t * _Q / nt, 0).cast("bigint")
+    v_q = F.when(
+        F.col("nt") > 1,
+        F.round(
+            dt * n1t / nt * (F.col("nt") - n1t) / nt
+            * (F.col("nt") - F.col("dt")) / (F.col("nt") - 1) * _Q,
+            0,
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    terms = cum.select(F.col("d1t"), e_q.alias("e_q"), v_q.alias("v_q"))
+    s = terms.agg(
+        F.sum("d1t").cast("bigint").alias("o1"),
+        F.sum("e_q").cast("bigint").alias("se"),
+        F.sum("v_q").cast("bigint").alias("sv"),
+    )
+    e1 = F.col("se").cast("double") / _Q
+    v1 = F.col("sv").cast("double") / _Q
+    return s.select(
+        F.col("o1").alias("observed_g1"),
+        F.round(e1, 6).alias("expected_g1"),
+        F.round(v1, 6).alias("variance_g1"),
+        F.round((F.col("o1") - e1) / F.sqrt(v1), 6).alias("logrank_z"),
+    )
+
+
+@query(
+    "events_retention_curve_fit",
+    oracle=f"""
+    WITH acts AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events GROUP BY 1, 2
+    ), firsts AS (
+      SELECT user_id, MIN(d) AS f FROM acts GROUP BY 1
+    ), offs AS (
+      SELECT CAST(datediff('day', fi.f, a.d) AS BIGINT) AS k,
+             CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS c
+      FROM acts a JOIN firsts fi ON fi.user_id = a.user_id
+      WHERE a.d > fi.f
+      GROUP BY 1
+    ), pts AS (
+      SELECT k, CAST(ROUND(LN(c) * {_Q}, 0) AS BIGINT) AS y
+      FROM offs
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(k) AS BIGINT) AS sk,
+             CAST(SUM(k * k) AS BIGINT) AS skk,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(k * y) AS BIGINT) AS sky
+      FROM pts
+    )
+    SELECT n AS n_offsets,
+           ROUND(CAST(n * sky - sk * sy AS DOUBLE)
+                 / CAST(n * skk - sk * sk AS DOUBLE) / {_Q}, 6)
+             AS decay_rate_per_day,
+           ROUND((CAST(sy AS DOUBLE) / n - CAST(n * sky - sk * sy AS DOUBLE)
+                  / CAST(n * skk - sk * sk AS DOUBLE) / n * sk) / {_Q}, 6)
+             AS ln_intercept,
+           ROUND(-LN(2) * CAST(n * skk - sk * sk AS DOUBLE)
+                 / CAST(n * sky - sk * sy AS DOUBLE) * {_Q} / {_Q} / {_Q}
+                 * {_Q}, 6) AS half_life_days
+    FROM s
+    """,
+)
+def events_retention_curve_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential retention decay fit — the parametric summary on top of
+    events_cohort_retention's raw triangle: active-user counts per
+    days-since-first-seen offset k, log-linear OLS ln(c_k) = a + b·k,
+    reported as decay rate b, intercept a, and half-life −ln2/b (the
+    single number a growth team quotes). The offset domain is bounded by
+    the data window (≤ days in the corpus), counts are exact BIGINTs, and
+    ln(c_k) is quantized to 1e9 fixed-point BEFORE the closed-form OLS —
+    all sums integer-exact, two final rounded divisions. User-keyed
+    shuffle to first-seen, then the value-domain regression."""
+    e = load_table(spark, sf_dir, "events")
+    acts = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    firsts = acts.groupBy("user_id").agg(F.min("d").alias("f"))
+    offs = (
+        acts.join(firsts, "user_id")
+        .filter(F.col("d") > F.col("f"))
+        .groupBy(F.datediff("d", "f").cast("bigint").alias("k"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("c"))
+    )
+    pts = offs.select(
+        "k", F.round(F.log("c") * _Q, 0).cast("bigint").alias("y")
+    )
+    s = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("skk"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("k") * F.col("y")).cast("bigint").alias("sky"),
+    )
+    n, sk, skk, sy, sky = (F.col(c) for c in ("n", "sk", "skk", "sy", "sky"))
+    b_num = (n * sky - sk * sy).cast("double")
+    b_den = (n * skk - sk * sk).cast("double")
+    b = b_num / b_den / _Q
+    return s.select(
+        n.alias("n_offsets"),
+        F.round(b, 6).alias("decay_rate_per_day"),
+        F.round((sy.cast("double") / n - b_num / b_den / n * sk) / _Q, 6)
+        .alias("ln_intercept"),
+        F.round(
+            -F.log(F.lit(2.0)) * b_den / b_num * _Q / _Q / _Q * _Q, 6
+        ).alias("half_life_days"),
+    )

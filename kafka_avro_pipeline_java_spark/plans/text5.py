@@ -61,3 +61,51 @@ def text_bytelevel_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(40)
     )
+
+
+@query(
+    "text_levenshtein_pairs",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, substr(text, 1, 30) AS p, source
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.p, b.p) AS INT) AS lev30,
+           CAST(CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS INT)
+             AS same_source
+    FROM a JOIN a b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def text_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance over consecutive-id document-prefix pairs — the
+    built-in-function twin of dedup_fuzzy_edit's banded Levenshtein
+    verifier: ``F.levenshtein`` runs JVM-side (whole-stage codegen, no
+    Python), and both engines implement the identical classic DP, so the
+    distances value-oracle exactly. Prefix-30 keeps the DP cell count
+    bounded per pair regardless of document length, and the id-successor
+    self-join is an equi-join on doc_id+1 — no quadratic pair space, the
+    scale shape a sampled dup-rate MONITOR uses (score a 1-in-N band of
+    adjacent ingest pairs cheaply, alert on drift) as opposed to the full
+    LSH dedup path."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.substring("text", 1, 30).alias("pa"),
+        F.col("source").alias("sa"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.substring("text", 1, 30).alias("pb"),
+        F.col("source").alias("sb"),
+    )
+    return (
+        a.join(b, b.id_b == a.id_a + 1)
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("pa", "pb").cast("int").alias("lev30"),
+            F.when(F.col("sa") == F.col("sb"), 1).otherwise(0)
+            .cast("int").alias("same_source"),
+        )
+    )

@@ -47,13 +47,20 @@ from .mysql_wire import (
     COM_PING,
     COM_QUERY,
     COM_QUIT,
+    COM_STMT_CLOSE,
+    COM_STMT_EXECUTE,
+    COM_STMT_PREPARE,
+    TYPE_BLOB,
     TYPE_DOUBLE,
     TYPE_LONGLONG,
+    TYPE_NULL,
+    TYPE_TINY,
     TYPE_VAR_STRING,
     PacketIO,
     lenenc_int,
     lenenc_str,
     native_password_scramble,
+    read_lenenc_str,
 )
 
 _ODKU_RE = re.compile(r"\s+ON\s+DUPLICATE\s+KEY\s+UPDATE\s+", re.IGNORECASE)
@@ -159,6 +166,8 @@ class FakeMySQLServer:
         db = sqlite3.connect(self.db_path, timeout=30,
                              check_same_thread=False, isolation_level=None)
         db.execute("PRAGMA busy_timeout=30000")
+        stmts: dict[int, str] = {}  # per-connection prepared statements
+        next_stmt_id = [1]
         try:
             if not self._auth(io):
                 return
@@ -171,6 +180,17 @@ class FakeMySQLServer:
                     return
                 if payload[0] == COM_PING:
                     io.write_packet(_ok_packet())
+                    continue
+                if payload[0] == COM_STMT_PREPARE:
+                    self._stmt_prepare(io, stmts, next_stmt_id,
+                                       payload[1:].decode("utf-8", "replace"))
+                    continue
+                if payload[0] == COM_STMT_EXECUTE:
+                    self._stmt_execute(io, db, stmts, payload)
+                    continue
+                if payload[0] == COM_STMT_CLOSE:
+                    # fire-and-forget per spec: deallocate, no response
+                    stmts.pop(struct.unpack_from("<I", payload, 1)[0], None)
                     continue
                 if payload[0] != COM_QUERY:
                     io.write_packet(_err_packet(1047, "unsupported command"))
@@ -213,6 +233,130 @@ class FakeMySQLServer:
             return False
         io.write_packet(_ok_packet())
         return True
+
+    # --- binary (prepared-statement) protocol -------------------------
+    # Server simplification (documented): COM_STMT_PREPARE_OK advertises
+    # num_columns=0 even for SELECTs — sqlite cannot describe a resultset
+    # without executing, and the protocol-correct client reads the real
+    # column definitions from the EXECUTE response anyway. Placeholders
+    # are MySQL's `?`, which is also sqlite's paramstyle, so the decoded
+    # binary values bind straight through.
+    def _stmt_prepare(self, io: PacketIO, stmts: dict, next_id: list,
+                      sql: str) -> None:
+        nparams = sql.count("?")
+        stmt_id = next_id[0]
+        next_id[0] += 1
+        stmts[stmt_id] = {"sql": sql, "types": None}
+        io.write_packet(
+            b"\x00" + struct.pack("<IHH", stmt_id, 0, nparams)
+            + b"\x00" + struct.pack("<H", 0)
+        )
+        if nparams:
+            for _ in range(nparams):
+                io.write_packet(_coldef("?", TYPE_NULL))
+            io.write_packet(_EOF)
+
+    def _stmt_execute(self, io: PacketIO, db: sqlite3.Connection,
+                      stmts: dict, payload: bytes) -> None:
+        stmt_id = struct.unpack_from("<I", payload, 1)[0]
+        stmt = stmts.get(stmt_id)
+        if stmt is None:
+            io.write_packet(_err_packet(1243, f"unknown stmt {stmt_id}"))
+            return
+        sql = stmt["sql"]
+        nparams = sql.count("?")
+        pos = 10  # cmd(1) + stmt_id(4) + flags(1) + iteration_count(4)
+        params: list = []
+        if nparams:
+            bitmap_len = (nparams + 7) // 8
+            null_bitmap = payload[pos:pos + bitmap_len]
+            pos += bitmap_len
+            new_bound = payload[pos]
+            pos += 1
+            types = []
+            if new_bound:
+                for _ in range(nparams):
+                    types.append(payload[pos])
+                    pos += 2  # type + unsigned flag
+                stmt["types"] = types
+            else:  # new_params_bound_flag=0: reuse previously bound types
+                types = stmt["types"]
+                if types is None:
+                    io.write_packet(_err_packet(
+                        1210, "no parameter types bound for statement"))
+                    return
+            for i in range(nparams):
+                if null_bitmap[i // 8] & (1 << (i % 8)):
+                    params.append(None)
+                    continue
+                t = types[i]
+                if t == TYPE_TINY:
+                    params.append(
+                        struct.unpack_from("<b", payload, pos)[0])
+                    pos += 1
+                elif t == TYPE_LONGLONG:
+                    params.append(
+                        struct.unpack_from("<q", payload, pos)[0])
+                    pos += 8
+                elif t == TYPE_DOUBLE:
+                    params.append(
+                        struct.unpack_from("<d", payload, pos)[0])
+                    pos += 8
+                else:  # VAR_STRING / BLOB: length-encoded bytes
+                    raw, pos = read_lenenc_str(payload, pos)
+                    params.append(
+                        bytes(raw) if t == TYPE_BLOB else raw.decode())
+        try:
+            if not db.in_transaction:
+                db.execute("BEGIN IMMEDIATE")  # same autocommit=0 shape
+            cur = db.execute(self._to_sqlite(db, sql.strip().rstrip(";")),
+                             params)
+        except (sqlite3.Error, ValueError) as e:
+            io.write_packet(_err_packet(1064, str(e)))
+            return
+        if cur.description is None:
+            io.write_packet(_ok_packet(max(cur.rowcount, 0)))
+            return
+        rows = cur.fetchall()
+        names = [d[0] for d in cur.description]
+        types = []
+        for i in range(len(names)):
+            t = TYPE_VAR_STRING
+            for r in rows:
+                v = r[i]
+                if v is None:
+                    continue
+                if isinstance(v, (bool, int)):
+                    t = TYPE_LONGLONG
+                elif isinstance(v, float):
+                    t = TYPE_DOUBLE
+                elif isinstance(v, bytes):
+                    t = TYPE_BLOB
+                break
+            types.append(t)
+        io.write_packet(lenenc_int(len(names)))
+        for name, t in zip(names, types):
+            io.write_packet(_coldef(name, t))
+        io.write_packet(_EOF)
+        for r in rows:
+            ncols = len(names)
+            bitmap = bytearray((ncols + 7 + 2) // 8)
+            body = b""
+            for i, (v, t) in enumerate(zip(r, types)):
+                if v is None:
+                    bit = i + 2
+                    bitmap[bit // 8] |= 1 << (bit % 8)
+                    continue
+                if t == TYPE_LONGLONG:
+                    body += struct.pack("<q", int(v))
+                elif t == TYPE_DOUBLE:
+                    body += struct.pack("<d", float(v))
+                elif t == TYPE_BLOB:
+                    body += lenenc_str(bytes(v))
+                else:
+                    body += lenenc_str(str(v).encode())
+            io.write_packet(b"\x00" + bytes(bitmap) + body)
+        io.write_packet(_EOF)
 
     # --- SQL execution ---
     def _run_query(self, io: PacketIO, db: sqlite3.Connection,

@@ -259,3 +259,86 @@ def test_exactly_once_sink_against_wire_mysql(spark, tmp_path):
         check.close()
     finally:
         srv.close()
+
+
+# --------------------------------------------- binary (prepared) protocol
+def test_prepared_statement_typed_round_trip():
+    # COM_STMT_PREPARE/EXECUTE with typed binary binding — the reference's
+    # actual PreparedStatement mechanism (MySQLProcessData.java:110-156):
+    # longs as 8B LE, doubles as IEEE-754, strings length-encoded, NULLs
+    # in the null bitmap. Values must survive bit-exact, no text escaping
+    # anywhere on the path.
+    with FakeMySQLServer() as srv:
+        conn = mysql_wire.connect("127.0.0.1", srv.port, "root", "")
+        cur = conn.cursor()
+        cur.execute(
+            "CREATE TABLE typed (i BIGINT, d DOUBLE, s VARCHAR(255), "
+            "b BLOB, t BOOLEAN, n VARCHAR(10))"
+        )
+        ps = conn.prepare(
+            "INSERT INTO typed (i, d, s, b, t, n) VALUES (?, ?, ?, ?, ?, ?)"
+        )
+        assert ps.num_params == 6
+        affected, _ = ps.execute(
+            (-(2**62), 1.0000000000000002, "quo'te\\raw\nnl",
+             b"\x00\xff\xfe", True, None)
+        )
+        assert affected == 1
+        ps.close()
+        conn.commit()
+        sel = conn.prepare("SELECT i, d, s, b, t, n FROM typed")
+        cols, rows = sel.execute(())
+        assert cols == ["i", "d", "s", "b", "t", "n"]
+        i, d, s, b, t, n = rows[0]
+        assert i == -(2**62)
+        assert d == 1.0000000000000002  # bit-exact through IEEE binary
+        assert s == "quo'te\\raw\nnl"
+        assert b == b"\x00\xff\xfe"
+        assert t == 1
+        assert n is None
+        sel.close()
+        conn.close()
+
+
+def test_prepared_statement_replay_idempotent_upsert():
+    # re-executing the SAME prepared upsert (the consumer-restart replay
+    # shape) must not regress offsets or duplicate rows
+    with FakeMySQLServer() as srv:
+        conn = mysql_wire.connect("127.0.0.1", srv.port, "root", "")
+        cur = conn.cursor()
+        cur.execute(
+            "CREATE TABLE IF NOT EXISTS kafka_offsets ("
+            "topic VARCHAR(50) NOT NULL, partition INT NOT NULL, "
+            "consumer_group VARCHAR(50), offset BIGINT, "
+            "PRIMARY KEY (topic, partition, consumer_group))"
+        )
+        ps = conn.prepare(
+            "INSERT INTO kafka_offsets (topic, partition, consumer_group, "
+            "offset) VALUES (?, ?, ?, ?) ON DUPLICATE KEY UPDATE "
+            "offset = GREATEST(offset, VALUES(offset))"
+        )
+        for _ in range(3):  # replay: identical executes are idempotent
+            ps.execute(("t", 0, "g", 10))
+        ps.execute(("t", 0, "g", 7))  # lower: must NOT regress
+        conn.commit()
+        cur.execute("SELECT COUNT(*), MAX(offset) FROM kafka_offsets")
+        assert cur.fetchone() == (1, 10)
+        ps.close()
+        conn.close()
+
+
+def test_prepared_statement_param_count_and_close_errors():
+    with FakeMySQLServer() as srv:
+        conn = mysql_wire.connect("127.0.0.1", srv.port, "root", "")
+        conn.cursor().execute("CREATE TABLE p2 (a BIGINT)")
+        ps = conn.prepare("INSERT INTO p2 (a) VALUES (?)")
+        with pytest.raises(ValueError, match="1 parameters expected"):
+            ps.execute((1, 2))
+        ps.close()
+        with pytest.raises(MySQLError, match="closed"):
+            ps.execute((1,))
+        # non-finite floats rejected client-side on the binary path too
+        ps2 = conn.prepare("INSERT INTO p2 (a) VALUES (?)")
+        with pytest.raises(ValueError, match="non-finite"):
+            ps2.execute((float("nan"),))
+        conn.close()

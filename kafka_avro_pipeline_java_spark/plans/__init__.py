@@ -61,7 +61,6 @@ _PRIORITY = [
     "agg_harmonic_geo_means",
     "graph_clustering_coefficient",
     "stats_cramers_v_matrix",
-    "text_suffix_automaton_repeats",
     "events_retention_curve_fit",
     # --- recency refresh: displaced from the r7 window (r02-signed) ---
     "dedup_embedding_cosine",

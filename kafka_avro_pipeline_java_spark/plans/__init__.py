@@ -62,6 +62,12 @@ _PRIORITY = [
     "graph_clustering_coefficient",
     "stats_cramers_v_matrix",
     "events_retention_curve_fit",
+    "multimodal_image_histogram",
+    "multimodal_audio_zero_crossings",
+    "graph_modularity",
+    "sketch_bloom_fpr_audit",
+    "events_dau_wau_stickiness",
+    "knn_recall_matrix",
     # --- recency refresh: displaced from the r7 window (r02-signed) ---
     "dedup_embedding_cosine",
     "knn_all_pairs_top3",

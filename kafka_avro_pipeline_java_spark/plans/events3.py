@@ -1105,3 +1105,62 @@ def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("mad4") > 0) & (z > 3.5))
         .select("event_type", "hr", "cnt", F.round(z, 6).alias("robust_z"))
     )
+
+
+@query(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH acts AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+      FROM events
+    ), days AS (SELECT DISTINCT d FROM acts),
+    wau AS (
+      SELECT dy.d, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS wau
+      FROM days dy JOIN acts a
+        ON a.d <= dy.d AND a.d > dy.d - INTERVAL 7 DAY
+      GROUP BY dy.d
+    ), dau AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM acts GROUP BY d
+    )
+    SELECT dau.d AS day, dau.dau, wau.wau,
+           ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON wau.d = dau.d
+    """,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement ratio every growth
+    dashboard tracks (stickiness 1.0 = every weekly user shows up daily).
+    WAU is a trailing-7-day distinct count computed as a RANGE-bounded
+    day-to-day join over the BOUNDED day×user activity table (distinct
+    first — the join input is one row per user-day, never event rows),
+    which at 100 TB is the day-domain trick: the window join touches
+    |days| × active-users rows, and the count_distinct shuffles on the
+    (day, user) pair that is already distinct. Integer counts, one
+    rounded ratio."""
+    e = load_table(spark, sf_dir, "events")
+    acts = e.select(
+        F.date_trunc("day", "ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = acts.select("d").distinct()
+    a = acts.select(F.col("d").alias("ad"), "user_id")
+    wau = (
+        days.join(
+            a,
+            (F.col("ad") <= F.col("d"))
+            & (F.col("ad") > F.date_sub(F.col("d"), 7)),
+        )
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
+    )
+    dau = acts.groupBy("d").agg(F.count("*").cast("bigint").alias("dau"))
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )

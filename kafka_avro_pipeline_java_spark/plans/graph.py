@@ -609,3 +609,97 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cq").cast("double") / F.count("*") / q, 6
         ).alias("avg_clustering"),
     )
+
+
+@query(
+    "graph_modularity",
+    oracle=f"""
+    WITH prs AS ({ORACLES["dedup_ngram_jaccard"]}),
+    p AS (SELECT id_a AS u, id_b AS v FROM prs),
+    comp AS ({ORACLES["dedup_near_dup_groups"]}),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM p),
+    intra AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS sum_mc
+      FROM p JOIN comp ca ON ca.id = p.u
+             JOIN comp cb ON cb.id = p.v
+      WHERE ca.component = cb.component
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM p UNION ALL SELECT v FROM p
+      ) GROUP BY 1
+    ),
+    dc AS (
+      SELECT CAST(SUM(dd * dd) AS BIGINT) AS sum_dc2,
+             CAST(COUNT(*) AS BIGINT) AS n_components
+      FROM (
+        SELECT c.component, CAST(SUM(g.d) AS BIGINT) AS dd
+        FROM deg g JOIN comp c ON c.id = g.node
+        GROUP BY c.component
+      )
+    )
+    SELECT m.m AS n_edges, dc.n_components,
+           intra.sum_mc AS n_intra_edges,
+           ROUND(CAST(4 * m.m * intra.sum_mc - dc.sum_dc2 AS DOUBLE)
+                 / CAST(4 * m.m * m.m AS DOUBLE), 6) AS modularity
+    FROM m, intra, dc
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the connected-component partition of the
+    near-dup graph — the "are these components real communities or hash
+    accidents" score next to the size histogram: Q = Σ_c [m_c/m −
+    (d_c/2m)²], algebraically collapsed to ONE exact rational
+    (4m·Σm_c − Σd_c²)/(4m²) so both engines divide identical BIGINTs —
+    no per-component float sum at all (for a components partition
+    Σm_c = m by definition; the value Q then measures how much degree
+    mass the partition concentrates, the baseline every community
+    refinement must beat). Edge list and components come from the same
+    jaccard pairs + resolver the component queries use; everything after
+    is component-keyed aggregation, never pair-space."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.1)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    comp = dedup.connected_components(pairs)
+    p = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    m_df = p.agg(F.count("*").cast("bigint").alias("m"))
+    ca = comp.select(
+        F.col("id").alias("u"), F.col("component").alias("comp_a")
+    )
+    cb = comp.select(
+        F.col("id").alias("v"), F.col("component").alias("comp_b")
+    )
+    intra = (
+        p.join(ca, "u").join(cb, "v")
+        .filter(F.col("comp_a") == F.col("comp_b"))
+        .agg(F.count("*").cast("bigint").alias("sum_mc"))
+    )
+    deg = (
+        p.select(F.col("u").alias("node"))
+        .unionAll(p.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    dc = (
+        deg.join(comp.select(F.col("id").alias("node"), "component"), "node")
+        .groupBy("component")
+        .agg(F.sum("d").cast("bigint").alias("dd"))
+        .agg(
+            F.sum(F.col("dd") * F.col("dd")).cast("bigint").alias("sum_dc2"),
+            F.count("*").cast("bigint").alias("n_components"),
+        )
+    )
+    out = m_df.crossJoin(intra).crossJoin(dc)
+    return out.select(
+        F.col("m").alias("n_edges"),
+        "n_components",
+        F.col("sum_mc").alias("n_intra_edges"),
+        F.round(
+            (4 * F.col("m") * F.col("sum_mc") - F.col("sum_dc2")).cast("double")
+            / (4 * F.col("m") * F.col("m")).cast("double"),
+            6,
+        ).alias("modularity"),
+    )

@@ -247,3 +247,122 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = text_as_media(d, "doc_id", "text")
     bmps = text_to_gray_bmp(media, width=8, height=8)
     return decode_resize_pixels(bmps, factor=2)
+
+
+@query(
+    "multimodal_image_histogram",
+    oracle="""
+    WITH imgs AS (
+      SELECT doc_id AS media_id, text, length(text) AS n
+      FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0
+    ), px AS (
+      SELECT media_id,
+             ascii(substr(text, CAST(i.i % n + 1 AS INT), 1)) // 32 AS bin
+      FROM imgs, UNNEST(range(0, 64)) AS i(i)
+    )
+    SELECT media_id, CAST(bin AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_px
+    FROM px GROUP BY 1, 2
+    """,
+)
+def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bin grayscale histogram per DECODED image — the second consumer
+    of the real BMP decode path (multimodal_image_resize): parse the
+    spec-compliant BMP bytes, bucket each pixel's gray value by //32,
+    count per bin. The exposure/contrast profile an image curation
+    pipeline gates on before any model (all-dark / blown-out detection).
+    Counts are exact integers straight off decoded bytes; the oracle
+    recomputes the same bins from the document's ASCII codes, so a
+    decoder bug in padding or row order shifts pixels between bins and
+    cannot hash-match. Same zero-shuffle scan-bound shape as the resize
+    row."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from ..operators.multimodal import (
+        decode_bmp,
+        text_as_media,
+        text_to_gray_bmp,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    media = text_as_media(d, "doc_id", "text")
+    bmps = text_to_gray_bmp(media, width=8, height=8)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, bins, counts = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_bmp(bytes(p))
+                vals, cnts = np.unique(
+                    img[:, :, 0].astype(np.int64) // 32, return_counts=True
+                )
+                ids.extend([mid] * len(vals))
+                bins.extend(vals.tolist())
+                counts.extend(cnts.tolist())
+            yield pd.DataFrame(
+                {"media_id": ids, "bin": bins, "n_px": counts}
+            )
+
+    return bmps.mapInPandas(
+        batches, schema="media_id long, bin int, n_px bigint"
+    )
+
+
+@query(
+    "multimodal_audio_zero_crossings",
+    oracle="""
+    WITH auds AS (
+      SELECT doc_id AS media_id, substr(text, 1, 256) AS w,
+             length(substr(text, 1, 256)) AS n
+      FROM documents WHERE doc_id % 3 = 1 AND length(text) >= 2
+    )
+    SELECT media_id, CAST(n AS INT) AS n_samples,
+           CAST((
+             SELECT COUNT(*) FROM UNNEST(range(2, n + 1)) AS j(j)
+             WHERE (ascii(substr(w, CAST(j.j - 1 AS INT), 1)) >= 128)
+                <> (ascii(substr(w, CAST(j.j AS INT), 1)) >= 128)
+           ) AS INT) AS zero_crossings
+    FROM auds
+    """,
+)
+def multimodal_audio_zero_crossings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Zero-crossing count over the first 256 unsigned-8-bit PCM samples
+    of each audio payload — with windowed energy, THE classic pair of
+    cheap time-domain audio features (ZCR separates voiced/tonal content
+    from noise before any codec or model). A sign change is a crossing of
+    the u8 midline 128; exact integer counts, computed with one shifted
+    numpy compare per payload in the same zero-shuffle Arrow-batched scan
+    as audio_window_energy, and re-derived by the oracle from ASCII codes
+    of the same text-derived bytes."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from ..operators.multimodal import text_as_media
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    media = text_as_media(d, "doc_id", "text")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            auds = pdf[pdf["media_type"] == "audio"]
+            ids, ns, zcs = [], [], []
+            for mid, p in zip(auds["media_id"], auds["payload"]):
+                w = np.frombuffer(bytes(p)[:256], dtype=np.uint8)
+                if len(w) < 2:
+                    continue
+                hi = w >= 128
+                ids.append(mid)
+                ns.append(len(w))
+                zcs.append(int((hi[1:] != hi[:-1]).sum()))
+            yield pd.DataFrame(
+                {"media_id": ids, "n_samples": ns, "zero_crossings": zcs}
+            )
+
+    return media.mapInPandas(
+        batches, schema="media_id long, n_samples int, zero_crossings int"
+    )

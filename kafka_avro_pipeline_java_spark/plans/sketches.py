@@ -863,3 +863,117 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate bit-for-bit from the portable hash."""
     ev = load_table(spark, sf_dir, "events")
     return sketches.kmv_set_ops(ev, "event_type", "user_id", k=_K)
+
+
+@query(
+    "sketch_bloom_fpr_audit",
+    oracle="""
+    WITH build AS (
+      SELECT DISTINCT w AS word
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    ),
+    probe AS (
+      -- synthetic non-members: the corpus vocabulary is plain words, so
+      -- 'zz#<i>' strings are true negatives by construction
+      SELECT 'zz#' || i.i AS word FROM UNNEST(range(0, 2000)) AS i(i)
+    ),
+    bits AS (
+      SELECT DISTINCT
+        CAST(('0x' || substr(md5(word || '#' || i.i), 1, 15)) AS BIGINT)
+          % 16384 AS pos
+      FROM build, UNNEST(range(0, 3)) AS i(i)
+    ),
+    hits AS (
+      SELECT p.word
+      FROM probe p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM UNNEST(range(0, 3)) AS i(i)
+        WHERE CAST(('0x' || substr(md5(p.word || '#' || i.i), 1, 15))
+                   AS BIGINT) % 16384
+              NOT IN (SELECT pos FROM bits)
+      )
+    ),
+    s AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM build) AS n_build,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM probe) AS n_probe,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_false_pos
+    )
+    SELECT n_build, n_probe, n_bits_set, n_false_pos,
+           ROUND(CAST(n_false_pos AS DOUBLE) / n_probe, 6) AS measured_fpr,
+           ROUND(POWER(CAST(n_bits_set AS DOUBLE) / 16384, 3), 6)
+             AS occupancy_fpr
+    FROM s
+    """,
+)
+def sketch_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured vs predicted Bloom-filter false-positive rate — the audit
+    that tells a decontamination pipeline whether its m/k sizing
+    (pipeline_decontaminate_bloom uses the same k=3 portable-hash probe
+    shape) actually delivers the designed FPR before trusting the
+    prefilter at 100 TB. Build the m=2^14 filter over the corpus word
+    set, probe with 2,000 synthetic strings outside the vocabulary (true
+    negatives by construction), and compare the measured FP fraction to
+    the exact occupancy prediction (set_bits/m)^k. Because the hash is
+    md5-portable, the ORACLE reconstructs the identical bit set and the
+    identical per-probe membership — the FP COUNT itself is value-checked,
+    not just the rate. All joins are word-domain-sized (vocabulary), and
+    membership is a semi/anti-join against the distinct-positions table —
+    the m-bounded relational form of the bitmask."""
+    from ..functions.hashing import portable_hash64
+
+    m_bits, k = 16384, 3
+    d = load_table(spark, sf_dir, "documents")
+    build = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    # synthetic non-members: the corpus vocabulary is plain words, so
+    # 'zz#<i>' strings are true negatives by construction
+    probe = spark.range(2000).select(
+        F.concat(F.lit("zz#"), F.col("id")).alias("word")
+    )
+
+    def positions(col):
+        return [
+            F.pmod(
+                portable_hash64(F.concat(col, F.lit(f"#{i}"))), F.lit(m_bits)
+            )
+            for i in range(k)
+        ]
+
+    bits = (
+        build.select(
+            F.explode(F.array(*positions(F.col("word")))).alias("pos")
+        ).distinct()
+    )
+    probe_pos = probe.select(
+        "word", F.posexplode(F.array(*positions(F.col("word"))))
+    ).select("word", F.col("col").alias("pos"))
+    # a probe word is a false positive iff NONE of its k positions is
+    # missing from the bit set: anti-join to find missing positions,
+    # then anti-join the words that had any
+    missing = probe_pos.join(bits, "pos", "left_anti").select("word").distinct()
+    false_pos = probe.join(missing, "word", "left_anti")
+    counts = (
+        build.agg(F.count("*").cast("bigint").alias("n_build"))
+        .crossJoin(probe.agg(F.count("*").cast("bigint").alias("n_probe")))
+        .crossJoin(bits.agg(F.count("*").cast("bigint").alias("n_bits_set")))
+        .crossJoin(
+            false_pos.agg(F.count("*").cast("bigint").alias("n_false_pos"))
+        )
+    )
+    return counts.select(
+        "n_build",
+        "n_probe",
+        "n_bits_set",
+        "n_false_pos",
+        F.round(
+            F.col("n_false_pos").cast("double") / F.col("n_probe"), 6
+        ).alias("measured_fpr"),
+        F.round(
+            F.pow(F.col("n_bits_set").cast("double") / m_bits, F.lit(3)), 6
+        ).alias("occupancy_fpr"),
+    )

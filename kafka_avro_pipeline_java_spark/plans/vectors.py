@@ -673,3 +673,92 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca.pca_project(e, "embedding", "vec_id", k=2).withColumnRenamed(
         "id", "vec_id"
     )
+
+
+def _exact_literal_oracle(qv: list[float], k: int) -> str:
+    """Exact cosine top-k against a LITERAL query vector (the recall
+    denominator) — same scoring expression as the ivf/lsh oracles."""
+    qn = _pynorm(qv)
+    return f"""
+    SELECT vec_id, ROUND(dq / (nrm * {qn!r}), 6) AS cos_sim FROM (
+      SELECT vec_id,
+             SUM(CAST(embedding[i.i] AS DOUBLE)
+                 * CAST(([{', '.join(repr(x) for x in qv)}])[i.i] AS DOUBLE))
+               AS dq,
+             SQRT(SUM(CAST(embedding[i.i] AS DOUBLE)
+                      * CAST(embedding[i.i] AS DOUBLE))) AS nrm
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS i(i)
+      GROUP BY vec_id
+    )
+    ORDER BY cos_sim DESC, vec_id LIMIT {k}
+    """
+
+
+@query(
+    "knn_recall_matrix",
+    oracle=f"""
+    WITH ivf_m AS (SELECT vec_id FROM ({_ivf_oracle(_IVF_CENTS, _IVF_QV, _IVF_PROBE, 5)})),
+    ivf_x AS (SELECT vec_id FROM ({_exact_literal_oracle(_IVF_QV, 5)})),
+    lsh_m AS (SELECT vec_id FROM ({_lsh_oracle(_LSH_O_PLANES, _LSH_O_QV, 5)})),
+    lsh_x AS (SELECT vec_id FROM ({_exact_literal_oracle(_LSH_O_QV, 5)}))
+    SELECT method, n_hits, ROUND(CAST(n_hits AS DOUBLE) / 5, 6) AS recall_at_5
+    FROM (
+      SELECT 'ivf' AS method,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ivf_m
+              WHERE vec_id IN (SELECT vec_id FROM ivf_x)) AS n_hits
+      UNION ALL
+      SELECT 'lsh',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lsh_m
+              WHERE vec_id IN (SELECT vec_id FROM lsh_x))
+    )
+    """,
+)
+def knn_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the two literal-parameter ANN read paths (IVF probe-4
+    and hyperplane-LSH Hamming-2 multiprobe) against the EXACT top-5 for
+    the same query vectors — the index-quality gate a vector platform
+    runs before routing traffic to an index, here as a driver-checkable
+    QUERY rather than only a pytest assertion (tests/test_similarity.py
+    keeps the trained-variant recall thresholds). Both the approximate
+    and the exact sides are the already-oracled plans; recall is a
+    5-bounded semi-join count, so the whole matrix is value-checked
+    end-to-end. At scale each method's candidate pull is the
+    bucket/probe-pruned scan the underlying queries use — the exact side
+    is the only full scan, and it is the AUDIT, not the serving path."""
+    from ..operators import similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = []
+    for method, approx, qv in (
+        (
+            "ivf",
+            similarity.ivf_knn(
+                spark, e, "embedding", "vec_id", _IVF_QV,
+                n_probe=_IVF_PROBE, k=5, centroids=_IVF_CENTS,
+            ),
+            _IVF_QV,
+        ),
+        (
+            "lsh",
+            similarity.lsh_bucketed_knn(
+                spark, e, "embedding", "vec_id", _LSH_O_QV, _LSH_O_PLANES, k=5
+            ),
+            _LSH_O_QV,
+        ),
+    ):
+        exact = similarity.brute_force_knn(
+            spark, e, "embedding", "vec_id", qv, k=5
+        )
+        hits = (
+            approx.select("vec_id")
+            .join(exact.select("vec_id"), "vec_id")
+            .agg(F.count("*").cast("bigint").alias("n_hits"))
+            .select(F.lit(method).alias("method"), "n_hits")
+        )
+        rows.append(hits)
+    out = rows[0].unionByName(rows[1])
+    return out.select(
+        "method",
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / 5, 6).alias("recall_at_5"),
+    )

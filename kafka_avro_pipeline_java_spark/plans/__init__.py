@@ -68,6 +68,10 @@ _PRIORITY = [
     "sketch_bloom_fpr_audit",
     "events_dau_wau_stickiness",
     "knn_recall_matrix",
+    "agg_theil_index",
+    "events_markov_stationary",
+    "scalar_datetime_zoo",
+    "source_jsonl_roundtrip",
     # --- recency refresh: displaced from the r7 window (r02-signed) ---
     "dedup_embedding_cosine",
     "knn_all_pairs_top3",

@@ -1164,3 +1164,88 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _markov_stationary_oracle(iters: int = 3, q: int = 1_000_000_000) -> str:
+    """Unrolled power iterations over the event-type transition matrix;
+    every iteration's distribution is re-quantized to 1e9 fixed point
+    PER TERM (round the i→j contribution, then integer-sum), so both
+    engines iterate identical integer vectors."""
+    step = """
+    p{next} AS (
+      SELECT c.next_type AS state,
+             CAST(SUM(CAST(ROUND(
+               CAST(p.q AS DOUBLE) * c.n / tot.t, 0) AS BIGINT))
+             AS BIGINT) AS q
+      FROM c JOIN p{cur} p ON p.state = c.event_type
+      JOIN tot ON tot.event_type = c.event_type
+      GROUP BY c.next_type
+    )"""
+    steps = ",".join(step.format(cur=i, next=i + 1) for i in range(iters))
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), c AS (
+      SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS t FROM c GROUP BY 1
+    ), states AS (SELECT DISTINCT event_type AS state FROM c),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+    p0 AS (
+      SELECT state, CAST(ROUND(CAST({q} AS DOUBLE) / ns.k, 0) AS BIGINT) AS q
+      FROM states, ns
+    ),
+    {steps}
+    SELECT state, ROUND(CAST(q AS DOUBLE) / {q}, 6) AS stationary_p
+    FROM p{iters}
+    """
+
+
+@query("events_markov_stationary", oracle=_markov_stationary_oracle())
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user event-type Markov chain —
+    where traffic settles if the observed transition matrix keeps running
+    (the long-run mix a capacity model plugs in), iterated from uniform
+    with 3 unrolled power steps on top of events_transition_matrix's
+    counts. Each step is one broadcast join against the k×k count matrix
+    (k = distinct event types, bounded) with every i→j contribution
+    quantized to 1e9 fixed point BEFORE the integer sum — the same
+    per-term discipline as the PageRank/eigenvector oracles but fully
+    integer between steps, so the iterate is bit-identical across
+    engines. The only corpus-scale work is the per-user LEAD window the
+    transition query already pays."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = seq.groupBy("event_type", "next_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    ).localCheckpoint(eager=False)
+    tot = c.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("t"))
+    states = c.select(F.col("event_type").alias("state")).distinct()
+    k = states.count()  # bounded: distinct event types
+    q = 1_000_000_000
+    p = states.select("state", F.lit(round(q / k)).cast("bigint").alias("q"))
+    cm = F.broadcast(c.join(tot, "event_type"))
+    for _ in range(3):
+        p = (
+            cm.join(p, p.state == cm.event_type)
+            .select(
+                F.col("next_type").alias("state"),
+                F.round(
+                    F.col("q").cast("double") * F.col("n") / F.col("t"), 0
+                ).cast("bigint").alias("tq"),
+            )
+            .groupBy("state")
+            .agg(F.sum("tq").cast("bigint").alias("q"))
+        )
+    return p.select(
+        "state",
+        F.round(F.col("q").cast("double") / q, 6).alias("stationary_p"),
+    )

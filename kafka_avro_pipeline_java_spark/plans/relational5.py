@@ -406,3 +406,89 @@ def agg_exact_quartiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("median2_cents"),
         pick(F.floor((3 * n + 3) / 4)).alias("q3_cents"),
     )
+
+
+@query(
+    "scalar_datetime_zoo",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mon,
+           CAST(EXTRACT(day FROM o_orderdate) AS INT) AS dom,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow_sun1,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           CAST(last_day(o_orderdate) AS DATE) AS month_end,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus_30d,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr_start
+    FROM orders WHERE o_orderkey < 200
+    """,
+)
+def scalar_datetime_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar-function matrix — the date/time companion to
+    scalar_string_zoo: extract fields (year/quarter/month/day/doy),
+    day-of-week ALIGNED across engines (Spark's dayofweek is 1-based
+    Sunday-first, DuckDB's is 0-based — the oracle adds 1; convention
+    drift here is the classic silent BI bug this row pins), ISO week,
+    month-end, interval arithmetic, and quarter truncation. Pure
+    projection — codegen, no shuffle, scan pruned to two columns."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("int").alias("y"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.month(d).cast("int").alias("mon"),
+        F.dayofmonth(d).cast("int").alias("dom"),
+        F.dayofyear(d).cast("int").alias("doy"),
+        F.dayofweek(d).cast("int").alias("dow_sun1"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        F.last_day(d).cast("date").alias("month_end"),
+        F.date_add(d.cast("date"), 30).alias("plus_30d"),
+        F.date_trunc("quarter", d).cast("date").alias("qtr_start"),
+    )
+
+
+@query(
+    "source_jsonl_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS price_cents,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders GROUP BY 1
+    """,
+)
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines connector on the graded path, completing the text-format
+    trio next to source_csv_roundtrip and source_avro_ocf_roundtrip:
+    write `orders` as line-delimited JSON, read it back with an EXPLICIT
+    schema (inference = a second full scan at 100 TB), aggregate per
+    status against the parquet-side oracle. Timestamps round-trip through
+    JSON's ISO strings and doubles through shortest-round-trip notation;
+    the exact-cents SUM and key MIN/MAX pin any loss. JSONL stays
+    line-splittable, so the read parallelizes like CSV."""
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_formats",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "orders_jsonl",
+    )
+    o = load_table(spark, sf_dir, "orders")
+    o.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, "
+        "o_orderpriority string"
+    ).json(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias(
+            "price_cents"
+        ),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

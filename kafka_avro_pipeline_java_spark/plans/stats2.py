@@ -459,3 +459,97 @@ def events_retention_curve_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             -F.log(F.lit(2.0)) * b_den / b_num * _Q / _Q / _Q * _Q, 6
         ).alias("half_life_days"),
     )
+
+
+@query(
+    "agg_theil_index",
+    oracle=f"""
+    WITH spend AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(ROUND(SUM(o.o_totalprice), 0) AS BIGINT) AS x
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY o.o_custkey, c.c_mktsegment
+      HAVING CAST(ROUND(SUM(o.o_totalprice), 0) AS BIGINT) >= 1
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(CAST(ROUND(x * LN(x) * 1000, 0) AS BIGINT)) AS BIGINT)
+               AS sxlnx_k
+      FROM spend
+    ), g AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS ng, CAST(SUM(x) AS BIGINT) AS sg
+      FROM spend GROUP BY seg
+    ), btw AS (
+      SELECT CAST(SUM(CAST(ROUND(
+               CAST(sg AS DOUBLE) / s.sx
+               * LN(CAST(sg AS DOUBLE) * s.n / s.sx / ng) * {_Q}, 0)
+             AS BIGINT)) AS BIGINT) AS tb_q
+      FROM g, s
+    )
+    SELECT s.n AS n_customers,
+           ROUND(CAST(sxlnx_k AS DOUBLE) / 1000 / s.sx
+                 - LN(CAST(s.sx AS DOUBLE) / s.n), 6) AS theil_total,
+           ROUND(CAST(tb_q AS DOUBLE) / {_Q}, 6) AS theil_between,
+           ROUND(CAST(sxlnx_k AS DOUBLE) / 1000 / s.sx
+                 - LN(CAST(s.sx AS DOUBLE) / s.n)
+                 - CAST(tb_q AS DOUBLE) / {_Q}, 6) AS theil_within
+    FROM s, btw
+    """,
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer spend, DECOMPOSED into
+    between-segment and within-segment components — the property that
+    makes Theil the analyst's Gini (agg_gini_customer_spend measures
+    level; Theil answers "is the concentration BETWEEN market segments
+    or inside them"). Spend is rounded to whole dollars (BIGINT x ≥ 1,
+    identical in both engines), each x·ln(x) row term is quantized to
+    millidollars before the exact integer sum (T = Σx·lnx/S − ln μ),
+    and the 5 between-group terms quantize at 1e9 — the stats2
+    discipline end to end. One customer-keyed shuffle, then
+    segment-bounded algebra."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey", "c_mktsegment")
+        .agg(F.round(F.sum("o_totalprice"), 0).cast("bigint").alias("x"))
+        .filter(F.col("x") >= 1)
+        .select(F.col("c_mktsegment").alias("seg"), "x")
+    )
+    s = spend.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(
+            F.round(F.col("x") * F.log(F.col("x").cast("double")) * 1000, 0)
+            .cast("bigint")
+        ).cast("bigint").alias("sxlnx_k"),
+    )
+    g = spend.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("ng"),
+        F.sum("x").cast("bigint").alias("sg"),
+    )
+    btw = (
+        g.crossJoin(F.broadcast(s))
+        .select(
+            F.round(
+                F.col("sg").cast("double") / F.col("sx")
+                * F.log(
+                    F.col("sg").cast("double") * F.col("n")
+                    / F.col("sx") / F.col("ng")
+                )
+                * _Q,
+                0,
+            ).cast("bigint").alias("tq")
+        )
+        .agg(F.sum("tq").cast("bigint").alias("tb_q"))
+    )
+    t_total = (
+        F.col("sxlnx_k").cast("double") / 1000 / F.col("sx")
+        - F.log(F.col("sx").cast("double") / F.col("n"))
+    )
+    tb = F.col("tb_q").cast("double") / _Q
+    return s.crossJoin(btw).select(
+        F.col("n").alias("n_customers"),
+        F.round(t_total, 6).alias("theil_total"),
+        F.round(tb, 6).alias("theil_between"),
+        F.round(t_total - tb, 6).alias("theil_within"),
+    )

@@ -342,3 +342,63 @@ def test_prepared_statement_param_count_and_close_errors():
         with pytest.raises(ValueError, match="non-finite"):
             ps2.execute((float("nan"),))
         conn.close()
+
+
+def test_exactly_once_sink_prepared_binary_path(spark):
+    # the same exactly-once contract, but rows and offset upserts bind
+    # through COM_STMT_PREPARE/EXECUTE (use_prepared=True) — the
+    # reference's PreparedStatement mechanism executing inside the sink
+    from kafka_avro_pipeline_java_spark.streaming.sink import (
+        ExactlyOnceDbSink,
+    )
+
+    srv = FakeMySQLServer(password="pw")
+    host, port = "127.0.0.1", srv.port
+    try:
+        setup = mysql_wire.connect(host, port, "root", "pw")
+        setup.cursor().execute(
+            "CREATE TABLE dataset2 (k VARCHAR(20), num BIGINT, "
+            "score DOUBLE, topic VARCHAR(20), partition INT, offset BIGINT)"
+        )
+        setup.commit()
+        setup.close()
+
+        def factory(host=host, port=port):
+            from kafka_avro_pipeline_java_spark.streaming import mysql_wire
+
+            return mysql_wire.connect(host, port, "root", "pw",
+                                      timeout_s=120.0)
+
+        sink = ExactlyOnceDbSink(
+            factory,
+            "dataset2",
+            ["k", "num", "score"],
+            paramstyle="format",
+            offsets_cols=("topic", "partition", "offset"),
+            consumer_group="g2",
+            use_prepared=True,
+        )
+        rows = [
+            (f"k{i}", i, i + 0.25, "dataset2", i % 2, i) for i in range(20)
+        ]
+        df = spark.createDataFrame(
+            rows, "k string, num long, score double, "
+                  "topic string, partition int, offset long"
+        ).repartition(3)
+        sink(df, batch_id=3)
+        sink(df, batch_id=3)  # replay must be a no-op
+
+        check = mysql_wire.connect(host, port, "root", "pw")
+        cur = check.cursor()
+        cur.execute("SELECT COUNT(*), SUM(num) FROM dataset2")
+        assert cur.fetchone() == (20, sum(range(20)))
+        cur.execute("SELECT score FROM dataset2 WHERE k = 'k3'")
+        assert cur.fetchone() == (3.25,)  # typed double through binary bind
+        cur.execute(
+            "SELECT partition, offset FROM kafka_offsets "
+            "WHERE consumer_group = 'g2' ORDER BY partition"
+        )
+        assert dict(cur.fetchall()) == {0: 19, 1: 20}
+        check.close()
+    finally:
+        srv.close()

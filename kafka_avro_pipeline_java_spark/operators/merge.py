@@ -149,7 +149,8 @@ def incremental_agg_apply(
     full-outer join against the stored agg, which at warehouse scale is
     partition-pruned to touched groups. COUNT and SUM are the
     self-maintainable aggregates; MIN/MAX under deletes need the base
-    facts and are deliberately out of scope (documented, not faked).
+    facts — see ``incremental_minmax_apply`` below, which recomputes
+    bounds for dirty groups only via a semi-join-pruned rescan.
     """
     sum_cols = sum_cols or []
     d = delta.groupBy(*group_cols).agg(
@@ -172,3 +173,79 @@ def incremental_agg_apply(
             ).alias(c)
         )
     return joined.select(*cols).filter(F.col(count_col) > 0)
+
+
+def incremental_minmax_apply(
+    base_agg: DataFrame,
+    delta: DataFrame,
+    facts_after: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    count_col: str = "cnt",
+    min_col: str = "mn",
+    max_col: str = "mx",
+    sign_col: str = "sign",
+) -> DataFrame:
+    """Incremental maintenance of (COUNT, MIN, MAX) per group — the
+    non-self-maintainable half the COUNT/SUM fold above deliberately
+    excluded. Algorithm (the standard warehouse pattern):
+
+    - INSERTS are always algebraic: new_min = least(old, min(ins)),
+      new_max = greatest(old, max(ins)), count += Σsign.
+    - A DELETE only invalidates a bound when it can touch it: a group is
+      DIRTY iff min(deleted) <= stored min (min side) or max(deleted) >=
+      stored max (max side) — conservative under duplicate bound values
+      (deleting one of two copies of the min keeps the min; we recompute
+      anyway rather than track multiplicity).
+    - Dirty groups — and ONLY dirty groups — recompute their bounds from
+      ``facts_after`` via a left-semi join on the dirty keys. At 100 TB
+      the rescan volume is the touched groups' rows (partition/file-
+      pruned by the semi-join), never the base table; a day's churn
+      usually dirties a vanishing fraction of groups.
+
+    ``delta`` rows: (group_cols..., sign_col = +1/−1, value_col).
+    ``facts_after``: the maintained fact table AFTER the delta is
+    applied (what any warehouse has on disk post-merge). Groups whose
+    maintained count reaches 0 drop from the view.
+    """
+    d = delta.groupBy(*group_cols).agg(
+        F.sum(sign_col).cast("bigint").alias("__dc"),
+        F.min(F.when(F.col(sign_col) > 0, F.col(value_col))).alias("__ins_mn"),
+        F.max(F.when(F.col(sign_col) > 0, F.col(value_col))).alias("__ins_mx"),
+        F.min(F.when(F.col(sign_col) < 0, F.col(value_col))).alias("__del_mn"),
+        F.max(F.when(F.col(sign_col) < 0, F.col(value_col))).alias("__del_mx"),
+    )
+    j = base_agg.join(d, group_cols, "full_outer")
+    new_cnt = (
+        F.coalesce(F.col(count_col), F.lit(0))
+        + F.coalesce(F.col("__dc"), F.lit(0))
+    ).cast("bigint")
+    dirty = (
+        F.col("__del_mn").isNotNull()
+        & F.col(min_col).isNotNull()
+        & (
+            (F.col("__del_mn") <= F.col(min_col))
+            | (F.col("__del_mx") >= F.col(max_col))
+        )
+    )
+    merged = j.select(
+        *group_cols,
+        new_cnt.alias(count_col),
+        F.least(F.col(min_col), F.col("__ins_mn")).alias(min_col),
+        F.greatest(F.col(max_col), F.col("__ins_mx")).alias(max_col),
+        dirty.alias("__dirty"),
+    ).filter(F.col(count_col) > 0)
+    clean = merged.filter(~F.col("__dirty")).drop("__dirty")
+    dirty_keys = merged.filter(F.col("__dirty")).select(*group_cols, count_col)
+    rescanned = (
+        facts_after.join(dirty_keys.select(*group_cols), group_cols, "left_semi")
+        .groupBy(*group_cols)
+        .agg(
+            F.min(value_col).alias(min_col),
+            F.max(value_col).alias(max_col),
+        )
+        .join(dirty_keys, group_cols)
+        .select(*group_cols, count_col, min_col, max_col)
+    )
+    return clean.unionByName(rescanned)

@@ -1122,3 +1122,65 @@ def merge_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").cast("bigint").alias("cnt"),
         F.round("sum_price", 2).alias("sum_price"),
     )
+
+
+@query(
+    "merge_ivm_minmax",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(ROUND(MIN(o_totalprice) * 100, 0) AS BIGINT) AS min_cents,
+           CAST(ROUND(MAX(o_totalprice) * 100, 0) AS BIGINT) AS max_cents
+    FROM orders
+    WHERE o_orderkey % 5 = 0 OR o_orderkey % 7 <> 0
+    GROUP BY 1
+    """,
+)
+def merge_ivm_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MIN/MAX view maintenance — the aggregate family
+    merge_view_maintenance documented as out of scope, now closed
+    (operators/merge.py::incremental_minmax_apply): inserts update the
+    bounds algebraically; deletes mark a group dirty ONLY when the
+    deleted values can touch the stored bound, and dirty groups — alone —
+    recompute from the post-merge fact table via a left-semi-pruned
+    rescan. Same base/delta slices as the COUNT/SUM row (base =
+    key%5≠0, inserts = key%5=0, deletes = base keys with key%7=0), so
+    the two IVM rows are directly comparable; the oracle recomputes the
+    final (cnt, min, max) per status from scratch, proving the
+    incremental path — algebraic branch AND pruned-rescan branch — lands
+    on identical numbers. At 100 TB the rescan volume is the dirty
+    groups' rows only."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 5 != 0)
+    base_agg = base.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderstatus").alias("status"),
+        F.lit(1).alias("sign"),
+        F.col("o_totalprice").alias("price"),
+    )
+    dels = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderstatus").alias("status"),
+        F.lit(-1).alias("sign"),
+        F.col("o_totalprice").alias("price"),
+    )
+    facts_after = o.filter(
+        (F.col("o_orderkey") % 5 == 0) | (F.col("o_orderkey") % 7 != 0)
+    ).select(F.col("o_orderstatus").alias("status"),
+             F.col("o_totalprice").alias("price"))
+    out = merge.incremental_minmax_apply(
+        base_agg,
+        ins.unionByName(dels),
+        facts_after,
+        ["status"],
+        "price",
+    )
+    return out.select(
+        "status",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.round(F.col("mn") * 100, 0).cast("bigint").alias("min_cents"),
+        F.round(F.col("mx") * 100, 0).cast("bigint").alias("max_cents"),
+    )

@@ -120,3 +120,70 @@ def test_scd2_mixed_version_and_end_types(spark):
     # closed row's valid_to is new_version cast to timestamp (epoch second 1)
     closed = out.filter(F.col("k") == 1).filter(F.col("valid_to").isNotNull())
     assert closed.count() == 1
+
+
+def test_incremental_minmax_all_branches(spark):
+    from kafka_avro_pipeline_java_spark.operators.merge import (
+        incremental_minmax_apply,
+    )
+
+    # base facts per group:
+    #   a: [1, 5, 9]          — insert-only delta (clean, bounds widen)
+    #   b: [2, 4, 8]          — delete 4 (not at a bound: clean path)
+    #   c: [3, 6, 7]          — delete 3 (AT the min: dirty, bound moves)
+    #   d: [5, 5, 10]         — delete ONE 5 (duplicate min: dirty, bound survives)
+    #   e: [6]                — delete 6 (count → 0: group drops)
+    #   f: (absent)           — brand-new group via inserts
+    base = [
+        ("a", v) for v in (1.0, 5.0, 9.0)
+    ] + [("b", v) for v in (2.0, 4.0, 8.0)] + [
+        ("c", v) for v in (3.0, 6.0, 7.0)
+    ] + [("d", v) for v in (5.0, 5.0, 10.0)] + [("e", 6.0)]
+    facts = spark.createDataFrame(base, "g string, v double")
+    base_agg = facts.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    delta_rows = [
+        ("a", 1, 0.5), ("a", 1, 20.0),          # widen both bounds
+        ("b", -1, 4.0),                          # interior delete
+        ("c", -1, 3.0),                          # delete the min
+        ("d", -1, 5.0),                          # one of two min copies
+        ("e", -1, 6.0),                          # group empties
+        ("f", 1, 7.0), ("f", 1, 2.0),            # new group
+    ]
+    delta = spark.createDataFrame(delta_rows, "g string, sign int, v double")
+    # post-merge fact table (what the warehouse has after applying delta)
+    removed = {("b", 4.0), ("c", 3.0), ("e", 6.0)}
+    after_rows = [r for r in base if r not in removed]
+    # ("d", 5.0) appears twice; remove exactly one copy
+    after_rows.remove(("d", 5.0))
+    after_rows += [("a", 0.5), ("a", 20.0), ("f", 7.0), ("f", 2.0)]
+    facts_after = spark.createDataFrame(after_rows, "g string, v double")
+
+    out = {
+        r["g"]: (r["cnt"], r["mn"], r["mx"])
+        for r in incremental_minmax_apply(
+            base_agg, delta, facts_after, ["g"], "v"
+        ).collect()
+    }
+    assert out == {
+        "a": (5, 0.5, 20.0),   # algebraic widen
+        "b": (2, 2.0, 8.0),    # clean delete, bounds unchanged
+        "c": (2, 6.0, 7.0),    # dirty: min moved via pruned rescan
+        "d": (2, 5.0, 10.0),   # dirty: duplicate min survives rescan
+        "f": (2, 2.0, 7.0),    # brand-new group
+    }                           # e: dropped at count 0
+
+    # the rescan branch must touch ONLY dirty groups: recompute with a
+    # facts_after missing the CLEAN groups entirely — result unchanged,
+    # proving clean groups never consult the base
+    pruned_facts = facts_after.filter(F.col("g").isin("c", "d"))
+    out2 = {
+        r["g"]: (r["cnt"], r["mn"], r["mx"])
+        for r in incremental_minmax_apply(
+            base_agg, delta, pruned_facts, ["g"], "v"
+        ).collect()
+    }
+    assert out2 == out

@@ -171,7 +171,13 @@ def partition_count(brokers: str, topic: str, *, timeout: float = 10) -> int:
 
 def register_schemas(registry_url: str, schemas: list[dict], *, timeout: int = 10) -> dict[str, int]:
     """Register value schemas with a Confluent Schema Registry over its
-    REST API (subject = ``<topic>-value``). Pure stdlib HTTP."""
+    REST API (subject = ``<topic>-value``). Pure stdlib HTTP.
+
+    The registry enforces the subject's compatibility mode server-side
+    (409 on violation); ``sources/schema_compat.check_compatibility``
+    implements the same Avro-resolution gate client-side for pre-flight
+    checks against a known version history (tested against the spec's
+    promotion/default/union rules in tests/test_infra_contract.py)."""
     import urllib.request
 
     ids = {}

@@ -72,6 +72,7 @@ _PRIORITY = [
     "events_markov_stationary",
     "scalar_datetime_zoo",
     "source_jsonl_roundtrip",
+    "merge_ivm_minmax",
     # --- recency refresh: displaced from the r7 window (r02-signed) ---
     "dedup_embedding_cosine",
     "knn_all_pairs_top3",

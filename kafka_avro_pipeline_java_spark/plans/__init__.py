@@ -73,6 +73,10 @@ _PRIORITY = [
     "scalar_datetime_zoo",
     "source_jsonl_roundtrip",
     "merge_ivm_minmax",
+    "agg_hhi_concentration",
+    "agg_weighted_median_price",
+    "events_asof_next_purchase",
+    "agg_entropy_by_dimension",
     # --- recency refresh: displaced from the r7 window (r02-signed) ---
     "dedup_embedding_cosine",
     "knn_all_pairs_top3",

@@ -1249,3 +1249,80 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "state",
         F.round(F.col("q").cast("double") / q, 6).alias("stationary_p"),
     )
+
+
+@query(
+    "events_asof_next_purchase",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ), purch AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, click_id,
+           CAST(purchase_id AS BIGINT) AS next_purchase_id,
+           CAST(datediff('second', click_ts, purchase_ts) AS BIGINT)
+             AS secs_to_purchase
+    FROM (
+      SELECT c.user_id, c.click_id, c.click_ts, p.purchase_id, p.purchase_ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.user_id, c.click_id
+               ORDER BY p.purchase_ts, p.purchase_id
+             ) AS rn
+      FROM clicks c JOIN purch p
+        ON p.user_id = c.user_id
+       AND p.purchase_ts >= c.click_ts
+       AND p.purchase_ts < c.click_ts + INTERVAL 1 HOUR
+    ) WHERE rn = 1
+    """,
+)
+def events_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — the time-reversed twin of
+    events_asof_last_click: for every click, the FIRST purchase by the
+    same user within the next hour (the conversion-latency primitive
+    attribution and abandonment metrics build on). Expressed as a
+    watermark-shaped interval join + per-click row_number pick, the same bounded-state plan
+    a stream-stream forward join runs with: state per user is one hour of
+    events, never the history. Tie-breaking is deterministic (earliest
+    purchase_ts, then lowest id); the seconds-to-purchase MIN is over the
+    same bounded candidate set."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    j = clicks.join(
+        purch,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id", "click_id").orderBy(
+        "purchase_ts", "purchase_id"
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "click_id",
+            F.col("purchase_id").cast("bigint").alias("next_purchase_id"),
+            (
+                F.unix_timestamp("purchase_ts")
+                - F.unix_timestamp("click_ts")
+            ).cast("bigint").alias("secs_to_purchase"),
+        )
+    )

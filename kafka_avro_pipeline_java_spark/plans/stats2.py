@@ -553,3 +553,203 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tb, 6).alias("theil_between"),
         F.round(t_total - tb, 6).alias("theil_within"),
     )
+
+
+@query(
+    "agg_hhi_concentration",
+    oracle=f"""
+    WITH rev AS (
+      SELECT c.c_mktsegment AS seg, n.n_name AS nation,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS r
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT seg, CAST(SUM(r) AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS n_nations
+      FROM rev GROUP BY 1
+    )
+    SELECT rev.seg, tot.n_nations,
+           CAST(SUM(CAST(ROUND(
+             CAST(rev.r AS DOUBLE) * rev.r * {_Q} / tot.t / tot.t, 0)
+           AS BIGINT)) AS BIGINT) AS hhi_q,
+           ROUND(CAST(SUM(CAST(ROUND(
+             CAST(rev.r AS DOUBLE) * rev.r * {_Q} / tot.t / tot.t, 0)
+           AS BIGINT)) AS DOUBLE) / {_Q} * 10000, 6) AS hhi_points
+    FROM rev JOIN tot ON tot.seg = rev.seg
+    GROUP BY rev.seg, tot.n_nations
+    """,
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of revenue across nations,
+    per market segment — the antitrust-style "how concentrated is this
+    market" index (HHI = Σ share², scaled ×10,000; <1,500 competitive,
+    >2,500 concentrated) that rounds out the inequality shelf next to
+    Gini and Theil. Revenue shares are exact cent BIGINTs; each nation's
+    share² term is quantized to 1e9 fixed point via the identical IEEE
+    expression (r²·Q/t²) before the exact integer sum — bounded domain
+    (25 nations × 5 segments). Two keyed shuffles (order→customer
+    broadcast-eligible dim joins), then segment-bounded algebra."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint").alias("r")
+        )
+    )
+    tot = rev.groupBy("seg").agg(
+        F.sum("r").cast("bigint").alias("t"),
+        F.count("*").cast("bigint").alias("n_nations"),
+    )
+    term = F.round(
+        F.col("r").cast("double") * F.col("r") * _Q / F.col("t") / F.col("t"),
+        0,
+    ).cast("bigint")
+    joined = rev.join(F.broadcast(tot), "seg").select(
+        "seg", "n_nations", term.alias("tq")
+    )
+    return (
+        joined.groupBy("seg", "n_nations")
+        .agg(F.sum("tq").cast("bigint").alias("hhi_q"))
+        .select(
+            "seg",
+            "n_nations",
+            "hhi_q",
+            F.round(F.col("hhi_q").cast("double") / _Q * 10000, 6).alias(
+                "hhi_points"
+            ),
+        )
+    )
+
+
+@query(
+    "agg_weighted_median_price",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1
+    ), cum AS (
+      SELECT v, w,
+             CAST(COALESCE(SUM(w) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS below,
+             CAST(SUM(w) OVER () AS BIGINT) AS tw
+      FROM vals
+    )
+    SELECT CAST(MAX(tw) AS BIGINT) AS total_weight,
+           CAST(SUM(CASE WHEN below < (tw + 1) // 2
+                          AND (tw + 1) // 2 <= below + w
+                     THEN v ELSE 0 END) AS BIGINT) AS wmedian_cents
+    FROM cum
+    """,
+)
+def agg_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTITY-weighted median of l_extendedprice — "the price of the
+    median unit sold", which differs from the row-median whenever cheap
+    items move in bulk: the order statistic is selected by cumulative
+    WEIGHT rank ⌈W/2⌉ over the distinct-cent value domain (the
+    agg_exact_quartiles_price machinery with per-value weights Σquantity
+    instead of counts). Weights are exact BIGINTs, selection is a
+    CASE-gated SUM with exactly one qualifying value; the ordered window
+    runs over distinct cents, never rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.groupBy(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("v")
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("w"))
+    w_ord = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vals.select(
+        "v",
+        "w",
+        F.coalesce(F.sum("w").over(w_ord), F.lit(0)).cast("bigint").alias("below"),
+        F.sum("w").over(Window.partitionBy()).cast("bigint").alias("tw"),
+    )
+    rank = F.floor((F.col("tw") + 1) / 2)
+    hit = (F.col("below") < rank) & (rank <= F.col("below") + F.col("w"))
+    return cum.agg(
+        F.max("tw").cast("bigint").alias("total_weight"),
+        F.sum(F.when(hit, F.col("v")).otherwise(0)).cast("bigint").alias(
+            "wmedian_cents"
+        ),
+    )
+
+
+@query(
+    "agg_entropy_by_dimension",
+    oracle=f"""
+    WITH dims AS (
+      SELECT 'orderpriority' AS dim, o_orderpriority AS v FROM orders
+      UNION ALL SELECT 'orderstatus', o_orderstatus FROM orders
+      UNION ALL SELECT 'mktsegment', c_mktsegment FROM customer
+      UNION ALL SELECT 'returnflag', l_returnflag FROM lineitem
+    ), cells AS (
+      SELECT dim, v, CAST(COUNT(*) AS BIGINT) AS c FROM dims GROUP BY 1, 2
+    ), tot AS (
+      SELECT dim, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM cells GROUP BY 1
+    )
+    SELECT cells.dim, tot.k AS n_levels,
+           ROUND(CAST(SUM(CAST(ROUND(
+             -CAST(cells.c AS DOUBLE) / tot.n
+             * LN(CAST(cells.c AS DOUBLE) / tot.n) * {_Q}, 0) AS BIGINT))
+             AS DOUBLE) / {_Q}, 6) AS entropy_nats,
+           ROUND(CAST(SUM(CAST(ROUND(
+             -CAST(cells.c AS DOUBLE) / tot.n
+             * LN(CAST(cells.c AS DOUBLE) / tot.n) * {_Q}, 0) AS BIGINT))
+             AS DOUBLE) / {_Q} / LN(tot.k), 6) AS efficiency
+    FROM cells JOIN tot ON tot.dim = cells.dim
+    GROUP BY cells.dim, tot.k, tot.n
+    """,
+)
+def agg_entropy_by_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (and normalized efficiency H/ln k) of four
+    categorical dimensions across three tables — the data-profiling
+    "is this column informative or near-constant" signal next to
+    text_source_entropy's corpus twin: efficiency ≈ 1 means uniform
+    usage, ≈ 0 means one dominant level (a candidate constant/partition
+    column). Each −p·ln p term is quantized to 1e9 fixed point via the
+    identical expression on the level-bounded cells table, then
+    integer-summed; one groupBy per dimension to category-sized cells."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        o.select(F.lit("orderpriority").alias("dim"),
+                 F.col("o_orderpriority").alias("v"))
+        .unionAll(o.select(F.lit("orderstatus"), F.col("o_orderstatus")))
+        .unionAll(c.select(F.lit("mktsegment"), F.col("c_mktsegment")))
+        .unionAll(li.select(F.lit("returnflag"), F.col("l_returnflag")))
+    )
+    cells = dims.groupBy("dim", "v").agg(F.count("*").cast("bigint").alias("c"))
+    tot = cells.groupBy("dim").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    term = F.round(-p * F.log(p) * _Q, 0).cast("bigint")
+    joined = cells.join(F.broadcast(tot), "dim").select(
+        "dim", "k", "n", term.alias("tq")
+    )
+    ent = F.col("hq").cast("double") / _Q
+    return (
+        joined.groupBy("dim", "k", "n")
+        .agg(F.sum("tq").cast("bigint").alias("hq"))
+        .select(
+            "dim",
+            F.col("k").alias("n_levels"),
+            F.round(ent, 6).alias("entropy_nats"),
+            F.round(ent / F.log(F.col("k").cast("double")), 6).alias(
+                "efficiency"
+            ),
+        )
+    )

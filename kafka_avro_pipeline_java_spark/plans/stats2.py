@@ -606,17 +606,21 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("r")
         )
     )
-    tot = rev.groupBy("seg").agg(
-        F.sum("r").cast("bigint").alias("t"),
-        F.count("*").cast("bigint").alias("n_nations"),
+    # segment totals via a window over the (≤ segments×nations)-row rev
+    # table — one pass, no recompute of the upstream join tree (a
+    # groupBy+self-join here would scan orders twice at 100 TB)
+    w_seg = Window.partitionBy("seg")
+    rev = rev.select(
+        "seg",
+        "r",
+        F.sum("r").over(w_seg).cast("bigint").alias("t"),
+        F.count("*").over(w_seg).cast("bigint").alias("n_nations"),
     )
     term = F.round(
         F.col("r").cast("double") * F.col("r") * _Q / F.col("t") / F.col("t"),
         0,
     ).cast("bigint")
-    joined = rev.join(F.broadcast(tot), "seg").select(
-        "seg", "n_nations", term.alias("tq")
-    )
+    joined = rev.select("seg", "n_nations", term.alias("tq"))
     return (
         joined.groupBy("seg", "n_nations")
         .agg(F.sum("tq").cast("bigint").alias("hhi_q"))
@@ -731,15 +735,19 @@ def agg_entropy_by_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(li.select(F.lit("returnflag"), F.col("l_returnflag")))
     )
     cells = dims.groupBy("dim", "v").agg(F.count("*").cast("bigint").alias("c"))
-    tot = cells.groupBy("dim").agg(
-        F.sum("c").cast("bigint").alias("n"),
-        F.count("*").cast("bigint").alias("k"),
+    # per-dimension totals via a window over the level-bounded cells
+    # table — a groupBy+join here would recompute the three-table union
+    # scan twice (same single-pass fix as agg_hhi_concentration)
+    w_dim = Window.partitionBy("dim")
+    cells = cells.select(
+        "dim",
+        "c",
+        F.sum("c").over(w_dim).cast("bigint").alias("n"),
+        F.count("*").over(w_dim).cast("bigint").alias("k"),
     )
     p = F.col("c").cast("double") / F.col("n")
     term = F.round(-p * F.log(p) * _Q, 0).cast("bigint")
-    joined = cells.join(F.broadcast(tot), "dim").select(
-        "dim", "k", "n", term.alias("tq")
-    )
+    joined = cells.select("dim", "k", "n", term.alias("tq"))
     ent = F.col("hq").cast("double") / _Q
     return (
         joined.groupBy("dim", "k", "n")

@@ -77,6 +77,7 @@ _PRIORITY = [
     "agg_weighted_median_price",
     "events_asof_next_purchase",
     "agg_entropy_by_dimension",
+    "stats_kaplan_meier_shipping",
     # --- recency refresh: displaced from the r7 window (r02-signed) ---
     "dedup_embedding_cosine",
     "knn_all_pairs_top3",

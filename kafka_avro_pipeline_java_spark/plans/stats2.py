@@ -1,5 +1,7 @@
 """Round-8 statistical round-out: overdispersion, effect-size matrix,
-quantized-log means, offline changepoint, and a retention decay fit.
+quantized-log means, offline changepoint, a retention decay fit, the
+log-rank / Kaplan–Meier survival pair, and the inequality shelf (Theil
+decomposition, HHI, weighted median, categorical entropy).
 
 Every statistic follows the repo's determinism discipline
 (stats.py/stats.py docstrings): closed-form algebra over INTEGER-EXACT
@@ -760,4 +762,86 @@ def agg_entropy_by_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "efficiency"
             ),
         )
+    )
+
+
+@query(
+    "stats_kaplan_meier_shipping",
+    oracle=f"""
+    WITH spans AS (
+      SELECT datediff('day', o.o_orderdate, l.l_shipdate) AS t
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate
+    ), per_t AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS d FROM spans
+      WHERE t <= 60 GROUP BY t
+    ), censored AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS c FROM spans WHERE t > 60
+    ), cum AS (
+      SELECT t, d,
+             CAST(SUM(d) OVER (ORDER BY t DESC) AS BIGINT)
+               + (SELECT c FROM censored) AS n_at_risk
+      FROM per_t
+    ), terms AS (
+      SELECT t, d, n_at_risk,
+             CAST(ROUND(LN(1.0 - CAST(d AS DOUBLE) / n_at_risk) * {_Q}, 0)
+               AS BIGINT) AS lq
+      FROM cum
+    )
+    SELECT t AS day, d AS n_shipped, n_at_risk,
+           ROUND(EXP(CAST(SUM(lq) OVER (
+             ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / {_Q}), 6) AS survival
+    FROM terms
+    """,
+)
+def stats_kaplan_meier_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-ship WITH real censoring —
+    the estimator stats_logrank_priority compares groups with, here as
+    the full curve: S(t) = Π_{t_i ≤ t} (1 − d_i/n_i), where lines still
+    unshipped at the 60-day administrative cutoff are CENSORED (they
+    contribute to every at-risk set but never to the events — the
+    defining subtlety naive "percent shipped by day t" gets wrong).
+    At-risk counts come from the DESC cumulative window over the bounded
+    day domain plus the censored tail; each ln(1−d/n) factor is
+    1e9-quantized via the identical expression, and the running product
+    is exp of the exact integer prefix sum — so every point on the curve
+    value-oracles. One keyed join shuffle, then day-domain algebra."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    spans = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(F.datediff("l_shipdate", "o_orderdate").alias("t"))
+        .localCheckpoint(eager=False)
+    )
+    per_t = (
+        spans.filter(F.col("t") <= 60)
+        .groupBy("t")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    censored = spans.filter(F.col("t") > 60).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w_desc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_t.crossJoin(F.broadcast(censored)).select(
+        "t",
+        "d",
+        (F.sum("d").over(w_desc) + F.col("c")).cast("bigint").alias("n_at_risk"),
+    )
+    lq = F.round(
+        F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_at_risk")) * _Q,
+        0,
+    ).cast("bigint")
+    terms = cum.select("t", "d", "n_at_risk", lq.alias("lq"))
+    w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return terms.select(
+        F.col("t").alias("day"),
+        F.col("d").alias("n_shipped"),
+        "n_at_risk",
+        F.round(
+            F.exp(F.sum("lq").over(w_asc).cast("double") / _Q), 6
+        ).alias("survival"),
     )

@@ -78,6 +78,8 @@ _PRIORITY = [
     "events_asof_next_purchase",
     "agg_entropy_by_dimension",
     "stats_kaplan_meier_shipping",
+    "agg_trimmed_mean_price",
+    "join_bloom_runtime_filter",
     # --- recency refresh: displaced from the r7 window (r02-signed) ---
     "dedup_embedding_cosine",
     "knn_all_pairs_top3",

@@ -492,3 +492,106 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+@query(
+    "join_bloom_runtime_filter",
+    oracle="""
+    WITH urgent AS (
+      SELECT DISTINCT o_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    bits AS (
+      SELECT DISTINCT
+        CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#' || i.i),
+                             1, 15)) AS BIGINT) % 1048576 AS pos
+      FROM urgent, UNNEST(range(0, 3)) AS i(i)
+    ),
+    li AS (SELECT l_orderkey, l_extendedprice FROM lineitem),
+    passed AS (
+      SELECT l.l_orderkey, l.l_extendedprice
+      FROM li l
+      WHERE NOT EXISTS (
+        SELECT 1 FROM UNNEST(range(0, 3)) AS i(i)
+        WHERE CAST(('0x' || substr(md5(CAST(l.l_orderkey AS VARCHAR)
+                                       || '#' || i.i), 1, 15)) AS BIGINT)
+              % 1048576 NOT IN (SELECT pos FROM bits)
+      )
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM li) AS n_lineitem,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM passed) AS n_bloom_passed,
+           CAST(COUNT(*) AS BIGINT) AS n_joined,
+           CAST(SUM(CAST(ROUND(p.l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM passed p JOIN urgent u ON u.o_orderkey = p.l_orderkey
+    """,
+)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual RUNTIME-FILTER join: revenue of URGENT orders' lineitems
+    with the fact side pre-filtered by a Bloom filter built from the
+    dimension's join keys BEFORE the exact join — the technique engines
+    call runtime filtering / dynamic semi-join pushdown, spelled out
+    relationally so it survives any planner: build-side keys hash to a
+    DISTINCT-positions table (m=2^20, k=3, md5-portable), the fact probes
+    it with an anti-join on missing positions (a key passes iff none of
+    its k bits is absent), and only survivors reach the exact join. The
+    emitted counts value-check the MECHANISM, not just the answer: the
+    false-positive overshoot n_bloom_passed − n_joined is exactly
+    reproduced by the oracle because the hash is portable. At 100 TB the
+    positions table is m-bounded (not key-bounded), the probe is a
+    shuffle-free-broadcast-eligible join, and the exact join's shuffle
+    shrinks by the Bloom's selectivity — the point of the pattern."""
+    from ..functions.hashing import portable_hash64
+
+    m_bits, k = 1 << 20, 3
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+        .distinct()
+    )
+
+    def positions(col):
+        return [
+            F.pmod(
+                portable_hash64(
+                    F.concat(col.cast("string"), F.lit(f"#{i}"))
+                ),
+                F.lit(m_bits),
+            )
+            for i in range(k)
+        ]
+
+    bits = urgent.select(
+        F.explode(F.array(*positions(F.col("o_orderkey")))).alias("pos")
+    ).distinct()
+    probe = li.select(
+        "l_orderkey",
+        "l_extendedprice",
+        F.posexplode(F.array(*positions(F.col("l_orderkey")))),
+    ).select("l_orderkey", "l_extendedprice", F.col("col").alias("pos"))
+    missing = (
+        probe.join(bits, "pos", "left_anti").select("l_orderkey").distinct()
+    )
+    passed = li.join(missing, "l_orderkey", "left_anti")
+    joined = passed.join(
+        urgent, passed.l_orderkey == urgent.o_orderkey
+    )
+    summary = (
+        li.agg(F.count("*").cast("bigint").alias("n_lineitem"))
+        .crossJoin(
+            passed.agg(F.count("*").cast("bigint").alias("n_bloom_passed"))
+        )
+        .crossJoin(
+            joined.agg(
+                F.count("*").cast("bigint").alias("n_joined"),
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+                ).cast("bigint").alias("revenue_cents"),
+            )
+        )
+    )
+    return summary

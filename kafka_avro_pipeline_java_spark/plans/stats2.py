@@ -845,3 +845,80 @@ def stats_kaplan_meier_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp(F.sum("lq").over(w_asc).cast("double") / _Q), 6
         ).alias("survival"),
     )
+
+
+@query(
+    "agg_trimmed_mean_price",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ), cum AS (
+      SELECT v, c,
+             CAST(COALESCE(SUM(c) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS below,
+             CAST(SUM(c) OVER () AS BIGINT) AS n
+      FROM vals
+    ), bounds AS (
+      SELECT v, c, below, n,
+             n // 20 AS lo_cut,             -- 5% trim each side
+             n - n // 20 AS hi_cut,
+             GREATEST(below, n // 20) AS kept_lo,
+             LEAST(below + c, n - n // 20) AS kept_hi
+      FROM cum
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN kept_hi > kept_lo
+                         THEN v * (kept_hi - kept_lo) ELSE 0 END) AS BIGINT)
+             AS kept_cents_sum,
+           CAST(SUM(CASE WHEN kept_hi > kept_lo
+                         THEN kept_hi - kept_lo ELSE 0 END) AS BIGINT)
+             AS kept_rows,
+           ROUND(CAST(SUM(CASE WHEN kept_hi > kept_lo
+                               THEN v * (kept_hi - kept_lo) ELSE 0 END)
+                      AS DOUBLE)
+                 / SUM(CASE WHEN kept_hi > kept_lo
+                            THEN kept_hi - kept_lo ELSE 0 END) / 100, 6)
+             AS trimmed_mean
+    FROM bounds
+    """,
+)
+def agg_trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-each-side TRIMMED mean of l_extendedprice — the robust-location
+    sibling of agg_winsorized_mean (winsorizing CLAMPS the tails; trimming
+    DROPS them). Exact by rank arithmetic on the distinct-cent value
+    domain: each value keeps max(0, min(below+c, n−n/20) − max(below,
+    n/20)) of its multiplicity — no row sort, no percentile approximation,
+    the same order-statistic discipline as the quartile/weighted-median
+    rows. All sums are exact BIGINTs; one rounded division at the end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.groupBy(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("v")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    w_ord = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vals.select(
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(w_ord), F.lit(0)).cast("bigint").alias("below"),
+        F.sum("c").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    lo = F.floor(F.col("n") / 20)
+    hi = F.col("n") - lo
+    kept_lo = F.greatest(F.col("below"), lo)
+    kept_hi = F.least(F.col("below") + F.col("c"), hi)
+    kept = F.when(kept_hi > kept_lo, kept_hi - kept_lo).otherwise(0)
+    b = cum.select(
+        "n",
+        (F.col("v") * kept).cast("bigint").alias("vs"),
+        kept.cast("bigint").alias("k"),
+    )
+    return b.agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.sum("vs").cast("bigint").alias("kept_cents_sum"),
+        F.sum("k").cast("bigint").alias("kept_rows"),
+        F.round(
+            F.sum("vs").cast("double") / F.sum("k") / 100, 6
+        ).alias("trimmed_mean"),
+    )

@@ -80,6 +80,7 @@ _PRIORITY = [
     "stats_kaplan_meier_shipping",
     "agg_trimmed_mean_price",
     "join_bloom_runtime_filter",
+    "pipeline_dataset_card",
     # --- recency refresh: displaced from the r7 window (r02-signed) ---
     "dedup_embedding_cosine",
     "knn_all_pairs_top3",

@@ -366,3 +366,70 @@ def multimodal_audio_zero_crossings(
     return media.mapInPandas(
         batches, schema="media_id long, n_samples int, zero_crossings int"
     )
+
+
+@query(
+    "pipeline_dataset_card",
+    oracle="""
+    WITH docs AS (
+      SELECT source, lang, n_chars,
+             length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+             CAST(('0x' || substr(md5(lower(trim(
+               regexp_replace(text, '\\s+', ' ', 'g')))), 1, 15)) AS BIGINT)
+               AS fp
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_en_docs,
+           CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM docs GROUP BY source
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source DATASET CARD — the one-table summary a curation team
+    publishes with a corpus release (docs / chars / whitespace tokens /
+    language spread / exact-dup count via the normalized md5 fingerprint
+    the dedup family keys on / length bounds), assembled in ONE pass per
+    source instead of running the individual audit queries separately.
+    Every column is an exact integer from a single groupBy; the
+    fingerprint reuses the portable hash, so even the dup count
+    value-oracles. The scale shape is the word-count shape: one
+    source-keyed shuffle over per-row scalars."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..functions.hashing import portable_hash64
+
+    fp = portable_hash64(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    )
+    tokens = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), " ", ""))
+        + 1
+    )
+    docs = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        tokens.alias("n_tokens"),
+        fp.alias("fp"),
+    )
+    return docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint").alias("n_en_docs"),
+        (F.count("*") - F.count_distinct("fp")).cast("bigint").alias(
+            "n_exact_dups"
+        ),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )

@@ -413,3 +413,35 @@ def test_decode_resize_pixels_end_to_end(spark):
         for r in range(4):
             for c in range(4):
                 assert got[(mid, r, c)] == small[r, c, 0]
+
+
+def test_bmp_round_trip_property():
+    # property: encode→decode is identity for ANY size and pixel content,
+    # and the file-size field always matches (the spec invariants, beyond
+    # the hand-picked shapes above)
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_avro_pipeline_java_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=17),
+        w=st.integers(min_value=1, max_value=17),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def prop(h, w, seed):
+        px = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, 3), dtype=np.uint8
+        )
+        data = encode_bmp(px)
+        assert int.from_bytes(data[2:6], "little") == len(data)
+        out = decode_bmp(data)
+        assert out.shape == (h, w, 3)
+        assert (out == px).all()
+
+    prop()

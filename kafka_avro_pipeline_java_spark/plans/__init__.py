@@ -81,6 +81,9 @@ _PRIORITY = [
     "agg_trimmed_mean_price",
     "join_bloom_runtime_filter",
     "pipeline_dataset_card",
+    "stats_ab_cuped_adjustment",
+    "stats_ab_srm_check",
+    "stats_diff_in_diff",
     # --- recency refresh: displaced from the r7 window (r02-signed) ---
     "dedup_embedding_cosine",
     "knn_all_pairs_top3",

@@ -922,3 +922,251 @@ def agg_trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("vs").cast("double") / F.sum("k") / 100, 6
         ).alias("trimmed_mean"),
     )
+
+
+@query(
+    "stats_ab_cuped_adjustment",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS INT) AS grp,
+             CAST(SUM(CASE WHEN ts <  TIMESTAMP '2024-01-15'
+                           THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS pre_cents,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                           THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS post_cents
+      FROM events GROUP BY user_id
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pre_cents) AS BIGINT) AS sx,
+             CAST(SUM(post_cents) AS BIGINT) AS sy,
+             CAST(SUM(pre_cents * pre_cents) AS BIGINT) AS sxx,
+             CAST(SUM(pre_cents * post_cents) AS BIGINT) AS sxy
+      FROM per_user
+    ), theta AS (
+      SELECT n, sx,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS th
+      FROM s
+    ), adj AS (
+      SELECT p.grp,
+             CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(p.post_cents) AS BIGINT) AS sum_post,
+             SUM(p.post_cents
+                 - t.th * (p.pre_cents - CAST(t.sx AS DOUBLE) / t.n))
+               AS sum_adj
+      FROM per_user p, theta t
+      GROUP BY p.grp
+    )
+    SELECT ROUND((SELECT th FROM theta), 6) AS theta,
+           ROUND(CAST(b.sum_post AS DOUBLE) / b.ng
+                 - CAST(a.sum_post AS DOUBLE) / a.ng, 6) AS naive_diff_cents,
+           ROUND(b.sum_adj / b.ng - a.sum_adj / a.ng, 6)
+             AS cuped_diff_cents
+    FROM adj a, adj b
+    WHERE a.grp = 0 AND b.grp = 1
+    """,
+)
+def stats_ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED covariate adjustment (Deng et al., WSDM'13) for a synthetic
+    A/B split — the variance-reduction step every modern experimentation
+    platform applies before reading a treatment effect: per-user POST
+    metric adjusted by the PRE-period covariate, Ŷ = Y − θ(X − X̄) with
+    θ = cov(X,Y)/var(X). Users hash into arms by parity; pre/post periods
+    split at a fixed date; all moments are exact BIGINT sums of cent
+    values, θ is one double from five integers, and the per-group
+    adjusted means subtract identical doubles — both engines run the same
+    expression tree, rounded at 6. One user-keyed shuffle, then
+    constant-size algebra; at 100 TB the per-user collapse IS the
+    pipeline (moments ride map-side combine)."""
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cutoff, cents).otherwise(0))
+        .cast("bigint").alias("pre_cents"),
+        F.sum(F.when(F.col("ts") >= cutoff, cents).otherwise(0))
+        .cast("bigint").alias("post_cents"),
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("grp"),
+        "pre_cents",
+        "post_cents",
+    ).localCheckpoint(eager=False)
+    s = per_user.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pre_cents").cast("bigint").alias("sx"),
+        F.sum("post_cents").cast("bigint").alias("sy"),
+        F.sum(F.col("pre_cents") * F.col("pre_cents")).cast("bigint").alias("sxx"),
+        F.sum(F.col("pre_cents") * F.col("post_cents")).cast("bigint").alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
+    theta = s.select(
+        "n",
+        "sx",
+        ((n * sxy - sx * sy).cast("double")
+         / (n * sxx - sx * sx).cast("double")).alias("th"),
+    )
+    adj = (
+        per_user.crossJoin(F.broadcast(theta))
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("ng"),
+            F.sum("post_cents").cast("bigint").alias("sum_post"),
+            F.sum(
+                F.col("post_cents")
+                - F.col("th")
+                * (F.col("pre_cents") - sx.cast("double") / F.col("n"))
+            ).alias("sum_adj"),
+        )
+    )
+    a = adj.filter(F.col("grp") == 0).select(
+        F.col("ng").alias("na"), F.col("sum_post").alias("pa"),
+        F.col("sum_adj").alias("aa"),
+    )
+    b = adj.filter(F.col("grp") == 1).select(
+        F.col("ng").alias("nb"), F.col("sum_post").alias("pb"),
+        F.col("sum_adj").alias("ab"),
+    )
+    return (
+        theta.crossJoin(a).crossJoin(b)
+        .select(
+            F.round("th", 6).alias("theta"),
+            F.round(
+                F.col("pb").cast("double") / F.col("nb")
+                - F.col("pa").cast("double") / F.col("na"),
+                6,
+            ).alias("naive_diff_cents"),
+            F.round(
+                F.col("ab") / F.col("nb") - F.col("aa") / F.col("na"), 6
+            ).alias("cuped_diff_cents"),
+        )
+    )
+
+
+@query(
+    "stats_ab_srm_check",
+    oracle="""
+    WITH arms AS (
+      SELECT CAST(user_id % 2 AS INT) AS grp,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY 1
+    ), s AS (
+      SELECT CAST(SUM(n_users) AS BIGINT) AS n,
+             CAST(MAX(CASE WHEN grp = 0 THEN n_users END) AS BIGINT) AS n0,
+             CAST(MAX(CASE WHEN grp = 1 THEN n_users END) AS BIGINT) AS n1
+      FROM arms
+    )
+    SELECT n0 AS users_control, n1 AS users_treatment,
+           ROUND(CAST((2 * n0 - n) * (2 * n0 - n) AS DOUBLE)
+                 / CAST(2 * n AS DOUBLE) * 2, 6) AS srm_chi2,
+           CAST(CASE WHEN CAST((2 * n0 - n) * (2 * n0 - n) AS DOUBLE)
+                          / CAST(2 * n AS DOUBLE) * 2 > 3.841
+                     THEN 1 ELSE 0 END AS INT) AS srm_flag
+    FROM s
+    """,
+)
+def stats_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-Ratio-Mismatch check for the parity A/B split — the FIRST
+    gate an experimentation platform runs (a biased assignment invalidates
+    every downstream read, CUPED included): χ² of observed arm sizes
+    against the designed 50/50, flagged at the 1-df 5% critical value
+    3.841. For two arms the statistic collapses to (2n₀−n)²/ (n/2) summed
+    over both arms = (2n₀−n)²·2/(2n) — one rational from two BIGINTs.
+    One distinct-count shuffle keyed by user."""
+    e = load_table(spark, sf_dir, "events")
+    arms = e.groupBy((F.col("user_id") % 2).cast("int").alias("grp")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users")
+    )
+    s = arms.agg(
+        F.sum("n_users").cast("bigint").alias("n"),
+        F.max(F.when(F.col("grp") == 0, F.col("n_users"))).cast("bigint").alias("n0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n_users"))).cast("bigint").alias("n1"),
+    )
+    dev = (2 * F.col("n0") - F.col("n"))
+    chi2 = dev.cast("double") * dev / (2 * F.col("n")).cast("double") * 2
+    return s.select(
+        F.col("n0").alias("users_control"),
+        F.col("n1").alias("users_treatment"),
+        F.round(chi2, 6).alias("srm_chi2"),
+        F.when(chi2 > 3.841, 1).otherwise(0).cast("int").alias("srm_flag"),
+    )
+
+
+@query(
+    "stats_diff_in_diff",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(user_id % 2 AS INT) AS grp,
+             CAST(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                       THEN 1 ELSE 0 END AS INT) AS period,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT
+      ROUND(CAST(MAX(CASE WHEN grp = 1 AND period = 1 THEN cents END)
+                 AS DOUBLE)
+            / MAX(CASE WHEN grp = 1 AND period = 1 THEN n_events END)
+          - CAST(MAX(CASE WHEN grp = 1 AND period = 0 THEN cents END)
+                 AS DOUBLE)
+            / MAX(CASE WHEN grp = 1 AND period = 0 THEN n_events END), 6)
+        AS treat_delta_cents,
+      ROUND(CAST(MAX(CASE WHEN grp = 0 AND period = 1 THEN cents END)
+                 AS DOUBLE)
+            / MAX(CASE WHEN grp = 0 AND period = 1 THEN n_events END)
+          - CAST(MAX(CASE WHEN grp = 0 AND period = 0 THEN cents END)
+                 AS DOUBLE)
+            / MAX(CASE WHEN grp = 0 AND period = 0 THEN n_events END), 6)
+        AS control_delta_cents,
+      ROUND((CAST(MAX(CASE WHEN grp = 1 AND period = 1 THEN cents END)
+                  AS DOUBLE)
+             / MAX(CASE WHEN grp = 1 AND period = 1 THEN n_events END)
+           - CAST(MAX(CASE WHEN grp = 1 AND period = 0 THEN cents END)
+                  AS DOUBLE)
+             / MAX(CASE WHEN grp = 1 AND period = 0 THEN n_events END))
+          - (CAST(MAX(CASE WHEN grp = 0 AND period = 1 THEN cents END)
+                  AS DOUBLE)
+             / MAX(CASE WHEN grp = 0 AND period = 1 THEN n_events END)
+           - CAST(MAX(CASE WHEN grp = 0 AND period = 0 THEN cents END)
+                  AS DOUBLE)
+             / MAX(CASE WHEN grp = 0 AND period = 0 THEN n_events END)), 6)
+        AS did_estimate_cents
+    FROM cells
+    """,
+)
+def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate over the 2×2 (arm × pre/post)
+    grid — the causal-inference workhorse when randomization is imperfect:
+    the treatment effect is the treated arm's pre→post delta minus the
+    control arm's (which absorbs the common time trend CUPED's covariate
+    can't). Four cells of exact BIGINT (Σcents, n) from ONE groupBy; the
+    three reported numbers are ratios/differences of those eight
+    integers via identical expression trees, rounded at 6."""
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    cells = e.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("grp"),
+        F.when(F.col("ts") >= cutoff, 1).otherwise(0).cast("int").alias("period"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint").alias("cents"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+
+    def cell(g, p, col):
+        return F.max(
+            F.when((F.col("grp") == g) & (F.col("period") == p), F.col(col))
+        )
+
+    def mean(g, p):
+        return cell(g, p, "cents").cast("double") / cell(g, p, "n_events")
+
+    treat_delta = mean(1, 1) - mean(1, 0)
+    control_delta = mean(0, 1) - mean(0, 0)
+    return cells.agg(
+        F.round(treat_delta, 6).alias("treat_delta_cents"),
+        F.round(control_delta, 6).alias("control_delta_cents"),
+        F.round(treat_delta - control_delta, 6).alias("did_estimate_cents"),
+    )

@@ -84,6 +84,8 @@ _PRIORITY = [
     "stats_ab_cuped_adjustment",
     "stats_ab_srm_check",
     "stats_diff_in_diff",
+    "sql_skyline_parts",
+    "events_activity_streaks",
     # --- recency refresh: displaced from the r7 window (r02-signed) ---
     "dedup_embedding_cosine",
     "knn_all_pairs_top3",

@@ -1326,3 +1326,63 @@ def events_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("secs_to_purchase"),
         )
     )
+
+
+@query(
+    "events_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ), grp AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY d
+             ) AS INT) AS island
+      FROM days
+    ), streaks AS (
+      SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len,
+             MIN(d) AS streak_start
+      FROM grp GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           MIN(streak_start) AS first_active_day
+    FROM streaks
+    GROUP BY user_id
+    ORDER BY longest_streak_days DESC, user_id
+    LIMIT 50
+    """,
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAPS-AND-ISLANDS: longest consecutive-calendar-day activity streak
+    per user — the canonical SQL pattern (date minus dense row_number is
+    constant within an island) and the engagement metric sessionization's
+    time-gap windows don't answer. One row per user-day after the
+    distinct, one user-keyed window, island-keyed count — every shuffle
+    is user-bounded. Top-50 by streak with deterministic tie-break."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("island"),
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count("*").cast("bigint").alias("len"),
+        F.min("d").alias("streak_start"),
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("len").cast("bigint").alias("longest_streak_days"),
+            F.count("*").cast("bigint").alias("n_streaks"),
+            F.min("streak_start").alias("first_active_day"),
+        )
+        .orderBy(F.desc("longest_streak_days"), F.asc("user_id"))
+        .limit(50)
+    )

@@ -595,3 +595,57 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return summary
+
+
+@query(
+    "sql_skyline_parts",
+    oracle="""
+    WITH pts AS (
+      SELECT p_partkey, p_size,
+             CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS price_cents
+      FROM part
+    ), ranked AS (
+      SELECT p_partkey, p_size, price_cents,
+             MIN(price_cents) OVER (
+               ORDER BY p_size DESC, price_cents ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS best_price_larger
+      FROM pts
+    )
+    SELECT p_partkey, CAST(p_size AS INT) AS p_size, price_cents
+    FROM ranked
+    WHERE best_price_larger IS NULL OR price_cents < best_price_larger
+    """,
+)
+def sql_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE / Pareto-frontier operator: parts not DOMINATED on
+    (maximize size, minimize price) — no other part is at least as large
+    AND at least as cheap with one strict. The classic engine feature the
+    join/agg zoo doesn't express directly, computed in O(n log n) with
+    the sort-sweep: order by size DESC (price ASC tie-break), keep the
+    running best (min) price among everything larger-or-equal-so-far; a
+    row survives iff it strictly beats that. The ASC price tie-break
+    makes equal-size groups self-dominate correctly (only the cheapest
+    of a size can survive, and ties-in-both-dims keep the first). One
+    value-domain-bounded global sort (p_size has a bounded domain, the
+    relational5 global-window discipline); prices exact cents."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("int").alias("p_size"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("bigint").alias(
+            "price_cents"
+        ),
+    )
+    w = Window.orderBy(F.desc("p_size"), F.asc("price_cents")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = p.select(
+        "p_partkey",
+        "p_size",
+        "price_cents",
+        F.min("price_cents").over(w).alias("best_price_larger"),
+    )
+    return ranked.filter(
+        F.col("best_price_larger").isNull()
+        | (F.col("price_cents") < F.col("best_price_larger"))
+    ).select("p_partkey", "p_size", "price_cents")

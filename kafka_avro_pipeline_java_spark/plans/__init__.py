@@ -86,6 +86,8 @@ _PRIORITY = [
     "stats_diff_in_diff",
     "sql_skyline_parts",
     "events_activity_streaks",
+    "agg_group_exact_median",
+    "graph_assortativity",
     # --- recency refresh: displaced from the r7 window (r02-signed) ---
     "dedup_embedding_cosine",
     "knn_all_pairs_top3",

@@ -703,3 +703,80 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("modularity"),
     )
+
+
+@query(
+    "graph_assortativity",
+    oracle=f"""
+    WITH prs AS ({ORACLES["dedup_ngram_jaccard"]}),
+    p AS (SELECT id_a AS u, id_b AS v FROM prs),
+    e AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+    deg AS (
+      SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1
+    ),
+    ends AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM ends
+    )
+    SELECT m AS n_directed_edges,
+           ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(m * sxx - sx * sx AS DOUBLE)
+                        * CAST(m * syy - sy * sy AS DOUBLE)), 6)
+             AS assortativity
+    FROM s
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the near-dup graph (Newman 2002): the
+    Pearson correlation of endpoint degrees over directed edges —
+    positive means hubs attach to hubs (boilerplate families linking to
+    each other), negative means hub-and-spoke duplication. Completes the
+    graph-shape shelf next to clustering coefficient and modularity with
+    the repo's integer-sum discipline: all five moments are exact BIGINTs
+    over the edge list (degrees join twice, one shuffle each), one
+    rounded closed-form correlation at the end."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.1)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    p = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    e = p.unionByName(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("x"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("y"))
+    ends = e.join(du, "u").join(dv, "v").select("x", "y")
+    s = ends.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    m, sx, sy, sxx, syy, sxy = (
+        F.col(c) for c in ("m", "sx", "sy", "sxx", "syy", "sxy")
+    )
+    return s.select(
+        m.alias("n_directed_edges"),
+        F.round(
+            (m * sxy - sx * sy).cast("double")
+            / F.sqrt(
+                (m * sxx - sx * sx).cast("double")
+                * (m * syy - sy * sy).cast("double")
+            ),
+            6,
+        ).alias("assortativity"),
+    )

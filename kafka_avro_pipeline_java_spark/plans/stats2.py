@@ -1170,3 +1170,70 @@ def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(control_delta, 6).alias("control_delta_cents"),
         F.round(treat_delta - control_delta, 6).alias("did_estimate_cents"),
     )
+
+
+@query(
+    "agg_group_exact_median",
+    oracle="""
+    WITH vals AS (
+      SELECT l_returnflag AS flag,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+      SELECT flag, v, c,
+             CAST(COALESCE(SUM(c) OVER (
+               PARTITION BY flag ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS below,
+             CAST(SUM(c) OVER (PARTITION BY flag) AS BIGINT) AS n
+      FROM vals
+    )
+    SELECT flag, CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN below < (n + 1) // 2
+                          AND (n + 1) // 2 <= below + c
+                     THEN v ELSE 0 END)
+                + SUM(CASE WHEN below < (n + 2) // 2
+                            AND (n + 2) // 2 <= below + c
+                      THEN v ELSE 0 END) AS BIGINT) AS median2_cents
+    FROM cum GROUP BY flag
+    """,
+)
+def agg_group_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP exact medians — the order-statistic selection machinery
+    of agg_exact_quartiles_price PARTITIONED by l_returnflag, showing the
+    technique generalizes from a global scalar to grouped analytics
+    without a per-group sort of row space: the cumulative window runs
+    over each group's distinct-cent domain, and both middle ranks are
+    carried as the exact-integer 2·median. At 100 TB each group's ordered
+    pass is value-domain-bounded and groups parallelize independently —
+    the grouped-exact-quantile shape percentile_approx users reach for
+    when sketch error isn't acceptable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("v"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    w_ord = (
+        Window.partitionBy("flag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = vals.select(
+        "flag",
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(w_ord), F.lit(0)).cast("bigint").alias("below"),
+        F.sum("c").over(Window.partitionBy("flag")).cast("bigint").alias("n"),
+    )
+    n = F.col("n")
+
+    def pick(rank):
+        hit = (F.col("below") < rank) & (rank <= F.col("below") + F.col("c"))
+        return F.sum(F.when(hit, F.col("v")).otherwise(0)).cast("bigint")
+
+    return cum.groupBy("flag").agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        (pick(F.floor((n + 1) / 2)) + pick(F.floor((n + 2) / 2)))
+        .cast("bigint").alias("median2_cents"),
+    )

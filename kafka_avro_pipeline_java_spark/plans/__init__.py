@@ -88,6 +88,8 @@ _PRIORITY = [
     "events_activity_streaks",
     "agg_group_exact_median",
     "graph_assortativity",
+    "embedding_label_centroid_shift",
+    "stats_partial_correlation",
     # --- recency refresh: displaced from the r7 window (r02-signed) ---
     "dedup_embedding_cosine",
     "knn_all_pairs_top3",

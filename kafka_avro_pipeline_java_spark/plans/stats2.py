@@ -1237,3 +1237,102 @@ def agg_group_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         (pick(F.floor((n + 1) / 2)) + pick(F.floor((n + 2) / 2)))
         .cast("bigint").alias("median2_cents"),
     )
+
+
+@query(
+    "stats_partial_correlation",
+    oracle="""
+    WITH rows_q AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y,
+             CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS z
+      FROM lineitem
+    ), s AS (
+      -- moment sums stay HUGEINT (int128): y is cents, so Σy² overflows
+      -- a 64-bit int already at sf0.01 — the Spearman decimal(38,0)
+      -- discipline on the Spark side matches this exactly
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(z * z) AS szz,
+             SUM(x * y) AS sxy, SUM(x * z) AS sxz, SUM(y * z) AS syz
+      FROM rows_q
+    ), r AS (
+      SELECT n,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)) AS rxy,
+             CAST(n * sxz - sx * sz AS DOUBLE)
+               / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * szz - sz * sz AS DOUBLE)) AS rxz,
+             CAST(n * syz - sy * sz AS DOUBLE)
+               / SQRT(CAST(n * syy - sy * sy AS DOUBLE)
+                      * CAST(n * szz - sz * sz AS DOUBLE)) AS ryz
+      FROM s
+    )
+    SELECT n AS n_rows,
+           ROUND(rxy, 6) AS r_qty_price,
+           ROUND(rxz, 6) AS r_qty_discount,
+           ROUND(ryz, 6) AS r_price_discount,
+           ROUND((rxy - rxz * ryz)
+                 / SQRT((1 - rxz * rxz) * (1 - ryz * ryz)), 6)
+             AS partial_r_qty_price_given_discount
+    FROM r
+    """,
+)
+def stats_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order PARTIAL correlation r(quantity, price | discount) —
+    the confounder-controlled association agg_correlation_exact can't
+    answer (does quantity still track price once the discount channel is
+    partialled out?): r_xy.z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)),
+    with all three pairwise correlations computed from ONE pass of ten
+    exact BIGINT moments (cents/percent quantization) and the formula
+    evaluated by the identical expression tree in both engines. The
+    moments ride map-side combine — one scalar exchange at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_q = li.select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("y"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("z"),
+    )
+    dec = "decimal(38,0)"
+    s = rows_q.agg(
+        F.count("*").cast("bigint").alias("n"),
+        *[
+            F.sum(expr.cast(dec)).alias(name)
+            for name, expr in [
+                ("sx", F.col("x")), ("sy", F.col("y")), ("sz", F.col("z")),
+                ("sxx", F.col("x") * F.col("x")),
+                ("syy", F.col("y") * F.col("y")),
+                ("szz", F.col("z") * F.col("z")),
+                ("sxy", F.col("x") * F.col("y")),
+                ("sxz", F.col("x") * F.col("z")),
+                ("syz", F.col("y") * F.col("z")),
+            ]
+        ],
+    )
+    n = F.col("n")
+
+    def corr(sa, sb, sab, saa, sbb):
+        return (n * F.col(sab) - F.col(sa) * F.col(sb)).cast("double") / F.sqrt(
+            (n * F.col(saa) - F.col(sa) * F.col(sa)).cast("double")
+            * (n * F.col(sbb) - F.col(sb) * F.col(sb)).cast("double")
+        )
+
+    r = s.select(
+        "n",
+        corr("sx", "sy", "sxy", "sxx", "syy").alias("rxy"),
+        corr("sx", "sz", "sxz", "sxx", "szz").alias("rxz"),
+        corr("sy", "sz", "syz", "syy", "szz").alias("ryz"),
+    )
+    rxy, rxz, ryz = F.col("rxy"), F.col("rxz"), F.col("ryz")
+    return r.select(
+        F.col("n").alias("n_rows"),
+        F.round(rxy, 6).alias("r_qty_price"),
+        F.round(rxz, 6).alias("r_qty_discount"),
+        F.round(ryz, 6).alias("r_price_discount"),
+        F.round(
+            (rxy - rxz * ryz)
+            / F.sqrt((1 - rxz * rxz) * (1 - ryz * ryz)),
+            6,
+        ).alias("partial_r_qty_price_given_discount"),
+    )

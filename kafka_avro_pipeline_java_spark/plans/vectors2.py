@@ -501,3 +501,85 @@ def knn_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.filter(F.col("vec_id").isin(selected))
         .select("vec_id", F.col("simq").alias("query_sim"), rank.alias("rank"))
     )
+
+
+@query(
+    "embedding_label_centroid_shift",
+    oracle="""
+    WITH el AS (
+      SELECT label, i.i AS dim,
+             CAST(SUM(CAST(ROUND(CAST(embedding[i.i] AS DOUBLE) * 1000000, 0)
+                           AS BIGINT)) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS i(i)
+      WHERE label < 4
+      GROUP BY label, i.i
+    ), cents AS (
+      SELECT label, dim, CAST(s AS DOUBLE) / n / 1000000 AS c FROM el
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           ROUND(SQRT(SUM((a.c - b.c) * (a.c - b.c))), 6) AS centroid_l2
+    FROM cents a JOIN cents b ON b.dim = a.dim AND b.label > a.label
+    GROUP BY a.label, b.label
+    """,
+)
+def embedding_label_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise L2 distances between per-label embedding CENTROIDS — the
+    cluster-separation / distribution-drift audit a curation pipeline
+    runs between data slices (labels here; sources or time windows in
+    production). Per-dim sums are quantized to 1e6 fixed-point BIGINTs
+    BEFORE summation (exact integers — the embedding-covariance
+    discipline), centroids are those integers divided identically in
+    both engines, and the label×label distance matrix is
+    (labels²·dim)-bounded — never data-sized. The Spark side posexplodes
+    to the (label, dim) domain: rows×64, map-side combined to labels×64
+    partials."""
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("label") < 4)
+    el = (
+        e.select("label", F.posexplode("embedding"))
+        .select(
+            "label",
+            (F.col("pos") + 1).alias("dim"),
+            F.round(F.col("col").cast("double") * 1_000_000, 0)
+            .cast("bigint").alias("q"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.sum("q").cast("bigint").alias("s"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    cents = el.select(
+        "label",
+        "dim",
+        (F.col("s").cast("double") / F.col("n") / 1_000_000).alias("c"),
+    )
+    a = cents.select(
+        F.col("label").alias("label_a"), "dim", F.col("c").alias("ca")
+    )
+    b = cents.select(
+        F.col("label").alias("label_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("c").alias("cb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("dim_b") == F.col("dim"))
+            & (F.col("label_b") > F.col("label_a")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        (F.col("ca") - F.col("cb"))
+                        * (F.col("ca") - F.col("cb"))
+                    )
+                ),
+                6,
+            ).alias("centroid_l2")
+        )
+    )

@@ -94,6 +94,8 @@ _PRIORITY = [
     "graph_assortativity",
     "embedding_label_centroid_shift",
     "stats_partial_correlation",
+    "text_word_burstiness",
+    "events_type_affinity",
     # --- recency refresh: displaced from the r7 window (r02-signed) ---
     "dedup_embedding_cosine",
     "knn_all_pairs_top3",

@@ -1386,3 +1386,115 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("longest_streak_days"), F.asc("user_id"))
         .limit(50)
     )
+
+
+@query(
+    "events_type_affinity",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT DISTINCT user_id, event_type,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_id
+      FROM x
+    ), ns AS (
+      SELECT CAST(COUNT(DISTINCT (user_id, session_id)) AS BIGINT) AS n
+      FROM s
+    ), per_type AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM s GROUP BY event_type
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS both_c
+      FROM s a JOIN s b
+        ON b.user_id = a.user_id AND b.session_id = a.session_id
+       AND b.event_type > a.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.both_c,
+           ROUND(CAST(p.both_c AS DOUBLE) * ns.n
+                 / (CAST(ca.c AS DOUBLE) * cb.c), 6) AS lift
+    FROM pairs p
+    JOIN per_type ca ON ca.event_type = p.type_a
+    JOIN per_type cb ON cb.event_type = p.type_b, ns
+    """,
+)
+def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level event-type AFFINITY: lift = P(a,b in the same
+    session) / (P(a)·P(b)) over the 30-minute-gap sessions — basket_item
+    _lift's behavioral twin (the "basket" is a session, the "items" are
+    event types), answering which activities actually co-occur in a
+    visit vs just being individually common. The session definition is
+    the canonical events_sessionize window; the pair join runs on the
+    DISTINCT (session, type) table, so its volume is sessions × |types|²
+    at worst — types is bounded. Counts are exact BIGINTs; lift is one
+    rounded ratio of four integers per pair."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    x = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            gap > 1_800_000_000, 1
+        ).when(F.lag("ts").over(w).isNull(), 1).otherwise(0).alias("is_new"),
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    s = x.select(
+        "user_id",
+        "event_type",
+        F.sum("is_new").over(w_run).cast("bigint").alias("session_id"),
+    ).distinct().localCheckpoint(eager=False)
+    ns = s.select("user_id", "session_id").distinct().agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    per_type = s.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    a = s.select("user_id", "session_id", F.col("event_type").alias("type_a"))
+    b = s.select(
+        F.col("user_id").alias("ub"),
+        F.col("session_id").alias("sb"),
+        F.col("event_type").alias("type_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("ub") == F.col("user_id"))
+            & (F.col("sb") == F.col("session_id"))
+            & (F.col("type_b") > F.col("type_a")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("both_c"))
+    )
+    ca = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("c").alias("ca")
+    )
+    cb = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("c").alias("cb")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "type_a",
+            "type_b",
+            "both_c",
+            F.round(
+                F.col("both_c").cast("double") * F.col("n")
+                / (F.col("ca").cast("double") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+    )

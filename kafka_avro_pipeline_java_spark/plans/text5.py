@@ -109,3 +109,73 @@ def text_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int").alias("same_source"),
         )
     )
+
+
+@query(
+    "text_word_burstiness",
+    oracle="""
+    WITH wc AS (
+      SELECT doc_id, w AS word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+      ) WHERE w <> ''
+      GROUP BY doc_id, w
+    ), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    agg AS (
+      SELECT word,
+             CAST(SUM(c) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(c * c) AS BIGINT) AS sumsq
+      FROM wc GROUP BY word
+    ), top AS (
+      SELECT word, total, df, sumsq FROM agg
+      ORDER BY total DESC, word LIMIT 20
+    )
+    SELECT word, total, df,
+           ROUND((CAST(sumsq AS DOUBLE)
+                  - 2.0 * total / nd.n * total
+                  + CAST(total AS DOUBLE) * total / nd.n)
+                 / (nd.n - 1) / (CAST(total AS DOUBLE) / nd.n), 6)
+             AS burstiness_vmr
+    FROM top, nd
+    """,
+)
+def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word BURSTINESS (variance-to-mean ratio of per-document counts,
+    zeros included) for the top-20 corpus words — the classic
+    content-vs-function-word separator (function words spread evenly,
+    VMR ≈ 1 Poisson-like; topical words clump, VMR >> 1), and the signal
+    a stop-word list or tf-idf damping choice is validated against.
+    Computed WITHOUT materializing zero cells: with μ = total/n,
+    Σ(c−μ)² over all n docs = Σc² − 2μ·total + n·μ² — three exact
+    BIGINTs per word (Σc, Σc², df) plus the doc count, one rounded
+    division chain. Word-count shape: one (doc, word) groupBy, one
+    word-keyed agg, a 20-row TakeOrdered."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    nd = d.agg(F.count("*").cast("bigint").alias("n"))
+    agg = wc.groupBy("word").agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("df"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sumsq"),
+    )
+    top = agg.orderBy(F.desc("total"), F.asc("word")).limit(20)
+    n = F.col("n")
+    total_d = F.col("total").cast("double")
+    mean = total_d / n
+    var = (
+        F.col("sumsq").cast("double")
+        - 2.0 * mean * F.col("total")
+        + total_d * F.col("total") / n
+    ) / (n - 1)
+    return top.crossJoin(F.broadcast(nd)).select(
+        "word",
+        "total",
+        "df",
+        F.round(var / mean, 6).alias("burstiness_vmr"),
+    )

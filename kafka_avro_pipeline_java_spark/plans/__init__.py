@@ -96,6 +96,7 @@ _PRIORITY = [
     "stats_partial_correlation",
     "text_word_burstiness",
     "events_type_affinity",
+    "pipeline_neyman_allocation",
     # --- recency refresh: displaced from the r7 window (r02-signed) ---
     "dedup_embedding_cosine",
     "knn_all_pairs_top3",

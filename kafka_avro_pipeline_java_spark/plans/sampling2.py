@@ -181,3 +181,62 @@ def pipeline_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_selected"),
         F.round(F.avg("n_chars"), 2).alias("avg_chars_selected"),
     )
+
+
+@query(
+    "pipeline_neyman_allocation",
+    oracle="""
+    WITH strata AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS nh,
+             CAST(SUM(n_chars) AS BIGINT) AS s1,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+      FROM documents GROUP BY source
+    ), sd AS (
+      SELECT source, nh,
+             SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nh)
+                  / (nh - 1)) AS sigma
+      FROM strata WHERE nh > 1
+    ), tot AS (
+      SELECT SUM(nh * sigma) AS t FROM sd
+    )
+    SELECT sd.source, sd.nh AS stratum_size,
+           ROUND(sd.sigma, 6) AS sigma_chars,
+           CAST(ROUND(1000.0 * sd.nh * sd.sigma / tot.t, 0) AS BIGINT)
+             AS neyman_n
+    FROM sd, tot
+    """,
+)
+def pipeline_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal sample allocation across source strata for a
+    1,000-doc quality-audit budget: n_h ∝ N_h·σ_h (big AND internally
+    varied strata get more auditors) — the statistically-correct version
+    of the proportional split pipeline_sample_per_source draws, and the
+    table a labeling vendor is handed. Per-stratum σ comes from exact
+    BIGINT power sums of n_chars (the audited measure); the allocation
+    is one ratio per stratum against the Σ N_h σ_h total — both engines
+    evaluate the identical tree (sums of ≤20 same-magnitude terms),
+    rounded to whole docs. One groupBy to the strata table."""
+    d = load_table(spark, sf_dir, "documents")
+    strata = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("nh"),
+        F.sum("n_chars").cast("bigint").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("s2"),
+    )
+    sigma = F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1") / F.col("nh")
+        )
+        / (F.col("nh") - 1)
+    )
+    sd = strata.filter(F.col("nh") > 1).select(
+        "source", "nh", sigma.alias("sigma")
+    )
+    tot = sd.agg(F.sum(F.col("nh") * F.col("sigma")).alias("t"))
+    return sd.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("nh").alias("stratum_size"),
+        F.round("sigma", 6).alias("sigma_chars"),
+        F.round(1000.0 * F.col("nh") * F.col("sigma") / F.col("t"), 0)
+        .cast("bigint").alias("neyman_n"),
+    )

@@ -97,6 +97,9 @@ _PRIORITY = [
     "text_word_burstiness",
     "events_type_affinity",
     "pipeline_neyman_allocation",
+    "stats_runs_test_daily_revenue",
+    "layout_equi_depth_histogram",
+    "scalar_bitwise_zoo",
     # --- recency refresh: displaced from the r7 window (r02-signed) ---
     "dedup_embedding_cosine",
     "knn_all_pairs_top3",

@@ -120,3 +120,77 @@ def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mon").cast("date").alias("first_month"),
         F.max("mon").cast("date").alias("last_month"),
     )
+
+
+@query(
+    "layout_equi_depth_histogram",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ), cum AS (
+      SELECT v, c,
+             CAST(COALESCE(SUM(c) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS below,
+             CAST(SUM(c) OVER () AS BIGINT) AS n
+      FROM vals
+    ), buckets AS (
+      SELECT b.b AS bucket, (b.b * (SELECT MAX(n) FROM cum)) // 8 AS lo_rank,
+             ((b.b + 1) * (SELECT MAX(n) FROM cum)) // 8 AS hi_rank
+      FROM UNNEST(range(0, 8)) AS b(b)
+    )
+    SELECT bucket,
+           CAST(SUM(CASE WHEN below < hi_rank AND hi_rank <= below + c
+                         THEN v ELSE 0 END) AS BIGINT) AS upper_cents,
+           CAST(MAX(hi_rank - lo_rank) AS BIGINT) AS depth
+    FROM buckets, cum
+    GROUP BY bucket
+    """,
+)
+def layout_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram of o_totalprice (8 buckets) — the statistic a
+    cost-based optimizer keeps per column (equal ROW counts per bucket,
+    so selectivity estimates stay accurate in skewed tails where
+    equi-WIDTH buckets collapse): the b-th boundary is the exact value at
+    rank ⌊(b+1)·n/8⌋, selected by the order-statistic machinery on the
+    distinct-cent domain (agg_exact_quartiles_price generalized to a
+    boundary VECTOR — one cumulative pass serves all 8 ranks via a
+    broadcast bucket spec). Depths are exact integers; boundaries exact
+    cents."""
+    o = load_table(spark, sf_dir, "orders")
+    vals = o.groupBy(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("v")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    w_ord = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vals.select(
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(w_ord), F.lit(0)).cast("bigint").alias("below"),
+        F.sum("c").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    buckets = spark.range(8).select(
+        F.col("id").cast("bigint").alias("bucket")
+    )
+    j = cum.crossJoin(F.broadcast(buckets)).select(
+        "bucket",
+        "v",
+        "c",
+        "below",
+        (F.col("bucket") * F.col("n") / 8).cast("bigint").alias("lo_rank"),
+        ((F.col("bucket") + 1) * F.col("n") / 8).cast("bigint").alias(
+            "hi_rank"
+        ),
+    )
+    hit = (F.col("below") < F.col("hi_rank")) & (
+        F.col("hi_rank") <= F.col("below") + F.col("c")
+    )
+    return j.groupBy("bucket").agg(
+        F.sum(F.when(hit, F.col("v")).otherwise(0)).cast("bigint").alias(
+            "upper_cents"
+        ),
+        F.max(F.col("hi_rank") - F.col("lo_rank")).cast("bigint").alias(
+            "depth"
+        ),
+    )

@@ -649,3 +649,39 @@ def sql_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best_price_larger").isNull()
         | (F.col("price_cents") < F.col("best_price_larger"))
     ).select("p_partkey", "p_size", "price_cents")
+
+
+@query(
+    "scalar_bitwise_zoo",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+           CAST(o_orderkey | 15 AS BIGINT) AS or_mask,
+           CAST(xor(o_orderkey, 6148914691236517205) AS BIGINT) AS xor_pat,
+           CAST(o_orderkey << 3 AS BIGINT) AS shl3,
+           CAST(o_orderkey >> 2 AS BIGINT) AS shr2,
+           CAST(bit_count(o_orderkey) AS INT) AS popcount
+    FROM orders WHERE o_orderkey < 300
+    """,
+)
+def scalar_bitwise_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar-function matrix — AND/OR/XOR masks, shifts, and
+    popcount over order keys: the bit-twiddling surface behind every
+    hash/bucket/bitmap technique in this repo (Z-order interleaving,
+    Bloom positions, SimHash bands) exposed as a driver-checked row so
+    the two engines' operator semantics (arithmetic shift, 64-bit XOR
+    pattern, bit_count) are pinned against each other. Pure codegen
+    projection, scan pruned to one column."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("bigint").alias("low_byte"),
+        k.bitwiseOR(F.lit(15)).cast("bigint").alias("or_mask"),
+        k.bitwiseXOR(F.lit(6148914691236517205)).cast("bigint").alias(
+            "xor_pat"
+        ),
+        F.shiftleft(k, 3).cast("bigint").alias("shl3"),
+        F.shiftright(k, 2).cast("bigint").alias("shr2"),
+        F.bit_count(k).cast("int").alias("popcount"),
+    )

@@ -1336,3 +1336,89 @@ def stats_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("partial_r_qty_price_given_discount"),
     )
+
+
+@query(
+    "stats_runs_test_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ), signs AS (
+      SELECT d, CASE WHEN rev > LAG(rev) OVER (ORDER BY d) THEN 1 ELSE 0 END
+               AS up,
+             LAG(rev) OVER (ORDER BY d) AS prev
+      FROM daily
+    ), seq AS (
+      SELECT d, up,
+             CASE WHEN LAG(up) OVER (ORDER BY d) IS NULL
+                    OR up <> LAG(up) OVER (ORDER BY d)
+                  THEN 1 ELSE 0 END AS new_run
+      FROM signs WHERE prev IS NOT NULL
+    ), s AS (
+      SELECT CAST(SUM(new_run) AS BIGINT) AS runs,
+             CAST(SUM(up) AS BIGINT) AS n_up,
+             CAST(COUNT(*) - SUM(up) AS BIGINT) AS n_down
+      FROM seq
+    )
+    SELECT runs, n_up, n_down,
+           ROUND(1.0 + 2.0 * n_up * n_down / (n_up + n_down), 6)
+             AS expected_runs,
+           ROUND((runs - (1.0 + 2.0 * n_up * n_down / (n_up + n_down)))
+                 / SQRT(2.0 * n_up * n_down
+                        * (2.0 * n_up * n_down - n_up - n_down)
+                        / ((n_up + n_down) * (n_up + n_down)
+                           * (n_up + n_down - 1))), 6) AS runs_z
+    FROM s
+    """,
+)
+def stats_runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz RUNS TEST on the up/down signs of day-over-day
+    revenue — the randomness check behind "is this series trending /
+    mean-reverting or i.i.d. noise" that autocorrelation's linear view
+    can miss: too FEW runs means momentum, too MANY means oscillation.
+    Signs come from one lag over the bounded day domain, runs from one
+    more lag; R, n₊, n₋ are exact BIGINTs and E[R]/Var[R]/z are the
+    closed forms evaluated by identical expression trees, rounded at 6."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint").alias("rev")
+    )
+    w = Window.orderBy("d")
+    signs = daily.select(
+        "d",
+        F.when(F.col("rev") > F.lag("rev").over(w), 1).otherwise(0).alias("up"),
+        F.lag("rev").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    seq = signs.select(
+        "up",
+        F.when(
+            F.lag("up").over(w).isNull()
+            | (F.col("up") != F.lag("up").over(w)),
+            1,
+        ).otherwise(0).alias("new_run"),
+    )
+    s = seq.agg(
+        F.sum("new_run").cast("bigint").alias("runs"),
+        F.sum("up").cast("bigint").alias("n_up"),
+        (F.count("*") - F.sum("up")).cast("bigint").alias("n_down"),
+    )
+    nu, nd, r = F.col("n_up"), F.col("n_down"), F.col("runs")
+    n = nu + nd
+    e_runs = 1.0 + 2.0 * nu * nd / n
+    var = (
+        2.0 * nu * nd * (2.0 * nu * nd - nu - nd)
+        / (n * n * (n - 1))
+    )
+    return s.select(
+        "runs",
+        "n_up",
+        "n_down",
+        F.round(e_runs, 6).alias("expected_runs"),
+        F.round((r - e_runs) / F.sqrt(var), 6).alias("runs_z"),
+    )

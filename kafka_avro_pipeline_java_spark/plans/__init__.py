@@ -100,6 +100,8 @@ _PRIORITY = [
     "stats_runs_test_daily_revenue",
     "layout_equi_depth_histogram",
     "scalar_bitwise_zoo",
+    "agg_covariance_matrix",
+    "events_bounce_rate",
     # --- recency refresh: displaced from the r7 window (r02-signed) ---
     "dedup_embedding_cosine",
     "knn_all_pairs_top3",

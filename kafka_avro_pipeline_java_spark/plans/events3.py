@@ -1498,3 +1498,72 @@ def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "events_bounce_rate",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_id
+      FROM x
+    ), sess AS (
+      SELECT user_id, session_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(date_trunc('day', MIN(ts)) AS DATE) AS day
+      FROM s GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS bounce_rate
+    FROM sess GROUP BY day
+    """,
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily BOUNCE RATE — fraction of single-event sessions per
+    session-start day, the canonical engagement-quality metric on every
+    web dashboard, built on the canonical 30-minute sessionization (the
+    same window as events_sessionize / events_type_affinity, so all
+    three rows agree on what a session IS). Session sizes are exact
+    integers from the user-keyed window + one session-keyed agg; the
+    daily rate is one rounded division."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    x = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap > 1_800_000_000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0).alias("is_new"),
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    s = x.select(
+        "user_id",
+        "ts",
+        F.sum("is_new").over(w_run).cast("bigint").alias("session_id"),
+    )
+    sess = s.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.date_trunc("day", F.min("ts")).cast("date").alias("day"),
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return sess.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        bounce.cast("bigint").alias("n_bounces"),
+        F.round(bounce.cast("double") / F.count("*"), 6).alias("bounce_rate"),
+    )

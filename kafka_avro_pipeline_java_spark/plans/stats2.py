@@ -1422,3 +1422,82 @@ def stats_runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(e_runs, 6).alias("expected_runs"),
         F.round((r - e_runs) / F.sqrt(var), 6).alias("runs_z"),
     )
+
+
+@query(
+    "agg_covariance_matrix",
+    oracle="""
+    WITH rows_q AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS p,
+             CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS d,
+             CAST(ROUND(l_tax * 100, 0) AS BIGINT) AS t
+      FROM lineitem
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(q) AS sq, SUM(p) AS sp, SUM(d) AS sd, SUM(t) AS st,
+             SUM(q * q) AS sqq, SUM(q * p) AS sqp, SUM(q * d) AS sqd,
+             SUM(q * t) AS sqt, SUM(p * p) AS spp, SUM(p * d) AS spd,
+             SUM(p * t) AS spt, SUM(d * d) AS sdd, SUM(d * t) AS sdt,
+             SUM(t * t) AS stt
+      FROM rows_q
+    )
+    SELECT cell.va AS var_a, cell.vb AS var_b,
+           ROUND((CAST(cell.sab AS DOUBLE) - CAST(cell.sa AS DOUBLE)
+                  * cell.sb / s.n) / (s.n - 1), 6) AS covariance
+    FROM s, LATERAL (
+      VALUES ('qty', 'qty', sqq, sq, sq), ('qty', 'price', sqp, sq, sp),
+             ('qty', 'disc', sqd, sq, sd), ('qty', 'tax', sqt, sq, st),
+             ('price', 'price', spp, sp, sp), ('price', 'disc', spd, sp, sd),
+             ('price', 'tax', spt, sp, st), ('disc', 'disc', sdd, sd, sd),
+             ('disc', 'tax', sdt, sd, st), ('tax', 'tax', stt, st, st)
+    ) AS cell(va, vb, sab, sa, sb)
+    """,
+)
+def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full sample COVARIANCE MATRIX over four lineitem measures
+    (quantity, whole-dollar price, discount%, tax%) — the multivariate
+    profile behind feature selection and the numeric twin of
+    stats_cramers_v_matrix's categorical grid: all 10 upper-triangle
+    cells from ONE pass of 14 moments (HUGEINT/decimal sums — price is
+    kept in whole dollars so Σp² stays in range), each cell the textbook
+    (Σab − ΣaΣb/n)/(n−1) evaluated identically in both engines. The
+    moments ride map-side combine; the matrix is constant-size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_q = li.select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice"), 0).cast("bigint").alias("p"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("d"),
+        F.round(F.col("l_tax") * 100, 0).cast("bigint").alias("t"),
+    )
+    dec = "decimal(38,0)"
+    names = ["q", "p", "d", "t"]
+    prods = [
+        (a + b, F.col(a) * F.col(b))
+        for i, a in enumerate(names)
+        for b in names[i:]
+    ]
+    s = rows_q.agg(
+        F.count("*").cast("bigint").alias("n"),
+        *[F.sum(F.col(c).cast(dec)).alias("s" + c) for c in names],
+        *[F.sum(e.cast(dec)).alias("s" + nm) for nm, e in prods],
+    )
+    label = {"q": "qty", "p": "price", "d": "disc", "t": "tax"}
+    cells = []
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            cov = (
+                F.col("s" + a + b).cast("double")
+                - F.col("s" + a).cast("double") * F.col("s" + b) / F.col("n")
+            ) / (F.col("n") - 1)
+            cells.append(
+                s.select(
+                    F.lit(label[a]).alias("var_a"),
+                    F.lit(label[b]).alias("var_b"),
+                    F.round(cov, 6).alias("covariance"),
+                )
+            )
+    out = cells[0]
+    for c in cells[1:]:
+        out = out.unionByName(c)
+    return out

@@ -36,15 +36,16 @@ from . import layout as layout_plans  # noqa: E402,F401
 # knn_mmr_diversified (its oracle changed in r8: exact repr'd diversity
 # coefficient + final-score rounding) and agg_exact_quartiles_price's Q3
 # rank change (now the symmetric type-1 ceil(3n/4); already at head).
-# Then the 37 queries ADDED in r8 (all sweep-verified MATCH at sf0.01
-# before registration), then the recency refresh: the four rows
-# displaced from the r7 window (incl. the two O(n^2) oracle-baseline
-# heavies deferred since r2) and the r03-signed rows in registry order,
-# as many as fit — with 45 never-signed names ahead of them, only the
-# first few r03 rows make this window; the r03/r04 recency refresh is
-# round 9's head item. Everything outside the window stays exercised by
-# tests and tools/driver_sim.py (which sweeps ALL queries; final r8
-# sweep: 279 oracled MATCH, 0 mismatch, 13 rows-only).
+# Then the 42 queries ADDED in r8 (each sweep-verified MATCH at sf0.01
+# before registration) — 50 never-signed names fill the window exactly.
+# The recency refresh queued behind them (the four rows displaced from
+# the r7 window, incl. the two O(n^2) oracle-baseline heavies deferred
+# since r2, then the r03-signed rows in registry order) therefore rolls
+# entirely to round 9, whose head item is that r02/r03/r04 refresh.
+# Everything outside the window stays exercised by tests and
+# tools/driver_sim.py (which sweeps ALL queries; final r8 sweeps:
+# 279/279 then targeted MATCHes for the post-sweep additions — 0
+# mismatches anywhere).
 _PRIORITY = [
     # --- never driver-signed (added post-window in r7) ---
     "agg_exact_quartiles_price",

@@ -103,6 +103,8 @@ _PRIORITY = [
     "scalar_bitwise_zoo",
     "agg_covariance_matrix",
     "events_bounce_rate",
+    "stats_power_law_alpha",
+    "agg_lorenz_curve_deciles",
     # --- recency refresh: displaced from the r7 window (r02-signed) ---
     "dedup_embedding_cosine",
     "knn_all_pairs_top3",

@@ -1501,3 +1501,117 @@ def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in cells[1:]:
         out = out.unionByName(c)
     return out
+
+
+@query(
+    "stats_power_law_alpha",
+    oracle=f"""
+    WITH counts AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1
+    ), dom AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM counts
+      WHERE x >= 3 GROUP BY x
+    ), s AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c * CAST(ROUND(LN(x / 2.5) * {_Q}, 0) AS BIGINT))
+                  AS BIGINT) AS slnq
+      FROM dom
+    )
+    SELECT n AS n_tail_users,
+           ROUND(1.0 + CAST(n AS DOUBLE) * {_Q} / slnq, 6) AS alpha_hat,
+           ROUND((CAST(n AS DOUBLE) * {_Q} / slnq)
+                 / SQRT(CAST(n AS DOUBLE)), 6) AS alpha_se
+    FROM s
+    """,
+)
+def stats_power_law_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete power-law tail exponent of per-user activity — the
+    Clauset–Shalizi–Newman MLE α̂ = 1 + n/Σln(xᵢ/(xmin−½)) over users
+    with ≥ xmin = 3 events (the continuous-approximation estimator with
+    the standard −½ offset), plus its asymptotic standard error
+    (α̂−1)/√n. THE heavy-tail diagnostic for user activity / degree /
+    frequency data: α near 2 means extreme concentration (expect hot
+    keys — pre-salt), α > 3 means tame tails. The activity-count domain
+    is value-bounded, so ln terms quantize to 1e9 fixed point on the
+    distinct-count table and the corpus sum is exact integers — the
+    agg_harmonic_geo_means discipline."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count("*").cast("bigint").alias("x"))
+    dom = (
+        counts.filter(F.col("x") >= 3)
+        .groupBy("x")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    lnq = F.round(F.log(F.col("x") / 2.5) * _Q, 0).cast("bigint")
+    s = dom.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c") * lnq).cast("bigint").alias("slnq"),
+    )
+    amin1 = F.col("n").cast("double") * _Q / F.col("slnq")
+    return s.select(
+        F.col("n").alias("n_tail_users"),
+        F.round(1.0 + amin1, 6).alias("alpha_hat"),
+        F.round(amin1 / F.sqrt(F.col("n").cast("double")), 6).alias(
+            "alpha_se"
+        ),
+    )
+
+
+@query(
+    "agg_lorenz_curve_deciles",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT s, NTILE(10) OVER (ORDER BY s, o_custkey) AS decile
+      FROM spend
+    ), per_decile AS (
+      SELECT decile, CAST(SUM(s) AS BIGINT) AS ds,
+             CAST(COUNT(*) AS BIGINT) AS dn
+      FROM ranked GROUP BY decile
+    )
+    SELECT CAST(decile AS INT) AS decile, dn AS n_customers,
+           CAST(SUM(ds) OVER (ORDER BY decile) AS BIGINT) AS cum_cents,
+           ROUND(CAST(SUM(ds) OVER (ORDER BY decile) AS DOUBLE)
+                 / SUM(ds) OVER (), 6) AS cum_share
+    FROM per_decile
+    """,
+)
+def agg_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LORENZ CURVE behind agg_gini_customer_spend's single number:
+    cumulative spend share by customer decile (poorest→richest, NTILE
+    with the deterministic custkey tie-break both engines share) — the
+    curve an analyst actually plots to see WHERE the concentration
+    lives ("bottom 50% hold 9%"). The global NTILE runs over the
+    customer DIMENSION (bounded, not fact-sized — the relational5
+    global-window discipline); cumulative sums are exact cents."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint").alias("s")
+    )
+    ranked = spend.select(
+        "s",
+        F.ntile(10).over(Window.orderBy("s", "o_custkey")).alias("decile"),
+    )
+    per_decile = ranked.groupBy("decile").agg(
+        F.sum("s").cast("bigint").alias("ds"),
+        F.count("*").cast("bigint").alias("dn"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    return per_decile.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("dn").alias("n_customers"),
+        F.sum("ds").over(w_cum).cast("bigint").alias("cum_cents"),
+        F.round(
+            F.sum("ds").over(w_cum).cast("double")
+            / F.sum("ds").over(w_all),
+            6,
+        ).alias("cum_share"),
+    )

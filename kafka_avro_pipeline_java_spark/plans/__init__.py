@@ -36,8 +36,9 @@ from . import layout as layout_plans  # noqa: E402,F401
 # knn_mmr_diversified (its oracle changed in r8: exact repr'd diversity
 # coefficient + final-score rounding) and agg_exact_quartiles_price's Q3
 # rank change (now the symmetric type-1 ceil(3n/4); already at head).
-# Then the 42 queries ADDED in r8 (each sweep-verified MATCH at sf0.01
-# before registration) — 50 never-signed names fill the window exactly.
+# Then the 44 queries ADDED in r8 (each sweep-verified MATCH at sf0.01
+# before registration) — 52 never-signed names, of which the first 50
+# fill the window (the final two land just outside and queue for r9).
 # The recency refresh queued behind them (the four rows displaced from
 # the r7 window, incl. the two O(n^2) oracle-baseline heavies deferred
 # since r2, then the r03-signed rows in registry order) therefore rolls

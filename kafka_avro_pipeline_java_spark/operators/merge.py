@@ -221,13 +221,14 @@ def incremental_minmax_apply(
         F.coalesce(F.col(count_col), F.lit(0))
         + F.coalesce(F.col("__dc"), F.lit(0))
     ).cast("bigint")
-    dirty = (
-        F.col("__del_mn").isNotNull()
-        & F.col(min_col).isNotNull()
-        & (
-            (F.col("__del_mn") <= F.col(min_col))
-            | (F.col("__del_mx") >= F.col(max_col))
-        )
+    # A group is dirty when a delete can touch a stored bound — OR when
+    # deletes hit a group with no stored bounds at all (a brand-new group
+    # whose delta both inserts and deletes in the same batch: the insert
+    # path would otherwise keep the deleted value as the bound).
+    dirty = F.col("__del_mn").isNotNull() & (
+        F.col(min_col).isNull()
+        | (F.col("__del_mn") <= F.col(min_col))
+        | (F.col("__del_mx") >= F.col(max_col))
     )
     merged = j.select(
         *group_cols,

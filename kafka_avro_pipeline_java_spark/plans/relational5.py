@@ -607,7 +607,7 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ranked AS (
       SELECT p_partkey, p_size, price_cents,
              MIN(price_cents) OVER (
-               ORDER BY p_size DESC, price_cents ASC
+               ORDER BY p_size DESC, price_cents ASC, p_partkey ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
              ) AS best_price_larger
       FROM pts
@@ -626,7 +626,9 @@ def sql_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     running best (min) price among everything larger-or-equal-so-far; a
     row survives iff it strictly beats that. The ASC price tie-break
     makes equal-size groups self-dominate correctly (only the cheapest
-    of a size can survive, and ties-in-both-dims keep the first). One
+    of a size can survive, and ties-in-both-dims keep the first — the
+    p_partkey third key pins WHICH first deterministically in both
+    engines, since the survivor's key is part of the output). One
     value-domain-bounded global sort (p_size has a bounded domain, the
     relational5 global-window discipline); prices exact cents."""
     p = load_table(spark, sf_dir, "part").select(
@@ -636,9 +638,9 @@ def sql_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_cents"
         ),
     )
-    w = Window.orderBy(F.desc("p_size"), F.asc("price_cents")).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    w = Window.orderBy(
+        F.desc("p_size"), F.asc("price_cents"), F.asc("p_partkey")
+    ).rowsBetween(Window.unboundedPreceding, -1)
     ranked = p.select(
         "p_partkey",
         "p_size",

@@ -949,15 +949,20 @@ def agg_trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(n * sxy - sx * sy AS DOUBLE)
                / CAST(n * sxx - sx * sx AS DOUBLE) AS th
       FROM s
-    ), adj AS (
-      SELECT p.grp,
+    ), grp_sums AS (
+      SELECT grp,
              CAST(COUNT(*) AS BIGINT) AS ng,
-             CAST(SUM(p.post_cents) AS BIGINT) AS sum_post,
-             SUM(p.post_cents
-                 - t.th * (p.pre_cents - CAST(t.sx AS DOUBLE) / t.n))
+             CAST(SUM(post_cents) AS BIGINT) AS sum_post,
+             CAST(SUM(pre_cents) AS BIGINT) AS sum_pre
+      FROM per_user GROUP BY grp
+    ), adj AS (
+      SELECT g.grp, g.ng, g.sum_post,
+             CAST(g.sum_post AS DOUBLE)
+               - t.th * (CAST(g.sum_pre AS DOUBLE)
+                         - CAST(g.ng AS DOUBLE)
+                           * (CAST(t.sx AS DOUBLE) / CAST(t.n AS DOUBLE)))
                AS sum_adj
-      FROM per_user p, theta t
-      GROUP BY p.grp
+      FROM grp_sums g, theta t
     )
     SELECT ROUND((SELECT th FROM theta), 6) AS theta,
            ROUND(CAST(b.sum_post AS DOUBLE) / b.ng
@@ -975,11 +980,15 @@ def stats_ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric adjusted by the PRE-period covariate, Ŷ = Y − θ(X − X̄) with
     θ = cov(X,Y)/var(X). Users hash into arms by parity; pre/post periods
     split at a fixed date; all moments are exact BIGINT sums of cent
-    values, θ is one double from five integers, and the per-group
-    adjusted means subtract identical doubles — both engines run the same
-    expression tree, rounded at 6. One user-keyed shuffle, then
-    constant-size algebra; at 100 TB the per-user collapse IS the
-    pipeline (moments ride map-side combine)."""
+    values and θ is one double from five integers. The group adjusted
+    sum is computed ALGEBRAICALLY from those exact sums —
+    Σ(Y−θ(X−X̄)) = ΣY − θ(ΣX − n·X̄) — so only a constant COUNT of
+    double ops remain and no per-user double is ever accumulated
+    (accumulation order can't diverge between Spark partitions and
+    DuckDB scans); both engines run the identical expression tree,
+    rounded at 6. One user-keyed shuffle, then constant-size algebra;
+    at 100 TB the per-user collapse IS the pipeline (moments ride
+    map-side combine)."""
     e = load_table(spark, sf_dir, "events")
     cutoff = F.lit("2024-01-15").cast("timestamp")
     cents = F.round(F.col("value") * 100, 0).cast("bigint")
@@ -1007,18 +1016,24 @@ def stats_ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((n * sxy - sx * sy).cast("double")
          / (n * sxx - sx * sx).cast("double")).alias("th"),
     )
-    adj = (
-        per_user.crossJoin(F.broadcast(theta))
-        .groupBy("grp")
-        .agg(
-            F.count("*").cast("bigint").alias("ng"),
-            F.sum("post_cents").cast("bigint").alias("sum_post"),
-            F.sum(
-                F.col("post_cents")
-                - F.col("th")
-                * (F.col("pre_cents") - sx.cast("double") / F.col("n"))
-            ).alias("sum_adj"),
-        )
+    grp_sums = per_user.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("ng"),
+        F.sum("post_cents").cast("bigint").alias("sum_post"),
+        F.sum("pre_cents").cast("bigint").alias("sum_pre"),
+    )
+    adj = grp_sums.crossJoin(F.broadcast(theta)).select(
+        "grp",
+        "ng",
+        "sum_post",
+        (
+            F.col("sum_post").cast("double")
+            - F.col("th")
+            * (
+                F.col("sum_pre").cast("double")
+                - F.col("ng").cast("double")
+                * (sx.cast("double") / n.cast("double"))
+            )
+        ).alias("sum_adj"),
     )
     a = adj.filter(F.col("grp") == 0).select(
         F.col("ng").alias("na"), F.col("sum_post").alias("pa"),

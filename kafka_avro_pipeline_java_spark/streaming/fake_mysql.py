@@ -319,21 +319,35 @@ class FakeMySQLServer:
             return
         rows = cur.fetchall()
         names = [d[0] for d in cur.description]
+        # Infer each column's binary type over ALL rows, not the first
+        # non-null: sqlite's dynamic typing lets a later row hold a value
+        # the first row's type can't pack (int column, then a string),
+        # which would raise mid-resultset AFTER packets were written and
+        # wedge the connection. Widening rules keep the wire format
+        # self-consistent: int+float -> DOUBLE, any other mix -> string.
         types = []
         for i in range(len(names)):
-            t = TYPE_VAR_STRING
+            t = None
             for r in rows:
                 v = r[i]
                 if v is None:
                     continue
                 if isinstance(v, (bool, int)):
-                    t = TYPE_LONGLONG
+                    vt = TYPE_LONGLONG
                 elif isinstance(v, float):
-                    t = TYPE_DOUBLE
+                    vt = TYPE_DOUBLE
                 elif isinstance(v, bytes):
-                    t = TYPE_BLOB
-                break
-            types.append(t)
+                    vt = TYPE_BLOB
+                else:
+                    vt = TYPE_VAR_STRING
+                if t is None or t == vt:
+                    t = vt
+                elif {t, vt} == {TYPE_LONGLONG, TYPE_DOUBLE}:
+                    t = TYPE_DOUBLE
+                else:
+                    t = TYPE_VAR_STRING
+                    break
+            types.append(TYPE_VAR_STRING if t is None else t)
         io.write_packet(lenenc_int(len(names)))
         for name, t in zip(names, types):
             io.write_packet(_coldef(name, t))
@@ -354,7 +368,9 @@ class FakeMySQLServer:
                 elif t == TYPE_BLOB:
                     body += lenenc_str(bytes(v))
                 else:
-                    body += lenenc_str(str(v).encode())
+                    body += lenenc_str(
+                        v if isinstance(v, bytes) else str(v).encode()
+                    )
             io.write_packet(b"\x00" + bytes(bitmap) + body)
         io.write_packet(_EOF)
 

@@ -187,3 +187,31 @@ def test_incremental_minmax_all_branches(spark):
         ).collect()
     }
     assert out2 == out
+
+
+def test_incremental_minmax_new_group_insert_then_delete(spark):
+    # r8-advice regression: a delta that both INSERTS and DELETES rows of a
+    # brand-new group (no base row) must dirty the group — otherwise the
+    # deleted value survives as the bound while cnt is correct.
+    from kafka_avro_pipeline_java_spark.operators.merge import (
+        incremental_minmax_apply,
+    )
+
+    base_agg = spark.createDataFrame(
+        [("a", 1, 2.0, 2.0)], "g string, cnt long, mn double, mx double"
+    )
+    delta = spark.createDataFrame(
+        # new group n: insert 3 and 9, delete the 9 in the SAME batch
+        [("n", 1, 3.0), ("n", 1, 9.0), ("n", -1, 9.0)],
+        "g string, sign int, v double",
+    )
+    facts_after = spark.createDataFrame(
+        [("a", 2.0), ("n", 3.0)], "g string, v double"
+    )
+    out = {
+        r["g"]: (r["cnt"], r["mn"], r["mx"])
+        for r in incremental_minmax_apply(
+            base_agg, delta, facts_after, ["g"], "v"
+        ).collect()
+    }
+    assert out == {"a": (1, 2.0, 2.0), "n": (1, 3.0, 3.0)}

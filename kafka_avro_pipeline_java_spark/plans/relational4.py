@@ -85,13 +85,17 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     coefficient of the key distribution, and the heaviest key's share —
     the pre-flight check that decides salting / AQE-skew settings BEFORE a
     join ships 100 TB. Counts are a word-count agg (key-cardinality
-    sized); the rank window runs over keys, never rows. Gini via the
-    rank-weighted closed form, deterministic (count, key) tiebreak."""
+    sized); the key domain scales with the corpus, so the global rank
+    uses the two-phase range-partitioned scan (operators/ranking.py) —
+    never a single-partition window. Gini via the rank-weighted closed
+    form, deterministic (count, key) tiebreak."""
+    from ..operators.ranking import attach_global_order_stats
+
     o = load_table(spark, sf_dir, "orders")
     counts = o.groupBy("o_custkey").agg(F.count("*").cast("double").alias("c"))
-    ranked = counts.select(
-        "c", F.row_number().over(Window.orderBy("c", "o_custkey")).alias("r")
-    )
+    ranked = attach_global_order_stats(
+        counts, [("c", "asc"), ("o_custkey", "asc")], row_number="r"
+    ).select("c", "r")
     n, tot = F.count("*"), F.sum("c")
     return ranked.agg(
         n.cast("int").alias("n_keys"),
@@ -552,18 +556,20 @@ def agg_customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly in cents, customers split into spend deciles (deterministic
     (cents, custkey) order), each decile's headcount, revenue, and share
     of total — the concentration readout ('the top decile is X% of
-    revenue') behind every retention budget. Customer-keyed agg, then a
-    window over the CUSTOMER-sized table; integer cents keep every sum
-    exact."""
-    from pyspark.sql.window import Window
+    revenue') behind every retention budget. Customer-keyed agg, then
+    the decile split via the two-phase range-partitioned NTILE
+    (operators/ranking.py — customers scale with the corpus, so no
+    single-partition window); integer cents keep every sum exact."""
+    from ..operators.ranking import attach_global_order_stats
 
     o = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
     ltv = o.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
-    ranked = ltv.select(
-        "cents",
-        F.ntile(10).over(Window.orderBy("cents", "o_custkey")).alias("decile"),
-    )
+    ranked = attach_global_order_stats(
+        ltv,
+        [("cents", "asc"), ("o_custkey", "asc")],
+        ntile=(10, "decile"),
+    ).select("cents", "decile")
     tot = ltv.agg(F.sum("cents").cast("double").alias("t"))
     return (
         ranked.groupBy("decile")
@@ -608,9 +614,11 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     date), frequency, and exact-cents monetary per customer, each split
     into terciles with deterministic (value, custkey) order, concatenated
     into the classic R#F#M# segment labels with headcounts. One
-    customer-keyed agg + three windows over the customer-sized table —
-    the whole-corpus max date is a 1-row broadcast."""
-    from pyspark.sql.window import Window
+    customer-keyed agg + three chained two-phase NTILEs over the
+    customer-sized table (operators/ranking.py — three parallel range
+    shuffles, never a single-partition window, since customers scale
+    with the corpus) — the whole-corpus max date is a 1-row broadcast."""
+    from ..operators.ranking import attach_global_order_stats
 
     o = load_table(spark, sf_dir, "orders")
     mx = o.agg(F.max("o_orderdate").alias("maxd"))
@@ -624,11 +632,13 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents).alias("monetary"),
         )
     )
-    scored = rfm.select(
-        F.ntile(3).over(Window.orderBy("recency_days", "o_custkey")).alias("r"),
-        F.ntile(3).over(Window.orderBy("frequency", "o_custkey")).alias("f"),
-        F.ntile(3).over(Window.orderBy("monetary", "o_custkey")).alias("m"),
-    )
+    scored = rfm
+    for col, out in (("recency_days", "r"), ("frequency", "f"),
+                     ("monetary", "m")):
+        scored = attach_global_order_stats(
+            scored, [(col, "asc"), ("o_custkey", "asc")], ntile=(3, out)
+        )
+    scored = scored.select("r", "f", "m")
     return (
         scored.select(
             F.concat(F.lit("R"), "r", F.lit("F"), "f", F.lit("M"), "m").alias("segment")
@@ -704,23 +714,24 @@ def agg_monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_part_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto / ABC classification of parts by revenue: A = parts inside
     the first 80% of cumulative revenue (ranked descending), B to 95%,
-    C the tail — the inventory-policy classifier. Exact cents per part,
-    cumulative window over the PART-sized table with a deterministic
-    (revenue, partkey) order; class thresholds compare exact integers
-    against 0.8/0.95 of an exact integer total."""
-    from pyspark.sql.window import Window
+    C the tail — the inventory-policy classifier. Exact cents per part;
+    the cumulative revenue walk over the PART dimension (which scales
+    with the corpus) runs as the two-phase distributed prefix sum
+    (operators/ranking.py — range partition on (revenue desc, partkey),
+    per-partition totals, broadcast offsets), and the grand total is a
+    1-row broadcast; class thresholds compare exact integers against
+    0.8/0.95 of an exact integer total."""
+    from ..operators.ranking import attach_global_order_stats
 
     l = load_table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
     rev = l.groupBy("l_partkey").agg(F.sum(cents).alias("cents"))
-    w = Window.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = rev.select(
-        "cents",
-        F.sum("cents").over(w).alias("cum"),
-        F.sum("cents").over(Window.partitionBy(F.lit(1))).alias("tot"),
-    )
+    tot = rev.agg(F.sum("cents").alias("tot"))
+    ranked = attach_global_order_stats(
+        rev,
+        [("cents", "desc"), ("l_partkey", "asc")],
+        cumsum=("cents", "cum"),
+    ).crossJoin(F.broadcast(tot)).select("cents", "cum", "tot")
     cls = (
         F.when(F.col("cum") <= 0.8 * F.col("tot"), "A")
         .when(F.col("cum") <= 0.95 * F.col("tot"), "B")

@@ -235,21 +235,24 @@ def agg_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend, so the weighted sum is exact integer algebra (ties in spend
     are safe under any tiebreak: the coefficient sum over a tie run is
     order-invariant, and the custkey tiebreak makes ROW_NUMBER
-    deterministic anyway). One keyed agg + one global sort of the
-    CUSTOMER-sized table (not orders) — at 100 TB the sort is over the
-    aggregated key domain, and rangepartitioning keeps it parallel."""
+    deterministic anyway). One keyed agg, then the global rank comes
+    from the TWO-PHASE range-partitioned scan
+    (operators/ranking.py::attach_global_order_stats) — customers scale
+    WITH the corpus, so a bare Window.orderBy would be a billion-row
+    single-partition sort at 100 TB; the two-phase form keeps every
+    partition at its range slice."""
+    from ..operators.ranking import attach_global_order_stats
+
     o = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
     spend = o.groupBy("o_custkey").agg(
         F.sum(cents).cast("bigint").alias("cents")
     )
-    ranked = spend.select(
-        "cents",
-        F.row_number()
-        .over(Window.orderBy("cents", "o_custkey"))
-        .cast("bigint")
-        .alias("i"),
-    )
+    ranked = attach_global_order_stats(
+        spend,
+        [("cents", "asc"), ("o_custkey", "asc")],
+        row_number="i",
+    ).select("cents", "i")
     # sum((2i - n - 1) x_i) = 2*sum(i*x_i) - (n+1)*sum(x): no second
     # pass (or driver count) to learn n before weighting
     s = ranked.agg(
@@ -628,9 +631,15 @@ def sql_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes equal-size groups self-dominate correctly (only the cheapest
     of a size can survive, and ties-in-both-dims keep the first — the
     p_partkey third key pins WHICH first deterministically in both
-    engines, since the survivor's key is part of the output). One
-    value-domain-bounded global sort (p_size has a bounded domain, the
-    relational5 global-window discipline); prices exact cents."""
+    engines, since the survivor's key is part of the output). The sweep
+    runs over the PART dimension, which scales with the corpus, so the
+    running min comes from the two-phase range-partitioned scan
+    (operators/ranking.py::attach_global_order_stats cummin_excl — min
+    is associative, the cross-partition carry is one literal per
+    partition) instead of a single-partition window; prices exact
+    cents."""
+    from ..operators.ranking import attach_global_order_stats
+
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey",
         F.col("p_size").cast("int").alias("p_size"),
@@ -638,14 +647,10 @@ def sql_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_cents"
         ),
     )
-    w = Window.orderBy(
-        F.desc("p_size"), F.asc("price_cents"), F.asc("p_partkey")
-    ).rowsBetween(Window.unboundedPreceding, -1)
-    ranked = p.select(
-        "p_partkey",
-        "p_size",
-        "price_cents",
-        F.min("price_cents").over(w).alias("best_price_larger"),
+    ranked = attach_global_order_stats(
+        p,
+        [("p_size", "desc"), ("price_cents", "asc"), ("p_partkey", "asc")],
+        cummin_excl=("price_cents", "best_price_larger"),
     )
     return ranked.filter(
         F.col("best_price_larger").isNull()

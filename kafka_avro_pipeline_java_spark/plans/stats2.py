@@ -1600,18 +1600,22 @@ def agg_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative spend share by customer decile (poorest→richest, NTILE
     with the deterministic custkey tie-break both engines share) — the
     curve an analyst actually plots to see WHERE the concentration
-    lives ("bottom 50% hold 9%"). The global NTILE runs over the
-    customer DIMENSION (bounded, not fact-sized — the relational5
-    global-window discipline); cumulative sums are exact cents."""
+    lives ("bottom 50% hold 9%"). The global NTILE over the customer
+    dimension uses the two-phase range-partitioned scan
+    (operators/ranking.py) — customers scale WITH the corpus, so a bare
+    Window.orderBy would single-partition at 100 TB; the decile-level
+    cumulative window afterwards is genuinely bounded (10 rows).
+    Cumulative sums are exact cents."""
+    from ..operators.ranking import attach_global_order_stats
+
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
         .cast("bigint").alias("s")
     )
-    ranked = spend.select(
-        "s",
-        F.ntile(10).over(Window.orderBy("s", "o_custkey")).alias("decile"),
-    )
+    ranked = attach_global_order_stats(
+        spend, [("s", "asc"), ("o_custkey", "asc")], ntile=(10, "decile")
+    ).select("s", "decile")
     per_decile = ranked.groupBy("decile").agg(
         F.sum("s").cast("bigint").alias("ds"),
         F.count("*").cast("bigint").alias("dn"),

@@ -253,18 +253,26 @@ def text_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile ranks and deciles — the form a mixing policy consumes
     ("keep the top 30%"), robust to the raw score's arbitrary scale.
     Deterministic cross-engine via the (quality, doc_id) tiebreak. The
-    global ORDER BY is over the (doc_id, quality) PROJECTION, not the
-    documents — a range-partitioned sort of two columns; per-source or
-    per-shard calibration would partition the window and drop even that."""
-    from pyspark.sql.window import Window
+    corpus-relative rank comes from the two-phase range-partitioned
+    scan (operators/ranking.py::attach_global_order_stats) — documents
+    scale WITH the corpus, so a bare global window would single-
+    partition a billion-row sort at 100 TB; the two-phase form keeps
+    every partition at its range slice and reproduces PERCENT_RANK and
+    NTILE bit-for-bit."""
+    from ..operators.ranking import attach_global_order_stats
 
     d = load_table(spark, sf_dir, "documents")
     q = d.select("doc_id", T.quality_score("text").alias("quality"))
-    w = Window.orderBy("quality", "doc_id")
-    return q.select(
+    ranked = attach_global_order_stats(
+        q,
+        [("quality", "asc"), ("doc_id", "asc")],
+        percent_rank="__pr",
+        ntile=(10, "decile"),
+    )
+    return ranked.select(
         "doc_id", "quality",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.ntile(10).over(w).alias("decile"),
+        F.round(F.col("__pr"), 6).alias("pct_rank"),
+        "decile",
     )
 
 
@@ -771,11 +779,13 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-quality docs proportionally more likely, no replacement, one
     TakeOrdered instead of sequential draws. The u is the portable hash
     (not an RNG), so the entire sample is a pure function of the corpus —
-    reproducible across engines/runs and value-oracled — and the
-    selection composes as a per-partition top-k + k-row driver merge at
-    any scale (never a global sort). This is the quality-WEIGHTED
-    counterpart of pipeline_importance_sample's rate-based gate: use
-    this when the budget is a COUNT, the gate when it is a RATE."""
+    reproducible across engines/runs and value-oracled. The selection IS
+    a per-partition top-k + k-row driver merge (orderBy().limit() plans
+    TakeOrderedAndProject — Spark does NOT rewrite a rank()<=k filter
+    into that, so the rank runs AFTER the limit, over the 100 survivors
+    only). This is the quality-WEIGHTED counterpart of
+    pipeline_importance_sample's rate-based gate: use this when the
+    budget is a COUNT, the gate when it is a RATE."""
     d = load_table(spark, sf_dir, "documents")
     _, w = _quality_weight()
     from ..functions.hashing import portable_hash64
@@ -794,12 +804,16 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    ranked = keyed.select(
+    # TakeOrderedAndProject: per-partition 100-row heaps + driver merge —
+    # no global sort, no full-corpus window at any scale
+    top = keyed.orderBy(F.desc("k"), "doc_id").limit(100)
+    # the rank is re-derived over the 100 SURVIVORS (bounded window)
+    return top.select(
         "doc_id", "source", "w", "k",
-        F.row_number().over(Window.orderBy(F.desc("k"), "doc_id")).alias("r"),
-    )
-    return ranked.filter(F.col("r") <= 100).select(
-        "doc_id", "source", "w", "k", F.col("r").cast("int").alias("r")
+        F.row_number()
+        .over(Window.orderBy(F.desc("k"), "doc_id"))
+        .cast("int")
+        .alias("r"),
     )
 
 
@@ -830,24 +844,27 @@ def pipeline_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFra
     curation step runs (budgets are token counts, not document counts,
     because that is what the training run consumes). Deterministic
     (w desc, doc_id) order makes the selected set oracle-exact. The
-    global ordered cumulative sum is the same shape as the ABC-class
-    query; at 100 TB it two-phases — a per-quality-bucket token
-    histogram locates the cutoff score, the full scan then keeps
-    score > cutoff and only the boundary bucket needs the exact ordered
-    walk."""
+    global ordered cumulative sum runs as the TWO-PHASE distributed
+    prefix sum (operators/ranking.py — per-range-partition totals,
+    broadcast offsets, parallel per-partition windows): documents scale
+    with the corpus, so the naive Window.orderBy form would be a
+    single-partition walk of the whole corpus at 100 TB."""
+    from ..operators.ranking import attach_global_order_stats
+
     d = load_table(spark, sf_dir, "documents")
     toks, w = _quality_weight()
     scored = d.select(
         "doc_id", F.size(toks).alias("n_tokens"), w.alias("w")
     )
-    win = Window.orderBy(F.desc("w"), "doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = scored.select(
+    ranked = attach_global_order_stats(
+        scored,
+        [("w", "desc"), ("doc_id", "asc")],
+        cumsum=("n_tokens", "cum_tokens"),
+    ).select(
         "doc_id",
         F.col("n_tokens").cast("int").alias("n_tokens"),
         "w",
-        F.sum("n_tokens").over(win).cast("bigint").alias("cum_tokens"),
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
     )
     return ranked.filter(F.col("cum_tokens") <= 10000)
 

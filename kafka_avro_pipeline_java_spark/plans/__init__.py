@@ -94,11 +94,15 @@ _PRIORITY = [
     "text_length_histogram",
     "text_zipf_slope",
     "graph_pagerank_neardup",
-    "graph_degree_stats",
+    # knn_cosine_lsh_oracle is pulled one slot ahead of graph_degree_stats
+    # (both r03-signed) so all THREE literal-inventory ANN twins — the
+    # r8-verdict item-4 done-gate names them — sign inside the r9 window;
+    # degree_stats heads the r10 queue instead.
+    "knn_cosine_lsh_oracle",
     "graph_triangle_count",
     "knn_cosine_ivf_oracle",
     "knn_pq_adc_oracle",  # --- last slot of the 50-name r9 window ---
-    "knn_cosine_lsh_oracle",
+    "graph_degree_stats",
     "dedup_semantic",
     "pipeline_decontaminate_semantic",
     "multimodal_resize_pipeline",

@@ -612,6 +612,128 @@ def knn_cosine_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# The COMPLETE billion-scale read path — IVF coarse probe + PQ/ADC shortlist
+# + exact re-rank — under one value oracle. knn_cosine_ivf_oracle pins the
+# probe stage and knn_pq_adc_oracle pins the ADC stage, but the composition
+# (and especially the 50-id shortlist → exact-cosine re-rank, the stage every
+# production ANN system runs) was previously rows-only via knn_cosine_ivf_pq.
+# Same literal-inventory discipline: centroids, codebooks, query vector and
+# the driver-computed probe set are literals embedded in BOTH plans.
+# --------------------------------------------------------------------------
+_IVFPQ_QV = lcg_planes(1, _EMB_DIM, seed=555)[0]
+_IVFPQ_SHORTLIST = 50
+
+
+def _ivf_pq_rerank_oracle(
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    qv: list[float],
+    n_probe: int,
+    shortlist: int,
+    k: int,
+) -> str:
+    m, dsub = len(books), len(books[0][0])
+    nc = [_pynorm(c) for c in cents]
+    qn = _pynorm(qv) or 1.0
+    q = [x / qn for x in qv]
+    probes = _ivf_probe_ids(qv, cents, n_probe)
+    lut = [
+        [sum(q[s * dsub + j] * c[j] for j in range(dsub)) for c in books[s]]
+        for s in range(m)
+    ]
+    dot_cols = ",\n             ".join(
+        f"SUM(CAST(embedding[i.i] AS DOUBLE) * CAST(([{', '.join(repr(x) for x in c)}])[i.i] AS DOUBLE)) AS d{j}"
+        for j, c in enumerate(cents)
+    )
+    sim_cols = ",\n           ".join(
+        f"d{j} / (SQRT(nsq) * {nc[j]!r}) AS s{j}" for j in range(len(cents))
+    )
+    first_max = " ".join(
+        f"WHEN s{j} = mx THEN {j}" for j in range(len(cents))
+    )
+    cb_rows = ",\n      ".join(
+        f"({s}, {c}, [{', '.join(repr(x) for x in books[s][c])}])"
+        for s in range(m) for c in range(len(books[s]))
+    )
+    lut_rows = ",\n      ".join(
+        f"({s}, {c}, {lut[s][c]!r})" for s in range(m) for c in range(len(lut[s]))
+    )
+    return f"""
+    WITH dots AS (
+      SELECT vec_id,
+             {dot_cols},
+             SUM(CAST(embedding[i.i] AS DOUBLE) * CAST(([{', '.join(repr(x) for x in qv)}])[i.i] AS DOUBLE)) AS dq,
+             SUM(CAST(embedding[i.i] AS DOUBLE) * CAST(embedding[i.i] AS DOUBLE)) AS nsq
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS i(i)
+      GROUP BY vec_id
+    ), sims AS (
+      SELECT vec_id, SQRT(nsq) AS nrm, dq,
+           {sim_cols}
+      FROM dots
+    ), assigned AS (
+      SELECT vec_id, nrm, dq,
+             CASE {first_max} END AS cid
+      FROM (SELECT *, GREATEST({', '.join(f's{j}' for j in range(len(cents)))}) AS mx FROM sims)
+    ), cand AS (
+      SELECT vec_id, nrm, dq FROM assigned
+      WHERE cid IN ({', '.join(str(p) for p in probes)})
+    ), cb(s, c, cw) AS (VALUES
+      {cb_rows}
+    ), lut(s, c, t) AS (VALUES
+      {lut_rows}
+    ), dist AS (
+      SELECT e.vec_id, cb.s, cb.c,
+             SUM(POWER(CAST(e.embedding[cb.s * {dsub} + i.i] AS DOUBLE)
+                         / (CASE WHEN n.nrm > 0 THEN n.nrm ELSE 1.0 END)
+                       - CAST(cb.cw[i.i] AS DOUBLE), 2)) AS d2
+      FROM embeddings e JOIN cand n USING (vec_id), cb,
+           UNNEST(range(1, {dsub} + 1)) AS i(i)
+      GROUP BY 1, 2, 3
+    ), enc AS (
+      SELECT vec_id, s, CAST(MIN([d2, CAST(c AS DOUBLE)])[2] AS INT) AS code
+      FROM dist GROUP BY vec_id, s
+    ), score AS (
+      SELECT e.vec_id, ROUND(SUM(CAST(l.t AS DOUBLE)), 6) AS adc
+      FROM enc e JOIN lut l ON l.s = e.s AND l.c = e.code
+      GROUP BY 1
+    ), short AS (
+      SELECT vec_id FROM score ORDER BY adc DESC, vec_id LIMIT {shortlist}
+    )
+    SELECT c.vec_id, ROUND(c.dq / (c.nrm * {qn!r}), 6) AS cos_sim
+    FROM cand c JOIN short USING (vec_id)
+    ORDER BY cos_sim DESC, vec_id LIMIT {k}
+    """
+
+
+@query(
+    "knn_ivf_pq_rerank_oracle",
+    oracle=_ivf_pq_rerank_oracle(
+        _IVF_CENTS, _PQ_BOOKS, _IVFPQ_QV, _IVF_PROBE, _IVFPQ_SHORTLIST, 5
+    ),
+)
+def knn_ivf_pq_rerank_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete IVF→PQ/ADC→exact-re-rank read path, fully
+    oracle-checked end to end: zero-shuffle codegen argmax over 16
+    literal coarse centroids, probe-filter to the query's 4 nearest
+    cells, PQ-encode the survivors against 8×16 literal codebooks, ADC
+    shortlist of 50 by lookup-table sums, then exact cosine re-rank of
+    the broadcast shortlist — the two-stage retrieval every production
+    ANN deployment runs (PQ separates clusters but its quantization
+    error exceeds within-cluster deltas). The DuckDB oracle re-derives
+    assignment, probe set, codes, ADC scores, shortlist AND re-ranked
+    scores from the same literals value-for-value; this pins the VALUES
+    of the composition that knn_cosine_ivf_pq (trained, rows-only)
+    executes, complementing knn_recall_matrix's quality bound."""
+    from ..operators.pq import ivf_pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        spark, e, "embedding", "vec_id", _IVFPQ_QV, _IVF_CENTS, _PQ_BOOKS,
+        n_probe=_IVF_PROBE, k=5, rerank=_IVFPQ_SHORTLIST,
+    )
+
+
 from ..operators import pca  # noqa: E402
 
 

@@ -682,7 +682,8 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: i
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                          max_iterations: int = 20,
-                         local_threshold: int = 1_000_000) -> DataFrame:
+                         local_threshold: int = 1_000_000,
+                         salt_partitions: int | None = None) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate GROUPS: (id, component) where
     component = min id reachable through the pair graph. This is the step
     that turns pairwise similarity into an actual keep-one-per-group dedup.
@@ -695,6 +696,17 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     DataFrame-only: every round is one join + one groupBy; localCheckpoint
     truncates the growing lineage. Both paths produce identical labels
     (parameterized equivalence test in tests/test_operators.py).
+
+    ``salt_partitions``: skew hardening for the distributed path. The
+    per-round join keys on ``dst``, so a HUB node (a hot near-dup
+    component — boilerplate, empty docs) lands its entire fan-in in one
+    task. With salting, each edge gets a deterministic salt from
+    ``hash(src)`` and the (node-count-sized) label table replicates
+    ``salt_partitions`` ways, so the join key becomes (dst, salt) and a
+    100:1 hub spreads across ``salt_partitions`` tasks; the groupBy(src)
+    after it already rides map-side partial aggregation. Cost: S× label
+    shuffle volume — pay it when diag_key_skew-style probes show a hot
+    component (tests/test_dedup_skew.py demonstrates the bound).
     """
     # Materialize the PAIRS once (the pair-generation subtree is typically
     # an expensive candidate join; the checkpoint pins its output so the
@@ -760,11 +772,30 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     ).first()["s"]
     for _ in range(max_iterations):
         # candidate label for each node: min over neighbors' labels
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
-        )
+        if salt_partitions and salt_partitions > 1:
+            e_s = edges.withColumn(
+                "__esalt", F.pmod(F.hash("src"), F.lit(salt_partitions))
+            )
+            l_s = labels.withColumn(
+                "__lsalt",
+                F.explode(
+                    F.array(*[F.lit(i) for i in range(salt_partitions)])
+                ),
+            )
+            neighbor_min = (
+                e_s.join(
+                    l_s,
+                    (e_s.dst == l_s.id) & (e_s.__esalt == l_s.__lsalt),
+                )
+                .groupBy("src")
+                .agg(F.min("component").alias("nbr_component"))
+            )
+        else:
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("component").alias("nbr_component"))
+            )
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(

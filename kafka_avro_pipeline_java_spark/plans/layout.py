@@ -194,3 +194,96 @@ def layout_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "depth"
         ),
     )
+
+
+_ZM_ROWS = 1024  # rows per simulated file
+_ZM_LO, _ZM_HI = "1995-01-01", "1995-12-31"
+
+
+@query(
+    "layout_zonemap_pruning",
+    oracle=f"""
+    WITH natural_files AS (
+      SELECT o_orderkey // {_ZM_ROWS} AS file_id, o_orderdate AS d
+      FROM orders
+    ), clustered AS (
+      SELECT (ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) - 1)
+               // {_ZM_ROWS} AS file_id,
+             o_orderdate AS d
+      FROM orders
+    ), both_layouts AS (
+      SELECT 'natural' AS layout, file_id, d FROM natural_files
+      UNION ALL
+      SELECT 'clustered', file_id, d FROM clustered
+    ), zones AS (
+      SELECT layout, file_id,
+             MIN(d) AS min_d, MAX(d) AS max_d,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM both_layouts GROUP BY 1, 2
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN max_d < DATE '{_ZM_LO}'
+                           OR min_d > DATE '{_ZM_HI}'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS files_pruned,
+           CAST(SUM(CASE WHEN max_d < DATE '{_ZM_LO}'
+                           OR min_d > DATE '{_ZM_HI}'
+                    THEN n_rows ELSE 0 END) AS BIGINT) AS rows_pruned,
+           ROUND(CAST(SUM(CASE WHEN max_d < DATE '{_ZM_LO}'
+                                 OR min_d > DATE '{_ZM_HI}'
+                          THEN n_rows ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(n_rows) AS DOUBLE), 6) AS row_prune_ratio
+    FROM zones GROUP BY layout
+    """,
+)
+def layout_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZONE-MAP (min/max statistics) pruning audit — the number every
+    layout decision is ultimately about: for a one-year order-date
+    predicate, how many simulated 1024-row files can be SKIPPED
+    from their (min, max) o_orderdate alone, under the NATURAL insert
+    order (file = orderkey range — TPC-H orderkeys are date-uncorrelated,
+    so nearly every file straddles the predicate) vs a DATE-CLUSTERED
+    rewrite (file = rank range in (o_orderdate, o_orderkey) order, the
+    write_zordered/compaction-bins story, where pruning approaches the
+    selectivity). The clustered rank comes from the two-phase distributed
+    scan (operators/ranking.py — orders are fact-scaled, no single-
+    partition window); zone stats are a file-keyed agg, the audit runs on
+    the FILE LIST. Exact integer counts; one ratio rounded at 6."""
+    from ..operators.ranking import attach_global_order_stats
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    natural = o.select(
+        F.lit("natural").alias("layout"),
+        (F.col("o_orderkey") / _ZM_ROWS).cast("bigint").alias("file_id"),
+        F.col("o_orderdate").alias("d"),
+    )
+    clustered = attach_global_order_stats(
+        o,
+        [("o_orderdate", "asc"), ("o_orderkey", "asc")],
+        row_number="__rn2",
+    ).select(
+        F.lit("clustered").alias("layout"),
+        ((F.col("__rn2") - 1) / _ZM_ROWS).cast("bigint").alias("file_id"),
+        F.col("o_orderdate").alias("d"),
+    )
+    zones = natural.unionByName(clustered).groupBy("layout", "file_id").agg(
+        F.min("d").alias("min_d"),
+        F.max("d").alias("max_d"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+    pruned = (F.col("max_d") < F.lit(_ZM_LO).cast("date")) | (
+        F.col("min_d") > F.lit(_ZM_HI).cast("date")
+    )
+    return zones.groupBy("layout").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum(F.when(pruned, 1).otherwise(0)).cast("bigint").alias(
+            "files_pruned"
+        ),
+        F.sum(F.when(pruned, F.col("n_rows")).otherwise(0))
+        .cast("bigint").alias("rows_pruned"),
+        F.round(
+            F.sum(F.when(pruned, F.col("n_rows")).otherwise(0)).cast("double")
+            / F.sum("n_rows").cast("double"),
+            6,
+        ).alias("row_prune_ratio"),
+    )

@@ -1,0 +1,450 @@
+"""Time-series and effect-size statistics (round 9).
+
+Reference: dkwkehgud77/kafka-avro-pipeline-java has no analytics surface
+(its only SQL is DDL + INSERT/upsert, DataPipeline.java); these extend the
+mandated north-star BI/statistics shelf. Oracle discipline (see stats2.py):
+exact BIGINT/decimal(38,0) moments, 1e9 fixed-point quantization per
+transcendental term, identical IEEE expression trees both engines, final
+doubles rounded at 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .registry import query
+
+_Q = 1_000_000_000
+
+_DAILY_SQL = """
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+"""
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint").alias("rev")
+    )
+
+
+@query(
+    "stats_mann_kendall_daily",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}
+    ), s AS (
+      SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+                           WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM daily a JOIN daily b ON a.d < b.d
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily
+    ), ties AS (
+      SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_sum
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY rev)
+      WHERE t > 1
+    )
+    SELECT n.n AS n_days, s.s_stat,
+           ROUND(CAST(s.s_stat AS DOUBLE)
+                 / (0.5 * CAST(n.n AS DOUBLE) * CAST(n.n - 1 AS DOUBLE)),
+                 6) AS kendall_tau,
+           ROUND(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_sum
+                      AS DOUBLE) / 18.0, 6) AS var_s,
+           ROUND((CAST(s.s_stat AS DOUBLE)
+                  - CASE WHEN s.s_stat > 0 THEN 1.0
+                         WHEN s.s_stat < 0 THEN -1.0 ELSE 0.0 END)
+                 / SQRT(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_sum
+                             AS DOUBLE) / 18.0), 6) AS mk_z
+    FROM s, n, ties
+    """,
+)
+def stats_mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN–KENDALL trend test on daily revenue — the distribution-free
+    "is this series monotonically drifting" check (S = Σ sign(xⱼ−xᵢ)
+    over ordered day pairs) that regression-slope tests get wrong under
+    heavy tails; the standard companion to stats_theil_sen_trend's slope
+    (same S statistic family). S and the tie-corrected variance are
+    exact BIGINT integer algebra; z applies the ±1 continuity
+    correction. The pair join is over the DAY-aggregated series — the
+    date domain is fixed by the dataset's time span, so the O(days²)
+    join is bounded at every SF (document-discipline: bounded means
+    bounded by the VALUE DOMAIN, not the corpus)."""
+    daily = _daily(spark, sf_dir).localCheckpoint(eager=False)
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(b, F.col("a.d") < F.col("b.d"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.rev") > F.col("a.rev"), 1)
+                .when(F.col("b.rev") < F.col("a.rev"), -1)
+                .otherwise(0)
+            ).cast("bigint").alias("s_stat")
+        )
+    )
+    n = daily.agg(F.count("*").cast("bigint").alias("n"))
+    ties = (
+        daily.groupBy("rev")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            ).cast("bigint").alias("tie_sum")
+        )
+    )
+    j = s.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(ties))
+    nn, ss = F.col("n"), F.col("s_stat")
+    var_d = (
+        (nn * (nn - 1) * (2 * nn + 5) - F.col("tie_sum")).cast("double")
+        / 18.0
+    )
+    cc = (
+        F.when(ss > 0, F.lit(1.0))
+        .when(ss < 0, F.lit(-1.0))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        nn.alias("n_days"),
+        ss.alias("s_stat"),
+        F.round(
+            ss.cast("double") / (0.5 * nn.cast("double") * (nn - 1).cast("double")),
+            6,
+        ).alias("kendall_tau"),
+        F.round(var_d, 6).alias("var_s"),
+        F.round((ss.cast("double") - cc) / F.sqrt(var_d), 6).alias("mk_z"),
+    )
+
+
+@query(
+    "stats_acf_daily_revenue",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}
+    ), rn AS (
+      SELECT rev, ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily
+    ), g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(rev) AS s, SUM(rev * rev) AS s2
+      FROM rn
+    ), lagged AS (
+      SELECT CAST(b.i - a.i AS INT) AS lag,
+             CAST(COUNT(*) AS BIGINT) AS m,
+             SUM(a.rev * b.rev) AS c,
+             SUM(a.rev) AS h, SUM(b.rev) AS t
+      FROM rn a JOIN rn b ON b.i - a.i BETWEEN 1 AND 7
+      GROUP BY 1
+    )
+    SELECT lag,
+           ROUND((CAST(c AS DOUBLE)
+                  - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(h AS DOUBLE) + CAST(t AS DOUBLE))
+                  + CAST(m AS DOUBLE)
+                    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / (CAST(s2 AS DOUBLE)
+                    - CAST(n AS DOUBLE)
+                      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS acf
+    FROM lagged, g ORDER BY lag
+    """,
+)
+def stats_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample AUTOCORRELATION of daily revenue at lags 1–7 — the full
+    dependence fingerprint behind every forecasting decision (weekly
+    seasonality shows as a lag-7 spike), generalizing
+    stats_autocorr_revenue's single monthly lag-1 to the multi-lag
+    daily ACF; the runs test sees only signs, ACF sees magnitude. Standard estimator rₖ = Σ(xₜ−x̄)(xₜ₊ₖ−x̄)/
+    Σ(xₜ−x̄)², expanded so every data-dependent sum is EXACT integer
+    algebra: Σxₜxₜ₊ₖ / head & tail sums / counts per lag from one
+    band-join on day rank (decimal(38,0) on the Spark side matches
+    DuckDB's HUGEINT promotion — Σrev² outgrows int64 past sf0.1); the
+    only doubles are the constant-count closed form, identical trees
+    both engines. Day rank uses a window over the DATE-domain-bounded
+    daily table."""
+    dec = "decimal(38,0)"
+    daily = _daily(spark, sf_dir)
+    rn = daily.select(
+        "rev", F.row_number().over(Window.orderBy("d")).alias("i")
+    ).localCheckpoint(eager=False)
+    g = rn.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("rev").cast(dec)).alias("s"),
+        F.sum((F.col("rev") * F.col("rev")).cast(dec)).alias("s2"),
+    )
+    a, b = rn.alias("a"), rn.alias("b")
+    lagged = (
+        a.join(
+            b,
+            (F.col("b.i") - F.col("a.i") >= 1)
+            & (F.col("b.i") - F.col("a.i") <= 7),
+        )
+        .groupBy((F.col("b.i") - F.col("a.i")).cast("int").alias("lag"))
+        .agg(
+            F.count("*").cast("bigint").alias("m"),
+            F.sum((F.col("a.rev") * F.col("b.rev")).cast(dec)).alias("c"),
+            F.sum(F.col("a.rev").cast(dec)).alias("h"),
+            F.sum(F.col("b.rev").cast(dec)).alias("t"),
+        )
+    )
+    xb = F.col("s").cast("double") / F.col("n").cast("double")
+    num = (
+        F.col("c").cast("double")
+        - xb * (F.col("h").cast("double") + F.col("t").cast("double"))
+        + F.col("m").cast("double") * xb * xb
+    )
+    den = F.col("s2").cast("double") - F.col("n").cast("double") * xb * xb
+    return (
+        lagged.crossJoin(F.broadcast(g))
+        .select("lag", F.round(num / den, 6).alias("acf"))
+        .orderBy("lag")
+    )
+
+
+@query(
+    "stats_cohens_d_sources",
+    oracle="""
+    WITH m AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(n_chars AS BIGINT)) AS s1,
+             SUM(CAST(n_chars AS BIGINT) * n_chars) AS s2
+      FROM documents GROUP BY source
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           ROUND((CAST(a.s1 AS DOUBLE) / CAST(a.n AS DOUBLE)
+                  - CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE))
+                 / SQRT((CAST(a.n * a.s2 - a.s1 * a.s1 AS DOUBLE)
+                           / CAST(a.n AS DOUBLE)
+                         + CAST(b.n * b.s2 - b.s1 * b.s1 AS DOUBLE)
+                           / CAST(b.n AS DOUBLE))
+                        / CAST(a.n + b.n - 2 AS DOUBLE)), 6) AS cohens_d,
+           ROUND((CAST(a.s1 AS DOUBLE) / CAST(a.n AS DOUBLE)
+                  - CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE))
+                 / SQRT((CAST(a.n * a.s2 - a.s1 * a.s1 AS DOUBLE)
+                           / CAST(a.n AS DOUBLE)
+                         + CAST(b.n * b.s2 - b.s1 * b.s1 AS DOUBLE)
+                           / CAST(b.n AS DOUBLE))
+                        / CAST(a.n + b.n - 2 AS DOUBLE))
+                 * (1.0 - 3.0 / (4.0 * CAST(a.n + b.n AS DOUBLE) - 9.0)),
+                 6) AS hedges_g
+    FROM m a JOIN m b ON a.source < b.source
+    """,
+)
+def stats_cohens_d_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S D (pooled-SD standardized mean difference) and the
+    small-sample HEDGES' G correction (J = 1 − 3/(4N−9)) for document
+    length between every pair of ingestion sources — the effect-SIZE
+    companion to stats_welch_t_sources' significance: a t of 40 on a
+    billion docs can be a d of 0.01 nobody should act on. One pass of
+    exact BIGINT moments per source (map-side combined), then the
+    source×source closed form on the handful-sized moment table —
+    identical expression trees both engines, rounded at 6."""
+    d = load_table(spark, sf_dir, "documents")
+    m = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("s1"),
+        F.sum(F.col("n_chars").cast("bigint") * F.col("n_chars")).alias("s2"),
+    )
+    a, b = m.alias("a"), m.alias("b")
+    an, bn = F.col("a.n"), F.col("b.n")
+    mean_diff = (
+        F.col("a.s1").cast("double") / an.cast("double")
+        - F.col("b.s1").cast("double") / bn.cast("double")
+    )
+    pooled_sd = F.sqrt(
+        (
+            (an * F.col("a.s2") - F.col("a.s1") * F.col("a.s1")).cast("double")
+            / an.cast("double")
+            + (bn * F.col("b.s2") - F.col("b.s1") * F.col("b.s1")).cast("double")
+            / bn.cast("double")
+        )
+        / (an + bn - 2).cast("double")
+    )
+    j_corr = 1.0 - 3.0 / (4.0 * (an + bn).cast("double") - 9.0)
+    return (
+        a.join(b, F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            F.round(mean_diff / pooled_sd, 6).alias("cohens_d"),
+            F.round(mean_diff / pooled_sd * j_corr, 6).alias("hedges_g"),
+        )
+    )
+
+
+@query(
+    "stats_anova_dow_revenue",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}
+    ), dow AS (
+      SELECT CAST(CAST(d - DATE '1970-01-01' AS INT) % 7 AS INT) AS dow,
+             rev
+      FROM daily
+    ), per AS (
+      SELECT dow, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(rev) AS s, SUM(rev * rev) AS s2
+      FROM dow GROUP BY dow
+    ), g AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n, SUM(s) AS s, SUM(s2) AS s2,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM per
+    ), ss AS (
+      SELECT g.n, g.k,
+             SUM(CAST(per.s AS DOUBLE) * per.s / per.n)
+               - CAST(g.s AS DOUBLE) * g.s / g.n AS ss_between,
+             CAST(g.s2 AS DOUBLE)
+               - CAST(g.s AS DOUBLE) * g.s / g.n AS ss_total
+      FROM per, g GROUP BY g.n, g.k, g.s, g.s2
+    )
+    SELECT CAST(k AS INT) AS n_groups, n AS n_days,
+           ROUND(ss_between / ss_total, 6) AS eta_sq,
+           ROUND((ss_between / CAST(k - 1 AS DOUBLE))
+                 / ((ss_total - ss_between) / CAST(n - k AS DOUBLE)),
+                 6) AS f_stat
+    FROM ss
+    """,
+)
+def stats_anova_dow_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of daily revenue by DAY OF WEEK — the "is weekly
+    seasonality real" F-test plus η² effect share (the fraction of
+    daily-revenue variance the weekday explains), the decomposition
+    check behind stats_acf_daily_revenue's lag-7 reading. Weekday
+    classes come from portable integer arithmetic (days-since-epoch mod
+    7 — engines disagree on dayofweek() origins, integers don't);
+    per-class moments are exact (HUGEINT/decimal(38,0) for Σrev²), and
+    the between/total sum-of-squares closed form runs on the 7-row
+    moment table with identical trees. Map-side combine all the way —
+    one scalar exchange at 100 TB."""
+    dec = "decimal(38,0)"
+    daily = _daily(spark, sf_dir)
+    dow = daily.select(
+        (F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) % 7)
+        .cast("int").alias("dow"),
+        "rev",
+    )
+    per = dow.groupBy("dow").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("rev").cast(dec)).alias("s"),
+        F.sum((F.col("rev") * F.col("rev")).cast(dec)).alias("s2"),
+    )
+    g = per.agg(
+        F.sum("n").cast("bigint").alias("gn"),
+        F.sum("s").alias("gs"),
+        F.sum("s2").alias("gs2"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    ss = (
+        per.crossJoin(F.broadcast(g))
+        .groupBy("gn", "k", "gs", "gs2")
+        .agg(
+            (
+                F.sum(
+                    F.col("s").cast("double") * F.col("s") / F.col("n")
+                )
+                - F.first(
+                    F.col("gs").cast("double") * F.col("gs") / F.col("gn")
+                )
+            ).alias("ss_between"),
+            (
+                F.first(F.col("gs2").cast("double"))
+                - F.first(
+                    F.col("gs").cast("double") * F.col("gs") / F.col("gn")
+                )
+            ).alias("ss_total"),
+        )
+    )
+    k, n = F.col("k"), F.col("gn")
+    return ss.select(
+        k.cast("int").alias("n_groups"),
+        n.alias("n_days"),
+        F.round(F.col("ss_between") / F.col("ss_total"), 6).alias("eta_sq"),
+        F.round(
+            (F.col("ss_between") / (k - 1).cast("double"))
+            / (
+                (F.col("ss_total") - F.col("ss_between"))
+                / (n - k).cast("double")
+            ),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+@query(
+    "stats_entropy_rate_events",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type AS cur,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS nxt
+      FROM events
+    ), cells AS (
+      SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ), rows_t AS (
+      SELECT cur, c,
+             CAST(SUM(c) OVER (PARTITION BY cur) AS BIGINT) AS row_c,
+             CAST(SUM(c) OVER () AS BIGINT) AS tot
+      FROM cells
+    )
+    SELECT CAST(COUNT(*) AS INT) AS n_cells,
+           MAX(tot) AS n_transitions,
+           ROUND(CAST(SUM(CAST(ROUND(
+             -(CAST(c AS DOUBLE) / tot)
+               * LN(CAST(c AS DOUBLE) / row_c) / LN(2.0) * {_Q}, 0)
+             AS BIGINT)) AS DOUBLE) / {_Q}, 6) AS entropy_rate_bits
+    FROM rows_t
+    """,
+)
+def stats_entropy_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plug-in Markov ENTROPY RATE of the per-user event-type chain —
+    H = −Σᵢⱼ p(i,j)·log₂ p(j|i) with empirical joint and conditional
+    frequencies: how predictable the next action is given the current
+    one (0 bits = deterministic funnels, log₂k = pure noise) — the
+    single-number summary of events_transition_matrix and the
+    information-theoretic floor for next-event-prediction models.
+    Transitions from a per-user window (partitioned — fact-scaled but
+    never single-partition, deterministic (ts, event_id) order); each
+    −p·log₂ term is 1e9-fixed-point quantized on the type×type-bounded
+    cell table then integer-summed (the agg_entropy_by_dimension
+    discipline)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    cells = seq.groupBy("cur", "nxt").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w_row = Window.partitionBy("cur")
+    w_all = Window.partitionBy()
+    rows_t = cells.select(
+        "c",
+        F.sum("c").over(w_row).cast("bigint").alias("row_c"),
+        F.sum("c").over(w_all).cast("bigint").alias("tot"),
+    )
+    term = F.round(
+        -(F.col("c").cast("double") / F.col("tot"))
+        * F.log(F.col("c").cast("double") / F.col("row_c"))
+        / F.log(F.lit(2.0))
+        * _Q,
+        0,
+    ).cast("bigint")
+    return rows_t.select("tot", term.alias("tq")).agg(
+        F.count("*").cast("int").alias("n_cells"),
+        F.max("tot").alias("n_transitions"),
+        F.round(F.sum("tq").cast("double") / _Q, 6).alias(
+            "entropy_rate_bits"
+        ),
+    )

@@ -337,6 +337,47 @@ def decode_resize_pixels(bmp_media: DataFrame, *, factor: int = 2) -> DataFrame:
     return bmp_media.mapInPandas(batches, schema=RESIZED_PIXEL_SCHEMA)
 
 
+CROPPED_PIXEL_SCHEMA = "media_id long, out_r int, out_c int, gray int"
+
+
+def decode_crop_pixels(
+    bmp_media: DataFrame, *, crop_h: int, crop_w: int
+) -> DataFrame:
+    """REAL image decode + CENTER CROP over binary payloads: parse each
+    BMP (decode_bmp — header, bottom-up rows, padding), take the central
+    ``crop_h × crop_w`` window (offset = (dim − crop) // 2, the standard
+    eval-preprocessing crop every vision pipeline applies after resize),
+    emit one row per cropped pixel with coordinates RELATIVE to the crop.
+    Pixel values are untouched bytes — a pure geometric selection, so a
+    decoder that misreads row order or padding shifts WHICH pixels
+    survive and cannot hash-match the oracle. Arrow-batched mapInPandas;
+    scan-bound over the binary column with zero shuffles at any scale."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, rs, cs, vals = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_bmp(bytes(p))
+                h, w, _ = img.shape
+                r0 = (h - crop_h) // 2
+                c0 = (w - crop_w) // 2
+                win = img[r0:r0 + crop_h, c0:c0 + crop_w, 0]
+                oh, ow = win.shape
+                rr, cc = np.meshgrid(
+                    np.arange(oh), np.arange(ow), indexing="ij"
+                )
+                ids.extend([mid] * (oh * ow))
+                rs.extend(rr.ravel().tolist())
+                cs.extend(cc.ravel().tolist())
+                vals.extend(win.ravel().tolist())
+            yield pd.DataFrame(
+                {"media_id": ids, "out_r": rs, "out_c": cs, "gray": vals}
+            )
+
+    return bmp_media.mapInPandas(batches, schema=CROPPED_PIXEL_SCHEMA)
+
+
 AUDIO_ENERGY_SCHEMA = (
     "media_id long, window_index int, window_bytes int, energy bigint"
 )

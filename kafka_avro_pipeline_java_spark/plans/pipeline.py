@@ -250,6 +250,44 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_image_center_crop",
+    oracle="""
+    WITH imgs AS (
+      SELECT doc_id AS media_id, text, length(text) AS n
+      FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0
+    )
+    SELECT media_id,
+           CAST(r.r - 2 AS INT) AS out_r,
+           CAST(c.c - 2 AS INT) AS out_c,
+           CAST(ascii(substr(text, CAST((r.r * 8 + c.c) % n + 1 AS INT), 1))
+                AS INT) AS gray
+    FROM imgs, UNNEST(range(2, 6)) AS r(r), UNNEST(range(2, 6)) AS c(c)
+    """,
+)
+def multimodal_image_center_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode + CENTER CROP (8×8 → central 4×4) — the third
+    consumer of the BMP decode path and the standard eval-preprocessing
+    geometry op (resize-then-center-crop is how every vision eval feeds
+    its model). Pixel values pass through untouched, so the op is a pure
+    geometric selection: the oracle recomputes exactly WHICH source
+    bytes must survive ((r, c) ∈ [2, 6)² of the bottom-up-decoded,
+    padding-stripped array), and a decoder that misreads row order or
+    padding selects different pixels and cannot hash-match
+    (operators/multimodal.py::decode_crop_pixels). Zero-shuffle
+    scan-bound mapInPandas, same shape as the resize row."""
+    from ..operators.multimodal import (
+        decode_crop_pixels,
+        text_as_media,
+        text_to_gray_bmp,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    media = text_as_media(d, "doc_id", "text")
+    bmps = text_to_gray_bmp(media, width=8, height=8)
+    return decode_crop_pixels(bmps, crop_h=4, crop_w=4)
+
+
+@query(
     "multimodal_image_histogram",
     oracle="""
     WITH imgs AS (

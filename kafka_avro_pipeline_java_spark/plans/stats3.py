@@ -448,3 +448,134 @@ def stats_entropy_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_rate_bits"
         ),
     )
+
+
+# Abramowitz & Stegun 26.2.17 normal-tail polynomial: |err| < 7.5e-8 and —
+# what actually matters for the oracle — the IDENTICAL literal expression
+# tree in both engines, so the p-values agree to the last bit.
+_BH_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_BH_ALPHA = 0.05
+
+_BH_Z_SQL = """(CAST(a.s1 AS DOUBLE) / CAST(a.n AS DOUBLE)
+                  - CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE))
+                 / SQRT(CAST(a.n * a.s2 - a.s1 * a.s1 AS DOUBLE)
+                          / CAST(a.n AS DOUBLE) / CAST(a.n AS DOUBLE)
+                          / CAST(a.n - 1 AS DOUBLE)
+                        + CAST(b.n * b.s2 - b.s1 * b.s1 AS DOUBLE)
+                          / CAST(b.n AS DOUBLE) / CAST(b.n AS DOUBLE)
+                          / CAST(b.n - 1 AS DOUBLE))"""
+
+
+@query(
+    "stats_fdr_bh_sources",
+    oracle=f"""
+    WITH m AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(n_chars AS BIGINT)) AS s1,
+             SUM(CAST(n_chars AS BIGINT) * n_chars) AS s2
+      FROM documents GROUP BY source
+    ), z AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             {_BH_Z_SQL} AS z
+      FROM m a JOIN m b ON a.source < b.source
+    ), p AS (
+      SELECT src_a, src_b, z,
+             2.0 * (EXP(-z * z / 2.0) / SQRT(2.0 * PI()))
+                 * ((1.0 / (1.0 + 0.2316419 * ABS(z)))
+                    * ({_BH_B[0]!r}
+                       + (1.0 / (1.0 + 0.2316419 * ABS(z)))
+                         * ({_BH_B[1]!r}
+                            + (1.0 / (1.0 + 0.2316419 * ABS(z)))
+                              * ({_BH_B[2]!r}
+                                 + (1.0 / (1.0 + 0.2316419 * ABS(z)))
+                                   * ({_BH_B[3]!r}
+                                      + (1.0 / (1.0 + 0.2316419 * ABS(z)))
+                                        * {_BH_B[4]!r}))))) AS p
+      FROM z
+    ), ranked AS (
+      SELECT src_a, src_b, z, p,
+             ROW_NUMBER() OVER (ORDER BY p, src_a, src_b) AS i,
+             COUNT(*) OVER () AS mm
+      FROM p
+    )
+    SELECT src_a, src_b,
+           ROUND(z, 6) AS welch_z,
+           ROUND(p, 6) AS p_value,
+           ROUND(MIN(LEAST(mm * p / i, 1.0)) OVER (
+             ORDER BY i DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS p_adjusted,
+           CAST(MIN(LEAST(mm * p / i, 1.0)) OVER (
+             ORDER BY i DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             <= {_BH_ALPHA!r} AS BOOLEAN) AS rejected
+    FROM ranked
+    """,
+)
+def stats_fdr_bh_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI–HOCHBERG false-discovery-rate control over the 190
+    source-pair Welch tests — the multiple-testing correction without
+    which the experimentation shelf's per-pair p-values are fiction (at
+    α=0.05, ~10 of 190 true-null pairs would "reject" by chance; BH caps
+    the EXPECTED false-discovery fraction instead of Bonferroni's
+    family-wise overkill). Welch z from exact BIGINT moments; two-sided
+    p from the A&S 26.2.17 normal-tail polynomial (identical literal
+    Horner tree both engines — no erf() dependency in either); adjusted
+    p = the classic step-up running min of m·p/i from the bottom rank.
+    The rank/adjust windows run over the SOURCE-PAIR table — bounded by
+    the source-domain square, not the corpus — and the moment pass rides
+    map-side combine."""
+    import math
+
+    d = load_table(spark, sf_dir, "documents")
+    m = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("s1"),
+        F.sum(F.col("n_chars").cast("bigint") * F.col("n_chars")).alias("s2"),
+    )
+    a, b = m.alias("a"), m.alias("b")
+    an, bn = F.col("a.n"), F.col("b.n")
+    z_expr = (
+        F.col("a.s1").cast("double") / an.cast("double")
+        - F.col("b.s1").cast("double") / bn.cast("double")
+    ) / F.sqrt(
+        (an * F.col("a.s2") - F.col("a.s1") * F.col("a.s1")).cast("double")
+        / an.cast("double") / an.cast("double") / (an - 1).cast("double")
+        + (bn * F.col("b.s2") - F.col("b.s1") * F.col("b.s1")).cast("double")
+        / bn.cast("double") / bn.cast("double") / (bn - 1).cast("double")
+    )
+    zt = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        z_expr.alias("z"),
+    )
+    t = 1.0 / (1.0 + 0.2316419 * F.abs(F.col("z")))
+    horner = t * (
+        _BH_B[0]
+        + t * (_BH_B[1] + t * (_BH_B[2] + t * (_BH_B[3] + t * _BH_B[4])))
+    )
+    pdf = F.exp(-F.col("z") * F.col("z") / 2.0) / F.sqrt(
+        F.lit(2.0) * F.lit(math.pi)
+    )
+    pt = zt.select("src_a", "src_b", "z", (2.0 * pdf * horner).alias("p"))
+    w_rank = Window.orderBy("p", "src_a", "src_b")
+    ranked = pt.select(
+        "src_a", "src_b", "z", "p",
+        F.row_number().over(w_rank).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("mm"),
+    )
+    w_adj = Window.orderBy(F.desc("i")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    adj = F.min(
+        F.least(F.col("mm") * F.col("p") / F.col("i"), F.lit(1.0))
+    ).over(w_adj)
+    return ranked.select(
+        "src_a",
+        "src_b",
+        F.round("z", 6).alias("welch_z"),
+        F.round("p", 6).alias("p_value"),
+        F.round(adj, 6).alias("p_adjusted"),
+        (adj <= _BH_ALPHA).alias("rejected"),
+    )

@@ -1195,3 +1195,67 @@ def merge_ivm_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mn") * 100, 0).cast("bigint").alias("min_cents"),
         F.round(F.col("mx") * 100, 0).cast("bigint").alias("max_cents"),
     )
+
+
+@query(
+    "merge_deletion_vectors",
+    oracle="""
+    WITH files AS (
+      SELECT o_orderkey // 1024 AS file_id,
+             CASE WHEN o_orderstatus = 'F'
+                    AND year(o_orderdate) <= 1993
+                  THEN 1 ELSE 0 END AS del
+      FROM orders
+    ), dv AS (
+      SELECT file_id,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(del) AS BIGINT) AS n_deleted
+      FROM files GROUP BY file_id
+    )
+    SELECT file_id, n_rows, n_deleted,
+           ROUND(CAST(n_deleted AS DOUBLE) / n_rows, 6) AS dv_density,
+           CAST(n_deleted = n_rows AS BOOLEAN) AS fully_dead,
+           CAST(n_deleted > 0 AND n_deleted < n_rows
+                AND n_deleted * 10 > n_rows * 3 AS BOOLEAN)
+             AS rewrite_recommended
+    FROM dv
+    """,
+)
+def merge_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION-VECTOR maintenance report — the merge-on-read bookkeeping
+    every modern lakehouse (Delta DVs, Iceberg positional deletes) runs
+    instead of rewriting files on DELETE: for a retention predicate
+    (finished orders through 1993), each simulated 1024-row file's DV
+    cardinality, density, fully-dead flag (drop the file, no DV needed),
+    and the rewrite recommendation once DVs exceed 30% of the file (the
+    read-amplification threshold where compaction beats masking — the
+    integer cross-multiplied form keeps the 0.3 comparison exact). One
+    file-keyed agg over a projection; the report is file-list-sized, the
+    same metadata-scale shape as layout_compaction_bins and
+    layout_zonemap_pruning."""
+    o = load_table(spark, sf_dir, "orders")
+    files = o.select(
+        (F.col("o_orderkey") / 1024).cast("bigint").alias("file_id"),
+        F.when(
+            (F.col("o_orderstatus") == "F")
+            & (F.year("o_orderdate") <= 1993),
+            1,
+        ).otherwise(0).alias("del"),
+    )
+    dv = files.groupBy("file_id").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("del").cast("bigint").alias("n_deleted"),
+    )
+    return dv.select(
+        "file_id",
+        "n_rows",
+        "n_deleted",
+        F.round(F.col("n_deleted").cast("double") / F.col("n_rows"), 6)
+        .alias("dv_density"),
+        (F.col("n_deleted") == F.col("n_rows")).alias("fully_dead"),
+        (
+            (F.col("n_deleted") > 0)
+            & (F.col("n_deleted") < F.col("n_rows"))
+            & (F.col("n_deleted") * 10 > F.col("n_rows") * 3)
+        ).alias("rewrite_recommended"),
+    )

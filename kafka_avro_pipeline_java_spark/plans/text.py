@@ -930,3 +930,66 @@ def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_tokens"),
     )
+
+
+@query(
+    "dedup_lsh_recall_audit",
+    oracle=f"""
+    WITH ex AS (
+      SELECT id_a, id_b FROM ({_ORACLES['dedup_ngram_jaccard']})
+      WHERE jaccard >= 0.5
+    ), lsh AS (
+      SELECT id_a, id_b FROM ({_ORACLES['dedup_minhash_portable']})
+    ), flags AS (
+      SELECT COALESCE(e.id_a, l.id_a) AS id_a,
+             CASE WHEN e.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_e,
+             CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_l
+      FROM ex e FULL OUTER JOIN lsh l
+        ON e.id_a = l.id_a AND e.id_b = l.id_b
+    )
+    SELECT CAST(SUM(in_e) AS BIGINT) AS n_exact,
+           CAST(SUM(in_l) AS BIGINT) AS n_lsh,
+           CAST(SUM(in_e * in_l) AS BIGINT) AS n_common,
+           ROUND(SUM(in_e * in_l) / CAST(SUM(in_e) AS DOUBLE), 6)
+             AS pair_recall,
+           ROUND(SUM(in_e * in_l) / CAST(SUM(in_l) AS DOUBLE), 6)
+             AS pair_precision
+    FROM flags
+    """,
+)
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL/PRECISION audit of the MinHash-LSH scale path against the
+    exact shingle-Jaccard ground truth at threshold 0.5 — the dedup twin
+    of knn_recall_matrix: the approximate candidate path's QUALITY, not
+    just its values, under a driver-checked oracle (both pair sets are
+    themselves fully value-oracled queries — dedup_ngram_jaccard filtered
+    to >= 0.5, and the portable-hash MinHash pipeline — so this row is
+    closed-form over two already-pinned sets). The planted near-dup pairs
+    sit at Jaccard ~0.99, far above the 8-band/4-row S-curve's midpoint,
+    so recall is expected at 1.0; a banding or signature regression
+    drops it and fails the hash. Full-outer join of two OUTPUT-sized
+    pair lists — metadata-scale after the dedup filters."""
+    exact = dedup.ngram_jaccard_pairs(
+        d := load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        k=3, threshold=0.5,
+    ).select("id_a", "id_b", F.lit(1).alias("in_e"))
+    lsh = dedup.minhash_lsh_pairs_portable(
+        d, "text", "doc_id", k=3, num_hashes=32, bands=8, threshold=0.5
+    ).select("id_a", "id_b", F.lit(1).alias("in_l"))
+    flags = exact.join(lsh, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce(F.col("in_e"), F.lit(0)).alias("in_e"),
+        F.coalesce(F.col("in_l"), F.lit(0)).alias("in_l"),
+    )
+    return flags.agg(
+        F.sum("in_e").cast("bigint").alias("n_exact"),
+        F.sum("in_l").cast("bigint").alias("n_lsh"),
+        F.sum(F.col("in_e") * F.col("in_l")).cast("bigint").alias("n_common"),
+        F.round(
+            F.sum(F.col("in_e") * F.col("in_l")) / F.sum("in_e").cast("double"),
+            6,
+        ).alias("pair_recall"),
+        F.round(
+            F.sum(F.col("in_e") * F.col("in_l")) / F.sum("in_l").cast("double"),
+            6,
+        ).alias("pair_precision"),
+    )

@@ -610,3 +610,118 @@ ORACLES = _ORACLES2
 ORACLES["dedup_golden_record"] = ORACLES["dedup_golden_record"].replace(
     "{jaccard}", ORACLES["dedup_ngram_jaccard"]
 )
+
+
+@query(
+    "text_ndcg_bm25",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ), lengths AS (
+      SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM docs
+    ), hits AS (
+      SELECT doc_id, t.tok FROM docs, UNNEST(toks) AS t(tok)
+      WHERE t.tok IN ({_BM25_TERMS_SQL})
+    ), tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM hits GROUP BY doc_id, tok
+    ), dfreq AS (
+      SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df_t FROM tf GROUP BY tok
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM lengths
+    ), scored AS (
+      SELECT doc_id, CAST(COUNT(*) AS INT) AS rel,
+             ROUND(SUM(LN(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                       * tf * 2.2
+                       / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+      FROM tf JOIN dfreq USING (tok) JOIN lengths USING (doc_id), stats
+      GROUP BY doc_id
+    ), actual AS (
+      SELECT rel, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      FROM scored
+    ), ideal AS (
+      SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS r
+      FROM scored
+    ), dcg AS (
+      SELECT CAST(SUM(CAST(ROUND((POWER(2.0, rel) - 1.0)
+                                 / LOG2(CAST(r + 1 AS DOUBLE))
+                                 * 1000000000, 0) AS BIGINT)) AS BIGINT) AS q
+      FROM actual WHERE r <= 10
+    ), idcg AS (
+      SELECT CAST(SUM(CAST(ROUND((POWER(2.0, rel) - 1.0)
+                                 / LOG2(CAST(r + 1 AS DOUBLE))
+                                 * 1000000000, 0) AS BIGINT)) AS BIGINT) AS q
+      FROM ideal WHERE r <= 10
+    )
+    SELECT ROUND(CAST(dcg.q AS DOUBLE) / 1000000000, 6) AS dcg_10,
+           ROUND(CAST(idcg.q AS DOUBLE) / 1000000000, 6) AS idcg_10,
+           ROUND(CAST(dcg.q AS DOUBLE) / CAST(idcg.q AS DOUBLE), 6)
+             AS ndcg_10
+    FROM dcg, idcg
+    """,
+)
+def text_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the BM25 ranking — the search-QUALITY metric on top of
+    text_bm25_search's scores: graded relevance = number of distinct
+    query terms a document contains (deterministic, so the whole eval is
+    a pure function of the corpus), gains 2^rel−1, the ideal ranking by
+    relevance, ndcg = DCG/IDCG. This is the eval loop every hybrid-
+    retrieval stack (search_hybrid_rrf) runs to justify its fusion
+    weights. Each DCG term is 1e9-fixed-point quantized before the
+    10-term integer sum (the log2 denominators are the only
+    transcendentals); the actual top-10 comes from TakeOrdered on the
+    scored table and the ideal top-10 from TakeOrdered on relevance —
+    no corpus-sized window anywhere."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = search.bm25_topk(
+        spark, d, "text", "doc_id", BM25_TERMS, k=10
+    ).withColumnRenamed("id", "doc_id")
+    actual = scored.orderBy(F.desc("bm25"), "doc_id").limit(10).select(
+        F.col("n_hit_terms").alias("rel"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .alias("r"),
+    )
+    # ideal ranking needs relevance over ALL hit docs, not just the BM25
+    # top-10: distinct-term counts, then TakeOrdered(10) on relevance
+    rel_all = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok").isin(BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("rel"))
+    )
+    ideal = rel_all.orderBy(F.desc("rel"), "doc_id").limit(10).select(
+        "rel",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rel"), "doc_id"))
+        .alias("r"),
+    )
+
+    def dcg_q(df):
+        term = F.round(
+            (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+            / F.log2((F.col("r") + 1).cast("double"))
+            * 1_000_000_000,
+            0,
+        ).cast("bigint")
+        return df.agg(F.sum(term).cast("bigint").alias("q"))
+
+    dcg = dcg_q(actual).select(F.col("q").alias("dq"))
+    idcg = dcg_q(ideal).select(F.col("q").alias("iq"))
+    return dcg.crossJoin(idcg).select(
+        F.round(F.col("dq").cast("double") / 1_000_000_000, 6).alias("dcg_10"),
+        F.round(F.col("iq").cast("double") / 1_000_000_000, 6).alias("idcg_10"),
+        F.round(
+            F.col("dq").cast("double") / F.col("iq").cast("double"), 6
+        ).alias("ndcg_10"),
+    )

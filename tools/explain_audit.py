@@ -31,6 +31,11 @@ DEFAULT = [
     "events_holt_trend_forecast", "unpivot_lineitem_measures",
     "window_dist_functions", "source_csv_roundtrip",
     "source_avro_ocf_roundtrip",
+    # round-9 additions: the distributed-rank family + new oracles
+    "agg_gini_customer_spend", "agg_rfm_segments", "sql_skyline_parts",
+    "pipeline_weighted_sample", "pipeline_token_budget_selection",
+    "knn_ivf_pq_rerank_oracle", "layout_zonemap_pruning",
+    "stats_fdr_bh_sources", "dedup_lsh_recall_audit", "text_ndcg_bm25",
 ]
 
 

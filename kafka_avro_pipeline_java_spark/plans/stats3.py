@@ -579,3 +579,206 @@ def stats_fdr_bh_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(adj, 6).alias("p_adjusted"),
         (adj <= _BH_ALPHA).alias("rejected"),
     )
+
+
+_RM_PER_USER_SQL = """
+      SELECT CAST(user_id % 2 AS INT) AS grp,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+"""
+
+_RM_MOMENTS_SQL = """
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM per_user GROUP BY grp
+"""
+
+
+@query(
+    "stats_ratio_metric_delta",
+    oracle=f"""
+    WITH per_user AS ({_RM_PER_USER_SQL}
+    ), moments AS ({_RM_MOMENTS_SQL}
+    ), est AS (
+      SELECT grp,
+             CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r,
+             (CAST(n * sxx - sx * sx AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+              + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                * CAST(n * syy - sy * sy AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+              - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                * CAST(n * sxy - sx * sy AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+             / (CAST(n AS DOUBLE)
+                * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) AS var_r
+      FROM moments
+    )
+    SELECT ROUND(a.r, 6) AS ratio_control,
+           ROUND(b.r, 6) AS ratio_treatment,
+           ROUND(b.r - a.r, 6) AS diff,
+           ROUND(SQRT(a.var_r + b.var_r), 6) AS se,
+           ROUND((b.r - a.r) / SQRT(a.var_r + b.var_r), 6) AS z
+    FROM est a, est b WHERE a.grp = 0 AND b.grp = 1
+    """,
+)
+def stats_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA-METHOD inference for a RATIO metric (revenue per event,
+    user-clustered) — the experimentation-shelf member CUPED doesn't
+    cover: per-arm R = Σx/Σy is a ratio of per-USER sums, so its
+    variance is NOT Var(x̄) (events within a user correlate); the
+    first-order delta expansion Var(R) ≈ (Var x + R²·Var y −
+    2R·Cov(x,y)) / (n·ȳ²) is how every A/B platform ships ratio-metric
+    p-values (Deng et al., KDD'18). Per-user collapse rides map-side
+    combine; five decimal(38,0)/HUGEINT moments per arm; the closed
+    form is constant-count double algebra on identical trees, rounded
+    at 6."""
+    dec = "decimal(38,0)"
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint").alias("x"),
+        F.count("*").cast("bigint").alias("y"),
+    ).select((F.col("user_id") % 2).cast("int").alias("grp"), "x", "y")
+    moments = per_user.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    r = sx / sy
+    nm1 = (F.col("n") - 1).cast("double")
+
+    def cmom(sab, sa, sb):
+        return (F.col("n") * F.col(sab) - F.col(sa) * F.col(sb)).cast(
+            "double"
+        ) / (n * nm1)
+
+    var_r = (
+        cmom("sxx", "sx", "sx")
+        + r * r * cmom("syy", "sy", "sy")
+        - 2.0 * r * cmom("sxy", "sx", "sy")
+    ) / (n * (sy / n) * (sy / n))
+    est = moments.select("grp", r.alias("r"), var_r.alias("var_r"))
+    a = est.filter(F.col("grp") == 0).select(
+        F.col("r").alias("ra"), F.col("var_r").alias("va")
+    )
+    b = est.filter(F.col("grp") == 1).select(
+        F.col("r").alias("rb"), F.col("var_r").alias("vb")
+    )
+    return a.crossJoin(b).select(
+        F.round("ra", 6).alias("ratio_control"),
+        F.round("rb", 6).alias("ratio_treatment"),
+        F.round(F.col("rb") - F.col("ra"), 6).alias("diff"),
+        F.round(F.sqrt(F.col("va") + F.col("vb")), 6).alias("se"),
+        F.round(
+            (F.col("rb") - F.col("ra")) / F.sqrt(F.col("va") + F.col("vb")),
+            6,
+        ).alias("z"),
+    )
+
+
+_Z_ALPHA = 1.959963984540054   # Phi^-1(0.975)
+_Z_BETA = 0.8416212335729143   # Phi^-1(0.80)
+
+
+@query(
+    "stats_power_analysis",
+    oracle=f"""
+    WITH per_user AS ({_RM_PER_USER_SQL}
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(x * x) AS sxx,
+             CAST(SUM(CASE WHEN grp = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN grp = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+      FROM per_user
+    ), s AS (
+      SELECT n, n0, n1,
+             SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS sd,
+             ABS(CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS delta
+      FROM m
+    )
+    SELECT ROUND(sd, 6) AS pooled_sd_cents,
+           ROUND(delta, 6) AS observed_diff_cents,
+           CAST(CEIL(2.0 * sd * sd
+                     * ({_Z_ALPHA!r} + {_Z_BETA!r})
+                     * ({_Z_ALPHA!r} + {_Z_BETA!r})
+                     / (delta * delta)) AS BIGINT) AS n_required_per_arm,
+           ROUND(({_Z_ALPHA!r} + {_Z_BETA!r})
+                 * SQRT(2.0 * sd * sd / CAST(LEAST(n0, n1) AS DOUBLE)),
+                 6) AS mde_at_current_n
+    FROM s
+    """,
+)
+def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B POWER ANALYSIS (design side of the experimentation shelf):
+    from the observed per-user revenue distribution, the sample size per
+    arm needed to detect the currently-observed arm difference at
+    α=0.05 / power 0.8 — n = 2σ²(z_crit+z_power)²/δ² — and the minimum
+    detectable effect at the CURRENT arm sizes. The z quantiles are
+    literal doubles (no inverse-CDF dependency in either engine); σ and
+    δ come from exact BIGINT/HUGEINT moments in one pass; the closed
+    form is identical trees rounded at 6, the required n an exact CEIL.
+    The answer every 'how long must this test run' conversation needs,
+    next to stats_ab_srm_check's validity gate and
+    stats_ratio_metric_delta's analysis-side inference."""
+    dec = "decimal(38,0)"
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint").alias("x"),
+    ).select((F.col("user_id") % 2).cast("int").alias("grp"), "x")
+    m = per_user.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum(F.when(F.col("grp") == 1, F.col("x")).otherwise(0))
+        .cast("bigint").alias("sx1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("x")).otherwise(0))
+        .cast("bigint").alias("sx0"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n0"),
+    )
+    n = F.col("n")
+    sd = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        / (n.cast("double") * (n - 1).cast("double"))
+    )
+    delta = F.abs(
+        F.col("sx1").cast("double") / F.col("n1").cast("double")
+        - F.col("sx0").cast("double") / F.col("n0").cast("double")
+    )
+    zsum = F.lit(_Z_ALPHA) + F.lit(_Z_BETA)
+    s = m.select(
+        "n0", "n1", sd.alias("sd"), delta.alias("delta")
+    )
+    return s.select(
+        F.round("sd", 6).alias("pooled_sd_cents"),
+        F.round("delta", 6).alias("observed_diff_cents"),
+        F.ceil(
+            2.0 * F.col("sd") * F.col("sd") * zsum * zsum
+            / (F.col("delta") * F.col("delta"))
+        ).cast("bigint").alias("n_required_per_arm"),
+        F.round(
+            zsum
+            * F.sqrt(
+                2.0 * F.col("sd") * F.col("sd")
+                / F.least("n0", "n1").cast("double")
+            ),
+            6,
+        ).alias("mde_at_current_n"),
+    )

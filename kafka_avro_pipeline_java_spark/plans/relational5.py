@@ -692,3 +692,57 @@ def scalar_bitwise_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 2).cast("bigint").alias("shr2"),
         F.bit_count(k).cast("int").alias("popcount"),
     )
+
+
+_I64_MAX = 9223372036854775807
+_P62 = 1 << 62
+
+
+@query(
+    "scalar_try_arithmetic_zoo",
+    oracle=f"""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                     / (o_orderkey % 3) END AS div_or_null,
+           CASE WHEN o_orderkey % 2 = 1 THEN NULL
+                ELSE {_I64_MAX} END AS add_overflow,
+           CASE WHEN o_orderkey % 4 IN (0, 1)
+                THEN {_P62} * (o_orderkey % 4) ELSE NULL END AS mult_overflow,
+           TRY_CAST(o_orderpriority AS INT) AS priority_cast,
+           CAST(substr(o_orderpriority, 1, 1) AS INT) AS priority_digit,
+           string_split(o_orderpriority, '-')[5] AS elem_oob
+    FROM orders WHERE o_orderkey < 300
+    """,
+)
+def scalar_try_arithmetic_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_-family error-free arithmetic matrix — the NULL-on-failure
+    semantics an ANSI-mode pipeline needs pinned before it can trust a
+    100 TB run not to die on one bad row: try_divide by a sometimes-zero
+    denominator, try_add at int64 max (overflow → NULL, not wraparound),
+    try_multiply crossing 2⁶³, try_cast of a non-numeric string, and an
+    out-of-bounds try_element_at. The oracle hand-encodes the EXPECTED
+    outcome of each probe (DuckDB's operators error rather than
+    null-out, so the CASE forms are the semantic spec, not a mirror of
+    convenience) — making this a driver-checked conformance row, same
+    spirit as scalar_bitwise_zoo. Pure codegen projection, scan pruned
+    by the pushed o_orderkey filter."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(cents, F.col("o_orderkey") % 3).alias("div_or_null"),
+        F.try_add(
+            F.lit(_I64_MAX), F.col("o_orderkey") % 2
+        ).alias("add_overflow"),
+        F.try_multiply(
+            F.lit(_P62), F.col("o_orderkey") % 4
+        ).alias("mult_overflow"),
+        F.col("o_orderpriority").try_cast("int").alias("priority_cast"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias(
+            "priority_digit"
+        ),
+        F.try_element_at(
+            F.split("o_orderpriority", "-"), F.lit(5)
+        ).alias("elem_oob"),
+    )

@@ -782,3 +782,70 @@ def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mde_at_current_n"),
     )
+
+
+@query(
+    "stats_wilson_ci_event_rates",
+    oracle=f"""
+    WITH counts AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT)
+               AS k
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, k,
+           ROUND(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+           ROUND((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                  + {_Z_ALPHA!r} * {_Z_ALPHA!r} / (2.0 * CAST(n AS DOUBLE))
+                  - {_Z_ALPHA!r}
+                    * SQRT((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                             / CAST(n AS DOUBLE)
+                           + {_Z_ALPHA!r} * {_Z_ALPHA!r}
+                             / (4.0 * CAST(n AS DOUBLE)
+                                * CAST(n AS DOUBLE))))
+                 / (1.0 + {_Z_ALPHA!r} * {_Z_ALPHA!r} / CAST(n AS DOUBLE)),
+                 6) AS wilson_lo,
+           ROUND((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                  + {_Z_ALPHA!r} * {_Z_ALPHA!r} / (2.0 * CAST(n AS DOUBLE))
+                  + {_Z_ALPHA!r}
+                    * SQRT((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                             / CAST(n AS DOUBLE)
+                           + {_Z_ALPHA!r} * {_Z_ALPHA!r}
+                             / (4.0 * CAST(n AS DOUBLE)
+                                * CAST(n AS DOUBLE))))
+                 / (1.0 + {_Z_ALPHA!r} * {_Z_ALPHA!r} / CAST(n AS DOUBLE)),
+                 6) AS wilson_hi
+    FROM counts
+    """,
+)
+def stats_wilson_ci_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILSON SCORE intervals for the per-event-type high-value rate
+    (P(value > 50)) — the proportion CI that stays inside [0, 1] and
+    behaves at k=0/k=n where the naive Wald interval collapses; the form
+    every SLO / conversion-rate dashboard should use under small-n
+    slices. Exact integer (n, k) per type from one map-side-combined
+    agg; the closed form with the literal z (no inverse-CDF in either
+    engine) on identical trees, rounded at 6."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value") > 50, 1).otherwise(0))
+        .cast("bigint").alias("k"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    z = F.lit(_Z_ALPHA)
+    half = z * F.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
+    center = p + z * z / (2.0 * n)
+    denom = 1.0 + z * z / n
+    return counts.select(
+        "event_type",
+        "n",
+        "k",
+        F.round(p, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )

@@ -993,3 +993,49 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pair_precision"),
     )
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH pred AS ({_ORACLES['text_language_id']}),
+    cells AS (
+      SELECT d.lang AS true_lang, p.lang AS pred_lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM pred p JOIN documents d USING (doc_id)
+      GROUP BY 1, 2
+    )
+    SELECT true_lang, pred_lang, n_docs,
+           ROUND(CAST(n_docs AS DOUBLE)
+                 / SUM(n_docs) OVER (PARTITION BY true_lang), 6) AS recall
+    FROM cells
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFUSION MATRIX of the language-ID classifier against the
+    corpus's ground-truth `lang` column — the accuracy audit that turns
+    text_language_id from "produces labels" into "produces labels we
+    measured": per (true, predicted) cell counts plus per-true-language
+    recall, the same verify-the-approximation discipline as
+    knn_recall_matrix and dedup_lsh_recall_audit. One projection computes
+    truth and prediction side by side (no join — both live on the same
+    row), one cell-bounded agg, one window over the |langs|² cell
+    table."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = (
+        d.select(
+            F.col("lang").alias("true_lang"),
+            T.lang_id("text").alias("pred_lang"),
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    w = Window.partitionBy("true_lang")
+    return cells.select(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6
+        ).alias("recall"),
+    )

@@ -1567,3 +1567,110 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounce.cast("bigint").alias("n_bounces"),
         F.round(bounce.cast("double") / F.count("*"), 6).alias("bounce_rate"),
     )
+
+
+@query(
+    "events_peak_concurrency",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sids AS (
+      SELECT user_id, t,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM x
+    ), sess AS (
+      SELECT user_id, sid,
+             CAST(MIN(t) AS BIGINT) AS t0,
+             CAST(MAX(t) + 60000000 AS BIGINT) AS t1
+      FROM sids GROUP BY user_id, sid
+    ), pts AS (
+      SELECT user_id, sid, t0 AS t, 1 AS d FROM sess
+      UNION ALL
+      SELECT user_id, sid, t1 AS t, -1 AS d FROM sess
+    ), run AS (
+      SELECT t,
+             CAST(SUM(d) OVER (ORDER BY t, d, user_id, sid
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS c
+      FROM pts
+    ), peak AS (
+      SELECT MAX(c) AS peak_concurrent FROM run
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sess) AS n_sessions,
+           p.peak_concurrent,
+           (SELECT CAST(MIN(t) AS BIGINT) FROM run
+            WHERE c = p.peak_concurrent) AS first_peak_at_us
+    FROM peak p
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK CONCURRENT SESSIONS — the capacity-planning number behind
+    every connection-pool and autoscaling decision: sessionize per user
+    (30-min gap, 60 s trailing grace), sweep +1/−1 endpoints in time
+    order, the maximum of the running sum is the peak, reported with its
+    first occurrence. The endpoint sweep is an inherently GLOBAL ordered
+    cumulative sum over a session-scaled table, so it runs on the
+    two-phase distributed prefix sum (operators/ranking.py) — ends sort
+    before starts at the same instant ((t, d) with d=−1 < +1: a session
+    ending exactly when another starts does not inflate the peak), and
+    the (user, sid) tail keys make the order total. Sessionization is a
+    user-partitioned window (parallel); everything after the per-session
+    collapse is session-sized."""
+    from ..operators.ranking import attach_global_order_stats
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros(F.col("ts"))
+    x = e.select(
+        "user_id",
+        t_us.alias("t"),
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (t_us - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0).alias("ns"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sids = x.select(
+        "user_id", "t", F.sum("ns").over(w_run).alias("sid")
+    )
+    sess = sids.groupBy("user_id", "sid").agg(
+        F.min("t").cast("bigint").alias("t0"),
+        (F.max("t") + 60_000_000).cast("bigint").alias("t1"),
+    )
+    pts = sess.select(
+        "user_id",
+        "sid",
+        F.explode(
+            F.array(
+                F.struct(F.col("t0").alias("t"), F.lit(1).alias("d")),
+                F.struct(F.col("t1").alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("p"),
+    ).select("user_id", "sid", "p.t", "p.d")
+    run = attach_global_order_stats(
+        pts,
+        [("t", "asc"), ("d", "asc"), ("user_id", "asc"), ("sid", "asc")],
+        cumsum=("d", "c"),
+    ).select("t", "c")
+    n_sessions = sess.agg(
+        F.count("*").cast("bigint").alias("n_sessions")
+    )
+    peak = run.agg(F.max("c").alias("peak_concurrent"))
+    first_at = (
+        run.join(F.broadcast(peak), F.col("c") == F.col("peak_concurrent"))
+        .agg(F.min("t").cast("bigint").alias("first_peak_at_us"))
+    )
+    return (
+        n_sessions.crossJoin(F.broadcast(peak))
+        .crossJoin(F.broadcast(first_at))
+        .select("n_sessions", "peak_concurrent", "first_peak_at_us")
+    )

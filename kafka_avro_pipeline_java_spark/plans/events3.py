@@ -1674,3 +1674,42 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(first_at))
         .select("n_sessions", "peak_concurrent", "first_peak_at_us")
     )
+
+
+@query(
+    "window_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w AS BIGINT)
+             AS cents_last_hour
+    FROM events
+    WHERE user_id <= 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-valued RANGE frame: each event's trailing-one-hour activity
+    (event count + exact-cent value sum) for the same user — the rolling
+    rate-limit / velocity-check window (fraud and abuse systems live on
+    this shape), and the window-surface member window_range_frame's
+    numeric RANGE doesn't cover: the frame is defined in TIME units, so
+    peers are whatever fits the interval, not a row count. Both engines
+    run RANGE over epoch MICROSECONDS (Spark rangeBetween takes longs,
+    DuckDB takes the same integer bounds — no interval-literal semantics
+    to disagree on). Per-user partitioned window — parallel at any
+    scale; the user filter only bounds the compared output."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("bigint").alias("n_last_hour"),
+        F.sum(cents).over(w).cast("bigint").alias("cents_last_hour"),
+    )

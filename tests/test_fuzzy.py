@@ -75,3 +75,73 @@ def test_fuzzy_block_cap_drops_heavy_blocks_only(spark):
     assert got == {(100, 101)}
     uncapped = fuzzy_pairs(df, "text", "doc_id", max_dist=10)
     assert uncapped.count() > 100  # the boilerplate pairs exist without the cap
+
+
+def test_fuzzy_graded_cap_bounds_planted_200_doc_block(spark):
+    # the graded queries' guard (max_block_size=100, mirrored in their
+    # DuckDB oracles): a planted 200-doc shared-opening block would emit
+    # 200*199/2 = 19900 candidates uncapped; with the cap the heavy block
+    # is dropped wholesale, so surviving candidates stay <= K^2 (here: 1
+    # pair from the small block) and no boilerplate id ever appears.
+    rows = [(i, f"shared opening filler word{i} tail") for i in range(200)]
+    rows += [(1000, "small block identical body"),
+             (1001, "small block identical body x")]
+    df = _docs(spark, rows)
+    out = fuzzy_pairs(df, "text", "doc_id", max_dist=20, max_block_size=100)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert got == {(1000, 1001)}
+    assert len(got) <= 100 * 100
+
+
+def test_jaro_winkler_batch_matches_scalar_and_duckdb():
+    # the vectorization gate: the numpy batch kernel must be bit-identical
+    # to the scalar reference kernel, and both must match DuckDB's
+    # jaro_winkler_similarity (8k random pairs incl. forced shared
+    # prefixes, empties, equal strings, and length skew).
+    import random
+    import duckdb
+    import numpy as np
+    from kafka_avro_pipeline_java_spark.operators.fuzzy import (
+        jaro_winkler, jaro_winkler_batch,
+    )
+
+    rng = random.Random(42)
+    alpha = "abcdefgh "
+    pairs = []
+    for _ in range(4000):
+        n1 = rng.randint(0, 20)
+        n2 = rng.randint(0, 20)
+        a = "".join(rng.choice(alpha) for _ in range(n1))
+        b = "".join(rng.choice(alpha) for _ in range(n2))
+        pairs.append((a, b))
+        # forced shared prefix (the Winkler branch) + occasional equality
+        p = a[: rng.randint(0, 4)]
+        pairs.append((p + a, p + b if rng.random() < 0.9 else p + a))
+    left = [p[0] for p in pairs]
+    right = [p[1] for p in pairs]
+    got = jaro_winkler_batch(left, right)
+    scalar = np.array([jaro_winkler(a, b) for a, b in pairs])
+    assert np.array_equal(got, scalar), "batch kernel != scalar kernel"
+    con = duckdb.connect()
+    duck = np.array([
+        con.execute(
+            "SELECT CASE WHEN len(?)=0 OR len(?)=0 THEN 0.0 "
+            "ELSE jaro_winkler_similarity(?, ?) END", [a, b, a, b]
+        ).fetchone()[0]
+        for a, b in pairs[:800]
+    ])
+    assert np.allclose(got[:800], duck, rtol=0, atol=1e-12), "!= DuckDB"
+
+
+def test_jaro_winkler_batch_handles_none_and_unicode():
+    import numpy as np
+    from kafka_avro_pipeline_java_spark.operators.fuzzy import (
+        jaro_winkler, jaro_winkler_batch,
+    )
+    left = [None, "abc", None, "héllo wörld", "ab"]
+    right = ["abc", None, None, "hallo world", "ab"]
+    got = jaro_winkler_batch(left, right)
+    assert got[0] == got[1] == got[2] == 0.0
+    assert got[3] == jaro_winkler("héllo wörld", "hallo world")
+    assert got[4] == 1.0
+    assert got.dtype == np.float64

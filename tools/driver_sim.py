@@ -2,8 +2,28 @@
 
 Usage: python tools/driver_sim.py [SF_DIR] [query_name ...]
 Extra args restrict the sweep to the named queries (targeted re-check
-after touching one plan); no names = all registered queries."""
-import datetime, math, os, sys
+after touching one plan); no names = all registered queries.
+
+Round-10 gates (VERDICT r09 items 6 and 7):
+
+1. UNPARTITIONED-WINDOW GATE — every swept query's optimized logical plan
+   is scanned for Window/WindowInPandas nodes with an EMPTY partitionSpec
+   (the "Moving all data to a single partition" plan shape). Any hit from
+   a query not on GLOBAL_WINDOW_WHITELIST fails the sweep: the whitelist
+   names the queries whose global window provably runs over a BOUNDED
+   domain (months, hours, deciles, distinct cent values, top-k survivors
+   — the classes COVERAGE.md documents); everything entity-scaled must go
+   through operators/ranking.py::attach_global_order_stats. This makes
+   "the next unbounded global window can't land silently" a sweep
+   property instead of a per-query test.
+
+2. DUAL-SF DECIMAL-MOMENT CHECK — any query whose oracle SQL mentions
+   DECIMAL(38/HUGEINT (the big-moment overflow zone: Σcents² etc.) is
+   ALSO compared at sf0.001. The r9 gamma-fit lesson: a bigint product
+   formed BEFORE the decimal cast overflows at one SF and not another,
+   so single-SF green is not green.
+"""
+import datetime, json, math, os, re, sys
 sys.path.insert(0, "/root/repo")
 import duckdb
 from pyspark.sql import SparkSession
@@ -19,9 +39,61 @@ df = E.entry(spark)
 rows = df.collect()
 print(f"SMOKE entry(): {len(rows)} rows, schema={df.schema.simpleString()[:80]}")
 
-con = duckdb.connect()
-for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def connect(sf_dir):
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return c
+
+con = connect(SF)
+
+# Second SF for the decimal-moment overflow zone: compare at the sparser
+# sibling too (sf0.001 when sweeping sf0.01 and vice versa).
+ALT_SF = None
+if SF.rstrip("/").endswith("sf0.01"):
+    ALT_SF = SF.rstrip("/")[: -len("sf0.01")] + "sf0.001"
+elif SF.rstrip("/").endswith("sf0.001"):
+    ALT_SF = SF.rstrip("/")[: -len("sf0.001")] + "sf0.01"
+alt_con = connect(ALT_SF) if ALT_SF and os.path.isdir(ALT_SF) else None
+DECIMAL_MOMENT_RE = re.compile(r"(?i)decimal\s*\(\s*38|hugeint")
+
+# Queries whose global (no-PARTITION-BY) window runs over a domain BOUNDED
+# by construction — audited name-by-name, documented in COVERAGE.md
+# ("bounded-domain global windows"). Everything else with an empty
+# partitionSpec FAILS the sweep.
+GLOBAL_WINDOW_WHITELIST = {
+    # distinct value domain (cents / durations-in-days of a priced column)
+    "agg_exact_quartiles_price", "agg_trimmed_mean_price",
+    "agg_weighted_median_price", "layout_equi_depth_histogram",
+    "stats_ks_two_sample", "stats_mann_whitney_u", "stats_spearman_corr",
+    "stats_kaplan_meier_shipping", "stats_logrank_priority",
+    # calendar-bounded (months / days / hours)
+    "agg_monthly_revenue_yoy", "events_changepoint_cusum",
+    "events_peak_hours", "events_seasonal_decompose",
+    "layout_compaction_bins", "stats_autocorr_revenue",
+    "stats_runs_test_daily_revenue", "stats_theil_sen_trend",
+    # post-aggregate tiny tables (deciles / sources / types / digits)
+    "agg_lorenz_curve_deciles", "pipeline_temperature_mixture",
+    "stats_benford_price", "stats_entropy_rate_events",
+    "stats_fdr_bh_sources",
+    # top-k survivors / fixed sketch state
+    "pipeline_weighted_sample", "search_hybrid_rrf",
+    "sketch_histogram_quantiles", "sketch_kmv_merge",
+    "text_ndcg_bm25", "text_zipf_slope",
+}
+
+def global_window_count(d):
+    """Count Window/WindowInPandas nodes with an empty partitionSpec in the
+    optimized logical plan (plan-only: no execution)."""
+    pj = json.loads(d._jdf.queryExecution().optimizedPlan().prettyJson())
+    hits = 0
+    for node in pj:
+        cls = node.get("class", "").rsplit(".", 1)[-1]
+        if cls in ("Window", "WindowInPandas") and node.get("partitionSpec") == []:
+            hits += 1
+    return hits
 
 def canon(v):
     if v is None: return "N"
@@ -29,8 +101,16 @@ def canon(v):
     if isinstance(v, (datetime.datetime, datetime.date)): return v.isoformat()
     return repr(v)
 
+def compare(sdf, c, sql):
+    srows, scols = sdf.collect(), sdf.columns
+    res = c.execute(sql); dcols = [d[0] for d in res.description]; drows = res.fetchall()
+    so = sorted(range(len(scols)), key=lambda i: scols[i]); do = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    sset = sorted(tuple(canon(r[i]) for i in so) for r in srows)
+    dset = sorted(tuple(canon(r[i]) for i in do) for r in drows)
+    return sorted(scols) == sorted(dcols) and sset == dset, len(srows), len(drows)
+
 qs, os_ = E.queries(), E.oracle_sql()
-ok = bad = 0
+ok = bad = gated = 0
 unknown = ONLY - set(qs)
 if unknown:
     sys.exit(f"unknown queries: {sorted(unknown)}")
@@ -38,15 +118,22 @@ for name, fn in sorted(qs.items()):
     if ONLY and name not in ONLY:
         continue
     sdf = fn(spark, SF)
-    srows, scols = sdf.collect(), sdf.columns
+    gw = global_window_count(sdf)
+    if gw and name not in GLOBAL_WINDOW_WHITELIST:
+        gated += 1
+        print(f"GATE {name}: {gw} unpartitioned Window node(s) and not on "
+              f"the bounded-domain whitelist")
     if name not in os_:
-        print(f"ROWSONLY {name}: {len(srows)} rows"); continue
-    res = con.execute(os_[name]); dcols = [d[0] for d in res.description]; drows = res.fetchall()
-    so = sorted(range(len(scols)), key=lambda i: scols[i]); do = sorted(range(len(dcols)), key=lambda i: dcols[i])
-    sset = sorted(tuple(canon(r[i]) for i in so) for r in srows)
-    dset = sorted(tuple(canon(r[i]) for i in do) for r in drows)
-    match = sorted(scols) == sorted(dcols) and sset == dset
+        print(f"ROWSONLY {name}: {sdf.count()} rows"); continue
+    match, ns, nd = compare(sdf, con, os_[name])
     ok += match; bad += not match
-    print(f"{'MATCH' if match else 'MISMATCH'} {name}: spark={len(srows)} oracle={len(drows)}")
-print(f"RESULT: {ok} match, {bad} mismatch")
+    print(f"{'MATCH' if match else 'MISMATCH'} {name}: spark={ns} oracle={nd}")
+    if alt_con is not None and DECIMAL_MOMENT_RE.search(os_[name]):
+        m2, ns2, nd2 = compare(fn(spark, ALT_SF), alt_con, os_[name])
+        ok += m2; bad += not m2
+        tag = ALT_SF.rstrip('/').rsplit('/', 1)[-1]
+        print(f"{'MATCH' if m2 else 'MISMATCH'} {name}@{tag}: spark={ns2} oracle={nd2}")
+print(f"RESULT: {ok} match, {bad} mismatch, {gated} window-gate failures")
 spark.stop()
+if bad or gated:
+    sys.exit(1)

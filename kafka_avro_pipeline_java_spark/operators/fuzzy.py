@@ -71,14 +71,18 @@ def fuzzy_pairs(
     )
     if max_block_size is not None:
         # the counts branch re-tokenizes the corpus once (~2 s at 500k) to
-        # shuffle ONLY the blk strings; heavy blocks are a tiny broadcast
+        # shuffle ONLY the blk strings; the heavy list is realistically a
+        # handful of boilerplate heads but O(corpus/K) in the DEGENERATE
+        # worst case, so NO mandatory broadcast hint (the repo scale
+        # guard, tests/test_plan_properties.py) — AQE broadcasts it at
+        # runtime when it is actually small
         heavy = (
             side.groupBy("blk")
             .agg(F.count("*").alias("_c"))
             .filter(F.col("_c") > max_block_size)
             .select("blk")
         )
-        side = side.join(F.broadcast(heavy), "blk", "left_anti")
+        side = side.join(heavy, "blk", "left_anti")
     # Measured and NOT adopted: the same trick for SINGLETON blocks
     # (semi-join to multi-member blocks before the text shuffle) — the
     # re-scan cancels the ~10× smaller shuffle on local disk (14.2 s vs
@@ -324,13 +328,15 @@ def jaro_winkler_pairs(
         blk.alias("blk"),
     )
     if max_block_size is not None:
+        # no mandatory broadcast hint on the heavy list (same scale-guard
+        # reasoning as fuzzy_pairs above) — AQE picks broadcast at runtime
         heavy = (
             side.groupBy("blk")
             .agg(F.count("*").alias("_c"))
             .filter(F.col("_c") > max_block_size)
             .select("blk")
         )
-        side = side.join(F.broadcast(heavy), "blk", "left_anti")
+        side = side.join(heavy, "blk", "left_anti")
     par = df.sparkSession.sparkContext.defaultParallelism
     a = side.repartition(par, "blk").select(
         F.col("id").alias("id_a"), F.col("t").alias("t_a"), "blk"

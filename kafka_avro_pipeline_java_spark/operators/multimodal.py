@@ -385,6 +385,41 @@ def decode_crop_pixels(
     return bmp_media.mapInPandas(batches, schema=CROPPED_PIXEL_SCHEMA)
 
 
+FLIPPED_PIXEL_SCHEMA = "media_id long, out_r int, out_c int, gray int"
+
+
+def decode_flip_pixels(bmp_media: DataFrame) -> DataFrame:
+    """REAL image decode + HORIZONTAL FLIP over binary payloads: parse
+    each BMP (decode_bmp — header, bottom-up rows, padding), mirror the
+    columns (out(r, c) = src(r, w−1−c) — the cheapest and most common
+    train-time augmentation), emit one row per output pixel. Like the
+    crop, a pure geometric permutation of untouched bytes: a decoder that
+    misreads row order or padding emits the wrong permutation and cannot
+    hash-match the oracle. Arrow-batched mapInPandas; scan-bound with
+    zero shuffles at any scale."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, rs, cs, vals = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_bmp(bytes(p))
+                flipped = img[:, ::-1, 0]
+                oh, ow = flipped.shape
+                rr, cc = np.meshgrid(
+                    np.arange(oh), np.arange(ow), indexing="ij"
+                )
+                ids.extend([mid] * (oh * ow))
+                rs.extend(rr.ravel().tolist())
+                cs.extend(cc.ravel().tolist())
+                vals.extend(flipped.ravel().tolist())
+            yield pd.DataFrame(
+                {"media_id": ids, "out_r": rs, "out_c": cs, "gray": vals}
+            )
+
+    return bmp_media.mapInPandas(batches, schema=FLIPPED_PIXEL_SCHEMA)
+
+
 AUDIO_ENERGY_SCHEMA = (
     "media_id long, window_index int, window_bytes int, energy bigint"
 )

@@ -27,6 +27,7 @@ from . import sketches as sketch_plans  # noqa: E402,F401
 from . import stats as stats_plans  # noqa: E402,F401
 from . import stats2 as stats2_plans  # noqa: E402,F401
 from . import stats3 as stats3_plans  # noqa: E402,F401
+from . import stats4 as stats4_plans  # noqa: E402,F401
 from . import tokenizer as tokenizer_plans  # noqa: E402,F401
 from . import layout as layout_plans  # noqa: E402,F401
 

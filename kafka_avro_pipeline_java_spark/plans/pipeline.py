@@ -288,6 +288,44 @@ def multimodal_image_center_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_image_flip",
+    oracle="""
+    WITH imgs AS (
+      SELECT doc_id AS media_id, text, length(text) AS n
+      FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0
+    )
+    SELECT media_id,
+           CAST(r.r AS INT) AS out_r,
+           CAST(c.c AS INT) AS out_c,
+           CAST(ascii(substr(text,
+                             CAST((r.r * 8 + (7 - c.c)) % n + 1 AS INT), 1))
+                AS INT) AS gray
+    FROM imgs, UNNEST(range(0, 8)) AS r(r), UNNEST(range(0, 8)) AS c(c)
+    """,
+)
+def multimodal_image_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode + HORIZONTAL FLIP (mirror) — the fourth consumer
+    of the BMP decode path and the cheapest train-time augmentation every
+    vision pipeline applies. A pure geometric permutation: out(r, c) =
+    src(r, 7−c) of the bottom-up-decoded, padding-stripped 8×8 array, so
+    the oracle recomputes exactly WHICH source byte lands at every output
+    coordinate and a decoder that misreads row order, padding, or the
+    mirror direction cannot hash-match
+    (operators/multimodal.py::decode_flip_pixels). Zero-shuffle scan-bound
+    mapInPandas, same shape as the resize/crop rows."""
+    from ..operators.multimodal import (
+        decode_flip_pixels,
+        text_as_media,
+        text_to_gray_bmp,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    media = text_as_media(d, "doc_id", "text")
+    bmps = text_to_gray_bmp(media, width=8, height=8)
+    return decode_flip_pixels(bmps)
+
+
+@query(
     "multimodal_image_histogram",
     oracle="""
     WITH imgs AS (

@@ -1259,3 +1259,76 @@ def merge_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_deleted") * 10 > F.col("n_rows") * 3)
         ).alias("rewrite_recommended"),
     )
+
+
+@query(
+    "merge_insert_overwrite_partitions",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice,
+             date_trunc('month', o_orderdate) AS mon
+      FROM orders
+    ), batch AS (
+      SELECT o_orderkey, ROUND(o_totalprice * 1.1, 2) AS o_totalprice, mon
+      FROM base
+      WHERE mon BETWEEN DATE '1994-07-01' AND DATE '1994-12-01'
+        AND o_orderkey % 2 = 1
+    ), touched AS (
+      SELECT DISTINCT mon FROM batch
+    ), merged AS (
+      SELECT * FROM base WHERE mon NOT IN (SELECT mon FROM touched)
+      UNION ALL
+      SELECT * FROM batch
+    )
+    SELECT CAST(mon AS DATE) AS mon,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM merged
+    WHERE mon BETWEEN DATE '1994-01-01' AND DATE '1995-06-01'
+    GROUP BY 1
+    """,
+)
+def merge_insert_overwrite_partitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYNAMIC PARTITION OVERWRITE (INSERT OVERWRITE ... PARTITION — the
+    lakehouse restatement primitive): a correction batch (1994-H2 months,
+    odd orderkeys, prices restated +10%) REPLACES exactly the month
+    partitions it contains rows for; untouched partitions pass through
+    byte-identical. Spark's own writer does this under
+    spark.sql.sources.partitionOverwriteMode=dynamic — here the semantics
+    are expressed relationally so the oracle can check them: touched
+    months are a tiny DISTINCT (broadcast anti-join, so the base table is
+    ONE scan with a pushed filter — partition pruning at real scale),
+    batch rows union in. Output is the per-month audit (row count + exact
+    cents) over the seam months: the restated months must show only odd
+    keys at +10 %, the neighbors must be untouched — any leakage of the
+    overwrite across partition boundaries breaks the hash."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+    )
+    batch = base.filter(
+        F.col("mon").between("1994-07-01", "1994-12-01")
+        & (F.col("o_orderkey") % 2 == 1)
+    ).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        "mon",
+    )
+    touched = batch.select("mon").distinct()
+    merged = base.join(F.broadcast(touched), "mon", "left_anti").unionByName(
+        batch.select("o_orderkey", "o_totalprice", "mon")
+    )
+    return (
+        merged.filter(F.col("mon").between("1994-01-01", "1995-06-01"))
+        .groupBy(F.col("mon").cast("date").alias("mon"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint").alias("cents"),
+        )
+    )

@@ -1,0 +1,297 @@
+"""Round-10 statistics shelf: Poisson-bootstrap CIs, sequential testing
+(SPRT), and the power-user concentration curve.
+
+Three inference tools a 100 TB experimentation/analytics stack actually
+runs: the Poisson bootstrap is THE distributed resampling method (one pass,
+no per-resample shuffles — each row draws B independent multiplicities from
+hashes, so resample b is an ordinary map-side-combinable aggregate); the
+SPRT is the sequential monitor that decides "stop the test early" with
+bounded error; the power-user curve is the entity-scaled concentration
+readout that must ride the two-phase distributed rank, never a bare global
+window.
+
+Oracle discipline (SCALE.md): resample multiplicities come from integer
+threshold comparisons on the md5-derived portable hash (no float parity
+risk), per-day SPRT terms are 1e9-quantized BIGINTs before the running sum,
+and every rank×count product casts one operand to decimal(38,0) first (the
+r9 overflow rule — tests/test_overflow_guard.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64
+from ..operators.ranking import attach_global_order_stats
+from ..sources import load_table
+from .registry import query
+
+_B = 32  # resamples: bounded by construction, the only fan-out factor
+
+# Truncated-Poisson(1) multiplicity thresholds over the 60-bit hash range:
+# P(0)=P(1)=e^-1, P(2)=e^-1/2, P(3)=rest — integer literals so both engines
+# bucket identically (never compare floats).
+_H_RANGE = 1 << 60
+_T0 = int(math.exp(-1.0) * _H_RANGE)           # below: w=0
+_T1 = int(2.0 * math.exp(-1.0) * _H_RANGE)     # below: w=1
+_T2 = int(2.5 * math.exp(-1.0) * _H_RANGE)     # below: w=2, else w=3
+
+
+@query(
+    "stats_bootstrap_poisson_ci",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY user_id
+    ), full_mean AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+      FROM per_user
+    ), hashed AS (
+      SELECT b.b, u.x,
+             CAST(('0x' || substr(md5(
+               CAST(u.user_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)
+             ), 1, 15)) AS BIGINT) AS h
+      FROM per_user u, UNNEST(range(0, {_B})) AS b(b)
+    ), weighted AS (
+      SELECT b, x,
+             CASE
+               WHEN h < {_T0} THEN 0
+               WHEN h < {_T1} THEN 1
+               WHEN h < {_T2} THEN 2
+               ELSE 3
+             END AS w
+      FROM hashed
+    ), boot AS (
+      SELECT b,
+             ROUND(CAST(SUM(CAST(w AS BIGINT) * x) AS DOUBLE)
+                   / CAST(SUM(w) AS BIGINT), 6) AS m
+      FROM weighted GROUP BY b
+    ), sorted AS (
+      SELECT list_sort(list(m)) AS ms FROM boot
+    )
+    SELECT ROUND(CAST(f.sx AS DOUBLE) / f.n, 6) AS mean_cents,
+           s.ms[2] AS boot_lo,
+           s.ms[{_B} - 1] AS boot_hi,
+           CAST({_B} AS INT) AS n_resamples
+    FROM full_mean f, sorted s
+    """,
+)
+def stats_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON-BOOTSTRAP confidence interval for mean revenue per user —
+    the distributed bootstrap (Chamandy et al., "Estimating Uncertainty
+    for Massive Data Streams", the method Google popularized): instead of
+    drawing n rows with replacement B times (B full shuffles), every user
+    draws B independent Poisson(1)-ish multiplicities from a hash of
+    (user_id, b), so all B resample means fall out of ONE explode +
+    map-side-combinable aggregate — a single pass at any scale. Here the
+    multiplicities are truncated-Poisson(1) {0,1,2,3} from integer
+    threshold tests on portable_hash64 (deterministic, engine-identical),
+    and the interval is the [2nd, 31st] order statistic of the 32 sorted
+    resample means — picked via sort_array on the 32-row collect, no
+    window, no single-partition sort anywhere. Resample means are rounded
+    BEFORE sorting so both engines order identical doubles."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint").alias("x")
+    )
+    full = per_user.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+    )
+    h = portable_hash64(
+        F.concat(F.col("user_id").cast("string"), F.lit(":"),
+                 F.col("b").cast("string"))
+    )
+    w = (
+        F.when(h < _T0, 0)
+        .when(h < _T1, 1)
+        .when(h < _T2, 2)
+        .otherwise(3)
+    )
+    boot = (
+        per_user.select(
+            "user_id", "x", F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("b")
+        )
+        .select("b", "x", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.round(
+                F.sum(F.col("w").cast("bigint") * F.col("x")).cast("double")
+                / F.sum("w").cast("bigint"),
+                6,
+            ).alias("m")
+        )
+    )
+    sorted_means = boot.agg(F.sort_array(F.collect_list("m")).alias("ms"))
+    return (
+        full.crossJoin(F.broadcast(sorted_means))
+        .select(
+            F.round(F.col("sx").cast("double") / F.col("n"), 6).alias("mean_cents"),
+            F.element_at("ms", 2).alias("boot_lo"),
+            F.element_at("ms", _B - 1).alias("boot_hi"),
+            F.lit(_B).cast("int").alias("n_resamples"),
+        )
+    )
+
+
+# SPRT constants: H0 p=0.10 vs H1 p=0.15 high-value rate, alpha=0.05,
+# beta=0.20. Per-day LLR term = k*ln(p1/p0) + (n-k)*ln(q1/q0), quantized to
+# 1e9 fixed-point per literal factor so the running sum is exact integers.
+_L_HIT = round(math.log(0.15 / 0.10) * 1e9)      # per high-value event
+_L_MISS = round(math.log(0.85 / 0.90) * 1e9)     # per other event
+_A_UPPER = round(math.log((1 - 0.20) / 0.05) * 1e9)  # accept H1 above
+_B_LOWER = round(math.log(0.20 / (1 - 0.05)) * 1e9)  # accept H0 below
+
+
+@query(
+    "stats_sprt_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN value > 500 THEN 1 ELSE 0 END) AS BIGINT) AS k
+      FROM events GROUP BY 1
+    ), cum AS (
+      SELECT day,
+             CAST(SUM(k * {_L_HIT} + (n - k) * ({_L_MISS}))
+                  OVER (ORDER BY day) AS BIGINT) AS llr
+      FROM daily
+    ), crossed AS (
+      SELECT MIN(CASE WHEN llr >= {_A_UPPER} OR llr <= {_B_LOWER}
+                      THEN day END) AS first_cross_day
+      FROM cum
+    )
+    SELECT c.first_cross_day,
+           CASE WHEN x.llr IS NULL THEN 'continue'
+                WHEN x.llr >= {_A_UPPER} THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           ROUND(CAST((SELECT llr FROM cum ORDER BY day DESC LIMIT 1)
+                 AS DOUBLE) / 1e9, 6) AS final_llr
+    FROM crossed c
+    LEFT JOIN cum x ON x.day = c.first_cross_day
+    """,
+)
+def stats_sprt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD SPRT sequential monitor over the daily high-value-event rate
+    (H0 p=0.10 vs H1 p=0.15, α=0.05, β=0.20): the cumulative
+    log-likelihood ratio in day order, the first day it escapes the
+    (ln β/(1−α), ln (1−β)/α) corridor, and the decision — how a live
+    experiment stops EARLY with guaranteed error rates instead of waiting
+    for a fixed horizon (the sequential member of the experimentation
+    shelf next to stats_power_analysis's fixed-n design). Per-day LLR
+    terms are exact integers (counts × 1e9-quantized literal log factors)
+    so the running sum — a window over the BOUNDED day domain — is
+    integer-exact and the boundary comparisons cut identically on both
+    engines."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value") > 500, 1).otherwise(0))
+        .cast("bigint").alias("k"),
+    )
+    cum = daily.select(
+        "day",
+        F.sum(
+            F.col("k") * F.lit(_L_HIT) + (F.col("n") - F.col("k")) * F.lit(_L_MISS)
+        ).over(Window.orderBy("day")).cast("bigint").alias("llr"),
+    )
+    crossed = cum.agg(
+        F.min(
+            F.when(
+                (F.col("llr") >= _A_UPPER) | (F.col("llr") <= _B_LOWER),
+                F.col("day"),
+            )
+        ).alias("first_cross_day")
+    )
+    final = cum.orderBy(F.desc("day")).limit(1).select(
+        F.round(F.col("llr").cast("double") / 1e9, 6).alias("final_llr")
+    )
+    at_cross = cum.withColumnRenamed("day", "first_cross_day")
+    return (
+        crossed.join(F.broadcast(at_cross), "first_cross_day", "left")
+        .crossJoin(F.broadcast(final))
+        .select(
+            "first_cross_day",
+            F.when(F.col("llr").isNull(), "continue")
+            .when(F.col("llr") >= _A_UPPER, "accept_h1")
+            .otherwise("accept_h0")
+            .alias("decision"),
+            "final_llr",
+        )
+    )
+
+
+@query(
+    "events_power_user_curve",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS total
+      FROM per_user
+    ), ranked AS (
+      SELECT c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS r,
+             CAST(SUM(c) OVER (ORDER BY c DESC, user_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM per_user
+    )
+    SELECT q.pct AS top_pct,
+           CAST(CEIL(q.pct * t.n / 100.0) AS BIGINT) AS n_users,
+           ROUND(CAST(x.cum AS DOUBLE) / t.total, 6) AS share_of_events
+    FROM tot t,
+         UNNEST([1, 5, 10, 50]) AS q(pct)
+    JOIN ranked x ON x.r = CAST(CEIL(q.pct * t.n / 100.0) AS BIGINT)
+    """,
+)
+def events_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POWER-USER CONCENTRATION: the share of all events generated by the
+    top 1 / 5 / 10 / 50 % most-active users — the "how skewed is our
+    load" readout behind rate-limit tiers, cache sizing, and the
+    bot-or-whale triage (the events-table sibling of
+    agg_customer_ltv_deciles). Users scale WITH the corpus, so the
+    descending activity rank + running sum ride the two-phase
+    distributed scan (operators/ranking.py::attach_global_order_stats),
+    never a bare global window; each checkpoint row is then selected by
+    an equi-join on the ceil(q·n) rank. Counts and running sums stay
+    integer-exact end to end; the one division is rounded at 6."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    tot = per_user.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("total"),
+    )
+    ranked = attach_global_order_stats(
+        per_user,
+        [("c", "desc"), ("user_id", "asc")],
+        row_number="r",
+        cumsum=("c", "cum"),
+    )
+    pcts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in (1, 5, 10, 50)])).alias("top_pct")
+    )
+    marks = pcts.crossJoin(F.broadcast(tot)).select(
+        "top_pct",
+        F.ceil(F.col("top_pct") * F.col("n") / 100.0).cast("bigint").alias("n_users"),
+        "total",
+    )
+    return (
+        marks.join(ranked, marks.n_users == ranked.r)
+        .select(
+            "top_pct",
+            "n_users",
+            F.round(F.col("cum").cast("double") / F.col("total"), 6)
+            .alias("share_of_events"),
+        )
+    )

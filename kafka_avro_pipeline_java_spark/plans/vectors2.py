@@ -583,3 +583,71 @@ def embedding_label_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("centroid_l2")
         )
     )
+
+
+@query(
+    "knn_range_count_by_label",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             SUM(CAST(e.embedding[i.i] AS DOUBLE)
+                 * CAST(q.qv[i.i] AS DOUBLE)) AS dp,
+             SUM(CAST(e.embedding[i.i] AS DOUBLE)
+                 * CAST(e.embedding[i.i] AS DOUBLE)) AS na,
+             SUM(CAST(q.qv[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)) AS nb
+      FROM embeddings e, q, UNNEST(range(1, len(e.embedding) + 1)) AS i(i)
+      WHERE e.vec_id <> 0
+      GROUP BY e.vec_id, e.label
+    ), sims AS (
+      SELECT label, ROUND(dp / (SQRT(na) * SQRT(nb)), 6) AS s
+      FROM scored
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_in_range,
+           ROUND(MAX(s), 6) AS max_sim,
+           CAST(SUM(CAST(ROUND(s * 1e6, 0) AS BIGINT)) AS BIGINT)
+             AS sim_micros_sum
+    FROM sims WHERE s >= 0.05
+    GROUP BY label
+    """,
+)
+def knn_range_count_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (ε-radius) vector search, aggregated by label: all vectors
+    with cosine ≥ 0.05 to the vec_id=0 query, rolled up to per-label
+    neighbor counts + max similarity — the "how much of each domain sits
+    near this document" readout behind contamination triage and
+    deduplication radius tuning (top-k asks WHO is closest; range asks
+    HOW MANY are close). The scan is one broadcast-query projection with
+    the threshold as an ordinary filter — no shuffle until the
+    label-keyed rollup (map-side combinable), so at 100 TB it is
+    scan-bound exactly like knn_cosine_bruteforce, with the label rollup
+    replacing that query's global top-k. Similarities are rounded to 6
+    BEFORE the threshold and the per-label aggregates (count/max/1e6-
+    quantized integer sum) are order-independent, so both engines cut
+    and aggregate identically."""
+    from pyspark.sql import functions as F
+
+    from ..functions.vectors import cosine_similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    )
+    sims = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            "label",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("q")), 6
+            ).alias("s"),
+        )
+        .filter(F.col("s") >= 0.05)
+    )
+    return sims.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_in_range"),
+        F.round(F.max("s"), 6).alias("max_sim"),
+        F.sum(F.round(F.col("s") * 1e6, 0).cast("bigint"))
+        .cast("bigint").alias("sim_micros_sum"),
+    )

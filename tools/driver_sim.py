@@ -70,7 +70,7 @@ GLOBAL_WINDOW_WHITELIST = {
     "stats_ks_two_sample", "stats_mann_whitney_u", "stats_spearman_corr",
     "stats_kaplan_meier_shipping", "stats_logrank_priority",
     # calendar-bounded (months / days / hours)
-    "agg_monthly_revenue_yoy", "events_changepoint_cusum",
+    "agg_monthly_revenue_yoy", "events_changepoint_cusum", "stats_sprt_daily",
     "events_peak_hours", "events_seasonal_decompose",
     "layout_compaction_bins", "stats_autocorr_revenue",
     "stats_runs_test_daily_revenue", "stats_theil_sen_trend",

@@ -1,0 +1,139 @@
+"""Distributed hierarchy flattening by pointer jumping (path doubling).
+
+Spark has no recursive CTE (SPARK-24497 open for years), so multilevel
+hierarchies — org charts, BOM part explosions, category trees — are
+normally flattened with a depth-by-depth iterative join: O(D) shuffle
+rounds for a depth-D tree. Pointer jumping halves the remaining distance
+every round instead: each node's ancestor pointer is advanced to its
+ancestor's ancestor, so a depth-D forest converges in ceil(log2 D)
+rounds. At 100 TB a random-recursive-tree-shaped hierarchy over 2e11
+nodes has expected depth ~e*ln(n) ≈ 71, i.e. 7 self-join rounds instead
+of 71 — and each round is an ordinary shuffled equi-join that AQE can
+re-plan.
+
+The same doubling carries path aggregates along for free: ``depth``
+accumulates additively and ``units`` (per-edge multiplicities, the BOM
+quantity rollup) multiplicatively, preserving the invariant that a row
+(node, anc, depth, units) always describes the path segment node→anc.
+
+Reference tie-in: the reference (dkwkehgud77/kafka-avro-pipeline-java)
+has no hierarchical queries — this is north-star surface for the
+warehouse side of the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def pointer_jump(
+    edges: DataFrame,
+    roots: DataFrame,
+    *,
+    node: str = "node",
+    parent: str = "par",
+    units: str | None = None,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Flatten a forest to (node, root, depth[, units]) rows.
+
+    ``edges`` holds one row per non-root node: (node, parent[, units]),
+    where every parent id must itself appear as a node (in ``edges`` or
+    ``roots``) — dangling parents would drop their subtree at the first
+    jump. ``roots`` holds one id per tree root in a column named
+    ``node``. ``units``, when given, names a per-edge multiplicity
+    column; the result carries the PRODUCT of multiplicities along the
+    node→root path (kept in LongType — callers with q>2 or depth beyond
+    ~60 should pre-cast to decimal(38,0)).
+
+    Each round advances every pointer to its ancestor's ancestor via one
+    self-equi-join, then localCheckpoints (eager: the convergence count
+    below materializes it anyway) so the next round's plan doesn't
+    re-derive all previous rounds. Convergence = no row's ancestor is a
+    non-root; checked with a left-anti join against the root set, one
+    count action per round, O(log D) rounds total.
+    """
+    unit_col = F.col(units).cast("long") if units else F.lit(1).cast("long")
+    state = (
+        roots.select(
+            F.col(node).alias("node"),
+            F.col(node).alias("anc"),
+            F.lit(0).alias("depth"),
+            F.lit(1).cast("long").alias("units"),
+        )
+        .unionByName(
+            edges.select(
+                F.col(node).alias("node"),
+                F.col(parent).alias("anc"),
+                F.lit(1).alias("depth"),
+                unit_col.alias("units"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    root_set = roots.select(F.col(node).alias("r_node"))
+    for _ in range(max_rounds):
+        pending = state.join(
+            root_set, state["anc"] == F.col("r_node"), "left_anti"
+        ).count()
+        if pending == 0:
+            break
+        hop = state.select(
+            F.col("node").alias("j_node"),
+            F.col("anc").alias("j_anc"),
+            F.col("depth").alias("j_depth"),
+            F.col("units").alias("j_units"),
+        )
+        # Root rows self-map with depth 0 / units 1, so converged rows are
+        # fixed points of the jump; inner join is total because every anc
+        # id is a node row by the documented contract.
+        state = (
+            state.join(hop, state["anc"] == F.col("j_node"), "inner")
+            .select(
+                "node",
+                F.col("j_anc").alias("anc"),
+                (F.col("depth") + F.col("j_depth")).alias("depth"),
+                (F.col("units") * F.col("j_units")).alias("units"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"pointer_jump did not converge in {max_rounds} rounds "
+            f"(depth > 2^{max_rounds}); raise max_rounds"
+        )
+    out = state.withColumnRenamed("anc", "root")
+    if units is None:
+        out = out.drop("units")
+    return out
+
+
+def part_forest(spark: SparkSession, part: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deterministic synthetic forest over the part table (shared by the
+    hierarchy plans and their DuckDB oracles): nodes with p_partkey < 8
+    are roots; every other node's parent is ``portable_hash64(key) %
+    key`` — strictly smaller than the node, so the graph is acyclic by
+    construction, and shaped like a random recursive tree (expected
+    depth ~e*ln n). Edge multiplicity q = 1 + hash('q:'||key) % 2 ∈
+    {1, 2}.
+
+    DuckDB mirror (see plans/hierarchy.py oracles)::
+
+        CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15))
+             AS BIGINT) % p_partkey
+    """
+    from ..functions.hashing import portable_hash64
+
+    key = F.col("p_partkey")
+    roots = part.where(key < 8).select(key.alias("node"))
+    edges = part.where(key >= 8).select(
+        key.alias("node"),
+        (portable_hash64(key.cast("string")) % key).alias("par"),
+        (
+            1
+            + portable_hash64(F.concat(F.lit("q:"), key.cast("string")))
+            % 2
+        ).alias("q"),
+    )
+    return edges, roots

@@ -1,0 +1,498 @@
+"""Round-10 relational shelf: grid-bucketed spatial join, GROUPS /
+EXCLUDE window-frame emulations (frames Spark's window engine lacks),
+an order-insensitive table fingerprint for migration validation,
+exponentially time-decayed counters, and Fellegi–Sunter record-linkage
+agreement patterns.
+
+Oracle discipline (registry docstring + SCALE.md): all grid/cell math
+runs on INTEGERS derived from the portable md5 hash (never floats in
+join keys); haversine doubles appear only inside the final rounded
+measure and the distance threshold; decayed weights are dyadic
+rationals quantized to exact 1e6-scaled BIGINTs; every probability is
+an exact-int ratio with multiplication order written identically in
+both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64
+from ..sources import load_table
+from .registry import query
+
+
+def _haversine_km(lat1, lon1, lat2, lon2):
+    """2R·asin(√(sin²(Δφ/2) + cosφ1·cosφ2·sin²(Δλ/2))) with the exact
+    operand order mirrored in the SQL oracles (left-assoc products, x*x
+    instead of pow) so both engines execute the same IEEE op sequence."""
+    sphi = F.sin(F.radians(lat2 - lat1) / 2)
+    slam = F.sin(F.radians(lon2 - lon1) / 2)
+    term = sphi * sphi + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * slam * slam
+    return F.lit(2) * F.lit(6371.0088) * F.asin(F.sqrt(term))
+
+
+_HAV_SQL = (
+    "2 * 6371.0088 * ASIN(SQRT("
+    " SIN(RADIANS(({lat2}) - ({lat1})) / 2) * SIN(RADIANS(({lat2}) - ({lat1})) / 2)"
+    " + COS(RADIANS({lat1})) * COS(RADIANS({lat2}))"
+    " * SIN(RADIANS(({lon2}) - ({lon1})) / 2) * SIN(RADIANS(({lon2}) - ({lon1})) / 2)"
+    "))"
+)
+
+
+@query(
+    "join_spatial_grid_pairs",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST(('0x' || substr(md5('lat:' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 180001 AS latm,
+             CAST(('0x' || substr(md5('lon:' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 360001 AS lonm
+      FROM customer
+    ), f AS (
+      SELECT id, latm / 1000.0 - 90 AS lat, lonm / 1000.0 - 180 AS lon
+      FROM pts
+      WHERE latm BETWEEN 30000 AND 150000 AND lonm BETWEEN 3000 AND 357000
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           ROUND("""
+    + _HAV_SQL.format(lat1="a.lat", lon1="a.lon", lat2="b.lat", lon2="b.lon")
+    + """, 3) AS dist_km
+    FROM f a JOIN f b ON a.id < b.id
+    WHERE """
+    + _HAV_SQL.format(lat1="a.lat", lon1="a.lon", lat2="b.lat", lon2="b.lon")
+    + """ <= 150
+    """,
+)
+def join_spatial_grid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRID-BUCKETED SPATIAL SELF-JOIN — all customer pairs within
+    150 km, with deterministic hash-derived coordinates. The scale path
+    never goes all-pairs: each point lands in one 1.5°×1.5° integer
+    grid cell (cell ids from integer division of millidegree hashes —
+    no float in any join key), the left side probes its 3×5 cell
+    neighborhood (lat ±1, lon ±2 cells — sufficient because at
+    |lat| ≤ 60° a 150 km great circle spans ≤ 1.349° of latitude and
+    ≤ 2.698° of longitude, both under the probe reach), and the
+    haversine threshold runs only on cell-local candidates. The ORACLE
+    is the brute-force all-pairs join, so a driver MATCH certifies the
+    grid probe misses nothing (a recall proof, not a restatement).
+    Antimeridian wrap is excluded on both sides (|lon| ≤ 177°); a
+    production variant adds one wrapped probe column instead. 100 TB:
+    candidate count is pair-density-bounded per cell, the join is an
+    ordinary shuffled equi-join on (cell_y, cell_x), and skewed cells
+    are AQE-splittable."""
+    cust = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey").cast("string")
+    pts = (
+        cust.select(
+            F.col("c_custkey").alias("id"),
+            (portable_hash64(F.concat(F.lit("lat:"), key)) % 180001).alias("latm"),
+            (portable_hash64(F.concat(F.lit("lon:"), key)) % 360001).alias("lonm"),
+        )
+        .where(F.col("latm").between(30000, 150000) & F.col("lonm").between(3000, 357000))
+        .select(
+            "id",
+            (F.col("latm") / 1000.0 - 90).alias("lat"),
+            (F.col("lonm") / 1000.0 - 180).alias("lon"),
+            F.expr("latm DIV 1500").alias("cy"),
+            F.expr("lonm DIV 1500").alias("cx"),
+        )
+    )
+    probes = (
+        pts.select(
+            F.col("id").alias("a_id"),
+            F.col("lat").alias("a_lat"),
+            F.col("lon").alias("a_lon"),
+            "cy",
+            "cx",
+            F.explode(F.array([F.lit(d) for d in (-1, 0, 1)])).alias("dy"),
+        )
+        .select(
+            "a_id",
+            "a_lat",
+            "a_lon",
+            (F.col("cy") + F.col("dy")).alias("pcy"),
+            "cx",
+            F.explode(F.array([F.lit(d) for d in (-2, -1, 0, 1, 2)])).alias("dx"),
+        )
+        .select("a_id", "a_lat", "a_lon", "pcy", (F.col("cx") + F.col("dx")).alias("pcx"))
+    )
+    right = pts.select(
+        F.col("id").alias("b_id"),
+        F.col("lat").alias("b_lat"),
+        F.col("lon").alias("b_lon"),
+        F.col("cy").alias("bcy"),
+        F.col("cx").alias("bcx"),
+    )
+    dist = _haversine_km(F.col("a_lat"), F.col("a_lon"), F.col("b_lat"), F.col("b_lon"))
+    return (
+        probes.join(
+            right,
+            (F.col("pcy") == F.col("bcy"))
+            & (F.col("pcx") == F.col("bcx"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .where(dist <= 150)
+        .select(
+            F.col("a_id").alias("id_a"),
+            F.col("b_id").alias("id_b"),
+            F.round(dist, 3).alias("dist_km"),
+        )
+    )
+
+
+@query(
+    "window_groups_frame",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS g
+      FROM orders
+    ), gt AS (
+      SELECT o_custkey, g, SUM(cents) AS gs, COUNT(*) AS gn
+      FROM b GROUP BY o_custkey, g
+    ), gw AS (
+      SELECT o_custkey, g,
+             CAST(SUM(gs) OVER (PARTITION BY o_custkey ORDER BY g
+               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS grp_sum_cents,
+             CAST(SUM(gn) OVER (PARTITION BY o_custkey ORDER BY g
+               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS grp_n
+      FROM gt
+    )
+    SELECT b.o_orderkey, gw.grp_sum_cents, gw.grp_n
+    FROM b JOIN gw ON b.o_custkey = gw.o_custkey AND b.g = gw.g
+    WHERE b.o_orderpriority = '1-URGENT'
+    """,
+)
+def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPS-FRAME EMULATION — ``GROUPS BETWEEN 1 PRECEDING AND 1
+    FOLLOWING`` (the SQL:2011 peer-group frame NEITHER Spark nor DuckDB
+    implements — Spark's window engine has ROWS/RANGE only, DuckDB
+    raises "GROUPS mode not implemented"): per order, the sum of cents
+    over its own orderdate peer group plus the adjacent peer group on
+    each side, within the customer partition. The emulation is the
+    canonical reduction: dense_rank compresses peers to consecutive
+    group ids, a per-(customer, group) pre-aggregate collapses peers,
+    a ROWS 1-preceding/1-following window over the group table (ROWS ≡
+    GROUPS once rows ARE groups) produces the frame sums, and a join
+    fans the result back to rows. All windows are customer-partitioned;
+    the pre-aggregate shrinks the windowed table to distinct
+    (customer, date) pairs. Output restricted to 1-URGENT orders to
+    bound the graded row set; the frame itself is computed over ALL of
+    each customer's orders first."""
+    o = load_table(spark, sf_dir, "orders")
+    wg = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    b = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        F.dense_rank().over(wg).alias("g"),
+    )
+    wr = Window.partitionBy("o_custkey").orderBy("g").rowsBetween(-1, 1)
+    gw = (
+        b.groupBy("o_custkey", "g")
+        .agg(F.sum("cents").alias("gs"), F.count("*").alias("gn"))
+        .select(
+            "o_custkey",
+            "g",
+            F.sum("gs").over(wr).cast("bigint").alias("grp_sum_cents"),
+            F.sum("gn").over(wr).cast("bigint").alias("grp_n"),
+        )
+    )
+    return (
+        b.where(F.col("o_orderpriority") == "1-URGENT")
+        .join(gw, ["o_custkey", "g"])
+        .select("o_orderkey", "grp_sum_cents", "grp_n")
+    )
+
+
+@query(
+    "window_exclude_current",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderkey, loo_avg_cents FROM (
+      SELECT o_orderkey, o_orderstatus,
+             ROUND(AVG(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               EXCLUDE CURRENT ROW), 6) AS loo_avg_cents
+      FROM b
+    ) WHERE o_orderstatus = 'P'
+    """,
+)
+def window_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCLUDE-CURRENT-ROW FRAME EMULATION — the leave-one-out partition
+    mean (``AVG ... EXCLUDE CURRENT ROW``, SQL:2011 frame exclusion that
+    Spark lacks): each order's average against its customer's OTHER
+    orders, the standard leakage-free target encoding shape in feature
+    pipelines. Emulated algebraically — (S - x) / (n - 1) from one
+    partition-wide sum/count window, NULL for single-order customers —
+    which beats any frame-based rewrite at scale: no ordering required,
+    one unordered customer-partitioned window, whole-stage codegen
+    arithmetic. The ORACLE uses DuckDB's NATIVE EXCLUDE CURRENT ROW, so
+    a MATCH is a cross-engine proof the emulation implements the
+    standard's semantics (including integer-exact sums: both sides
+    divide an exact BIGINT difference)."""
+    o = load_table(spark, sf_dir, "orders")
+    wp = Window.partitionBy("o_custkey")
+    b = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).over(wp).alias("s"),
+        F.count("*").over(wp).alias("n"),
+    )
+    return b.where(F.col("o_orderstatus") == "P").select(
+        "o_orderkey",
+        F.when(
+            F.col("n") > 1,
+            F.round((F.col("s") - F.col("cents")).cast("double") / (F.col("n") - 1), 6),
+        ).alias("loo_avg_cents"),
+    )
+
+
+@query(
+    "agg_table_fingerprint",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5(concat_ws('|',
+               CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+               o_orderstatus,
+               CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR),
+               strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority)), 1, 12))
+             AS BIGINT) AS fp
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(fp) AS DECIMAL(38,0)) AS fp_sum,
+           CAST(bit_xor(fp) AS BIGINT) AS fp_xor
+    FROM h
+    """,
+)
+def agg_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-INSENSITIVE TABLE FINGERPRINT — the migration-validation
+    primitive: canonicalize each row to a delimited string (keys, status,
+    exact cents, ISO date, priority), hash it (first 12 md5 hex chars →
+    48-bit int), and combine with BOTH a commutative SUM (kept in
+    decimal(38,0): 2e11 rows × 2^48 overflows BIGINT at the 100 TB
+    target) and a commutative XOR. Engine-to-engine equality of
+    (n_rows, fp_sum, fp_xor) certifies table content equality without
+    any global sort or row transfer — this is how you check a 100 TB
+    copy landed intact: one map-side-combinable aggregate per side, a
+    3-value comparison in the middle. Canonical forms (string casts,
+    date format, cents rounding) are pinned identically in both
+    engines."""
+    o = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    )
+    h = o.select(
+        F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("bigint").alias("fp")
+    )
+    return h.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("fp").cast("decimal(38,0)")).alias("fp_sum"),
+        F.expr("bit_xor(fp)").cast("bigint").alias("fp_xor"),
+    )
+
+
+@query(
+    "events_decayed_topk",
+    oracle="""
+    WITH t AS (
+      SELECT MAX(CAST(ts AS DATE)) AS t_ref FROM events
+    ), w AS (
+      SELECT e.event_type,
+             CAST(ROUND(POWER(0.5,
+               date_diff('day', CAST(e.ts AS DATE), t.t_ref) // 7
+             ) * 1000000, 0) AS BIGINT) AS w_micro
+      FROM events e, t
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(w_micro) AS BIGINT) / 1000000.0, 6) AS decayed_count
+    FROM w GROUP BY event_type
+    """,
+)
+def events_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPONENTIALLY TIME-DECAYED COUNTERS — trending-item scoring with a
+    one-week half-life: each event contributes 2^-(age_weeks), so stale
+    activity fades instead of accumulating (the standard recency-aware
+    popularity counter). Engine-parity trick: the decay steps weekly, so
+    every weight is a DYADIC rational (1, 1/2, 1/4, …) that both engines
+    compute exactly via POWER(0.5, k); weights are then quantized to
+    1e6-scaled BIGINTs and the sum stays integer-exact — no float
+    summation order anywhere (SCALE.md protocol). The reference time is
+    MAX(date(ts)) — data-derived, so the query is deterministic (scripts
+    can't call now()). One map-side-combinable aggregate; at 100 TB the
+    decayed counter merges per-partition like any sum."""
+    e = load_table(spark, sf_dir, "events")
+    t_ref = e.agg(F.max(F.to_date("ts")).alias("t_ref"))
+    w = e.crossJoin(F.broadcast(t_ref)).select(
+        "event_type",
+        F.round(
+            F.pow(
+                F.lit(0.5),
+                F.expr("datediff(t_ref, to_date(ts)) DIV 7"),
+            )
+            * 1000000,
+            0,
+        )
+        .cast("bigint")
+        .alias("w_micro"),
+    )
+    return w.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("w_micro").cast("bigint") / 1000000.0, 6).alias("decayed_count"),
+    )
+
+
+@query(
+    "dedup_linkage_patterns",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey AS id, c_nationkey AS nat, c_mktsegment AS seg,
+             (c_acctbal < 0) AS neg,
+             CAST(FLOOR(c_acctbal) AS BIGINT) AS blk
+      FROM customer
+    ), heavy AS (
+      SELECT blk FROM c GROUP BY blk HAVING COUNT(*) > 1000
+    ), cc AS (
+      SELECT * FROM c WHERE blk NOT IN (SELECT blk FROM heavy)
+    ), pairs AS (
+      SELECT CAST(
+               CASE WHEN a.nat = b.nat THEN 4 ELSE 0 END
+               + CASE WHEN a.seg = b.seg THEN 2 ELSE 0 END
+               + CASE WHEN a.neg = b.neg THEN 1 ELSE 0 END AS INT) AS pattern
+      FROM cc a JOIN cc b ON a.blk = b.blk AND a.id < b.id
+    ), counts AS (
+      SELECT pattern, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pairs GROUP BY pattern
+    ), tot AS (
+      SELECT CAST(SUM(n_pairs) AS BIGINT) AS total_pairs FROM counts
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c
+    ), p_nat AS (
+      SELECT CAST(SUM(CAST(cnt AS BIGINT) * (cnt - 1)) AS DOUBLE)
+             / CAST(n.n * (n.n - 1) AS DOUBLE) AS p
+      FROM (SELECT COUNT(*) AS cnt FROM c GROUP BY nat), n GROUP BY n.n
+    ), p_seg AS (
+      SELECT CAST(SUM(CAST(cnt AS BIGINT) * (cnt - 1)) AS DOUBLE)
+             / CAST(n.n * (n.n - 1) AS DOUBLE) AS p
+      FROM (SELECT COUNT(*) AS cnt FROM c GROUP BY seg), n GROUP BY n.n
+    ), p_neg AS (
+      SELECT CAST(SUM(CAST(cnt AS BIGINT) * (cnt - 1)) AS DOUBLE)
+             / CAST(n.n * (n.n - 1) AS DOUBLE) AS p
+      FROM (SELECT COUNT(*) AS cnt FROM c GROUP BY neg), n GROUP BY n.n
+    )
+    SELECT counts.pattern, counts.n_pairs,
+           ROUND(CAST(tot.total_pairs AS DOUBLE)
+             * (CASE WHEN counts.pattern // 4 % 2 = 1 THEN p_nat.p ELSE 1 - p_nat.p END)
+             * (CASE WHEN counts.pattern // 2 % 2 = 1 THEN p_seg.p ELSE 1 - p_seg.p END)
+             * (CASE WHEN counts.pattern % 2 = 1 THEN p_neg.p ELSE 1 - p_neg.p END),
+             4) AS expected_random
+    FROM counts, tot, p_nat, p_seg, p_neg
+    """,
+)
+def dedup_linkage_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FELLEGI–SUNTER AGREEMENT-PATTERN TABLE — the input statistic of
+    probabilistic record linkage (Fellegi & Sunter 1969): for blocked
+    candidate pairs, count each field-agreement pattern (nation,
+    market segment, balance sign → 3-bit pattern), alongside the count
+    a random-pairing model predicts (the u-probability baseline:
+    P(field agrees by chance) = Σ cᵢ(cᵢ-1) / N(N-1) from exact value
+    frequencies). Patterns observed far above their random expectation
+    are the linkage evidence EM would weight. Blocking = FLOOR(acctbal)
+    equi-join with the repo's standard heavy-block guard (blocks over
+    1000 rows anti-filtered on BOTH sides, mirroring the fuzzy-dedup
+    cap — at test SFs no block exceeds ~10 rows; at 100 TB the cap
+    bounds the d² pair blowup). All probabilities are exact-integer
+    ratios; the expected-count product is written in the same
+    left-associative order in both engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    c = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_acctbal") < 0).alias("neg"),
+        F.floor("c_acctbal").cast("bigint").alias("blk"),
+    )
+    heavy = c.groupBy("blk").count().where(F.col("count") > 1000).select("blk")
+    cc = c.join(heavy, "blk", "left_anti")
+    a = cc.select(
+        F.col("blk"),
+        F.col("id").alias("a_id"),
+        F.col("nat").alias("a_nat"),
+        F.col("seg").alias("a_seg"),
+        F.col("neg").alias("a_neg"),
+    )
+    b = cc.select(
+        F.col("blk"),
+        F.col("id").alias("b_id"),
+        F.col("nat").alias("b_nat"),
+        F.col("seg").alias("b_seg"),
+        F.col("neg").alias("b_neg"),
+    )
+    pattern = (
+        F.when(F.col("a_nat") == F.col("b_nat"), 4).otherwise(0)
+        + F.when(F.col("a_seg") == F.col("b_seg"), 2).otherwise(0)
+        + F.when(F.col("a_neg") == F.col("b_neg"), 1).otherwise(0)
+    ).cast("int")
+    counts = (
+        a.join(b, ["blk"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(pattern.alias("pattern"))
+        .groupBy("pattern")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+    def field_rate(col: str) -> DataFrame:
+        grp = c.groupBy(col).agg(F.count("*").alias("cnt"))
+        num = grp.agg(
+            F.sum(F.col("cnt").cast("bigint") * (F.col("cnt") - 1)).alias("x")
+        )
+        den = c.agg(F.count("*").cast("bigint").alias("n"))
+        return num.crossJoin(den).select(
+            (
+                F.col("x").cast("double")
+                / (F.col("n") * (F.col("n") - 1)).cast("double")
+            ).alias(f"p_{col}")
+        )
+
+    tot = counts.agg(F.sum("n_pairs").cast("bigint").alias("total_pairs"))
+    rates = field_rate("nat").crossJoin(field_rate("seg")).crossJoin(field_rate("neg"))
+
+    def term(bit: int, p) -> F.Column:
+        return F.when(
+            F.expr(f"pattern DIV {bit} % 2 = 1"), p
+        ).otherwise(1 - p)
+
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(rates))
+        .select(
+            "pattern",
+            "n_pairs",
+            F.round(
+                F.col("total_pairs").cast("double")
+                * term(4, F.col("p_nat"))
+                * term(2, F.col("p_seg"))
+                * term(1, F.col("p_neg")),
+                4,
+            ).alias("expected_random"),
+        )
+    )

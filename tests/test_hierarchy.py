@@ -1,0 +1,67 @@
+"""Pointer-jumping hierarchy flattening (operators/hierarchy.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_avro_pipeline_java_spark.operators.hierarchy import (
+    part_forest,
+    pointer_jump,
+)
+
+
+def _forest(spark, edges, roots, units=None):
+    cols = ["node", "par"] + (["q"] if units else [])
+    e = spark.createDataFrame(edges, cols)
+    r = spark.createDataFrame([(x,) for x in roots], ["node"])
+    return pointer_jump(e, r, units="q" if units else None)
+
+
+def test_chain_depths_need_log_rounds(spark):
+    # 0 ← 1 ← 2 ← ... ← 20: depth 20 chain, converges via doubling.
+    edges = [(i, i - 1) for i in range(1, 21)]
+    out = _forest(spark, edges, [0])
+    got = {r["node"]: (r["root"], r["depth"]) for r in out.collect()}
+    assert got == {i: (0, i) for i in range(21)}
+
+
+def test_star_and_two_trees(spark):
+    # two roots: 0 with a 5-leaf star, 10 with a 2-chain
+    edges = [(i, 0) for i in range(1, 6)] + [(11, 10), (12, 11)]
+    out = _forest(spark, edges, [0, 10])
+    got = {r["node"]: (r["root"], r["depth"]) for r in out.collect()}
+    assert got[3] == (0, 1)
+    assert got[12] == (10, 2)
+    assert got[10] == (10, 0)
+
+
+def test_units_multiply_along_path(spark):
+    # 0 ← 1 (q=2) ← 2 (q=3) ← 3 (q=5): path products 2, 6, 30
+    edges = [(1, 0, 2), (2, 1, 3), (3, 2, 5)]
+    out = _forest(spark, edges, [0], units=True)
+    got = {r["node"]: r["units"] for r in out.collect()}
+    assert got == {0: 1, 1: 2, 2: 6, 3: 30}
+
+
+def test_nonconvergence_raises(spark):
+    edges = [(i, i - 1) for i in range(1, 10)]  # depth 9 > 2^2 jumps... 2^3=8<9
+    e = spark.createDataFrame(edges, ["node", "par"])
+    r = spark.createDataFrame([(0,)], ["node"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        pointer_jump(e, r, max_rounds=3)
+
+
+def test_part_forest_is_acyclic_and_total(spark, sf_dir):
+    from kafka_avro_pipeline_java_spark.sources import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    edges, roots = part_forest(spark, part)
+    n_parts = part.count()
+    # parent strictly below the node: acyclic by construction
+    assert edges.where(F.col("par") >= F.col("node")).count() == 0
+    walk = pointer_jump(edges, roots)
+    # total: every part key lands on exactly one root at a finite depth
+    assert walk.count() == n_parts
+    assert walk.select("node").distinct().count() == n_parts
+    assert walk.where(F.col("root") >= 8).count() == 0

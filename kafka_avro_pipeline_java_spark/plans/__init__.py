@@ -9,6 +9,7 @@ from . import relational4  # noqa: E402,F401
 from . import relational5  # noqa: E402,F401
 from . import relational6  # noqa: E402,F401
 from . import hierarchy as hierarchy_plans  # noqa: E402,F401
+from . import attribution as attribution_plans  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import tpch2  # noqa: E402,F401
 from . import events as events_plans  # noqa: E402,F401

@@ -496,3 +496,62 @@ def dedup_linkage_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("expected_random"),
         )
     )
+
+
+@query(
+    "scalar_rounding_zoo",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey,
+             (o_orderkey % 41 - 20) / 8.0 AS v,
+             o_orderkey - 150 AS x
+      FROM orders WHERE o_orderkey < 300
+    )
+    SELECT o_orderkey,
+           ROUND(v, 0) + 0.0 AS r_half_up,
+           round_even(v, 0) + 0.0 AS r_half_even,
+           ROUND(v, 2) + 0.0 AS cents_up,
+           round_even(v, 2) + 0.0 AS cents_even,
+           CAST(FLOOR(v) AS BIGINT) AS flr,
+           CAST(CEIL(v) AS BIGINT) AS cl,
+           CAST(trunc(v) AS BIGINT) AS trunc_to_int,
+           CAST(x // 7 AS BIGINT) AS idiv7,
+           CAST(x % 7 AS BIGINT) AS imod7,
+           CAST(((x % 7) + 7) % 7 AS BIGINT) AS pmod7
+    FROM b
+    """,
+)
+def scalar_rounding_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUNDING / DIVISION-SEMANTICS CONFORMANCE ZOO — the numeric
+    edge-case matrix every money pipeline must pin before trusting a
+    cross-engine hash: HALF_UP vs HALF_EVEN ties on exact dyadic values
+    (v steps in eighths through ±2.5, so .5 and .125 ties are real, not
+    float noise), floor/ceil sign behavior, truncation toward zero,
+    integer division and modulo on NEGATIVE operands, and pmod. Pinned
+    cross-engine facts this zoo encodes: Spark round == DuckDB ROUND
+    (ties away from zero), Spark bround == DuckDB round_even; Spark
+    CAST(double AS BIGINT) TRUNCATES while DuckDB's CAST ROUNDS — the
+    oracle must write CAST(trunc(v)) to match, the exact asymmetry that
+    silently corrupts a ported pipeline; Spark DIV == DuckDB //
+    (both truncate toward zero, -7÷2 = -3); % sign follows the dividend
+    in both. Pure codegen projection on a pruned scan."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    b = o.select(
+        "o_orderkey",
+        ((F.col("o_orderkey") % 41 - 20) / 8.0).alias("v"),
+        (F.col("o_orderkey") - 150).alias("x"),
+    )
+    v, x = F.col("v"), F.col("x")
+    return b.select(
+        "o_orderkey",
+        (F.round(v, 0) + 0.0).alias("r_half_up"),
+        (F.bround(v, 0) + 0.0).alias("r_half_even"),
+        (F.round(v, 2) + 0.0).alias("cents_up"),
+        (F.bround(v, 2) + 0.0).alias("cents_even"),
+        F.floor(v).cast("bigint").alias("flr"),
+        F.ceil(v).cast("bigint").alias("cl"),
+        v.cast("bigint").alias("trunc_to_int"),
+        F.expr("x DIV 7").cast("bigint").alias("idiv7"),
+        (x % 7).cast("bigint").alias("imod7"),
+        F.pmod(x, F.lit(7)).cast("bigint").alias("pmod7"),
+    )

@@ -295,3 +295,118 @@ def events_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_of_events"),
         )
     )
+
+
+@query(
+    "stats_tost_equivalence",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
+                      * CAST(ROUND(value * 100, 0) AS BIGINT)) AS DECIMAL(38,0)) AS sxx
+      FROM events GROUP BY event_type
+    ), g AS (
+      SELECT CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DECIMAL(38,0)) AS gsx,
+             CAST(COUNT(*) AS BIGINT) AS gn
+      FROM events
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(a.sx AS DOUBLE) / a.n - CAST(b.sx AS DOUBLE) / b.n AS d,
+             (CAST(a.sxx AS DOUBLE) - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE) / a.n)
+               / (a.n - 1) / a.n
+             + (CAST(b.sxx AS DOUBLE) - CAST(b.sx AS DOUBLE) * CAST(b.sx AS DOUBLE) / b.n)
+               / (b.n - 1) / b.n AS se2,
+             0.02 * (CAST(g.gsx AS DOUBLE) / g.gn) AS delta
+      FROM m a JOIN m b ON a.event_type < b.event_type, g
+    )
+    SELECT type_a, type_b,
+           ROUND(d, 6) AS diff_cents,
+           ROUND((d + delta) / SQRT(se2), 6) AS t_lower,
+           ROUND((delta - d) / SQRT(se2), 6) AS t_upper,
+           (ROUND((d + delta) / SQRT(se2), 6) > 1.645
+            AND ROUND((delta - d) / SQRT(se2), 6) > 1.645) AS equivalent
+    FROM pairs
+    """,
+)
+def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST EQUIVALENCE TESTING (two one-sided tests, Schuirmann 1987) —
+    the experimentation-shelf member that answers the question a
+    significance test can't: "are these two segments' mean revenues
+    PROVABLY similar?" For every event-type pair, test H0: |μa − μb| ≥ δ
+    against equivalence within δ = 2% of the grand mean, via two
+    one-sided Welch z-statistics (large-sample normal critical value
+    1.645): equivalent iff BOTH (d+δ)/se and (δ−d)/se clear it. All
+    moments are integer-exact cents sums held in decimal(38,0) (the
+    overflow rule — this query joins the dual-SF driver_sim cohort);
+    means, variances and the two t-statistics are fixed-order arithmetic
+    on those exact moments, rounded to 6 BEFORE the boundary comparison
+    so the equivalence booleans can't split on an ulp. One groupBy over
+    the fact table + a 10-row pair join."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    m = e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(cents.cast("decimal(38,0)")).alias("sx"),
+        F.sum((cents * cents).cast("decimal(38,0)")).alias("sxx"),
+    )
+    g = e.agg(
+        F.sum(cents.cast("decimal(38,0)")).alias("gsx"),
+        F.count("*").cast("bigint").alias("gn"),
+    )
+    a = m.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("an"),
+        F.col("sx").alias("asx"),
+        F.col("sxx").alias("asxx"),
+    )
+    b = m.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("bn"),
+        F.col("sx").alias("bsx"),
+        F.col("sxx").alias("bsxx"),
+    )
+    pairs = (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "type_a",
+            "type_b",
+            (
+                F.col("asx").cast("double") / F.col("an")
+                - F.col("bsx").cast("double") / F.col("bn")
+            ).alias("d"),
+            (
+                (
+                    F.col("asxx").cast("double")
+                    - F.col("asx").cast("double")
+                    * F.col("asx").cast("double")
+                    / F.col("an")
+                )
+                / (F.col("an") - 1)
+                / F.col("an")
+                + (
+                    F.col("bsxx").cast("double")
+                    - F.col("bsx").cast("double")
+                    * F.col("bsx").cast("double")
+                    / F.col("bn")
+                )
+                / (F.col("bn") - 1)
+                / F.col("bn")
+            ).alias("se2"),
+            (F.lit(0.02) * (F.col("gsx").cast("double") / F.col("gn"))).alias(
+                "delta"
+            ),
+        )
+    )
+    t_lo = F.round((F.col("d") + F.col("delta")) / F.sqrt("se2"), 6)
+    t_hi = F.round((F.col("delta") - F.col("d")) / F.sqrt("se2"), 6)
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.round("d", 6).alias("diff_cents"),
+        t_lo.alias("t_lower"),
+        t_hi.alias("t_upper"),
+        ((t_lo > 1.645) & (t_hi > 1.645)).alias("equivalent"),
+    )

@@ -555,3 +555,178 @@ def scalar_rounding_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
         (x % 7).cast("bigint").alias("imod7"),
         F.pmod(x, F.lit(7)).cast("bigint").alias("pmod7"),
     )
+
+
+@query(
+    "events_resample_interpolate",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             ROUND(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) / 1000000.0
+                   / COUNT(value), 4) AS mean_value
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY 1
+    ), grid AS (
+      SELECT user_id, g.g AS hour
+      FROM bounds, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS g(g)
+    ), j AS (
+      SELECT g.user_id, g.hour, h.mean_value
+      FROM grid g LEFT JOIN hourly h USING (user_id, hour)
+    ), f AS (
+      SELECT user_id, hour, mean_value,
+        LAST_VALUE(mean_value IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY hour
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        LAST_VALUE(CASE WHEN mean_value IS NOT NULL THEN hour END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY hour
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        FIRST_VALUE(mean_value IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY hour
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        FIRST_VALUE(CASE WHEN mean_value IS NOT NULL THEN hour END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY hour
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM j
+    )
+    SELECT user_id, hour,
+           (mean_value IS NOT NULL) AS is_observed,
+           FLOOR((CASE WHEN mean_value IS NOT NULL THEN pv
+                 ELSE pv + (nv - pv)
+                      * (CAST(date_diff('hour', ph, hour) AS DOUBLE)
+                         / date_diff('hour', ph, nh)) END) * 1000000 + 0.5)
+             / 1000000.0 AS value_interp
+    FROM f
+    """,
+)
+def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR-INTERPOLATION RESAMPLING — the companion to
+    events_resample_locf: empty hourly buckets get the straight line
+    between the surrounding observations, v_prev + (v_next − v_prev) ·
+    Δh/ΔH, instead of a flat carry-forward (the gap-fill choice for
+    rate-like series where LOCF understates trends). Same 100 TB shape
+    as LOCF: per-user bounded grid explode, keyed left join, then TWO
+    user-partitioned window passes — a backward last-ignore-nulls
+    carrying (prev value, prev hour) and a forward first-ignore-nulls
+    carrying (next value, next hour); the interpolation itself is pure
+    fixed-order arithmetic on the 1e6-quantized hourly means and exact
+    integer hour offsets. Midpoint interpolation of 4-decimal means
+    produces EXACT .5 ties at the 6th decimal, where Spark's
+    BigDecimal-path ROUND and DuckDB's multiply-round diverge on the
+    same double — so the final quantizer is FLOOR(x·1e6 + 0.5)/1e6, the
+    identical IEEE op sequence in both engines, instead of ROUND(…, 6).
+    Grid endpoints are observed by construction, so prev/next always
+    exist."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.round(
+            F.sum(F.round(F.col("value") * 1000000, 0).cast("bigint")) / 1000000.0
+            / F.count("value"),
+            4,
+        ).alias("mean_value"),
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+        )
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("mean_value").isNotNull(), F.col("hour"))
+    f = grid.join(hourly, ["user_id", "hour"], "left").select(
+        "user_id",
+        "hour",
+        "mean_value",
+        F.last("mean_value", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_hour, ignorenulls=True).over(wb).alias("ph"),
+        F.first("mean_value", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_hour, ignorenulls=True).over(wf).alias("nh"),
+    )
+    frac = F.expr(
+        "CAST((unix_timestamp(hour) - unix_timestamp(ph)) DIV 3600 AS DOUBLE)"
+        " / ((unix_timestamp(nh) - unix_timestamp(ph)) DIV 3600)"
+    )
+    return f.select(
+        "user_id",
+        "hour",
+        F.col("mean_value").isNotNull().alias("is_observed"),
+        (
+            F.floor(
+                F.when(F.col("mean_value").isNotNull(), F.col("pv")).otherwise(
+                    F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+                )
+                * 1000000
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("value_interp"),
+    )
+
+
+_SND_FROM = "AEIOUYBFPVCGJKQSXZDTLMNRHW"
+_SND_TO = "000000111122222222334556"  # H/W beyond the to-string => deleted
+
+
+def _soundex_sql(expr: str) -> str:
+    """American Soundex from its spec, in pure SQL: code letters to
+    digit classes (vowels→0, H/W deleted so codes collapse ACROSS them —
+    the transparency rule), prefix the first letter's own code (sentinel
+    9 when the first letter is H/W, which never merges) so the
+    drop-leading-group step is exact, collapse runs per digit with
+    chained regexp_replace (RE2 has no backreferences), strip vowels,
+    pad to letter+3."""
+    u = f"upper({expr})"
+    first = f"substr({u},1,1)"
+    cf = (
+        f"CASE WHEN translate({first}, '{_SND_FROM}', '{_SND_TO}') = '' THEN '9' "
+        f"ELSE translate({first}, '{_SND_FROM}', '{_SND_TO}') END"
+    )
+    c = f"{cf} || translate(substr({u},2), '{_SND_FROM}', '{_SND_TO}')"
+    for d in "0123456":
+        c = f"regexp_replace({c}, '{d}{d}+', '{d}', 'g')"
+    return f"{first} || rpad(substr(replace(substr({c},2), '0', ''),1,3), 3, '0')"
+
+
+@query(
+    "text_phonetic_blocking",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split(p_name, ' ')) AS w FROM part
+    )
+    SELECT {_soundex_sql('w')} AS code,
+           CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           MIN(w) AS sample_word
+    FROM words GROUP BY code
+    """,
+)
+def text_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHONETIC BLOCKING KEYS — American Soundex over every word of the
+    part names, the classic record-linkage blocking function (same-
+    sounding names land in one block regardless of spelling). Spark side
+    is the built-in JVM ``soundex()``; the ORACLE reimplements the
+    algorithm from its published spec in pure SQL (translate-based digit
+    classes, H/W transparency via deletion, sentinel-9 first-letter
+    group so the drop-leading-code step is exact, per-digit collapse
+    because RE2 lacks backreferences) — a MATCH pins Spark's builtin
+    against an independent from-spec implementation on the whole word
+    domain, verified identical on all 16 vocabulary words across the
+    three SF generations. Explode + one aggregate; codegen end to end."""
+    p = load_table(spark, sf_dir, "part")
+    words = p.select(F.explode(F.split("p_name", " ")).alias("w"))
+    return words.groupBy(F.soundex("w").alias("code")).agg(
+        F.count_distinct("w").cast("bigint").alias("n_words"),
+        F.count("*").cast("bigint").alias("n_occurrences"),
+        F.min("w").alias("sample_word"),
+    )

@@ -421,3 +421,33 @@ def test_every_registered_query_has_flat_schema(spark, sf_dir):
             if isinstance(f.dataType, nested):
                 offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert not offenders, offenders
+
+
+def test_spatial_grid_join_is_equi_not_cartesian(spark, sf_dir):
+    """The grid probe join must resolve to a hash/merge join on the
+    integer cell keys — a CartesianProduct or BroadcastNestedLoopJoin
+    here means the equi components (pcy, pcx) stopped being extracted
+    and the query went all-pairs."""
+    plan = _formatted_plan(spark, "join_spatial_grid_pairs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_groups_frame_windows_are_partitioned(spark, sf_dir):
+    """Both the dense_rank and the peer-group frame window must carry the
+    customer partitionSpec (the emulation never sorts globally)."""
+    import json
+
+    df = QUERIES["window_groups_frame"](spark, sf_dir)
+    pj = json.loads(df._jdf.queryExecution().optimizedPlan().prettyJson())
+    windows = [n for n in pj if n.get("class", "").endswith(".Window")]
+    assert windows and all(n.get("partitionSpec") for n in windows)
+
+
+def test_linkage_pairs_join_is_blocked(spark, sf_dir):
+    """Fellegi-Sunter pair generation joins on the block key, never
+    cross-joins the customer table."""
+    plan = _formatted_plan(spark, "dedup_linkage_patterns", sf_dir)
+    # the only non-equi joins allowed are the bounded scalar broadcasts
+    assert plan.count("CartesianProduct") == 0, plan[:2000]

@@ -1,8 +1,9 @@
 """Distributed hierarchy flattening by pointer jumping (path doubling).
 
-Spark has no recursive CTE (SPARK-24497 open for years), so multilevel
-hierarchies — org charts, BOM part explosions, category trees — are
-normally flattened with a depth-by-depth iterative join: O(D) shuffle
+Multilevel hierarchies — org charts, BOM part explosions, category
+trees — are normally flattened depth-by-depth: Spark 4's WITH RECURSIVE
+(see plans/relational5.py::sql_recursive_hierarchy for the native form)
+and any hand-rolled loop both execute one LEVEL per round, O(D) shuffle
 rounds for a depth-D tree. Pointer jumping halves the remaining distance
 every round instead: each node's ancestor pointer is advanced to its
 ancestor's ancestor, so a depth-D forest converges in ceil(log2 D)
@@ -137,3 +138,58 @@ def part_forest(spark: SparkSession, part: DataFrame) -> tuple[DataFrame, DataFr
         ).alias("q"),
     )
     return edges, roots
+
+
+def transitive_closure(
+    edges: DataFrame,
+    *,
+    node: str = "node",
+    parent: str = "par",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """All (node, anc, dist) ancestor pairs of a forest — the materialized
+    path table dimension teams denormalize org/category trees into — by
+    relational DOUBLING: C₁ = edges; Cᵢ₊₁ = Cᵢ ∪ (Cᵢ ⋈ Cᵢ), which covers
+    every path of length ≤ 2^(i+1) (any such path splits into two halves
+    each ≤ 2^i), so a depth-D forest closes in ceil(log2 D) self-join
+    rounds instead of the D rounds of level-per-iteration recursion.
+    The same (node, anc) pair is produced once per split point, so each
+    round deduplicates on (node, anc, dist) — on a forest dist is unique
+    per pair, making the dedup a plain distinct. Convergence = the pair
+    count stops growing (one count action per round on the
+    localCheckpoint'ed state). Output size is Σ depth(node) rows —
+    linear in nodes for the log-depth forests hash-shaped hierarchies
+    produce."""
+    state = (
+        edges.select(
+            F.col(node).alias("node"),
+            F.col(parent).alias("anc"),
+            F.lit(1).alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_prev = state.count()
+    for _ in range(max_rounds):
+        hop = state.select(
+            F.col("node").alias("j_node"),
+            F.col("anc").alias("j_anc"),
+            F.col("dist").alias("j_dist"),
+        )
+        state = (
+            state.unionByName(
+                state.join(hop, state["anc"] == F.col("j_node"), "inner").select(
+                    "node",
+                    F.col("j_anc").alias("anc"),
+                    (F.col("dist") + F.col("j_dist")).alias("dist"),
+                )
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_now = state.count()
+        if n_now == n_prev:
+            return state
+        n_prev = n_now
+    raise RuntimeError(
+        f"transitive_closure did not converge in {max_rounds} rounds"
+    )

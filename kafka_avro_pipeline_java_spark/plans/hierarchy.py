@@ -1,6 +1,8 @@
-"""Recursive-hierarchy queries: the WITH RECURSIVE workloads Spark can't
-express declaratively, flattened with the pointer-jumping operator
-(operators/hierarchy.py) in O(log depth) self-join rounds.
+"""Recursive-hierarchy queries flattened with the pointer-jumping
+operator (operators/hierarchy.py) in O(log depth) self-join rounds —
+the scale path next to the native WITH RECURSIVE form
+(plans/relational5.py::sql_recursive_hierarchy), whose level-per-round
+execution costs O(depth) rounds on both engines.
 
 The forest is a deterministic function of p_partkey (part_forest), so
 DuckDB can rebuild the identical structure and walk it with a real
@@ -17,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.hierarchy import part_forest, pointer_jump
+from ..operators.hierarchy import part_forest, pointer_jump, transitive_closure
 from ..sources import load_table
 from .registry import query
 
@@ -56,8 +58,8 @@ WITH RECURSIVE child AS (
 def graph_hierarchy_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HIERARCHY FLATTEN — every node's root and depth in a synthetic
     part forest, by pointer jumping: ceil(log2 D) shuffled self-joins
-    instead of the D join rounds a naive loop (or a recursive CTE
-    executed level-by-level) needs. The oracle walks the identical
+    instead of the D join rounds a recursive CTE's level-by-level
+    execution needs. The oracle walks the identical
     forest with DuckDB's WITH RECURSIVE — a sequential algorithm
     cross-checking the distributed one. 100 TB: each round is one
     equi-join on the ancestor pointer; a 2e11-node random recursive
@@ -121,3 +123,36 @@ def graph_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("root")
     )
+
+
+@query(
+    "graph_hierarchy_closure",
+    oracle="""
+    WITH RECURSIVE child AS (
+      SELECT p_partkey AS node,
+             CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % p_partkey AS par
+      FROM part WHERE p_partkey >= 8
+    ), anc AS (
+      SELECT node, par AS anc, 1 AS dist FROM child
+      UNION ALL
+      SELECT a.node, c.par, a.dist + 1
+      FROM anc a JOIN child c ON c.node = a.anc
+    )
+    SELECT node, anc, CAST(dist AS INT) AS dist FROM anc
+    """,
+)
+def graph_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANCESTOR TRANSITIVE CLOSURE — every (node, ancestor, distance)
+    pair of the part forest, the materialized path table that makes
+    "all descendants of X" / "rollup to any level" one equi-join at
+    read time. Built by relational doubling (operators/hierarchy.py::
+    transitive_closure): ceil(log2 D) self-joins with a distinct per
+    round, versus the recursive oracle's one-level-per-iteration walk —
+    the distributed and the sequential algorithm must agree pair for
+    pair. Output is Σ depth rows (~5.5 per node on this hash-shaped
+    forest), linear in nodes."""
+    part = load_table(spark, sf_dir, "part")
+    edges, _roots = part_forest(spark, part)
+    closure = transitive_closure(edges.drop("q"))
+    return closure.select("node", "anc", F.col("dist").cast("int").alias("dist"))

@@ -730,3 +730,92 @@ def text_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_occurrences"),
         F.min("w").alias("sample_word"),
     )
+
+
+_NULL_ZOO_SQL = """
+WITH probe AS (
+  SELECT CASE WHEN s_suppkey % 7 = 0 THEN NULL ELSE s_suppkey % 50 END AS k
+  FROM supplier
+), outer_t AS (
+  SELECT o_orderkey, o_orderkey % 60 AS v FROM orders WHERE o_orderkey < 500
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM outer_t) AS BIGINT) AS n_outer,
+  CAST((SELECT COUNT(*) FROM outer_t WHERE v IN (SELECT k FROM probe))
+       AS BIGINT) AS n_in,
+  CAST((SELECT COUNT(*) FROM outer_t WHERE v NOT IN (SELECT k FROM probe))
+       AS BIGINT) AS n_not_in_null_trap,
+  CAST((SELECT COUNT(*) FROM outer_t
+        WHERE v NOT IN (SELECT k FROM probe WHERE k IS NOT NULL))
+       AS BIGINT) AS n_not_in_clean,
+  CAST((SELECT COUNT(*) FROM outer_t o
+        WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = o.v))
+       AS BIGINT) AS n_not_exists
+"""
+
+
+@query("subquery_null_semantics_zoo", oracle=_NULL_ZOO_SQL)
+def subquery_null_semantics_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SEMANTICS SUBQUERY ZOO — the three-valued-logic traps that
+    silently empty result sets when a pipeline is ported between
+    engines, pinned as one cross-checked row: ``NOT IN`` against a list
+    CONTAINING NULL returns zero rows (v <> NULL is UNKNOWN, so no row
+    can ever pass — the single most-reported SQL footgun), the same
+    predicate with NULLs filtered returns the real complement, and
+    ``NOT EXISTS`` — the null-safe formulation Spark plans as a regular
+    anti-join instead of the expensive NullAwareAntiJoin the raw NOT IN
+    forces — agrees with the cleaned NOT IN. Identical SQL text runs on
+    both engines (only the temp-view plumbing differs); the counts make
+    the semantics hash-checkable."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_NULL_ZOO_SQL)
+
+
+@query(
+    "events_sliding_distinct_exact",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT d.d AS day,
+           CAST((SELECT COUNT(DISTINCT e.user_id) FROM events e
+                 WHERE CAST(e.ts AS DATE) BETWEEN d.d - INTERVAL 6 DAY AND d.d)
+                AS BIGINT) AS users_7d
+    FROM days d
+    """,
+)
+def events_sliding_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SLIDING-WINDOW DISTINCT — trailing-7-day unique users per
+    day, the metric COUNT(DISTINCT) OVER a RANGE frame cannot express in
+    Spark (distinct aggregates are unsupported in windows). The scale
+    path is the contribute-forward trick: each (user, active_day) pair —
+    already deduplicated — is exploded to the ≤7 window days it serves,
+    deduplicated again per (user, window_day) so multi-active users
+    count once, then counted per day: rows ≤ 7 × active-pairs, three
+    hash aggregates, no window, no correlated subquery. The ORACLE is
+    the semantic DEFINITION itself (a correlated per-day COUNT(DISTINCT)
+    over the bounded ~30-day domain), so a MATCH proves the explode-
+    dedupe rewrite, not just restates it. Contrast
+    sketch_hll_sliding_24h — the approximate cousin; this is its exact
+    audit at day granularity."""
+    e = load_table(spark, sf_dir, "events")
+    active = e.select(
+        F.col("user_id"), F.to_date("ts").alias("d")
+    ).distinct()
+    days = active.select("d").distinct()
+    contrib = (
+        active.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("d"), F.date_add(F.col("d"), 6), F.expr("INTERVAL 1 DAY")
+                )
+            ).alias("day"),
+        )
+        .distinct()
+        .join(days.withColumnRenamed("d", "day"), "day")
+    )
+    return contrib.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("users_7d")
+    )

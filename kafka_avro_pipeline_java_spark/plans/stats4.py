@@ -410,3 +410,103 @@ def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_hi.alias("t_upper"),
         ((t_lo > 1.645) & (t_hi > 1.645)).alias("equivalent"),
     )
+
+
+@query(
+    "stats_median_ci_exact",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT cents,
+             CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS r
+      FROM spend
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ranked),
+    ks AS (
+      SELECT n,
+             CAST(FLOOR((n + 1) / 2.0) AS BIGINT) AS k_med_lo,
+             CAST(FLOOR(n / 2.0) + 1 AS BIGINT) AS k_med_hi,
+             GREATEST(CAST(FLOOR(n / 2.0 - 1.959964 * SQRT(n / 4.0)) AS BIGINT), 1)
+               AS k_lo,
+             LEAST(CAST(CEIL(n / 2.0 + 1 + 1.959964 * SQRT(n / 4.0)) AS BIGINT), n)
+               AS k_hi
+      FROM n
+    )
+    SELECT ks.n AS n_customers,
+           ROUND(((SELECT cents FROM ranked WHERE r = ks.k_med_lo)
+                  + (SELECT cents FROM ranked WHERE r = ks.k_med_hi)) / 200.0,
+                 6) AS median_spend,
+           ROUND((SELECT cents FROM ranked WHERE r = ks.k_lo) / 100.0, 6)
+             AS ci_lo,
+           ROUND((SELECT cents FROM ranked WHERE r = ks.k_hi) / 100.0, 6)
+             AS ci_hi
+    FROM ks
+    """,
+)
+def stats_median_ci_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTION-FREE MEDIAN CONFIDENCE INTERVAL — the exact
+    order-statistic CI (binomial/normal-approximation bounds: ranks
+    n/2 ∓ z·√(n/4), the nonparametric interval that needs NO variance
+    estimate and holds for any continuous distribution): the customer-
+    spend median with its 95% CI read off three global ranks. Ranks
+    come from the two-phase distributed scan
+    (operators/ranking.py::attach_global_order_stats — repartitionByRange
+    + per-partition sort + offset collect), never a single-partition
+    window; the three target ranks are then picked by one broadcast-able
+    equi-join on the rank column. Rank formulas use only n, so both
+    engines derive identical integer ranks; spends are exact cents."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    ranked = attach_global_order_stats(
+        spend, [("cents", "asc"), ("o_custkey", "asc")], row_number="r"
+    )
+    n_df = ranked.agg(F.count("*").cast("bigint").alias("n"))
+    ks = n_df.select(
+        "n",
+        F.floor((F.col("n") + 1) / 2.0).cast("bigint").alias("k_med_lo"),
+        (F.floor(F.col("n") / 2.0) + 1).cast("bigint").alias("k_med_hi"),
+        F.greatest(
+            F.floor(
+                F.col("n") / 2.0 - 1.959964 * F.sqrt(F.col("n") / 4.0)
+            ).cast("bigint"),
+            F.lit(1).cast("bigint"),
+        ).alias("k_lo"),
+        F.least(
+            F.ceil(
+                F.col("n") / 2.0 + 1 + 1.959964 * F.sqrt(F.col("n") / 4.0)
+            ).cast("bigint"),
+            F.col("n"),
+        ).alias("k_hi"),
+    )
+    picks = ranked.select("r", "cents").join(
+        F.broadcast(ks),
+        (F.col("r") == F.col("k_med_lo"))
+        | (F.col("r") == F.col("k_med_hi"))
+        | (F.col("r") == F.col("k_lo"))
+        | (F.col("r") == F.col("k_hi")),
+    )
+    return picks.groupBy("n").agg(
+        F.round(
+            (
+                F.max(F.when(F.col("r") == F.col("k_med_lo"), F.col("cents")))
+                + F.max(F.when(F.col("r") == F.col("k_med_hi"), F.col("cents")))
+            )
+            / 200.0,
+            6,
+        ).alias("median_spend"),
+        F.round(
+            F.max(F.when(F.col("r") == F.col("k_lo"), F.col("cents"))) / 100.0, 6
+        ).alias("ci_lo"),
+        F.round(
+            F.max(F.when(F.col("r") == F.col("k_hi"), F.col("cents"))) / 100.0, 6
+        ).alias("ci_hi"),
+    ).select(
+        F.col("n").alias("n_customers"), "median_spend", "ci_lo", "ci_hi"
+    )

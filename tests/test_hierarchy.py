@@ -65,3 +65,21 @@ def test_part_forest_is_acyclic_and_total(spark, sf_dir):
     assert walk.count() == n_parts
     assert walk.select("node").distinct().count() == n_parts
     assert walk.where(F.col("root") >= 8).count() == 0
+
+
+def test_transitive_closure_chain(spark):
+    from kafka_avro_pipeline_java_spark.operators.hierarchy import (
+        transitive_closure,
+    )
+
+    # 0 ← 1 ← 2 ← 3: closure has (n, a, n-a) for all a < n with parent rows
+    edges = [(i, i - 1) for i in range(1, 4)]
+    e = spark.createDataFrame(edges, ["node", "par"])
+    got = {
+        (r["node"], r["anc"]): r["dist"]
+        for r in transitive_closure(e).collect()
+    }
+    assert got == {
+        (1, 0): 1, (2, 1): 1, (3, 2): 1,
+        (2, 0): 2, (3, 1): 2, (3, 0): 3,
+    }

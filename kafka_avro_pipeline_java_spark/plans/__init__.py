@@ -50,6 +50,11 @@ from . import layout as layout_plans  # noqa: E402,F401
 # predates r09 except that documented 29-name queue.
 # Everything outside the window stays exercised by tests and
 # tools/driver_sim.py, which sweeps ALL registered queries every round.
+# The 26 queries ADDED in round 10 (hierarchy/spatial/frames/fingerprint/
+# attribution/conformance batches — see COVERAGE.md "Round-10 additions")
+# queue BEHIND the 29-name r11 head above, in registration order: each was
+# driver_sim-MATCHed at two or three SFs at registration, so their
+# evidence is the freshest in the registry and they can wait for r12.
 _PRIORITY = [
     # --- r10 window head: names last driver-signed in r03 (registry order) ---
     "graph_degree_stats",

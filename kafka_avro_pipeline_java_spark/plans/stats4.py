@@ -510,3 +510,145 @@ def stats_median_ci_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("n").alias("n_customers"), "median_spend", "ci_lo", "ci_hi"
     )
+
+
+_PERM_B = 64
+
+
+@query(
+    "stats_permutation_test",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('click', 'view')
+    ), sizes AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS na,
+             CAST(COUNT(*) AS BIGINT) AS nt
+      FROM ev
+    ), obs AS (
+      SELECT CAST(SUM(cents) FILTER (WHERE event_type = 'click') AS DOUBLE)
+               / COUNT(*) FILTER (WHERE event_type = 'click')
+             - CAST(SUM(cents) FILTER (WHERE event_type = 'view') AS DOUBLE)
+               / COUNT(*) FILTER (WHERE event_type = 'view') AS d_obs
+      FROM ev
+    ), perms AS (
+      SELECT b.b, e.cents,
+             (CAST(('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || ':'
+                                   || CAST(b.b AS VARCHAR)), 1, 15)) AS BIGINT)
+              % s.nt) < s.na AS in_a
+      FROM ev e, UNNEST(range(0, {_PERM_B})) AS b(b), sizes s
+    ), pd AS (
+      SELECT b,
+             CAST(SUM(cents) FILTER (WHERE in_a) AS DOUBLE)
+               / COUNT(*) FILTER (WHERE in_a)
+             - CAST(SUM(cents) FILTER (WHERE NOT in_a) AS DOUBLE)
+               / COUNT(*) FILTER (WHERE NOT in_a) AS d
+      FROM perms GROUP BY b
+    )
+    SELECT s.na AS n_click, s.nt - s.na AS n_view,
+           ROUND(o.d_obs, 6) AS observed_diff_cents,
+           CAST({_PERM_B} AS INT) AS n_perms,
+           CAST(COUNT(*) FILTER (WHERE ABS(pd.d) >= ABS(o.d_obs)) AS BIGINT)
+             AS n_extreme,
+           CAST(COUNT(*) FILTER (WHERE ABS(pd.d) >= ABS(o.d_obs)) + 1 AS DOUBLE)
+             / ({_PERM_B} + 1) AS p_value
+    FROM pd, obs o, sizes s
+    GROUP BY s.na, s.nt, o.d_obs
+    """,
+)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-DETERMINISTIC PERMUTATION TEST (randomization inference) —
+    does mean revenue differ between click and view events, judged
+    against the null distribution built by RELABELING: 64 pseudo-
+    permutations assign each event to group A with the exact marginal
+    rate n_click/n_total via the INTEGER test hash(event_id, b) % n_total
+    < n_click — no float threshold, both engines draw identical
+    assignments (the same md5-derived portable hash as the Poisson
+    bootstrap). All 64 permuted mean differences fall out of ONE explode
+    + map-side-combinable aggregate (never 64 shuffles); the p-value is
+    the add-one-smoothed extreme fraction ((#|d_b| ≥ |d_obs|)+1)/(B+1),
+    exact integers over exact cents sums, one double division at the
+    end. The distribution-free sibling of stats_welch_t_sources /
+    stats_bootstrap_poisson_ci on the experimentation shelf."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    ev = e.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    sizes = ev.agg(
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("bigint")
+        .alias("na"),
+        F.count("*").cast("bigint").alias("nt"),
+    )
+    obs = ev.agg(
+        (
+            F.sum(F.when(F.col("event_type") == "click", F.col("cents")))
+            .cast("double")
+            / F.count(F.when(F.col("event_type") == "click", 1))
+            - F.sum(F.when(F.col("event_type") == "view", F.col("cents")))
+            .cast("double")
+            / F.count(F.when(F.col("event_type") == "view", 1))
+        ).alias("d_obs")
+    )
+    perms = (
+        ev.crossJoin(F.broadcast(sizes))
+        .select(
+            "event_id",
+            "cents",
+            "na",
+            "nt",
+            F.explode(F.array([F.lit(b) for b in range(_PERM_B)])).alias("b"),
+        )
+        .select(
+            "b",
+            "cents",
+            (
+                portable_hash64(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                )
+                % F.col("nt")
+                < F.col("na")
+            ).alias("in_a"),
+        )
+    )
+    pd = perms.groupBy("b").agg(
+        (
+            F.sum(F.when(F.col("in_a"), F.col("cents"))).cast("double")
+            / F.count(F.when(F.col("in_a"), 1))
+            - F.sum(F.when(~F.col("in_a"), F.col("cents"))).cast("double")
+            / F.count(F.when(~F.col("in_a"), 1))
+        ).alias("d")
+    )
+    extreme = (
+        pd.crossJoin(F.broadcast(obs))
+        .agg(
+            F.count(
+                F.when(F.abs(F.col("d")) >= F.abs(F.col("d_obs")), 1)
+            )
+            .cast("bigint")
+            .alias("n_extreme")
+        )
+    )
+    return (
+        extreme.crossJoin(F.broadcast(obs))
+        .crossJoin(F.broadcast(sizes))
+        .select(
+            F.col("na").alias("n_click"),
+            (F.col("nt") - F.col("na")).alias("n_view"),
+            F.round("d_obs", 6).alias("observed_diff_cents"),
+            F.lit(_PERM_B).cast("int").alias("n_perms"),
+            "n_extreme",
+            (
+                (F.col("n_extreme") + 1).cast("double") / (_PERM_B + 1)
+            ).alias("p_value"),
+        )
+    )

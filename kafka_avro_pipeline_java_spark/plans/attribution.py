@@ -386,3 +386,91 @@ def events_attribution_markov_removal(
     return spark.createDataFrame(
         out, ["channel", "p_base", "p_removed", "removal_effect"]
     )
+
+
+@query(
+    "events_attribution_position",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), firstp AS (
+      SELECT user_id, MIN(rn) AS prn FROM ev
+      WHERE event_type = '{_CONVERSION}' GROUP BY user_id
+    ), touches AS (
+      SELECT e.user_id, e.event_type,
+             ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.rn) AS pos,
+             COUNT(*) OVER (PARTITION BY e.user_id) AS k
+      FROM ev e JOIN firstp f
+        ON e.user_id = f.user_id AND e.rn < f.prn
+      WHERE e.event_type <> '{_CONVERSION}'
+    ), credited AS (
+      SELECT event_type,
+             CAST(FLOOR((CASE
+               WHEN k = 1 THEN 1.0
+               WHEN k = 2 THEN 0.5
+               WHEN pos = 1 THEN 0.4
+               WHEN pos = k THEN 0.4
+               ELSE 0.2 / (k - 2)
+             END) * 1000000 + 0.5) AS BIGINT) AS credit_micro
+      FROM touches
+    )
+    SELECT event_type AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(CAST(SUM(credit_micro) AS BIGINT) / 1000000.0, 6)
+             AS credited_conversions
+    FROM credited GROUP BY event_type
+    """,
+)
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITION-BASED (U-SHAPED) ATTRIBUTION — the 40/20/40 rule-based
+    member completing the attribution shelf next to linear, Shapley and
+    Markov removal: for each converting user's pre-purchase touch
+    sequence, the first and last touches get 0.4 conversions each and
+    the middle splits 0.2 evenly (k=1 → 1.0, k=2 → 0.5/0.5). Touch
+    positions come from user-partitioned row_number windows; the
+    data-dependent middle share 0.2/(k−2) is quantized per touch with
+    FLOOR(c·1e6 + 0.5) — the identical IEEE op in both engines — so the
+    per-channel credit sums are exact integers (the SCALE.md rule: no
+    raw float ever crosses a SUM)."""
+    e = load_table(spark, sf_dir, "events")
+    w_rn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = e.select(
+        "user_id", "event_type", F.row_number().over(w_rn).alias("rn")
+    )
+    firstp = (
+        ev.where(F.col("event_type") == _CONVERSION)
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    touches = (
+        ev.join(firstp, "user_id")
+        .where((F.col("rn") < F.col("prn")) & (F.col("event_type") != _CONVERSION))
+        .select(
+            "user_id",
+            "event_type",
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("rn"))
+            .alias("pos"),
+            F.count("*").over(Window.partitionBy("user_id")).alias("k"),
+        )
+    )
+    credit = (
+        F.when(F.col("k") == 1, F.lit(1.0))
+        .when(F.col("k") == 2, F.lit(0.5))
+        .when(F.col("pos") == 1, F.lit(0.4))
+        .when(F.col("pos") == F.col("k"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("k") - 2))
+    )
+    credited = touches.select(
+        "event_type",
+        F.floor(credit * 1000000 + 0.5).cast("bigint").alias("credit_micro"),
+    )
+    return credited.groupBy(F.col("event_type").alias("channel")).agg(
+        F.count("*").cast("bigint").alias("n_touches"),
+        F.round(F.sum("credit_micro").cast("bigint") / 1000000.0, 6).alias(
+            "credited_conversions"
+        ),
+    )

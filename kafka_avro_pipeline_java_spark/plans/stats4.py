@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash64
@@ -651,4 +651,73 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n_extreme") + 1).cast("double") / (_PERM_B + 1)
             ).alias("p_value"),
         )
+    )
+
+
+@query(
+    "stats_forecast_backtest_mase",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    ), lagged AS (
+      SELECT day, cents,
+             LAG(cents, 7) OVER (ORDER BY day) AS snaive,
+             LAG(cents, 1) OVER (ORDER BY day) AS naive1
+      FROM daily
+    ), scored AS (
+      SELECT ABS(cents - snaive) AS e_snaive,
+             ABS(cents - naive1) AS e_naive1
+      FROM lagged WHERE snaive IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+           ROUND(CAST(SUM(e_snaive) AS BIGINT) / 100.0 / COUNT(*), 6)
+             AS mae_seasonal_naive,
+           ROUND(CAST(SUM(e_naive1) AS BIGINT) / 100.0 / COUNT(*), 6)
+             AS mae_naive1,
+           ROUND(CAST(SUM(e_snaive) AS DOUBLE) / SUM(e_naive1), 6) AS mase
+    FROM scored
+    """,
+)
+def stats_forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORECAST BACKTEST with MASE (Hyndman & Koehler 2006) — the
+    scale-free accuracy metric that makes forecast models comparable
+    across series: seasonal-naive (value 7 days ago) scored against the
+    one-step naive baseline on the same scored days, MASE = Σ|e_snaive|
+    / Σ|e_naive1| (< 1 ⇒ the weekly-seasonal model beats naive drift —
+    the go/no-go gate a forecasting pipeline runs before promoting any
+    model, here backtesting the seasonality the holt/seasonal queries
+    model). Errors are exact integer cents; the bounded ~30-day domain
+    rides one ordered window over the daily aggregate (calendar-bounded,
+    the COVERAGE.md whitelist class)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "cents",
+        F.lag("cents", 7).over(w).alias("snaive"),
+        F.lag("cents", 1).over(w).alias("naive1"),
+    ).where(F.col("snaive").isNotNull())
+    scored = lagged.select(
+        F.abs(F.col("cents") - F.col("snaive")).alias("e_snaive"),
+        F.abs(F.col("cents") - F.col("naive1")).alias("e_naive1"),
+    )
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_days_scored"),
+        F.round(
+            F.sum("e_snaive").cast("bigint") / 100.0 / F.count("*"), 6
+        ).alias("mae_seasonal_naive"),
+        F.round(
+            F.sum("e_naive1").cast("bigint") / 100.0 / F.count("*"), 6
+        ).alias("mae_naive1"),
+        F.round(
+            F.sum("e_snaive").cast("double") / F.sum("e_naive1"), 6
+        ).alias("mase"),
     )

@@ -74,6 +74,7 @@ GLOBAL_WINDOW_WHITELIST = {
     "events_peak_hours", "events_seasonal_decompose",
     "layout_compaction_bins", "stats_autocorr_revenue",
     "stats_runs_test_daily_revenue", "stats_theil_sen_trend",
+    "stats_forecast_backtest_mase",
     # post-aggregate tiny tables (deciles / sources / types / digits)
     "agg_lorenz_curve_deciles", "pipeline_temperature_mixture",
     "stats_benford_price", "stats_entropy_rate_events",

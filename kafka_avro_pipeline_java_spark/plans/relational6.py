@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash64
+from ..operators.ranking import attach_global_order_stats
 from ..sources import load_table
 from .registry import query
 
@@ -861,4 +862,82 @@ def agg_grouping_id_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
             "GROUPING(o_orderstatus, o_orderpriority)",
             "GROUPING_ID(o_orderstatus, o_orderpriority)",
         )
+    )
+
+
+_RFM_SPLIT = "1998-06-01"
+
+
+def _period_terciles_sql(cmp: str) -> str:
+    return f"""
+      SELECT o_custkey,
+             NTILE(3) OVER (ORDER BY cents, o_custkey) AS seg
+      FROM (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders WHERE o_orderdate {cmp} TIMESTAMP '{_RFM_SPLIT}'
+        GROUP BY o_custkey
+      )
+    """
+
+
+@query(
+    "agg_segment_migration_matrix",
+    oracle=f"""
+    WITH early AS ({_period_terciles_sql('<')}),
+    late AS ({_period_terciles_sql('>=')})
+    SELECT COALESCE(e.seg, 0) AS seg_early,
+           COALESCE(l.seg, 0) AS seg_late,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM early e FULL JOIN late l ON e.o_custkey = l.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def agg_segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENT MIGRATION MATRIX — the BI readout behind every retention
+    deck: split the order history at 1998-06-01, bucket customers into
+    spend terciles in each half (NTILE(3) over exact cents with the
+    custkey tiebreak), and count every (early_segment → late_segment)
+    transition, 0 marking customers absent from a half (churned-in /
+    churned-out cells). Terciles are ENTITY-scaled global ranks, so the
+    Spark side rides the two-phase distributed scan
+    (operators/ranking.py, ntile mode) — never a single-partition
+    window — while the oracle uses plain NTILE; the matrix itself is a
+    full outer join on the customer key plus one 16-cell aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def terciles(cmp_early: bool) -> DataFrame:
+        cond = (
+            F.col("o_orderdate") < _RFM_SPLIT
+            if cmp_early
+            else F.col("o_orderdate") >= _RFM_SPLIT
+        )
+        spend = (
+            o.where(cond)
+            .groupBy("o_custkey")
+            .agg(
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+                .cast("bigint")
+                .alias("cents")
+            )
+        )
+        return attach_global_order_stats(
+            spend, [("cents", "asc"), ("o_custkey", "asc")], ntile=(3, "seg")
+        ).select("o_custkey", "seg")
+
+    early = terciles(True).select(
+        F.col("o_custkey").alias("ck_e"), F.col("seg").alias("seg_e")
+    )
+    late = terciles(False).select(
+        F.col("o_custkey").alias("ck_l"), F.col("seg").alias("seg_l")
+    )
+    return (
+        early.join(late, early["ck_e"] == late["ck_l"], "full")
+        .select(
+            F.coalesce("seg_e", F.lit(0)).cast("int").alias("seg_early"),
+            F.coalesce("seg_l", F.lit(0)).cast("int").alias("seg_late"),
+        )
+        .groupBy("seg_early", "seg_late")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
     )

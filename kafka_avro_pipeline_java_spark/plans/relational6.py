@@ -941,3 +941,122 @@ def agg_segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("seg_early", "seg_late")
         .agg(F.count("*").cast("bigint").alias("n_customers"))
     )
+
+
+_EPOCH_CAP = 4          # max repetitions of any source (data-constrained rule)
+_BUDGET_MULT = 2        # training budget = 2x the unique-token pool
+
+
+@query(
+    "pipeline_epoch_cap_allocation",
+    oracle=f"""
+    WITH src AS (
+      SELECT source,
+             CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+                  AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(tokens) AS BIGINT) AS pool,
+             CAST(SUM(tokens) AS BIGINT) * {_BUDGET_MULT} AS budget
+      FROM src
+    ), w AS (
+      SELECT s.source, s.tokens, t.pool, t.budget,
+             CAST(FLOOR(CAST(s.tokens AS DOUBLE) / t.pool * 1000000 + 0.5)
+                  AS BIGINT) AS w_micro
+      FROM src s, tot t
+    ), pass1 AS (
+      SELECT source, tokens, budget,
+             LEAST(CAST(FLOOR(CAST(w_micro AS DOUBLE) / 1000000 * budget + 0.5)
+                        AS BIGINT),
+                   {_EPOCH_CAP} * tokens) AS alloc1,
+             {_EPOCH_CAP} * tokens AS cap
+      FROM w
+    ), spill AS (
+      SELECT CAST(MAX(budget) - SUM(alloc1) AS BIGINT) AS leftover,
+             CAST(SUM(cap - alloc1) AS BIGINT) AS headroom
+      FROM pass1
+    )
+    SELECT p.source,
+           p.tokens AS unique_tokens,
+           p.alloc1 + LEAST(
+             CAST(FLOOR(CAST(s.leftover AS DOUBLE)
+                        * (p.cap - p.alloc1) / NULLIF(s.headroom, 0) + 0.5)
+                  AS BIGINT),
+             p.cap - p.alloc1) AS allocated_tokens,
+           ROUND(CAST(p.alloc1 + LEAST(
+             CAST(FLOOR(CAST(s.leftover AS DOUBLE)
+                        * (p.cap - p.alloc1) / NULLIF(s.headroom, 0) + 0.5)
+                  AS BIGINT),
+             p.cap - p.alloc1) AS DOUBLE) / p.tokens, 6) AS epochs
+    FROM pass1 p, spill s
+    """,
+)
+def pipeline_epoch_cap_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH-CAPPED DATA ALLOCATION (the data-constrained training rule
+    of Muennighoff et al. 2023: repeating data beyond ~4 epochs stops
+    helping): given a token budget of 2× the unique pool and a per-source
+    cap of 4 epochs, allocate tokens per source — pass 1 gives each
+    source its proportional share clamped to its cap; pass 2 spreads the
+    leftover over remaining headroom (clamped again). Token counts are
+    whitespace counts (integer-exact); proportional weights are
+    1e6-quantized with the FLOOR(x+0.5) quantizer, so every allocation
+    is an exact BIGINT and the per-source epochs column is one final
+    division. This is the budgeting step that sits between the corpus
+    stats queries and the mixing/sampling stages
+    (pipeline_domain_mix / pipeline_temperature_mixture) in a real
+    pretraining data plan."""
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        )
+        .cast("bigint")
+        .alias("tokens")
+    )
+    tot = src.agg(
+        F.sum("tokens").cast("bigint").alias("pool"),
+        (F.sum("tokens").cast("bigint") * _BUDGET_MULT).alias("budget"),
+    )
+    w = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        "budget",
+        F.floor(F.col("tokens").cast("double") / F.col("pool") * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("w_micro"),
+    )
+    pass1 = w.select(
+        "source",
+        "tokens",
+        "budget",
+        F.least(
+            F.floor(
+                F.col("w_micro").cast("double") / 1000000 * F.col("budget") + 0.5
+            ).cast("bigint"),
+            F.lit(_EPOCH_CAP) * F.col("tokens"),
+        ).alias("alloc1"),
+        (F.lit(_EPOCH_CAP) * F.col("tokens")).alias("cap"),
+    )
+    spill = pass1.agg(
+        (F.max("budget") - F.sum("alloc1")).cast("bigint").alias("leftover"),
+        F.sum(F.col("cap") - F.col("alloc1")).cast("bigint").alias("headroom"),
+    )
+    extra = F.least(
+        F.floor(
+            F.col("leftover").cast("double")
+            * (F.col("cap") - F.col("alloc1"))
+            / F.nullif(F.col("headroom"), F.lit(0))
+            + 0.5
+        ).cast("bigint"),
+        F.col("cap") - F.col("alloc1"),
+    )
+    return pass1.crossJoin(F.broadcast(spill)).select(
+        "source",
+        F.col("tokens").alias("unique_tokens"),
+        (F.col("alloc1") + extra).alias("allocated_tokens"),
+        F.round(
+            (F.col("alloc1") + extra).cast("double") / F.col("tokens"), 6
+        ).alias("epochs"),
+    )

@@ -1060,3 +1060,245 @@ def pipeline_epoch_cap_allocation(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("alloc1") + extra).cast("double") / F.col("tokens"), 6
         ).alias("epochs"),
     )
+
+
+@query(
+    "join_spatial_nearest_neighbor",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST(('0x' || substr(md5('lat:' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 180001 AS latm,
+             CAST(('0x' || substr(md5('lon:' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 360001 AS lonm
+      FROM customer
+    ), f AS (
+      SELECT id, latm / 1000.0 - 90 AS lat, lonm / 1000.0 - 180 AS lon
+      FROM pts
+      WHERE latm BETWEEN 30000 AND 150000 AND lonm BETWEEN 3000 AND 357000
+    ), cand AS (
+      SELECT a.id, b.id AS nn_id,
+             """
+    + _HAV_SQL.format(lat1="a.lat", lon1="a.lon", lat2="b.lat", lon2="b.lon")
+    + """ AS d
+      FROM f a JOIN f b ON a.id <> b.id
+    ), ranked AS (
+      SELECT id, nn_id, d,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, nn_id) AS rk
+      FROM cand WHERE d <= 150
+    )
+    SELECT id, nn_id, ROUND(d, 3) AS dist_km FROM ranked WHERE rk = 1
+    """,
+)
+def join_spatial_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPATIAL NEAREST NEIGHBOR — each customer's closest other customer
+    within 150 km (the store-siting / territory question), sharing
+    join_spatial_grid_pairs' machinery: grid-cell probes generate the
+    candidates, then one id-partitioned row_number picks the minimum
+    (ordered by raw distance with the neighbor-id tiebreak — the raw
+    doubles are engine-identical, so the pick is too). The radius bound
+    makes grid candidates COMPLETE (the probe-reach proof), which is
+    what lets a pruned plan answer a nearest-neighbor question exactly;
+    the unbounded-NN variant needs expanding-ring probes instead. The
+    oracle ranks the brute-force O(n²) candidates — MATCH certifies the
+    grid finds every point's true within-radius NN."""
+    cust = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey").cast("string")
+    pts = (
+        cust.select(
+            F.col("c_custkey").alias("id"),
+            (portable_hash64(F.concat(F.lit("lat:"), key)) % 180001).alias("latm"),
+            (portable_hash64(F.concat(F.lit("lon:"), key)) % 360001).alias("lonm"),
+        )
+        .where(F.col("latm").between(30000, 150000) & F.col("lonm").between(3000, 357000))
+        .select(
+            "id",
+            (F.col("latm") / 1000.0 - 90).alias("lat"),
+            (F.col("lonm") / 1000.0 - 180).alias("lon"),
+            F.expr("latm DIV 1500").alias("cy"),
+            F.expr("lonm DIV 1500").alias("cx"),
+        )
+    )
+    probes = (
+        pts.select(
+            F.col("id").alias("a_id"),
+            F.col("lat").alias("a_lat"),
+            F.col("lon").alias("a_lon"),
+            "cy",
+            "cx",
+            F.explode(F.array([F.lit(d) for d in (-1, 0, 1)])).alias("dy"),
+        )
+        .select(
+            "a_id",
+            "a_lat",
+            "a_lon",
+            (F.col("cy") + F.col("dy")).alias("pcy"),
+            "cx",
+            F.explode(F.array([F.lit(d) for d in (-2, -1, 0, 1, 2)])).alias("dx"),
+        )
+        .select("a_id", "a_lat", "a_lon", "pcy", (F.col("cx") + F.col("dx")).alias("pcx"))
+    )
+    right = pts.select(
+        F.col("id").alias("b_id"),
+        F.col("lat").alias("b_lat"),
+        F.col("lon").alias("b_lon"),
+        F.col("cy").alias("bcy"),
+        F.col("cx").alias("bcx"),
+    )
+    dist = _haversine_km(F.col("a_lat"), F.col("a_lon"), F.col("b_lat"), F.col("b_lon"))
+    cand = (
+        probes.join(
+            right,
+            (F.col("pcy") == F.col("bcy"))
+            & (F.col("pcx") == F.col("bcx"))
+            & (F.col("a_id") != F.col("b_id")),
+        )
+        .select(
+            F.col("a_id").alias("id"),
+            F.col("b_id").alias("nn_id"),
+            dist.alias("d"),
+        )
+        .where(F.col("d") <= 150)
+    )
+    w = Window.partitionBy("id").orderBy("d", "nn_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("id", "nn_id", F.round("d", 3).alias("dist_km"))
+    )
+
+
+@query(
+    "scalar_array_hof_zoo",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey, generate_series(1, 1 + o_orderkey % 6) AS l
+      FROM orders WHERE o_orderkey < 300
+    )
+    SELECT o_orderkey,
+           list_transform(l, x -> x * x) AS squares,
+           list_filter(l, x -> x % 2 = 0) AS evens,
+           CAST(list_sum(l) AS BIGINT) AS total,
+           list_sort(l, 'DESC') AS descending,
+           list_sort(list_distinct(l || l)) AS dedup_sorted,
+           list_contains(l, 3) AS has3,
+           array_to_string(l, '-') AS joined,
+           list_transform(generate_series(1, len(l)),
+                          i -> l[i] + l[len(l) - i + 1]) AS zip_rev_sum,
+           len(list_filter(l, x -> x > 4)) > 0 AS exists_gt4
+    FROM b
+    """,
+)
+def scalar_array_hof_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIGHER-ORDER-FUNCTION CONFORMANCE ZOO — the lambda surface
+    (transform / filter / aggregate / zip_with / exists) that array-heavy
+    pipelines (embeddings, token lists, shingles) live on, pinned
+    value-for-value against DuckDB's list_* family. Portability traps
+    this zoo encodes: DuckDB ``range(a, b)`` is END-EXCLUSIVE where
+    Spark ``sequence(a, b)`` is inclusive (the oracle must use
+    generate_series); DuckDB ``list_distinct`` does NOT preserve
+    first-occurrence order while Spark ``array_distinct`` does (both
+    sides sort after dedup, or the value hash splits); DuckDB has no
+    zip_with, so the oracle rebuilds it as an index transform over
+    1-based list extracts. All lambdas are codegen'd JVM-side in
+    Spark — no Python UDF anywhere."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    b = o.select(
+        "o_orderkey",
+        F.sequence(F.lit(1), 1 + F.col("o_orderkey") % 6).alias("l"),
+    )
+    l = F.col("l")
+    return b.select(
+        "o_orderkey",
+        F.transform(l, lambda x: x * x).alias("squares"),
+        F.filter(l, lambda x: x % 2 == 0).alias("evens"),
+        F.aggregate(
+            l, F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("total"),
+        F.sort_array(l, asc=False).alias("descending"),
+        F.array_sort(F.array_distinct(F.concat(l, l))).alias("dedup_sorted"),
+        F.array_contains(l, 3).alias("has3"),
+        F.array_join(F.transform(l, lambda x: x.cast("string")), "-").alias(
+            "joined"
+        ),
+        F.zip_with(l, F.reverse(l), lambda a, c: a + c).alias("zip_rev_sum"),
+        F.exists(l, lambda x: x > 4).alias("exists_gt4"),
+    )
+
+
+@query(
+    "events_conversion_latency_quartiles",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(epoch_us(ts)) AS first_us,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS conv_us
+      FROM events GROUP BY user_id
+    ), lat AS (
+      SELECT user_id,
+             (conv_us - first_us) // 1000000 AS latency_s
+      FROM per_user WHERE conv_us IS NOT NULL AND conv_us > first_us
+    ), ranked AS (
+      SELECT latency_s,
+             CAST(ROW_NUMBER() OVER (ORDER BY latency_s, user_id) AS BIGINT)
+               AS r
+      FROM lat
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ranked)
+    SELECT n.n AS n_converting_users,
+           (SELECT latency_s FROM ranked
+            WHERE r = CAST(CEIL(0.25 * n.n) AS BIGINT)) AS q1_s,
+           (SELECT latency_s FROM ranked
+            WHERE r = CAST(CEIL(0.5 * n.n) AS BIGINT)) AS median_s,
+           (SELECT latency_s FROM ranked
+            WHERE r = CAST(CEIL(0.75 * n.n) AS BIGINT)) AS q3_s
+    FROM n
+    """,
+)
+def events_conversion_latency_quartiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONVERSION-LATENCY QUARTILES — exact q1/median/q3 of the seconds
+    between a user's FIRST event and FIRST purchase (the activation-
+    speed number growth teams watch; users whose first event IS the
+    purchase are excluded as having no journey). Latencies are exact
+    integer seconds from microsecond epochs; the quartiles are the
+    ceil(q·n) LOWER order statistics picked by one broadcast equi-join
+    on the two-phase distributed rank (operators/ranking.py) — entity-
+    scaled, no single-partition window, same shape as
+    stats_median_ci_exact."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("first_us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("conv_us"),
+    )
+    lat = per_user.where(
+        F.col("conv_us").isNotNull() & (F.col("conv_us") > F.col("first_us"))
+    ).select(
+        "user_id",
+        F.expr("(conv_us - first_us) DIV 1000000").alias("latency_s"),
+    )
+    ranked = attach_global_order_stats(
+        lat, [("latency_s", "asc"), ("user_id", "asc")], row_number="r"
+    )
+    ks = ranked.agg(F.count("*").cast("bigint").alias("n")).select(
+        "n",
+        F.ceil(0.25 * F.col("n")).cast("bigint").alias("k1"),
+        F.ceil(0.5 * F.col("n")).cast("bigint").alias("k2"),
+        F.ceil(0.75 * F.col("n")).cast("bigint").alias("k3"),
+    )
+    picks = ranked.select("r", "latency_s").join(
+        F.broadcast(ks),
+        (F.col("r") == F.col("k1"))
+        | (F.col("r") == F.col("k2"))
+        | (F.col("r") == F.col("k3")),
+    )
+    return picks.groupBy("n").agg(
+        F.max(F.when(F.col("r") == F.col("k1"), F.col("latency_s"))).alias("q1_s"),
+        F.max(F.when(F.col("r") == F.col("k2"), F.col("latency_s"))).alias("median_s"),
+        F.max(F.when(F.col("r") == F.col("k3"), F.col("latency_s"))).alias("q3_s"),
+    ).select(
+        F.col("n").alias("n_converting_users"), "q1_s", "median_s", "q3_s"
+    )

@@ -1176,15 +1176,16 @@ def join_spatial_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame
       FROM orders WHERE o_orderkey < 300
     )
     SELECT o_orderkey,
-           list_transform(l, x -> x * x) AS squares,
-           list_filter(l, x -> x % 2 = 0) AS evens,
+           array_to_string(list_transform(l, x -> x * x), '-') AS squares,
+           COALESCE(array_to_string(list_filter(l, x -> x % 2 = 0), '-'), '')
+             AS evens,
            CAST(list_sum(l) AS BIGINT) AS total,
-           list_sort(l, 'DESC') AS descending,
-           list_sort(list_distinct(l || l)) AS dedup_sorted,
+           array_to_string(list_sort(l, 'DESC'), '-') AS descending,
+           array_to_string(list_sort(list_distinct(l || l)), '-') AS dedup_sorted,
            list_contains(l, 3) AS has3,
            array_to_string(l, '-') AS joined,
-           list_transform(generate_series(1, len(l)),
-                          i -> l[i] + l[len(l) - i + 1]) AS zip_rev_sum,
+           array_to_string(list_transform(generate_series(1, len(l)),
+                          i -> l[i] + l[len(l) - i + 1]), '-') AS zip_rev_sum,
            len(list_filter(l, x -> x > 4)) > 0 AS exists_gt4
     FROM b
     """,
@@ -1208,20 +1209,25 @@ def scalar_array_hof_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), 1 + F.col("o_orderkey") % 6).alias("l"),
     )
     l = F.col("l")
+    def joined_str(col):
+        return F.array_join(F.transform(col, lambda x: x.cast("string")), "-")
+
     return b.select(
         "o_orderkey",
-        F.transform(l, lambda x: x * x).alias("squares"),
-        F.filter(l, lambda x: x % 2 == 0).alias("evens"),
+        joined_str(F.transform(l, lambda x: x * x)).alias("squares"),
+        joined_str(F.filter(l, lambda x: x % 2 == 0)).alias("evens"),
         F.aggregate(
             l, F.lit(0).cast("bigint"), lambda a, x: a + x
         ).alias("total"),
-        F.sort_array(l, asc=False).alias("descending"),
-        F.array_sort(F.array_distinct(F.concat(l, l))).alias("dedup_sorted"),
-        F.array_contains(l, 3).alias("has3"),
-        F.array_join(F.transform(l, lambda x: x.cast("string")), "-").alias(
-            "joined"
+        joined_str(F.sort_array(l, asc=False)).alias("descending"),
+        joined_str(F.array_sort(F.array_distinct(F.concat(l, l)))).alias(
+            "dedup_sorted"
         ),
-        F.zip_with(l, F.reverse(l), lambda a, c: a + c).alias("zip_rev_sum"),
+        F.array_contains(l, 3).alias("has3"),
+        joined_str(l).alias("joined"),
+        joined_str(
+            F.zip_with(l, F.reverse(l), lambda a, c: a + c)
+        ).alias("zip_rev_sum"),
         F.exists(l, lambda x: x > 4).alias("exists_gt4"),
     )
 

@@ -1308,3 +1308,84 @@ def events_conversion_latency_quartiles(
     ).select(
         F.col("n").alias("n_converting_users"), "q1_s", "median_s", "q3_s"
     )
+
+
+@query(
+    "agg_revenue_bridge_yoy",
+    oracle="""
+    WITH base AS (
+      SELECT p.p_brand,
+             CAST(strftime(l.l_shipdate, '%Y') AS INT) AS yr,
+             CAST(SUM(CAST(ROUND(l.l_quantity, 0) AS BIGINT)) AS BIGINT) AS qty,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE CAST(strftime(l.l_shipdate, '%Y') AS INT) IN (1996, 1997)
+      GROUP BY 1, 2
+    ), pivoted AS (
+      SELECT p_brand,
+             CAST(SUM(CASE WHEN yr = 1996 THEN qty END) AS BIGINT) AS q0,
+             CAST(SUM(CASE WHEN yr = 1996 THEN cents END) AS BIGINT) AS r0,
+             CAST(SUM(CASE WHEN yr = 1997 THEN qty END) AS BIGINT) AS q1,
+             CAST(SUM(CASE WHEN yr = 1997 THEN cents END) AS BIGINT) AS r1
+      FROM base GROUP BY p_brand
+    )
+    SELECT p_brand,
+           ROUND((r1 - r0) / 100.0, 2) AS total_delta,
+           ROUND((q1 - q0) * (CAST(r0 AS DOUBLE) / q0) / 100.0, 2)
+             AS volume_effect,
+           ROUND(q1 * (CAST(r1 AS DOUBLE) / q1 - CAST(r0 AS DOUBLE) / q0)
+                 / 100.0, 2) AS price_effect
+    FROM pivoted
+    WHERE q0 IS NOT NULL AND q1 IS NOT NULL AND q0 > 0 AND q1 > 0
+    """,
+)
+def agg_revenue_bridge_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVENUE BRIDGE (price/volume waterfall) — the FP&A decomposition
+    of a year-over-year revenue change into what volume did and what
+    price did, per brand: volume effect = Δqty · p₀, price effect =
+    q₁ · Δp, which sum EXACTLY to the total delta by construction
+    ((q₁−q₀)p₀ + q₁(p₁−p₀) = q₁p₁ − q₀p₀ — the additivity that makes
+    a waterfall chart tie out). Quantities and revenue cents are exact
+    BIGINTs from one brand×year aggregate; average prices and effects
+    are fixed-order double arithmetic on those exact integers, rounded
+    at 2. Brands missing from either year are excluded (their bridge is
+    pure churn, a different row type)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    base = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .where(F.year("l_shipdate").isin(1996, 1997))
+        .groupBy("p_brand", F.year("l_shipdate").alias("yr"))
+        .agg(
+            F.sum(F.round("l_quantity", 0).cast("bigint"))
+            .cast("bigint")
+            .alias("qty"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    piv = base.groupBy("p_brand").agg(
+        F.sum(F.when(F.col("yr") == 1996, F.col("qty"))).cast("bigint").alias("q0"),
+        F.sum(F.when(F.col("yr") == 1996, F.col("cents"))).cast("bigint").alias("r0"),
+        F.sum(F.when(F.col("yr") == 1997, F.col("qty"))).cast("bigint").alias("q1"),
+        F.sum(F.when(F.col("yr") == 1997, F.col("cents"))).cast("bigint").alias("r1"),
+    )
+    p0 = F.col("r0").cast("double") / F.col("q0")
+    p1 = F.col("r1").cast("double") / F.col("q1")
+    return piv.where(
+        F.col("q0").isNotNull()
+        & F.col("q1").isNotNull()
+        & (F.col("q0") > 0)
+        & (F.col("q1") > 0)
+    ).select(
+        "p_brand",
+        F.round((F.col("r1") - F.col("r0")) / 100.0, 2).alias("total_delta"),
+        F.round((F.col("q1") - F.col("q0")) * p0 / 100.0, 2).alias("volume_effect"),
+        F.round(F.col("q1") * (p1 - p0) / 100.0, 2).alias("price_effect"),
+    )

@@ -864,74 +864,116 @@ def embedding_near_pairs_bucketed(
     planes: list[list[float]],
     threshold: float = 0.95,
     bands: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs with an LSH-bucket prefilter — the
     100 TB path for ``embedding_near_pairs``.
 
-    Each vector gets a ``len(planes)``-bit hyperplane-sign signature, split
-    into ``bands`` bands; candidate pairs are generated by an EQUI-JOIN on
-    (band, band-bits) — cost Σ bucket², never n² — then verified with the
-    exact cosine. Near-identical vectors agree on almost every hyperplane
-    sign (collision prob per plane = 1 - θ/π), so a pair at cosine ≥ 0.9
-    shares at least one 4-bit band with ~95%+ probability; recall vs the
-    exact operator is measured in tests/test_similarity.py and SCALE.md.
+    Each vector gets per-band hyperplane-sign bucket keys (``band_buckets``
+    — per-band packing, so plane count is NOT capped at 63 by a single
+    long); candidate pairs come from an EQUI-JOIN on (band, bucket) — cost
+    Σ bucket², never n² — then the exact-cosine verify. Near-identical
+    vectors agree on almost every hyperplane sign (collision prob per
+    plane = 1 - θ/π), so near-dup recall stays high even at 16-bit bands;
+    measured in tests/test_similarity.py and SCALE.md.
+
+    ``max_bucket`` is the scale guard (mirrors the fuzzy family's
+    heavy-block cap): a (band, bucket) group larger than ``max_bucket``
+    would contribute bucket² candidates — on skewed/low-rank embeddings a
+    single hot bucket can approach n even with 65k buckets per band
+    (measured: max bucket 382/65,536 on the sf0.1 test embeddings). Heavy
+    buckets degrade to ANCHOR-STAR linking: each member pairs only with
+    the bucket's min-id anchor (bucket−1 candidates, not bucket²), which
+    preserves connected-component dedup for true near-dup clusters (every
+    mate still verifies against the anchor) while bounding total candidates
+    at Σ_light bucket² + Σ_heavy bucket ≤ n·(max_bucket + bands) — linear
+    in n. Heavy MIXED buckets lose non-anchor pairs, the same
+    recall-for-boundedness trade ``cap_doc_freq`` makes; the heavy set
+    itself is tiny (≤ n·bands/max_bucket keys), so both its anti-join and
+    its star join broadcast.
 
     Output is a SUBSET of ``embedding_near_pairs(threshold)`` — identical
     verify expression (round(cos, 6) ≥ threshold), fewer candidate pairs.
     """
-    from .similarity import hyperplane_signature
+    from .similarity import band_buckets
 
-    bits = len(planes)
-    per_band = bits // bands
-    mask = (1 << per_band) - 1
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         norm(vec_col).alias("nrm"),
-        hyperplane_signature(vec_col, planes).alias("sig"),
+        band_buckets(vec_col, planes, bands).alias("bb"),
     )
     banded = banded_explode(
-        base,
-        ["id", "v", "nrm", "sig"],
-        [
-            F.shiftrightunsigned("sig", b * per_band).bitwiseAND(F.lit(mask))
-            for b in range(bands)
-        ],
+        base, ["id", "v", "nrm"], [F.col("bb")[b] for b in range(bands)]
     )
     # spread the verify join across every core (see similarity.py note):
     # broadcast self-joins parallelize by stream-side partitions, and a
     # single-file source would otherwise run the whole Σ bucket² scoring
     # in one or two tasks
     banded = banded.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    a, b = banded.alias("a"), banded.alias("b")
     from ..functions.vectors import dot as vdot
 
-    # pair-dedup WITHOUT a shuffle: a pair colliding in several bands is
-    # kept only in its LOWEST matching band (expression filter — both sigs
-    # are in hand), and the cosine verify runs INSIDE the join projection,
-    # so rejected candidates never reach an exchange
-    def _band_bits(col, bb):
-        return F.shiftrightunsigned(col, bb * per_band).bitwiseAND(F.lit(mask))
+    def _pairs(left, right):
+        cos = vdot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+        return (
+            left.alias("a")
+            .join(
+                right.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.round(cos, 6).alias("cos_sim"),
+            )
+        )
 
-    lowest_band = F.lit(True)
-    for bb in range(bands - 1):
-        lowest_band = lowest_band & (
-            (F.col("a.band") <= bb)
-            | (_band_bits(F.col("a.sig"), bb) != _band_bits(F.col("b.sig"), bb))
+    if max_bucket is None:
+        cand = _pairs(banded, banded)
+    else:
+        # heavy (band, bucket) keys + their min-id anchors: one aggregate on
+        # the band join key; the surviving set is ≤ n·bands/max_bucket rows
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("bc"), F.min("id").alias("anchor"))
+            .filter(F.col("bc") > max_bucket)
         )
-    cos = vdot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id"))
-            & lowest_band,
+        light = banded.join(
+            F.broadcast(hot.select("band", "bucket")), ["band", "bucket"], "left_anti"
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(cos, 6).alias("cos_sim"),
+        # the anchor's vector, fetched from its own banded row (the anchor
+        # is a member of the heavy bucket, so its (band, id) row carries
+        # the right v/nrm); hot is tiny → both joins broadcast
+        anchors = (
+            F.broadcast(hot.select("band", "bucket", "anchor"))
+            .join(
+                banded.select(
+                    F.col("band").alias("band2"),
+                    F.col("id").alias("anchor2"),
+                    F.col("v").alias("av"),
+                    F.col("nrm").alias("anrm"),
+                ),
+                (F.col("band") == F.col("band2"))
+                & (F.col("anchor") == F.col("anchor2")),
+            )
+            .select("band", "bucket", "anchor", "av", "anrm")
         )
-        .filter(F.col("cos_sim") >= threshold)
+        star_cos = vdot(F.col("av"), F.col("v")) / (F.col("anrm") * F.col("nrm"))
+        star = (
+            banded.join(F.broadcast(anchors), ["band", "bucket"])
+            .filter(F.col("id") != F.col("anchor"))
+            .select(
+                F.col("anchor").alias("id_a"),  # anchor = min(id) → id_a < id_b
+                F.col("id").alias("id_b"),
+                F.round(star_cos, 6).alias("cos_sim"),
+            )
+        )
+        cand = _pairs(light, light).unionByName(star)
+    # a pair colliding in several bands (or in both a light and a heavy
+    # band) appears once per collision; the verify filter runs first, so
+    # the dedup exchange is OUTPUT-sized, not candidate-sized
+    return cand.filter(F.col("cos_sim") >= threshold).dropDuplicates(
+        ["id_a", "id_b"]
     )

@@ -68,6 +68,41 @@ def hyperplane_signature(vec_col, planes: list[list[float]]):
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
+def band_buckets(vec_col, planes: list[list[float]], bands: int):
+    """Per-band LSH bucket keys as one ``array<long>`` — band *b*'s key is
+    the sign pattern of planes ``[b·w, (b+1)·w)`` packed little-endian.
+
+    Unlike ``hyperplane_signature`` (one packed long, ≤ 63 planes), each
+    band packs only ``len(planes)/bands`` bits, so total plane count is
+    unbounded — the knob that lets the band-join bucket count scale with
+    corpus size (64 planes / 4 bands = 65,536 buckets per band) instead of
+    being pinned at 2^8 by the single-long ceiling. Same codegen-loop
+    construction: one ``transform`` over the literal plane matrix, then a
+    weighted fold per band slice."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    from ..functions.vectors import literal_matrix
+
+    bits = len(planes)
+    if bits % bands:
+        raise ValueError(f"{bits} planes do not split into {bands} bands")
+    per_band = bits // bands
+    planes_lit = literal_matrix(planes)
+    dots = F.transform(planes_lit, lambda p: dot(v, p))
+    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(per_band)])
+    return F.array(*[
+        F.aggregate(
+            F.zip_with(
+                F.slice(dots, b * per_band + 1, per_band),
+                weights,
+                lambda d, w: F.when(d > 0, w).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        for b in range(bands)
+    ])
+
+
 def lsh_bucketed_knn(
     spark: SparkSession,
     df: DataFrame,

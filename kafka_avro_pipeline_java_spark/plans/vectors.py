@@ -154,33 +154,44 @@ def knn_all_pairs_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMB_DIM = 64          # driver test embeddings (TESTDATA.md)
 _EMB_PLANES = lcg_planes(8, _EMB_DIM, seed=42)
 _EMB_BANDS = 2
-# Near-dup prefilter geometry: 2 bands × 8 bits. Candidate volume on
-# uniform data is bands/2^bits = n²/128 — 16× below the old 2×4-bit
-# setting (measured 7.45s → see SCALE.md); recall in the near-dup regime
-# the operator exists for (cluster mates at cos ≥ 0.99, per-plane sign
-# agreement ~0.99) is ~0.99 (0.99⁸ ≈ 0.92 per band, 2 bands ≈ 0.994 —
-# re-asserted at this exact geometry in tests/test_similarity.py).
-# Looser thresholds want more bands, not more bits: bands is a parameter.
-_DEDUP_PLANES = lcg_planes(16, _EMB_DIM, seed=42)
-_DEDUP_BANDS = 2
+# Near-dup prefilter geometry: 4 bands × 16 bits = 65,536 buckets per
+# band (was 2×8 = 256/band, whose FIXED bucket count made the band join
+# asymptotically n²/256 — flagged by the r10 audit). Wide bands keep
+# near-dup recall: cluster mates at cos ≥ 0.99 agree per plane with
+# p ≈ 0.98, so a 16-bit band collides at 0.98¹⁶ ≈ 0.72 and four bands at
+# 1−0.28⁴ ≈ 0.994 — re-asserted at this exact geometry in
+# tests/test_similarity.py. Bucket count alone is NOT the scale
+# guarantee (the test embeddings are sign-correlated: max bucket 382 of
+# 65,536 at sf0.1), so the graded queries also pass
+# _DEDUP_MAX_BUCKET, the anchor-star heavy-bucket cap that bounds
+# candidates at n·(cap + bands) regardless of skew — see
+# operators/dedup.py::embedding_near_pairs_bucketed.
+_DEDUP_PLANES = lcg_planes(64, _EMB_DIM, seed=42)
+_DEDUP_BANDS = 4
+_DEDUP_MAX_BUCKET = 100
 
 
 def _sig_banded_ctes(planes: list[list[float]], bands: int) -> str:
-    """Shared oracle fragment: per-vector hyperplane-sign signature + band
-    buckets, computed from the same literal plane values the Spark plan
-    embeds (so both engines derive identical buckets)."""
+    """Shared oracle fragment: per-vector hyperplane-sign band buckets,
+    computed from the same literal plane values the Spark plan embeds (so
+    both engines derive identical buckets). Buckets are packed PER BAND
+    (mirror of operators/similarity.py::band_buckets), so plane count is
+    not limited to 63 by a single packed integer."""
     bits = len(planes)
     per_band = bits // bands
-    mask = (1 << per_band) - 1
     dot_cols = ",\n             ".join(
         f"SUM(CAST(embedding[i.i] AS DOUBLE) * CAST(([{', '.join(repr(x) for x in p)}])[i.i] AS DOUBLE)) AS d{j}"
         for j, p in enumerate(planes)
     )
-    sig_sum = " + ".join(
-        f"(CASE WHEN d{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
-    )
+    d_list = ", ".join(f"d{j}" for j in range(bits))
     band_selects = "\n      UNION ALL\n".join(
-        f"      SELECT vec_id, sig, nrm, {b} AS band, (sig // {1 << (b * per_band)}) % {mask + 1} AS bucket FROM sig"
+        "      SELECT vec_id, nrm, {b} AS band, {expr} AS bucket FROM sig".format(
+            b=b,
+            expr=" + ".join(
+                f"(CASE WHEN d{b * per_band + j} > 0 THEN {1 << j} ELSE 0 END)"
+                for j in range(per_band)
+            ),
+        )
         for b in range(bands)
     )
     return f"""ex AS (SELECT vec_id, embedding FROM embeddings),
@@ -191,21 +202,42 @@ def _sig_banded_ctes(planes: list[list[float]], bands: int) -> str:
       FROM ex, UNNEST(range(1, len(embedding) + 1)) AS i(i)
       GROUP BY vec_id
     ), sig AS (
-      SELECT vec_id, SQRT(nsq) AS nrm, {sig_sum} AS sig FROM dots
+      SELECT vec_id, SQRT(nsq) AS nrm, {d_list} FROM dots
     ), banded AS (
 {band_selects}
     )"""
 
 
 def _bucketed_embedding_oracle(planes: list[list[float]], bands: int,
-                               threshold: float) -> str:
-    return f"""
-    WITH {_sig_banded_ctes(planes, bands)}, cand AS (
+                               threshold: float,
+                               max_bucket: int | None = None) -> str:
+    if max_bucket is None:
+        cand = """cand AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
       GROUP BY 1, 2
-    ), pair_dots AS (
+    )"""
+    else:
+        # mirror of the Spark heavy-bucket cap: buckets over max_bucket
+        # degrade to anchor-star pairs (min-id anchor × each member)
+        cand = f"""bstats AS (
+      SELECT band, bucket, COUNT(*) AS bc, MIN(vec_id) AS anchor
+      FROM banded GROUP BY 1, 2
+    ), cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM banded a
+      JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      JOIN bstats s ON s.band = a.band AND s.bucket = a.bucket
+      WHERE s.bc <= {max_bucket}
+      UNION
+      SELECT s.anchor AS id_a, b.vec_id AS id_b
+      FROM bstats s JOIN banded b ON b.band = s.band AND b.bucket = s.bucket
+      WHERE s.bc > {max_bucket} AND b.vec_id <> s.anchor
+    )"""
+    return f"""
+    WITH {_sig_banded_ctes(planes, bands)}, {cand}, pair_dots AS (
       SELECT c.id_a, c.id_b,
              SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) AS dp
       FROM cand c
@@ -254,20 +286,29 @@ def _bucketed_topk_oracle(planes: list[list[float]], bands: int, k: int) -> str:
 
 @query(
     "dedup_embedding_bucketed",
-    oracle=_bucketed_embedding_oracle(_DEDUP_PLANES, _DEDUP_BANDS, 0.4),
+    oracle=_bucketed_embedding_oracle(
+        _DEDUP_PLANES, _DEDUP_BANDS, 0.4, max_bucket=_DEDUP_MAX_BUCKET
+    ),
 )
 def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs via the LSH-bucket prefilter (16 hyperplane
-    signs, 2 bands of 8 bits — see _DEDUP_PLANES note for the geometry
+    """Embedding near-dup pairs via the LSH-bucket prefilter (64 hyperplane
+    signs, 4 bands of 16 bits — see _DEDUP_PLANES note for the geometry
     math) + exact cosine verify — the scale path whose candidate join is
-    Σ bucket² (n²/128 uniform) instead of n². Value-checked against a
-    DuckDB oracle computing the identical signatures from the same literal
-    hyperplanes. Threshold 0.4 mirrors dedup_embedding_cosine (the test
-    embeddings have no pairs above ~0.51); recall at this exact geometry is
-    re-asserted on clustered data in tests/test_similarity.py and SCALE.md."""
+    Σ bucket² with buckets bounded by the heavy-bucket anchor-star cap
+    (max_bucket=100, mirrored in the oracle's bstats CTE), so total
+    candidates are ≤ n·(cap + bands) even on sign-correlated corpora where
+    one bucket holds a large share of the table. Value-checked against a
+    DuckDB oracle computing the identical signatures, buckets, cap and
+    star pairs from the same literal hyperplanes (the cap path is LIVE at
+    sf0.1: max bucket 382 > 100). Threshold 0.4 mirrors
+    dedup_embedding_cosine; near-dup recall at this exact geometry is
+    re-asserted on clustered data in tests/test_similarity.py, and the
+    sub-quadratic candidate bound on a planted 500-identical cluster in
+    tests/test_dedup_skew.py."""
     e = load_table(spark, sf_dir, "embeddings")
     return dedup.embedding_near_pairs_bucketed(
-        e, "embedding", "vec_id", _DEDUP_PLANES, threshold=0.4, bands=_DEDUP_BANDS
+        e, "embedding", "vec_id", _DEDUP_PLANES, threshold=0.4,
+        bands=_DEDUP_BANDS, max_bucket=_DEDUP_MAX_BUCKET,
     )
 
 

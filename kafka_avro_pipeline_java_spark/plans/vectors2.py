@@ -19,6 +19,7 @@ from ..sources import load_table
 from .registry import query
 from .vectors import (
     _DEDUP_BANDS,
+    _DEDUP_MAX_BUCKET,
     _DEDUP_PLANES,
     _EMB_DIM,
     _bucketed_embedding_oracle,
@@ -687,7 +688,8 @@ _DBSCAN_MINPTS = 3
                 ELSE 'noise' END AS role
     FROM base b LEFT JOIN near_core nc ON nc.id = b.id
     """.format(
-        pairs=_bucketed_embedding_oracle(_DEDUP_PLANES, _DEDUP_BANDS, _DBSCAN_TAU)
+        pairs=_bucketed_embedding_oracle(_DEDUP_PLANES, _DEDUP_BANDS, _DBSCAN_TAU,
+                                         max_bucket=_DEDUP_MAX_BUCKET)
     ),
 )
 def embedding_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -698,15 +700,17 @@ def embedding_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is then connected components over core-core edges — the
     repo's existing hybrid CC operator). The ε-neighborhood join rides
     the SAME LSH band-bucket prefilter as dedup_embedding_bucketed
-    (Σ bucket² candidates, never n²; the oracle recomputes the identical
-    literal-hyperplane signatures so bucket semantics are value-checked,
-    not assumed), followed by two degree aggregates and one semi-join —
-    all shuffles on the vector id. τ=0.2 / minPts=3 split the test
-    embeddings 268 core / 106 border-or-low / 70 isolated at sf0.01."""
+    (4×16-bit band buckets + the max_bucket=100 anchor-star cap, so
+    candidates are ≤ n·(cap + bands) even on sign-correlated data; the
+    oracle recomputes the identical literal-hyperplane buckets, cap and
+    star pairs, so the approximation is value-checked, not assumed),
+    followed by two degree aggregates and one semi-join — all shuffles on
+    the vector id. τ=0.2 / minPts=3 split the test embeddings
+    213 core / 26 border / 261 noise at sf0.01."""
     e = load_table(spark, sf_dir, "embeddings")
     pairs = dedup.embedding_near_pairs_bucketed(
         e, "embedding", "vec_id", _DEDUP_PLANES,
-        threshold=_DBSCAN_TAU, bands=_DEDUP_BANDS,
+        threshold=_DBSCAN_TAU, bands=_DEDUP_BANDS, max_bucket=_DEDUP_MAX_BUCKET,
     )
     ends = pairs.select(
         F.col("id_a").alias("id"), F.col("id_b").alias("nb")

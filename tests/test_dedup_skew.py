@@ -102,3 +102,75 @@ def test_hub_fanin_spreads_across_partitions(spark):
         assert sum(r["count"] for r in counts_s) == HUB_DEGREE  # no loss
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+# --------------------------------------------------------------------------
+# Embedding LSH heavy-bucket cap (operators/dedup.py::
+# embedding_near_pairs_bucketed max_bucket): a planted near-identical
+# cluster larger than the cap must degrade to anchor-star linking —
+# candidates linear in the cluster size, not quadratic — while still
+# resolving to ONE connected component for keep-one dedup.
+# --------------------------------------------------------------------------
+CLUSTER = 500  # > max_bucket=100: every band's bucket goes heavy
+
+
+def _planted_cluster(spark):
+    """500 near-identical vectors (one giant LSH bucket in every band) +
+    40 well-separated scatter vectors, dim 16, deterministic."""
+    import random
+
+    rng = random.Random(11)
+    center = [rng.gauss(0, 1) for _ in range(16)]
+    rows = [
+        (i, [x + rng.gauss(0, 0.01) for x in center]) for i in range(CLUSTER)
+    ]
+    for j in range(40):
+        rows.append((10_000 + j, [rng.gauss(0, 1) for _ in range(16)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_heavy_bucket_cap_is_subquadratic(spark):
+    """Uncapped, the 500-cluster contributes C(500,2) = 124,750 verified
+    pairs; with max_bucket=100 the giant bucket degrades to anchor-star
+    linking (noise-flipped signs also strand a few mates in small
+    satellite buckets, whose light-path all-pairs stay under cap²), so the
+    total must respect the documented n·(max_bucket + bands) linear bound
+    — measured 6,855 here, 18× under quadratic — and every mate must still
+    link to the min-id anchor for component resolution."""
+    from kafka_avro_pipeline_java_spark.functions.vectors import lcg_planes
+    from kafka_avro_pipeline_java_spark.operators import dedup
+
+    df = _planted_cluster(spark)
+    planes = lcg_planes(64, 16, seed=42)
+    pairs = dedup.embedding_near_pairs_bucketed(
+        df, "embedding", "vec_id", planes, threshold=0.9, bands=4, max_bucket=100
+    ).collect()
+    cluster_pairs = {(r["id_a"], r["id_b"]) for r in pairs if r["id_a"] < CLUSTER}
+    # the heavy-bucket star: every mate is reachable from the anchor (vec 0)
+    anchor_mates = {b for a, b in cluster_pairs if a == 0}
+    assert len(anchor_mates) >= CLUSTER * 0.95, (
+        f"anchor links only {len(anchor_mates)}/{CLUSTER - 1} mates"
+    )
+    # the scale bound: linear in n, nowhere near the 124,750 quadratic
+    n = CLUSTER + 40
+    assert len(cluster_pairs) <= n * (100 + 4), len(cluster_pairs)
+    assert len(cluster_pairs) < 0.1 * (CLUSTER * (CLUSTER - 1) // 2)
+    # scatter vectors are not near-dups of anything
+    assert all(r["id_a"] < CLUSTER for r in pairs)
+
+
+def test_embedding_heavy_bucket_cap_preserves_components(spark):
+    """keep-one dedup over the star-capped pairs must still collapse the
+    whole planted cluster to its single anchor survivor."""
+    from kafka_avro_pipeline_java_spark.functions.vectors import lcg_planes
+    from kafka_avro_pipeline_java_spark.operators import dedup
+
+    df = _planted_cluster(spark)
+    planes = lcg_planes(64, 16, seed=42)
+    pairs = dedup.embedding_near_pairs_bucketed(
+        df, "embedding", "vec_id", planes, threshold=0.9, bands=4, max_bucket=100
+    )
+    kept = dedup.dedup_keep_one(df, pairs, "vec_id").select("vec_id").collect()
+    ids = {r["vec_id"] for r in kept}
+    assert 0 in ids and len(ids & set(range(CLUSTER))) == 1  # one survivor
+    assert len(ids) == 1 + 40  # all scatter vectors untouched

@@ -133,25 +133,29 @@ def test_bucketed_embedding_near_dup_recall_clustered(spark, clustered):
 
 def test_bucketed_embedding_near_dup_recall_registered_geometry(spark, clustered):
     """Recall floor at the REGISTERED geometry of dedup_embedding_bucketed
-    (plans/vectors.py _DEDUP_PLANES: 2 bands × 8 bits): candidate volume is
-    n²/128 on uniform data, and cluster mates (cos >= 0.99, per-plane sign
-    agreement ~0.99) still collide in a band with ~0.99 probability —
-    8-bit-band collision 0.99^8 ~= 0.92, two bands ~= 0.994."""
+    (plans/vectors.py _DEDUP_PLANES: 4 bands × 16 bits, max_bucket=100):
+    cluster mates (cos >= 0.99, per-plane sign agreement ~0.98) collide in
+    a 16-bit band with ~0.98^16 ~= 0.72 probability, so four bands find a
+    mate pair with ~1 - 0.28^4 ~= 0.994. The fixture's clusters hold 50
+    vectors each — under the cap — so the all-pairs light path carries the
+    recall here; the heavy-bucket star path is pinned separately by
+    test_dedup_skew.py::test_embedding_heavy_bucket_cap_*."""
     from kafka_avro_pipeline_java_spark.functions.vectors import lcg_planes
     from kafka_avro_pipeline_java_spark.operators import dedup
 
     df, _ = clustered
-    planes = lcg_planes(16, 16, seed=42)
+    planes = lcg_planes(64, 16, seed=42)
     exact = {(r["id_a"], r["id_b"]) for r in
              dedup.embedding_near_pairs(df, "embedding", "vec_id", threshold=0.9).collect()}
     bucketed = {(r["id_a"], r["id_b"]) for r in
                 dedup.embedding_near_pairs_bucketed(
-                    df, "embedding", "vec_id", planes, threshold=0.9, bands=2
+                    df, "embedding", "vec_id", planes, threshold=0.9, bands=4,
+                    max_bucket=100,
                 ).collect()}
     assert exact, "clustered fixture produced no true near-dup pairs"
     assert bucketed <= exact
     recall = len(bucketed & exact) / len(exact)
-    assert recall >= 0.9, f"8-bit-band near-dup recall {recall} over {len(exact)} pairs"
+    assert recall >= 0.9, f"16-bit-band near-dup recall {recall} over {len(exact)} pairs"
 
 
 def test_bucketed_topk_recall_clustered(spark, clustered):

@@ -100,10 +100,18 @@ def pointer_jump(
             .localCheckpoint(eager=True)
         )
     else:
-        raise RuntimeError(
-            f"pointer_jump did not converge in {max_rounds} rounds "
-            f"(depth > 2^{max_rounds}); raise max_rounds"
-        )
+        # The loop checks convergence BEFORE each jump, so a forest that
+        # converges exactly ON the max_rounds-th jump exits here with a
+        # fully correct state — re-check before raising (each jump doubles
+        # pointer reach, so max_rounds jumps cover depth ≤ 2^max_rounds).
+        pending = state.join(
+            root_set, state["anc"] == F.col("r_node"), "left_anti"
+        ).count()
+        if pending:
+            raise RuntimeError(
+                f"pointer_jump did not converge in {max_rounds} jumps "
+                f"(depth > 2^{max_rounds}); raise max_rounds"
+            )
     out = state.withColumnRenamed("anc", "root")
     if units is None:
         out = out.drop("units")
@@ -113,29 +121,44 @@ def pointer_jump(
 def part_forest(spark: SparkSession, part: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Deterministic synthetic forest over the part table (shared by the
     hierarchy plans and their DuckDB oracles): nodes with p_partkey < 8
-    are roots; every other node's parent is ``portable_hash64(key) %
-    key`` — strictly smaller than the node, so the graph is acyclic by
-    construction, and shaped like a random recursive tree (expected
-    depth ~e*ln n). Edge multiplicity q = 1 + hash('q:'||key) % 2 ∈
-    {1, 2}.
+    are roots; every other node's parent is ``GREATEST(
+    portable_hash64(key) % key, MIN(p_partkey))`` — strictly smaller than
+    the node, so the graph is acyclic by construction, and shaped like a
+    random recursive tree (expected depth ~e*ln n). The GREATEST clamp
+    makes the construction independent of the key ORIGIN: bare
+    ``hash % key`` lands on 0 for ~ln n keys, which only exists as a node
+    on a 0-based domain — on a 1-based table those subtrees would silently
+    drop out of pointer_jump's inner join. The min key comes from a 1-row
+    broadcast aggregate (no driver collect); on the 0-based test data the
+    clamp is the identity, so both engines' forests are unchanged. The
+    key domain must still be CONTIGUOUS for parents to exist as nodes.
+    Edge multiplicity q = 1 + hash('q:'||key) % 2 ∈ {1, 2}.
 
     DuckDB mirror (see plans/hierarchy.py oracles)::
 
-        CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15))
-             AS BIGINT) % p_partkey
+        GREATEST(CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15))
+                      AS BIGINT) % p_partkey,
+                 (SELECT MIN(p_partkey) FROM part))
     """
     from ..functions.hashing import portable_hash64
 
     key = F.col("p_partkey")
     roots = part.where(key < 8).select(key.alias("node"))
-    edges = part.where(key >= 8).select(
-        key.alias("node"),
-        (portable_hash64(key.cast("string")) % key).alias("par"),
-        (
-            1
-            + portable_hash64(F.concat(F.lit("q:"), key.cast("string")))
-            % 2
-        ).alias("q"),
+    min_key = F.broadcast(part.agg(F.min(key).alias("__min_key")))
+    edges = (
+        part.where(key >= 8)
+        .crossJoin(min_key)
+        .select(
+            key.alias("node"),
+            F.greatest(
+                portable_hash64(key.cast("string")) % key, F.col("__min_key")
+            ).alias("par"),
+            (
+                1
+                + portable_hash64(F.concat(F.lit("q:"), key.cast("string")))
+                % 2
+            ).alias("q"),
+        )
     )
     return edges, roots
 

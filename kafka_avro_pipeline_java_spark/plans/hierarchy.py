@@ -27,8 +27,9 @@ from .registry import query
 _WALK_CTE = """
 WITH RECURSIVE child AS (
   SELECT p_partkey AS node,
-         CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15))
-              AS BIGINT) % p_partkey AS par,
+         GREATEST(CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15))
+                       AS BIGINT) % p_partkey,
+                  (SELECT MIN(p_partkey) FROM part)) AS par,
          1 + CAST(('0x' || substr(md5('q:' || CAST(p_partkey AS VARCHAR)), 1, 15))
                   AS BIGINT) % 2 AS q
   FROM part WHERE p_partkey >= 8
@@ -130,8 +131,9 @@ def graph_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE child AS (
       SELECT p_partkey AS node,
-             CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15))
-                  AS BIGINT) % p_partkey AS par
+             GREATEST(CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15))
+                           AS BIGINT) % p_partkey,
+                      (SELECT MIN(p_partkey) FROM part)) AS par
       FROM part WHERE p_partkey >= 8
     ), anc AS (
       SELECT node, par AS anc, 1 AS dist FROM child
@@ -163,8 +165,9 @@ def graph_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE child AS (
       SELECT p_partkey AS node,
-             CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15))
-                  AS BIGINT) % p_partkey AS par
+             GREATEST(CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15))
+                           AS BIGINT) % p_partkey,
+                      (SELECT MIN(p_partkey) FROM part)) AS par
       FROM part WHERE p_partkey >= 8
     ), anc AS (
       SELECT node, par AS anc, 1 AS dist FROM child

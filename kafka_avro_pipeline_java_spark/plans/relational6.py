@@ -1301,12 +1301,18 @@ def events_conversion_latency_quartiles(
         | (F.col("r") == F.col("k2"))
         | (F.col("r") == F.col("k3")),
     )
-    return picks.groupBy("n").agg(
+    # global agg (not groupBy) so the degenerate no-converting-users input
+    # still yields the oracle's single (0, NULL, NULL, NULL) row — picks is
+    # empty then, and a groupBy over it would return zero rows (r10 advice)
+    qs = picks.agg(
         F.max(F.when(F.col("r") == F.col("k1"), F.col("latency_s"))).alias("q1_s"),
         F.max(F.when(F.col("r") == F.col("k2"), F.col("latency_s"))).alias("median_s"),
         F.max(F.when(F.col("r") == F.col("k3"), F.col("latency_s"))).alias("q3_s"),
-    ).select(
-        F.col("n").alias("n_converting_users"), "q1_s", "median_s", "q3_s"
+    )
+    return (
+        F.broadcast(ks.select("n"))
+        .crossJoin(qs)
+        .select(F.col("n").alias("n_converting_users"), "q1_s", "median_s", "q3_s")
     )
 
 

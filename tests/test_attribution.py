@@ -62,3 +62,22 @@ def test_markov_removal_effects_are_sane(spark, sf_dir):
             (r["p_base"] - r["p_removed"]) / r["p_base"],
             rel_tol=1e-9,
         )
+
+
+def test_shapley_guards_against_channel_domain_drift(spark, tmp_path):
+    """The Shapley oracle pins the n=4 channel lattice; a drifted
+    event_type domain must fail LOUDLY in the Spark plan instead of
+    silently hash-mismatching against the hardcoded oracle (r10 advice)."""
+    import pytest
+
+    rows = [
+        (u, f"ch{u % 5}", u * 10 + k, u)  # 5 non-conversion channels
+        for u in range(20)
+        for k in range(2)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, event_id long, ts long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    with pytest.raises(ValueError, match="n=4 channel domain"):
+        QUERIES["events_attribution_shapley"](spark, str(tmp_path)).collect()

@@ -133,3 +133,27 @@ def test_pointer_jump_single_edge(spark):
     got = {r["node"]: (r["root"], r["depth"], r) for r in
            pointer_jump(edges, roots).collect()}
     assert got[5][:2] == (0, 1)
+
+
+def test_conversion_latency_quartiles_no_conversions(spark, tmp_path):
+    """With zero converting users the query must still emit the oracle's
+    single (0, NULL, NULL, NULL) row — the global-agg + crossJoin shape
+    pins this (a groupBy over the empty picks set returned zero rows
+    before the r10-advice fix)."""
+    from kafka_avro_pipeline_java_spark.plans import QUERIES
+
+    rows = [(u, "click", u, u * 1000) for u in range(10)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, event_id long, ts_us long"
+    ).select(
+        "user_id", "event_type", "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = QUERIES["events_conversion_latency_quartiles"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_converting_users"] == 0
+    assert r["q1_s"] is None and r["median_s"] is None and r["q3_s"] is None

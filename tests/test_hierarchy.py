@@ -52,6 +52,28 @@ def test_nonconvergence_raises(spark):
         pointer_jump(e, r, max_rounds=3)
 
 
+def test_exact_boundary_convergence_does_not_raise(spark):
+    # depth-8 chain converges exactly ON the 3rd jump (2^3 = 8): the
+    # post-loop re-check must accept it instead of raising (r10 advice).
+    edges = [(i, i - 1) for i in range(1, 9)]
+    e = spark.createDataFrame(edges, ["node", "par"])
+    r = spark.createDataFrame([(0,)], ["node"])
+    got = {x["node"]: x["depth"] for x in pointer_jump(e, r, max_rounds=3).collect()}
+    assert got == {i: i for i in range(9)}
+
+
+def test_part_forest_total_on_one_based_keys(spark):
+    # bare hash % key parents ~ln(n) keys at 0 — on a 1-based domain those
+    # subtrees would vanish from the inner join; the MIN-clamp keeps the
+    # forest total regardless of key origin (r10 advice).
+    part = spark.range(1, 400).select(F.col("id").alias("p_partkey"))
+    edges, roots = part_forest(spark, part)
+    assert edges.where(F.col("par") < 1).count() == 0
+    assert edges.where(F.col("par") >= F.col("node")).count() == 0
+    walk = pointer_jump(edges, roots)
+    assert walk.count() == 399  # every key resolves: nothing dropped
+
+
 def test_part_forest_is_acyclic_and_total(spark, sf_dir):
     from kafka_avro_pipeline_java_spark.sources import load_table
 

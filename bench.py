@@ -279,6 +279,26 @@ def main() -> None:
             fh,
             indent=1,
         )
+    # Archive the detail snapshot per round so the judge can diff per-query
+    # timings across rounds without an A/B re-run (r10 verdict item 3). The
+    # round number is inferred from the driver's BENCH_r{N}.json artifacts:
+    # when the driver benches at round close, BENCH_r{N-1}.json is the
+    # newest on disk. Full-suite runs only — a SPARK_GRAFT_BENCH_ONLY
+    # partial re-baseline must not masquerade as the round's detail.
+    if not _ONLY and DETAIL_PATH.endswith("BENCH_DETAIL.json"):
+        import re as _re
+        import shutil as _shutil
+
+        root = os.path.dirname(DETAIL_PATH)
+        seen = [
+            int(m.group(1))
+            for f in os.listdir(root)
+            if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
+        ]
+        _shutil.copyfile(
+            DETAIL_PATH,
+            os.path.join(root, f"BENCH_DETAIL_r{max(seen, default=0) + 1}.json"),
+        )
     families: dict[str, float] = {}
     for name, sec in timings.items():
         fam = _family(name)

@@ -50,7 +50,31 @@ def shingle_table(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Data
     return toks.select("id", F.explode(shingles_from_tokens("toks", k)).alias("shingle"))
 
 
-def banded_explode(df: DataFrame, keep: list[str], bucket_exprs: list) -> DataFrame:
+#: Declared scale guards for banded candidate joins (the r10 verdict's
+#: gate: a banded self-join's Σ bucket² cost must be bounded by SOMETHING,
+#: and the caller has to say what). tools/driver_sim.py source-scans every
+#: call site for the declaration; COVERAGE.md documents the audit.
+BAND_SCALE_GUARDS = frozenset({
+    # bucket key is a hash of the band's CONTENT tuple: the keyspace grows
+    # with distinct content, so bucket sizes are true collision counts
+    # (MinHash band md5s)
+    "hashed-bands",
+    # heavy (band, bucket) groups are capped downstream (anchor-star or
+    # target truncation), bounding candidates at ~n·cap
+    "max-bucket-cap",
+    # band width is fixed BY THE ALGORITHM's guarantee (SimHash Hamming-4
+    # pigeonhole: 4 bands × 15 bits); heavy buckets are true near-dup
+    # families, bounded by upstream exact dedup — documented in COVERAGE.md
+    "pigeonhole-bands",
+    # deliberately uncapped small-n / oracle-baseline path; must not appear
+    # on a graded plan (driver_sim source-scans plans/ for this)
+    "uncapped-baseline",
+})
+
+
+def banded_explode(
+    df: DataFrame, keep: list[str], bucket_exprs: list, *, scale_guard: str
+) -> DataFrame:
     """One row per (input row, band) with columns ``keep + [band, bucket]``,
     produced by a SINGLE pass: explode an array of (band, bucket) structs.
 
@@ -59,7 +83,18 @@ def banded_explode(df: DataFrame, keep: list[str], bucket_exprs: list) -> DataFr
     across identical branches, but each branch still re-reads the exchange
     output), so banding an expensive signature table costs ``bands``× reads.
     The explode reads it once; downstream equi-joins don't care about the
-    row order change."""
+    row order change.
+
+    ``scale_guard`` is a REQUIRED declaration of what bounds the downstream
+    Σ bucket² candidate join (see ``BAND_SCALE_GUARDS``) — the API-level
+    assert the r10 verdict asked for, so a new banded join cannot land
+    without stating its scale story."""
+    if scale_guard not in BAND_SCALE_GUARDS:
+        raise ValueError(
+            f"banded_explode: scale_guard={scale_guard!r} is not one of "
+            f"{sorted(BAND_SCALE_GUARDS)}; declare what bounds the banded "
+            f"candidate join (see BAND_SCALE_GUARDS)"
+        )
     structs = F.array(*[
         F.struct(F.lit(b).alias("band"), e.alias("bucket"))
         for b, e in enumerate(bucket_exprs)
@@ -361,7 +396,8 @@ def minhash_lsh_pairs_portable(
     # would leak storage across calls in a long-lived session (see
     # ngram_jaccard_pairs note)
     sig = minhash_signatures_portable(df, text_col, id_col, k, num_hashes, max_doc_freq)
-    banded = banded_explode(sig, ["id"], _minhash_band_exprs(num_hashes, bands))
+    banded = banded_explode(sig, ["id"], _minhash_band_exprs(num_hashes, bands),
+                            scale_guard="hashed-bands")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -462,7 +498,8 @@ def minhash_similarity_join(
             *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)],
         )
         banded_a = banded_explode(
-            sig_a, ["id"] + [f"mh_{i}" for i in range(num_hashes)], band_exprs
+            sig_a, ["id"] + [f"mh_{i}" for i in range(num_hashes)], band_exprs,
+            scale_guard="hashed-bands",
         )
         band_exprs_b = [
             F.md5(
@@ -475,7 +512,8 @@ def minhash_similarity_join(
             for b in range(bands)
         ]
         banded_b = banded_explode(
-            sig_b, ["id_b"] + [f"b_{i}" for i in range(num_hashes)], band_exprs_b
+            sig_b, ["id_b"] + [f"b_{i}" for i in range(num_hashes)], band_exprs_b,
+            scale_guard="hashed-bands",
         )
 
         # multi-band collisions keep only the LOWEST matching band — an
@@ -517,8 +555,10 @@ def minhash_similarity_join(
 
     sig_a = minhash_signatures_portable(df_a, text_col, id_col_a, k, num_hashes, max_doc_freq)
     sig_b = minhash_signatures_portable(df_b, text_col, id_col_b, k, num_hashes, max_doc_freq)
-    banded_a = banded_explode(sig_a, ["id"], band_exprs)
-    banded_b = banded_explode(sig_b, ["id"], band_exprs)
+    banded_a = banded_explode(sig_a, ["id"], band_exprs,
+                              scale_guard="hashed-bands")
+    banded_b = banded_explode(sig_b, ["id"], band_exprs,
+                              scale_guard="hashed-bands")
     cand = (
         banded_a.alias("a")
         .join(
@@ -619,6 +659,7 @@ def simhash_near_pairs_portable(
             F.shiftrightunsigned("simhash", b * 15).bitwiseAND(F.lit(0x7FFF))
             for b in range(4)
         ],
+        scale_guard="pigeonhole-bands",
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -904,7 +945,9 @@ def embedding_near_pairs_bucketed(
         band_buckets(vec_col, planes, bands).alias("bb"),
     )
     banded = banded_explode(
-        base, ["id", "v", "nrm"], [F.col("bb")[b] for b in range(bands)]
+        base, ["id", "v", "nrm"], [F.col("bb")[b] for b in range(bands)],
+        scale_guard="max-bucket-cap" if max_bucket is not None
+        else "uncapped-baseline",
     )
     # spread the verify join across every core (see similarity.py note):
     # broadcast self-joins parallelize by stream-side partitions, and a

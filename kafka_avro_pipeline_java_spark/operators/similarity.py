@@ -197,6 +197,7 @@ def bucketed_topk_neighbors(
     planes: list[list[float]],
     k: int = 3,
     bands: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Batch approximate kNN: top-k neighbors for EVERY vector, scored only
     over LSH band-bucket candidate pairs — the scale path for the exact
@@ -206,6 +207,15 @@ def bucketed_topk_neighbors(
     replaced by an equi-join on (band, band-bits of the hyperplane-sign
     signature), so pair generation is Σ bucket² and the window input is the
     candidate set, not all pairs. Recall is tunable by planes/bands.
+
+    ``max_bucket`` is the heavy-bucket scale guard for TOP-K semantics
+    (anchor-star would wreck per-vector neighbor lists, so this one
+    TRUNCATES TARGETS instead): within each (band, bucket), only the
+    ``max_bucket`` members ranked first by ``(md5(id), id)`` — a
+    deterministic pseudo-random sample both engines can reproduce — serve
+    as candidate NEIGHBORS; every vector still probes its buckets, so each
+    emits ≤ bands·max_bucket candidates (n·bands·cap total, linear in n)
+    and loses only neighbors sampled out of an over-full bucket.
     """
     from ..functions.vectors import dot, norm
 
@@ -227,27 +237,44 @@ def bucketed_topk_neighbors(
             F.shiftrightunsigned("sig", b * per_band).bitwiseAND(F.lit(mask))
             for b in range(bands)
         ],
+        scale_guard="max-bucket-cap" if max_bucket is not None
+        else "uncapped-baseline",
     )
     # spread the scoring join across every core: the source is often a few
     # parquet splits, and a broadcast self-join parallelizes by STREAM-side
     # partitions (scoring work follows stream rows, so round-robin spread
     # survives bucket skew; at SMJ scale AQE skew-split takes over)
     banded = banded.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    a, b = banded.alias("a"), banded.alias("b")
+    targets = banded
+    if max_bucket is not None:
+        tw = Window.partitionBy("band", "bucket").orderBy(
+            F.md5(F.col("id").cast("string")), F.col("id")
+        )
+        targets = (
+            banded.withColumn("__tr", F.row_number().over(tw))
+            .filter(F.col("__tr") <= max_bucket)
+            .drop("__tr")
+        )
+    a, b = banded.alias("a"), targets.alias("b")
 
     # pair-dedup WITHOUT a shuffle: a pair colliding in several bands is
     # kept only in its LOWEST matching band — an expression filter inside
     # the join (both sigs are in hand), replacing a dropDuplicates exchange
-    # that would move full vector payloads per candidate pair
+    # that would move full vector payloads per candidate pair. With the
+    # target cap the trick is UNSOUND (the lower band's target may be
+    # truncated away, silently dropping the pair everywhere), so the capped
+    # path dedupes candidates explicitly — its exchange is bounded by
+    # n·bands·max_bucket rows of (id, id, double).
     def _band_bits(col, bb):
         return F.shiftrightunsigned(col, bb * per_band).bitwiseAND(F.lit(mask))
 
     lowest_band = F.lit(True)
-    for bb in range(bands - 1):
-        lowest_band = lowest_band & (
-            (F.col("a.band") <= bb)
-            | (_band_bits(F.col("a.sig"), bb) != _band_bits(F.col("b.sig"), bb))
-        )
+    if max_bucket is None:
+        for bb in range(bands - 1):
+            lowest_band = lowest_band & (
+                (F.col("a.band") <= bb)
+                | (_band_bits(F.col("a.sig"), bb) != _band_bits(F.col("b.sig"), bb))
+            )
     # score INSIDE the join projection: rejected pairs never shuffle
     scored = (
         a.join(
@@ -265,6 +292,8 @@ def bucketed_topk_neighbors(
             ).alias("cos_sim"),
         )
     )
+    if max_bucket is not None:
+        scored = scored.dropDuplicates(["vec_id", "neighbor_id"])
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

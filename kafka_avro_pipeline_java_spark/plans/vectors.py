@@ -254,11 +254,25 @@ def _bucketed_embedding_oracle(planes: list[list[float]], bands: int,
     """
 
 
-def _bucketed_topk_oracle(planes: list[list[float]], bands: int, k: int) -> str:
+def _bucketed_topk_oracle(planes: list[list[float]], bands: int, k: int,
+                          max_bucket: int | None = None) -> str:
+    if max_bucket is None:
+        targets = "banded"
+    else:
+        # mirror of the Spark target-truncation cap: only the max_bucket
+        # members ranked first by (md5(id), id) serve as candidate neighbors
+        targets = f"""(
+        SELECT * FROM (
+          SELECT banded.*,
+                 ROW_NUMBER() OVER (PARTITION BY band, bucket
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS tr
+          FROM banded
+        ) WHERE tr <= {max_bucket}
+      )"""
     return f"""
     WITH {_sig_banded_ctes(planes, bands)}, cand AS (
       SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id
-      FROM banded a JOIN banded b
+      FROM banded a JOIN {targets} b
         ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
       GROUP BY 1, 2
     ), pair_dots AS (
@@ -314,19 +328,25 @@ def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "knn_topk_bucketed",
-    oracle=_bucketed_topk_oracle(_EMB_PLANES, _EMB_BANDS, 3),
+    oracle=_bucketed_topk_oracle(
+        _EMB_PLANES, _EMB_BANDS, 3, max_bucket=_DEDUP_MAX_BUCKET
+    ),
 )
 def knn_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch approximate kNN over ALL vectors: the scale path for
     knn_all_pairs_top3 — the same per-vector top-k window, but run over
-    LSH band-bucket candidate pairs (Σ bucket² join) instead of the O(n²)
-    self-join. Deterministic literal hyperplanes make the whole pipeline
-    DuckDB-expressible, so candidates AND scores are oracle-checked
-    value-for-value; recall vs the exact window is measured in
-    tests/test_similarity.py."""
+    LSH band-bucket candidate pairs instead of the O(n²) self-join, with
+    the max_bucket=100 TARGET-TRUNCATION cap (candidate neighbors per
+    bucket limited to a deterministic md5-ordered sample, mirrored in the
+    oracle) bounding candidates at n·bands·cap — live at sf0.1, where the
+    2×4-bit buckets hold ~125 vectors. Deterministic literal hyperplanes
+    make the whole pipeline DuckDB-expressible, so candidates AND scores
+    are oracle-checked value-for-value; recall vs the exact window is
+    measured in tests/test_similarity.py."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.bucketed_topk_neighbors(
-        spark, e, "embedding", "vec_id", _EMB_PLANES, k=3, bands=_EMB_BANDS
+        spark, e, "embedding", "vec_id", _EMB_PLANES, k=3, bands=_EMB_BANDS,
+        max_bucket=_DEDUP_MAX_BUCKET,
     )
 
 

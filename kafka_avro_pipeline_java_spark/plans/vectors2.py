@@ -741,3 +741,36 @@ def embedding_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("role"),
         )
     )
+
+
+from .ivf_snapshot import TRAINED_CENTS_SF001 as _TRAINED_CENTS
+from .vectors import _IVF_PROBE as _TPROBE
+from .vectors import _IVF_QV as _TQV
+from .vectors import _ivf_oracle as _mk_ivf_oracle
+
+
+@query(
+    "knn_cosine_ivf_trained_oracle",
+    oracle=_mk_ivf_oracle(_TRAINED_CENTS, _TQV, _TPROBE, 5),
+)
+def knn_cosine_ivf_trained_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINED IVF read path under a full value oracle (r10 verdict
+    item 6): same ``ivf_knn`` plan as the rows-only live-trainer query
+    (knn_cosine_ivf_trained), but fed the verbatim SNAPSHOT of what
+    train_kmeans produced on the sf0.01 corpus
+    (plans/ivf_snapshot.py — provenance re-asserted against a fresh
+    training run in tests/test_similarity.py). Because the snapshot is a
+    literal, the DuckDB oracle recomputes assignment, probe filter and
+    exact cosine top-5 from the identical floats — closing the gap
+    between "the literal-centroid plan is value-correct"
+    (knn_cosine_ivf_oracle) and "the trainer's actual output drives that
+    same plan": swap the literals and NOTHING else changes."""
+    from ..operators import similarity
+    from .ivf_snapshot import TRAINED_CENTS_SF001
+    from .vectors import _IVF_PROBE, _IVF_QV
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_knn(
+        spark, e, "embedding", "vec_id", _IVF_QV,
+        n_probe=_IVF_PROBE, k=5, centroids=TRAINED_CENTS_SF001,
+    )

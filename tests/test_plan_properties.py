@@ -473,3 +473,62 @@ def test_no_following_anchored_spark_frames():
         if "Window.unboundedFollowing" in src:
             offenders.append(str(f))
     assert not offenders, offenders
+
+
+def test_banded_joins_declare_scale_guard():
+    """Source-level mirror of driver_sim's banded-join gate (r10 verdict
+    item 4b): every banded_explode call site must declare scale_guard=
+    (the operator API raises at runtime too — this catches unexecuted
+    paths), and every GRADED plan calling a cappable banded operator must
+    pass max_bucket= so the Σ bucket² candidate join stays bounded."""
+    import pathlib
+
+    # driver_sim's module body runs a full sweep on import, so the scan is
+    # re-implemented here against the same source layout
+    pkg = pathlib.Path(__file__).parent.parent / "kafka_avro_pipeline_java_spark"
+
+    def call_spans(src, fname):
+        i = 0
+        while True:
+            i = src.find(fname + "(", i)
+            if i < 0:
+                return
+            if not src[max(0, i - 4):i].endswith("def "):
+                depth, j = 0, i + len(fname)
+                for j in range(j, len(src)):
+                    if src[j] == "(":
+                        depth += 1
+                    elif src[j] == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                yield src[:i].count("\n") + 1, src[i:j + 1]
+            i += len(fname) + 1
+
+    bad = []
+    for f in pkg.rglob("*.py"):
+        src = f.read_text()
+        for line, call in call_spans(src, "banded_explode"):
+            if "scale_guard=" not in call:
+                bad.append(f"{f.name}:{line} banded_explode without scale_guard")
+    for f in (pkg / "plans").rglob("*.py"):
+        src = f.read_text()
+        for op in ("embedding_near_pairs_bucketed", "bucketed_topk_neighbors"):
+            for line, call in call_spans(src, op):
+                if "max_bucket=" not in call:
+                    bad.append(f"{f.name}:{line} {op} without max_bucket")
+    assert not bad, bad
+
+
+def test_banded_explode_rejects_undeclared_guard(spark):
+    """The API-level assert: an undeclared or unknown scale guard raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kafka_avro_pipeline_java_spark.operators.dedup import banded_explode
+
+    df = spark.range(3).select(F.col("id"))
+    with pytest.raises(TypeError):
+        banded_explode(df, ["id"], [F.col("id") % 2])  # no guard kwarg
+    with pytest.raises(ValueError, match="scale_guard"):
+        banded_explode(df, ["id"], [F.col("id") % 2], scale_guard="nope")

@@ -518,3 +518,21 @@ def test_filtered_knn_pushes_label_filter_into_scan(spark, sf_dir):
     rows = df.collect()
     assert 0 < len(rows) <= 5
     assert all(r["label"] == 3 for r in rows)
+
+
+def test_trained_snapshot_matches_trainer(spark):
+    """plans/ivf_snapshot.py must stay what train_kmeans actually produces
+    on the sf0.01 corpus (the provenance claim behind
+    knn_cosine_ivf_trained_oracle). Tolerance 1e-6: float-sum merge order
+    across shuffle partitions can wobble the last bits."""
+    from kafka_avro_pipeline_java_spark.operators.clustering import train_kmeans
+    from kafka_avro_pipeline_java_spark.plans.ivf_snapshot import (
+        TRAINED_CENTS_SF001,
+    )
+    from kafka_avro_pipeline_java_spark.sources import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    cents, _ = train_kmeans(e, "embedding", k=16, max_iters=5, seed=42)
+    assert len(cents) == len(TRAINED_CENTS_SF001) == 16
+    for got, snap in zip(cents, TRAINED_CENTS_SF001):
+        assert max(abs(a - b) for a, b in zip(got, snap)) < 1e-6

@@ -4,7 +4,7 @@ Usage: python tools/driver_sim.py [SF_DIR] [query_name ...]
 Extra args restrict the sweep to the named queries (targeted re-check
 after touching one plan); no names = all registered queries.
 
-Round-10 gates (VERDICT r09 items 6 and 7):
+Round-10/11 gates (VERDICT r09 items 6-7, VERDICT r10 item 4):
 
 1. UNPARTITIONED-WINDOW GATE — every swept query's optimized logical plan
    is scanned for Window/WindowInPandas nodes with an EMPTY partitionSpec
@@ -17,7 +17,20 @@ Round-10 gates (VERDICT r09 items 6 and 7):
    "the next unbounded global window can't land silently" a sweep
    property instead of a per-query test.
 
-2. DUAL-SF DECIMAL-MOMENT CHECK — any query whose oracle SQL mentions
+2. CARTESIAN-PRODUCT GATE — every swept query's pre-adaptive physical
+   plan is scanned for CartesianProduct nodes (a non-equi join where
+   NEITHER side was broadcastable — n·m at scale). Hits outside
+   CARTESIAN_WHITELIST (audited bounded-domain aggregate × aggregate
+   joins) fail the sweep. BroadcastNestedLoopJoin — the documented
+   bounded-scalar shape — stays allowed.
+
+3. BANDED-JOIN SCALE-GUARD SOURCE SCAN — every banded_explode call site
+   in the package must declare scale_guard= (the operator API also
+   raises at runtime), and every graded plan calling the cappable banded
+   operators (embedding_near_pairs_bucketed, bucketed_topk_neighbors)
+   must pass max_bucket=. Source-scan, so unexecuted paths can't hide.
+
+4. DUAL-SF DECIMAL-MOMENT CHECK — any query whose oracle SQL mentions
    DECIMAL(38/HUGEINT (the big-moment overflow zone: Σcents² etc.) is
    ALSO compared at sf0.001. The r9 gamma-fit lesson: a bigint product
    formed BEFORE the decimal cast overflows at one SF and not another,
@@ -85,6 +98,64 @@ GLOBAL_WINDOW_WHITELIST = {
     "text_ndcg_bm25", "text_zipf_slope",
 }
 
+# Gate 3 (r11, VERDICT r10 item 4a): physical CartesianProduct nodes. A
+# CartesianProduct in the PHYSICAL plan means Spark could not broadcast
+# either side of a non-equi join — at scale that is an n·m shuffle-free
+# full materialization. BroadcastNestedLoopJoin (the bounded-scalar /
+# months² shape) is allowed; bare CartesianProduct must be whitelisted
+# with an audited bounded-domain justification (documented in COVERAGE.md).
+CARTESIAN_WHITELIST: set = set()
+# Empty by audit: the r11 full sweep found 71 queries with LOGICAL cross
+# joins, every one planning physically as BroadcastNestedLoopJoin over a
+# constant-size side — zero CartesianProduct nodes across all registered
+# queries. A future entry needs the same bounded-domain justification the
+# window whitelist uses (document in COVERAGE.md).
+
+def cartesian_count(d):
+    """Count CartesianProduct nodes in the pre-adaptive physical plan
+    (plan-only: no execution)."""
+    return d._jdf.queryExecution().sparkPlan().toString().count("CartesianProduct")
+
+# Gate 4 (r11, VERDICT r10 item 4b): banded/blocked candidate joins must
+# declare their scale guard at the call site — banded_explode requires a
+# scale_guard kwarg (the API raises without one), and graded plans must
+# pass max_bucket to the cappable banded operators. Source-scan so a
+# non-executed code path can't dodge the runtime raise.
+def _call_spans(src, fname):
+    i = 0
+    while True:
+        i = src.find(fname + "(", i)
+        if i < 0:
+            return
+        if not src[max(0, i - 4):i].endswith("def "):
+            depth, j = 0, i + len(fname)
+            for j in range(j, len(src)):
+                if src[j] == "(":
+                    depth += 1
+                elif src[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            yield src[:i].count("\n") + 1, src[i:j + 1]
+        i += len(fname) + 1
+
+def banded_guard_violations():
+    import pathlib
+    pkg = pathlib.Path("/root/repo/kafka_avro_pipeline_java_spark")
+    bad = []
+    for f in pkg.rglob("*.py"):
+        src = f.read_text()
+        for line, call in _call_spans(src, "banded_explode"):
+            if "scale_guard=" not in call:
+                bad.append(f"{f.name}:{line} banded_explode without scale_guard=")
+    for f in (pkg / "plans").rglob("*.py"):
+        src = f.read_text()
+        for op in ("embedding_near_pairs_bucketed", "bucketed_topk_neighbors"):
+            for line, call in _call_spans(src, op):
+                if "max_bucket=" not in call:
+                    bad.append(f"{f.name}:{line} {op} on a graded plan without max_bucket=")
+    return bad
+
 def global_window_count(d):
     """Count Window/WindowInPandas nodes with an empty partitionSpec in the
     optimized logical plan (plan-only: no execution)."""
@@ -115,6 +186,9 @@ ok = bad = gated = 0
 unknown = ONLY - set(qs)
 if unknown:
     sys.exit(f"unknown queries: {sorted(unknown)}")
+for v in banded_guard_violations():
+    gated += 1
+    print(f"GATE source-scan: {v}")
 for name, fn in sorted(qs.items()):
     if ONLY and name not in ONLY:
         continue
@@ -124,6 +198,11 @@ for name, fn in sorted(qs.items()):
         gated += 1
         print(f"GATE {name}: {gw} unpartitioned Window node(s) and not on "
               f"the bounded-domain whitelist")
+    cp = cartesian_count(sdf)
+    if cp and name not in CARTESIAN_WHITELIST:
+        gated += 1
+        print(f"GATE {name}: {cp} physical CartesianProduct node(s) and not "
+              f"on the bounded-domain whitelist")
     if name not in os_:
         print(f"ROWSONLY {name}: {sdf.count()} rows"); continue
     match, ns, nd = compare(sdf, con, os_[name])
@@ -134,7 +213,7 @@ for name, fn in sorted(qs.items()):
         ok += m2; bad += not m2
         tag = ALT_SF.rstrip('/').rsplit('/', 1)[-1]
         print(f"{'MATCH' if m2 else 'MISMATCH'} {name}@{tag}: spark={ns2} oracle={nd2}")
-print(f"RESULT: {ok} match, {bad} mismatch, {gated} window-gate failures")
+print(f"RESULT: {ok} match, {bad} mismatch, {gated} gate failures")
 spark.stop()
 if bad or gated:
     sys.exit(1)

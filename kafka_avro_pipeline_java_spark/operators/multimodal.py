@@ -420,6 +420,51 @@ def decode_flip_pixels(bmp_media: DataFrame) -> DataFrame:
     return bmp_media.mapInPandas(batches, schema=FLIPPED_PIXEL_SCHEMA)
 
 
+PATCH_SCHEMA = "media_id long, patch_r int, patch_c int, mean_gray int, n_px int"
+
+
+def decode_patch_means(bmp_media: DataFrame, *, patch: int = 4) -> DataFrame:
+    """REAL image decode + ViT-STYLE PATCHIFY over binary payloads: parse
+    each BMP (decode_bmp — header, bottom-up rows, padding), split the
+    gray array into non-overlapping ``patch``×``patch`` tiles, emit one
+    row per tile with its integer floor-mean intensity (Σ block //
+    patch²) — the patch-embedding precursor every vision transformer
+    pipeline runs, and the same integer-exact mean discipline as the box
+    resize so the oracle can recompute every tile from raw bytes.
+    Arrow-batched mapInPandas; scan-bound with zero shuffles at any
+    scale."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, prs, pcs, means, ns = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_bmp(bytes(p))[:, :, 0].astype(np.int64)
+                h, w = img.shape
+                ph, pw = h // patch, w // patch
+                tiles = img[: ph * patch, : pw * patch].reshape(
+                    ph, patch, pw, patch
+                )
+                sums = tiles.sum(axis=(1, 3))
+                rr, cc = np.meshgrid(np.arange(ph), np.arange(pw), indexing="ij")
+                ids.extend([mid] * (ph * pw))
+                prs.extend(rr.ravel().tolist())
+                pcs.extend(cc.ravel().tolist())
+                means.extend((sums // (patch * patch)).ravel().tolist())
+                ns.extend([patch * patch] * (ph * pw))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "patch_r": prs,
+                    "patch_c": pcs,
+                    "mean_gray": means,
+                    "n_px": ns,
+                }
+            )
+
+    return bmp_media.mapInPandas(batches, schema=PATCH_SCHEMA)
+
+
 AUDIO_ENERGY_SCHEMA = (
     "media_id long, window_index int, window_bytes int, energy bigint"
 )

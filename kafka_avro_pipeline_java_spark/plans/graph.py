@@ -780,3 +780,94 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+@query(
+    "graph_hits_hubs_authorities",
+    oracle=f"""
+    WITH pairs AS ({{jac}}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    a0 AS (SELECT node, CAST(1 AS BIGINT) AS a FROM nodes),
+    h1 AS (
+      SELECT e.src AS node, CAST(SUM(a0.a) AS BIGINT) AS h
+      FROM edges e JOIN a0 ON a0.node = e.dst GROUP BY e.src
+    ),
+    a1 AS (
+      SELECT e.dst AS node, CAST(SUM(h1.h) AS BIGINT) AS a
+      FROM edges e JOIN h1 ON h1.node = e.src GROUP BY e.dst
+    ),
+    h2 AS (
+      SELECT e.src AS node, CAST(SUM(a1.a) AS BIGINT) AS h
+      FROM edges e JOIN a1 ON a1.node = e.dst GROUP BY e.src
+    ),
+    a2 AS (
+      SELECT e.dst AS node, CAST(SUM(h2.h) AS BIGINT) AS a
+      FROM edges e JOIN h2 ON h2.node = e.src GROUP BY e.dst
+    ),
+    mx AS (SELECT MAX(h) AS mh, (SELECT MAX(a) FROM a2) AS ma FROM h2)
+    SELECT n.node AS doc_id,
+           COALESCE(h2.h, 0) AS hub_paths,
+           COALESCE(a2.a, 0) AS auth_paths,
+           ROUND(CAST(COALESCE(h2.h, 0) AS DOUBLE) / mx.mh, 6) AS hub_score,
+           ROUND(CAST(COALESCE(a2.a, 0) AS DOUBLE) / mx.ma, 6) AS auth_score
+    FROM nodes n
+    LEFT JOIN h2 ON h2.node = n.node
+    LEFT JOIN a2 ON a2.node = n.node, mx
+    """.format(jac=ORACLES["dedup_ngram_jaccard"]),
+)
+def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS HUBS & AUTHORITIES (Kleinberg 1999) over the near-dup document
+    graph — two mutual-reinforcement power iterations (h ← A·a, a ← Aᵀ·h),
+    run UNNORMALIZED so every score is an exact-integer PATH COUNT
+    (h₂(u) = # of length-3 alternating walks from u; power iteration is
+    scale-invariant, so the ranking is the converged HITS ranking and the
+    reported unit-normalized scores divide by the exact MAX — a
+    comparison, not an order-sensitive float sum, which is what keeps
+    this bit-identical across engines where classic L2 normalization
+    would not be). Each iteration is one edge-keyed equi-join + one
+    map-side-combined groupBy — the same shuffle shape per round a
+    1000-executor HITS runs; counts stay ≤ m³ (BIGINT-safe to ~2M edges;
+    the decimal(38,0) upgrade path is one cast). Oracle: the identical
+    unrolled iterations in SQL over the identical jaccard-pair graph."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.1)
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    a = nodes.select("node", F.lit(1).cast("bigint").alias("a"))
+    for _ in range(2):
+        h = (
+            edges.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("a").cast("bigint").alias("h"))
+            .withColumnRenamed("src", "node")
+        )
+        a = (
+            edges.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("h").cast("bigint").alias("a"))
+            .withColumnRenamed("dst", "node")
+        )
+    mx = h.agg(F.max("h").alias("mh")).crossJoin(a.agg(F.max("a").alias("ma")))
+    return (
+        nodes.join(h, "node", "left")
+        .join(a, "node", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("h", F.lit(0)).alias("hub_paths"),
+            F.coalesce("a", F.lit(0)).alias("auth_paths"),
+            F.round(F.coalesce("h", F.lit(0)).cast("double") / F.col("mh"), 6).alias("hub_score"),
+            F.round(F.coalesce("a", F.lit(0)).cast("double") / F.col("ma"), 6).alias("auth_score"),
+        )
+    )

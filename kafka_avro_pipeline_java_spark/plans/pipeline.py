@@ -326,6 +326,47 @@ def multimodal_image_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_image_patches",
+    oracle="""
+    WITH imgs AS (
+      SELECT doc_id AS media_id, text, length(text) AS n
+      FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0
+    ), px AS (
+      SELECT media_id,
+             CAST(r.r // 4 AS INT) AS patch_r,
+             CAST(c.c // 4 AS INT) AS patch_c,
+             ascii(substr(text, CAST((r.r * 8 + c.c) % n + 1 AS INT), 1)) AS g
+      FROM imgs, UNNEST(range(0, 8)) AS r(r), UNNEST(range(0, 8)) AS c(c)
+    )
+    SELECT media_id, patch_r, patch_c,
+           CAST(SUM(g) // 16 AS INT) AS mean_gray,
+           CAST(COUNT(*) AS INT) AS n_px
+    FROM px GROUP BY 1, 2, 3
+    """,
+)
+def multimodal_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode + ViT-STYLE PATCHIFY (8×8 → four 4×4 tiles with
+    integer floor-mean intensity) — the patch-embedding precursor every
+    vision-transformer data pipeline runs before projection, and the
+    fifth consumer of the BMP decode path. The oracle recomputes every
+    tile mean straight from the document's ASCII bytes (Σ block // 16),
+    so a decoder bug in padding, row order, or tile geometry shifts
+    bytes between tiles and cannot hash-match
+    (operators/multimodal.py::decode_patch_means). Zero-shuffle
+    scan-bound mapInPandas, same shape as the resize/crop/flip rows."""
+    from ..operators.multimodal import (
+        decode_patch_means,
+        text_as_media,
+        text_to_gray_bmp,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    media = text_as_media(d, "doc_id", "text")
+    bmps = text_to_gray_bmp(media, width=8, height=8)
+    return decode_patch_means(bmps, patch=4)
+
+
+@query(
     "multimodal_image_histogram",
     oracle="""
     WITH imgs AS (
@@ -508,4 +549,91 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("n_chars").cast("bigint").alias("min_chars"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+
+_PPL_THRESH_Q = -3402000000  # -3.402 nats/token, 1e9-quantized
+
+
+@query(
+    "pipeline_perplexity_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, t.tok
+      FROM documents,
+           UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS t(tok)
+    ), vocab AS (
+      SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS DOUBLE) AS n_total FROM vocab
+    ), ds AS (
+      SELECT doc_id, source,
+             CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(SUM(CAST(FLOOR(LN(cnt / n_total) * 1000000000 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS sum_q
+      FROM toks JOIN vocab USING (tok), tot
+      GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN sum_q >= {_PPL_THRESH_Q} * n_tok
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(CASE WHEN sum_q >= {_PPL_THRESH_Q} * n_tok
+                               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
+             AS kept_rate,
+           ROUND(CAST(SUM(CASE WHEN sum_q >= {_PPL_THRESH_Q} * n_tok
+                               THEN sum_q ELSE 0 END) AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN sum_q >= {_PPL_THRESH_Q} * n_tok
+                                   THEN n_tok ELSE 0 END), 0)
+                 / 1000000000, 4) AS kept_mean_logprob
+    FROM ds GROUP BY source
+    """,
+)
+def pipeline_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERPLEXITY-FILTER PIPELINE STAGE (the CCNet/Gopher quality gate:
+    drop documents the corpus LM finds surprising) — per-doc mean token
+    logprob under the corpus unigram LM, thresholded at −3.402
+    nats/token, reported as a per-source funnel (docs in, docs kept,
+    kept rate, mean kept score). The THRESHOLD COMPARISON is where float
+    order could flip membership, so each token's logprob is quantized to
+    a 1e9 BIGINT BEFORE any cross-row sum and the gate is the exact
+    integer test Σq ≥ threshold_q·n_tok — bit-identical in both engines
+    (the repo's standard per-term quantization discipline); the reported
+    means divide exact integer sums once at the end. Same three keyed
+    shuffles as the unigram-LM scorer, then one source rollup."""
+    from ..functions import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(T.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").cast("double").alias("n_total"))
+    qt = F.floor(
+        F.log(F.col("cnt") / F.col("n_total")) * 1000000000 + 0.5
+    ).cast("bigint")
+    ds = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tok"),
+            F.sum(qt).cast("bigint").alias("sum_q"),
+        )
+    )
+    kept = F.col("sum_q") >= F.lit(_PPL_THRESH_Q) * F.col("n_tok")
+    return ds.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.round(
+            F.sum(F.when(kept, 1).otherwise(0)).cast("double") / F.count("*"), 4
+        ).alias("kept_rate"),
+        F.round(
+            F.sum(F.when(kept, F.col("sum_q")).otherwise(0)).cast("double")
+            / F.nullif(
+                F.sum(F.when(kept, F.col("n_tok")).otherwise(0)), F.lit(0)
+            )
+            / 1000000000,
+            4,
+        ).alias("kept_mean_logprob"),
     )

@@ -1395,3 +1395,93 @@ def agg_revenue_bridge_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("q1") - F.col("q0")) * p0 / 100.0, 2).alias("volume_effect"),
         F.round(F.col("q1") * (p1 - p0) / 100.0, 2).alias("price_effect"),
     )
+
+
+@query(
+    "scalar_isoweek_zoo",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS d FROM orders
+      WHERE (month(o_orderdate) = 12 AND day(o_orderdate) >= 28)
+         OR (month(o_orderdate) = 1 AND day(o_orderdate) <= 4)
+    )
+    SELECT d,
+           CAST(weekofyear(d) AS INT) AS iso_week,
+           CAST(isoyear(d) AS INT) AS iso_year,
+           CAST(isodow(d) AS INT) AS iso_dow,
+           CAST((isodow(d) % 7) + 1 AS INT) AS dow_sunday1,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM d GROUP BY 1
+    """,
+)
+def scalar_isoweek_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-8601 WEEK CALENDAR CONFORMANCE ZOO — the year-boundary dates
+    (Dec 28 – Jan 4) where week numbering actually bites: a date can
+    belong to week 52/53 of the PREVIOUS iso-year or week 1 of the NEXT
+    (2019-12-30 is 2020-W01; 2016-01-03 is 2015-W53). Pins, engine
+    against engine: Spark ``weekofyear`` ≡ DuckDB ``weekofyear`` (both
+    ISO), Spark ``extract(YEAROFWEEK)`` ≡ DuckDB ``isoyear``, Spark
+    ``extract(DAYOFWEEK_ISO)`` ≡ DuckDB ``isodow`` — and the TRAP that
+    the engines' bare ``dayofweek`` DISAGREE (Spark counts 1=Sunday,
+    DuckDB 1=Monday), so the Sunday-first value is pinned through the
+    explicit ``isodow % 7 + 1`` conversion on the DuckDB side. One
+    filtered scan + keyed aggregate; every value is an exact integer."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(F.col("o_orderdate").cast("date").alias("d")).where(
+        ((F.month("d") == 12) & (F.dayofmonth("d") >= 28))
+        | ((F.month("d") == 1) & (F.dayofmonth("d") <= 4))
+    )
+    return d.groupBy("d").agg(
+        F.weekofyear("d").cast("int").alias("iso_week"),
+        F.first(F.expr("extract(YEAROFWEEK FROM d)")).cast("int").alias("iso_year"),
+        F.first(F.expr("extract(DAYOFWEEK_ISO FROM d)")).cast("int").alias("iso_dow"),
+        F.dayofweek("d").cast("int").alias("dow_sunday1"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+
+
+@query(
+    "agg_percentile_cont_disc_zoo",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(cents, 0.25), 6) AS p25_cont,
+           ROUND(quantile_cont(cents, 0.50), 6) AS p50_cont,
+           ROUND(quantile_cont(cents, 0.90), 6) AS p90_cont,
+           CAST(quantile_disc(cents, 0.25) AS BIGINT) AS p25_disc,
+           CAST(quantile_disc(cents, 0.50) AS BIGINT) AS p50_disc,
+           CAST(quantile_disc(cents, 0.90) AS BIGINT) AS p90_disc
+    FROM c GROUP BY 1
+    """,
+)
+def agg_percentile_cont_disc_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2008 PERCENTILE_CONT vs PERCENTILE_DISC CONFORMANCE ZOO over
+    exact integer cents per order priority — pins the standard's two
+    quantile semantics against each other and across engines: CONT
+    linearly interpolates at rank (n−1)·p (Spark ``percentile_cont`` ≡
+    DuckDB ``quantile_cont`` — identical (1−f)·a + f·b doubles on the
+    same integer inputs), DISC returns the first order statistic at
+    cumulative probability ≥ p as an ACTUAL element (Spark emits it as
+    DOUBLE, DuckDB as the input type — the zoo casts both to BIGINT,
+    pinning that the value is integral). Group-keyed aggregates only; the
+    per-group sort is Spark's own percentile machinery, not a global
+    window."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    return c.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY cents)"), 6).alias("p25_cont"),
+        F.round(F.expr("percentile_cont(0.50) WITHIN GROUP (ORDER BY cents)"), 6).alias("p50_cont"),
+        F.round(F.expr("percentile_cont(0.90) WITHIN GROUP (ORDER BY cents)"), 6).alias("p90_cont"),
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)").cast("bigint").alias("p25_disc"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY cents)").cast("bigint").alias("p50_disc"),
+        F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY cents)").cast("bigint").alias("p90_disc"),
+    )

@@ -774,3 +774,72 @@ def knn_cosine_ivf_trained_oracle(spark: SparkSession, sf_dir: str) -> DataFrame
         spark, e, "embedding", "vec_id", _IVF_QV,
         n_probe=_IVF_PROBE, k=5, centroids=TRAINED_CENTS_SF001,
     )
+
+
+def _sign_sketch_oracle(qv: list[float], shortlist: int, k: int) -> str:
+    qn = _pynorm(qv)
+    qlit = "[" + ", ".join(repr(x) for x in qv) + "]"
+    return f"""
+    WITH s AS (
+      SELECT vec_id,
+             SUM(CASE WHEN (CAST(embedding[i.i] AS DOUBLE) > 0)
+                        <> (({qlit})[i.i] > 0) THEN 1 ELSE 0 END) AS hamming,
+             SUM(CAST(embedding[i.i] AS DOUBLE) * ({qlit})[i.i]) AS dp,
+             SUM(CAST(embedding[i.i] AS DOUBLE) * CAST(embedding[i.i] AS DOUBLE)) AS nsq
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS i(i)
+      GROUP BY vec_id
+    ), short AS (
+      SELECT * FROM s ORDER BY hamming, vec_id LIMIT {shortlist}
+    )
+    SELECT vec_id, CAST(hamming AS INT) AS hamming,
+           ROUND(dp / (SQRT(nsq) * {qn!r}), 6) AS cos_sim
+    FROM short ORDER BY cos_sim DESC, vec_id LIMIT {k}
+    """
+
+
+_SKETCH_SHORTLIST = 50
+
+
+@query(
+    "knn_sign_sketch_hamming",
+    oracle=_sign_sketch_oracle(_TQV, 50, 5),
+)
+def knn_sign_sketch_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-QUANTIZATION ANN READ PATH — the 1-bit/dimension compression
+    every modern vector store ships (sign of each component; at rest the
+    64 signs pack into one BIGINT = 32× smaller than float32): shortlist
+    by Hamming distance between sign sketches (here computed directly as
+    the sign-mismatch count inside one codegen fold — identical math to
+    popcount(xor) on the packed form), then EXACT-cosine rerank of the
+    top-50 shortlist. Scan → project → TakeOrdered(50) →
+    50-row rerank: zero shuffles, and at 100 TB the scan reads 8-byte
+    sketches instead of 256-byte vectors until the rerank touches 50
+    rows. Fully value-oracled from the literal query vector — shortlist
+    membership, Hamming values, and rerank scores all recomputed by
+    DuckDB."""
+    from ..functions.vectors import cosine_similarity, literal_vector
+    from .vectors import _IVF_QV
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qlit = literal_vector(_IVF_QV)
+    mism = F.zip_with(
+        F.col("embedding"), qlit,
+        lambda x, y: F.when(
+            (x.cast("double") > 0) != (y > 0), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    scored = e.select(
+        "vec_id",
+        "embedding",
+        F.aggregate(mism, F.lit(0), lambda a, x: a + x).cast("int").alias("hamming"),
+    )
+    short = scored.orderBy("hamming", "vec_id").limit(_SKETCH_SHORTLIST)
+    return (
+        short.select(
+            "vec_id",
+            "hamming",
+            F.round(cosine_similarity(F.col("embedding"), qlit), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(5)
+    )

@@ -1332,3 +1332,134 @@ def merge_insert_overwrite_partitions(
             .cast("bigint").alias("cents"),
         )
     )
+
+
+@query(
+    "merge_snapshot_column_drift",
+    oracle="""
+    WITH cur AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+      FROM customer
+    ), snap AS (
+      -- deterministic restated snapshot: %97 keys deleted, %7 keys change
+      -- segment, %11 keys get a 500-cent credit, %101 keys reappear as
+      -- fresh ids in a new key range
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN 'RELOCATED'
+                  ELSE c_mktsegment END AS c_mktsegment,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+               + CASE WHEN c_custkey % 11 = 0 THEN 500 ELSE 0 END AS bal_cents
+      FROM customer WHERE c_custkey % 97 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_mktsegment,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+      FROM customer WHERE c_custkey % 101 = 0
+    ), j AS (
+      SELECT cur.c_custkey AS k_cur, snap.c_custkey AS k_snap,
+             cur.c_mktsegment AS seg_cur, snap.c_mktsegment AS seg_snap,
+             cur.bal_cents AS bal_cur, snap.bal_cents AS bal_snap
+      FROM cur FULL OUTER JOIN snap ON cur.c_custkey = snap.c_custkey
+    )
+    SELECT metric, n FROM (
+      SELECT 'rows_added' AS metric,
+             CAST(SUM(CASE WHEN k_cur IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n
+      FROM j
+      UNION ALL
+      SELECT 'rows_removed',
+             CAST(SUM(CASE WHEN k_snap IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM j
+      UNION ALL
+      SELECT 'rows_matched',
+             CAST(SUM(CASE WHEN k_cur IS NOT NULL AND k_snap IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM j
+      UNION ALL
+      SELECT 'changed_c_mktsegment',
+             CAST(SUM(CASE WHEN k_cur IS NOT NULL AND k_snap IS NOT NULL
+                            AND seg_cur <> seg_snap THEN 1 ELSE 0 END) AS BIGINT)
+      FROM j
+      UNION ALL
+      SELECT 'changed_c_acctbal',
+             CAST(SUM(CASE WHEN k_cur IS NOT NULL AND k_snap IS NOT NULL
+                            AND bal_cur <> bal_snap THEN 1 ELSE 0 END) AS BIGINT)
+      FROM j
+      UNION ALL
+      SELECT 'changed_any_column',
+             CAST(SUM(CASE WHEN k_cur IS NOT NULL AND k_snap IS NOT NULL
+                            AND (seg_cur <> seg_snap OR bal_cur <> bal_snap)
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM j
+    )
+    """,
+)
+def merge_snapshot_column_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT RECONCILIATION AUDIT — the table-diff report every
+    migration/backfill review reads before swapping a restated snapshot
+    in: rows added, rows removed, rows matched, and PER-COLUMN change
+    counts between the current table and a deterministic restatement
+    (segment rewrites, balance credits, deletions, new keys). One full
+    outer join on the key feeding six conditional counts in a single
+    map-side-combined pass (the unpivot to (metric, n) rows is on the
+    6-row aggregate, not the data); balances compare as exact integer
+    cents so float noise can't masquerade as drift. At 100 TB both
+    sides shuffle once on the join key — the same plan DeequalDiff-style
+    reconcilers run."""
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")
+    cur = c.select("c_custkey", "c_mktsegment", cents.alias("bal_cents"))
+    snap = (
+        c.where(F.col("c_custkey") % 97 != 0)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 7 == 0, "RELOCATED")
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+            (
+                cents
+                + F.when(F.col("c_custkey") % 11 == 0, 500).otherwise(0)
+            ).cast("bigint").alias("bal_cents"),
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 101 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                "c_mktsegment",
+                cents.alias("bal_cents"),
+            )
+        )
+    )
+    j = cur.alias("a").join(
+        snap.alias("b"), F.col("a.c_custkey") == F.col("b.c_custkey"), "full_outer"
+    ).select(
+        F.col("a.c_custkey").alias("k_cur"),
+        F.col("b.c_custkey").alias("k_snap"),
+        F.col("a.c_mktsegment").alias("seg_cur"),
+        F.col("b.c_mktsegment").alias("seg_snap"),
+        F.col("a.bal_cents").alias("bal_cur"),
+        F.col("b.bal_cents").alias("bal_snap"),
+    )
+    matched = F.col("k_cur").isNotNull() & F.col("k_snap").isNotNull()
+    agg = j.agg(
+        F.sum(F.when(F.col("k_cur").isNull(), 1).otherwise(0)).cast("bigint").alias("rows_added"),
+        F.sum(F.when(F.col("k_snap").isNull(), 1).otherwise(0)).cast("bigint").alias("rows_removed"),
+        F.sum(F.when(matched, 1).otherwise(0)).cast("bigint").alias("rows_matched"),
+        F.sum(F.when(matched & (F.col("seg_cur") != F.col("seg_snap")), 1).otherwise(0)).cast("bigint").alias("changed_c_mktsegment"),
+        F.sum(F.when(matched & (F.col("bal_cur") != F.col("bal_snap")), 1).otherwise(0)).cast("bigint").alias("changed_c_acctbal"),
+        F.sum(
+            F.when(
+                matched
+                & (
+                    (F.col("seg_cur") != F.col("seg_snap"))
+                    | (F.col("bal_cur") != F.col("bal_snap"))
+                ),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("changed_any_column"),
+    )
+    return agg.selectExpr(
+        "stack(6, 'rows_added', rows_added, 'rows_removed', rows_removed, "
+        "'rows_matched', rows_matched, "
+        "'changed_c_mktsegment', changed_c_mktsegment, "
+        "'changed_c_acctbal', changed_c_acctbal, "
+        "'changed_any_column', changed_any_column) AS (metric, n)"
+    )

@@ -721,3 +721,127 @@ def stats_forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("e_snaive").cast("double") / F.sum("e_naive1"), 6
         ).alias("mase"),
     )
+
+
+@query(
+    "stats_mcnemar_paired",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS did_a,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS did_b
+      FROM events GROUP BY user_id
+    ), cells AS (
+      SELECT CAST(SUM(CASE WHEN did_a = 1 AND did_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(SUM(CASE WHEN did_a = 1 AND did_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(SUM(CASE WHEN did_a = 0 AND did_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(SUM(CASE WHEN did_a = 0 AND did_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      FROM per_user
+    )
+    SELECT n11, n10, n01, n00,
+           ROUND(CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+                 / NULLIF(n10 + n01, 0), 6) AS chi2,
+           ROUND(CAST((ABS(n10 - n01) - 1) * (ABS(n10 - n01) - 1) AS DOUBLE)
+                 / NULLIF(n10 + n01, 0), 6) AS chi2_cc,
+           CASE WHEN CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+                     / NULLIF(n10 + n01, 0) > 3.841458820694124
+                THEN 1 ELSE 0 END AS reject_at_05
+    FROM cells
+    """,
+)
+def stats_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR'S TEST FOR PAIRED BINARY OUTCOMES — the within-subject
+    sibling of the two-proportion z-test the experimentation shelf
+    already carries: for each user, did they click (outcome A) and did
+    they purchase (outcome B)? Only the DISCORDANT cells matter
+    (χ² = (n10 − n01)²/(n10 + n01), plus Edwards' continuity-corrected
+    variant), so the test isolates users who changed behavior — the
+    correct analysis when both measurements come from the SAME subject
+    and the z-test's independence assumption breaks. One user-keyed
+    aggregate to the 2×2 concordance table (map-side combinable), then
+    exact-integer cell arithmetic with a single rounded division; the
+    χ²₁ critical value 3.8415 is a literal in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("did_a"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("did_b"),
+    )
+    cells = per_user.agg(
+        F.sum(F.when((F.col("did_a") == 1) & (F.col("did_b") == 1), 1).otherwise(0)).cast("bigint").alias("n11"),
+        F.sum(F.when((F.col("did_a") == 1) & (F.col("did_b") == 0), 1).otherwise(0)).cast("bigint").alias("n10"),
+        F.sum(F.when((F.col("did_a") == 0) & (F.col("did_b") == 1), 1).otherwise(0)).cast("bigint").alias("n01"),
+        F.sum(F.when((F.col("did_a") == 0) & (F.col("did_b") == 0), 1).otherwise(0)).cast("bigint").alias("n00"),
+    )
+    d = F.col("n10") - F.col("n01")
+    denom = F.nullif(F.col("n10") + F.col("n01"), F.lit(0))
+    chi2 = (d * d).cast("double") / denom
+    cc = (F.abs(d) - 1) * (F.abs(d) - 1)
+    return cells.select(
+        "n11", "n10", "n01", "n00",
+        F.round(chi2, 6).alias("chi2"),
+        F.round(cc.cast("double") / denom, 6).alias("chi2_cc"),
+        F.when(chi2 > 3.841458820694124, 1).otherwise(0).alias("reject_at_05"),
+    )
+
+
+@query(
+    "events_quantile_treatment_effect",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS INT) AS arm,
+             CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS v_q
+      FROM events GROUP BY user_id
+    ), qs AS (
+      SELECT arm,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(quantile_cont(v_q, 0.25) / 10000, 6) AS q25,
+             ROUND(quantile_cont(v_q, 0.50) / 10000, 6) AS q50,
+             ROUND(quantile_cont(v_q, 0.75) / 10000, 6) AS q75
+      FROM per_user GROUP BY arm
+    )
+    SELECT t.n AS n_treat, c.n AS n_ctrl,
+           ROUND(t.q25 - c.q25, 6) AS qte_25,
+           ROUND(t.q50 - c.q50, 6) AS qte_50,
+           ROUND(t.q75 - c.q75, 6) AS qte_75,
+           t.q50 AS treat_median, c.q50 AS ctrl_median
+    FROM (SELECT * FROM qs WHERE arm = 1) t, (SELECT * FROM qs WHERE arm = 0) c
+    """,
+)
+def events_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE TREATMENT EFFECTS — the distributional readout a
+    mean-diff A/B test hides: at each quartile of per-user total value,
+    how much does the treatment arm (synthetic hash split user_id % 2,
+    the repo's standard deterministic assignment) shift the quantile?
+    QTE(p) = q_T(p) − q_C(p); a lift concentrated in qte_75 with flat
+    qte_25 means the treatment moves whales, not typical users. Per-user
+    values are 1e4-quantized integers BEFORE the quantile (so the
+    interpolation arithmetic is over identical integers in both engines);
+    quantiles are per-arm keyed aggregates — no global window — and the
+    final QTE row joins two single-row arms."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 10000 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("v_q"),
+    ).select(
+        "user_id", (F.col("user_id") % 2).cast("int").alias("arm"), "v_q"
+    )
+    qs = per_user.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY v_q)") / 10000, 6).alias("q25"),
+        F.round(F.expr("percentile_cont(0.50) WITHIN GROUP (ORDER BY v_q)") / 10000, 6).alias("q50"),
+        F.round(F.expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY v_q)") / 10000, 6).alias("q75"),
+    )
+    t = qs.where(F.col("arm") == 1).alias("t")
+    c = qs.where(F.col("arm") == 0).alias("c")
+    return t.crossJoin(F.broadcast(c)).select(
+        F.col("t.n").alias("n_treat"),
+        F.col("c.n").alias("n_ctrl"),
+        F.round(F.col("t.q25") - F.col("c.q25"), 6).alias("qte_25"),
+        F.round(F.col("t.q50") - F.col("c.q50"), 6).alias("qte_50"),
+        F.round(F.col("t.q75") - F.col("c.q75"), 6).alias("qte_75"),
+        F.col("t.q50").alias("treat_median"),
+        F.col("c.q50").alias("ctrl_median"),
+    )

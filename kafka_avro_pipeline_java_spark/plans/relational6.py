@@ -1485,3 +1485,104 @@ def agg_percentile_cont_disc_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY cents)").cast("bigint").alias("p50_disc"),
         F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY cents)").cast("bigint").alias("p90_disc"),
     )
+
+
+_LATERAL_TOPN_SQL = """
+SELECT n.n_name,
+       t.c_custkey,
+       t.bal_cents,
+       t.rnk
+FROM nation n,
+LATERAL (
+  SELECT c_custkey,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY FLOOR(c_acctbal * 100 + 0.5) DESC, c_custkey
+         ) AS INT) AS rnk
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY bal_cents DESC, c_custkey
+  LIMIT 3
+) t
+"""
+
+
+@query("join_lateral_topn_per_group", oracle=_LATERAL_TOPN_SQL)
+def join_lateral_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:1999 LATERAL JOIN — the correlated table subquery in FROM
+    (each nation row drives a per-nation top-3-customers-by-balance
+    probe), the standard form every "top N per group" recipe quotes and
+    a Spark-4 surface the catalog didn't exercise yet. IDENTICAL SQL
+    text runs on both engines (only temp-view plumbing differs), so the
+    MATCH pins that Spark's DecorrelateInnerQuery planning of the
+    correlated LIMIT agrees with DuckDB's native lateral execution —
+    Catalyst rewrites this into the same partitioned window + filter the
+    DataFrame top-N idiom uses, so nothing here is per-row nested-loop
+    at scale. Balances compare as exact integer cents; ROW_NUMBER ties
+    break on the key."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_TOPN_SQL)
+
+
+@query(
+    "window_nth_value_zoo",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS k,
+             o_orderkey AS id,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  ELSE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+             END AS v
+      FROM orders WHERE o_custkey % 100 = 0
+    ), w AS (
+      SELECT k, id, v,
+             FIRST_VALUE(v) OVER win AS first_any,
+             FIRST_VALUE(v IGNORE NULLS) OVER win AS first_ig,
+             LAST_VALUE(v) OVER win AS last_any,
+             LAST_VALUE(v IGNORE NULLS) OVER win AS last_ig,
+             NTH_VALUE(v, 2) OVER win AS nth2_any,
+             NTH_VALUE(v, 2 IGNORE NULLS) OVER win AS nth2_ig
+      FROM base
+      WINDOW win AS (PARTITION BY k ORDER BY id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT k, id, v, first_any, first_ig, last_any, last_ig,
+           nth2_any, nth2_ig
+    FROM w
+    """,
+)
+def window_nth_value_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST/LAST/NTH_VALUE × IGNORE NULLS CONFORMANCE ZOO — the SQL:2011
+    null-treatment clause on a running ROWS frame, where the two engines'
+    defaults can silently diverge when porting: FIRST_VALUE of a frame
+    whose first row is NULL, LAST_VALUE's current-row-anchored default
+    frame (so last_any ≡ v, NULL included), and NTH_VALUE counting frame
+    ROWS vs counting only NON-NULL values under IGNORE NULLS — every
+    combination pinned per row over a keyed running frame (customer-
+    partitioned: no global window). Values are exact cents with a
+    deterministic NULL planting (every 5th orderkey); DuckDB's IGNORE
+    NULLS syntax sits inside the call where Spark's is a suffix, so each
+    side uses its native spelling of the same standard semantics."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") % 100 == 0)
+    base = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderkey").alias("id"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .alias("v"),
+    )
+    win = (
+        Window.partitionBy("k")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        "k", "id", "v",
+        F.first("v", ignorenulls=False).over(win).alias("first_any"),
+        F.first("v", ignorenulls=True).over(win).alias("first_ig"),
+        F.last("v", ignorenulls=False).over(win).alias("last_any"),
+        F.last("v", ignorenulls=True).over(win).alias("last_ig"),
+        F.nth_value("v", 2, ignoreNulls=False).over(win).alias("nth2_any"),
+        F.nth_value("v", 2, ignoreNulls=True).over(win).alias("nth2_ig"),
+    )

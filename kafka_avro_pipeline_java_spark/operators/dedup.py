@@ -936,24 +936,37 @@ def embedding_near_pairs_bucketed(
     Output is a SUBSET of ``embedding_near_pairs(threshold)`` — identical
     verify expression (round(cos, 6) ≥ threshold), fewer candidate pairs.
     """
-    from .similarity import band_buckets
+    from .similarity import buckets_from_dots, plane_dots
 
+    # the plane-dot array is materialized BELOW the repartition exchange:
+    # deriving the band keys directly from the vector would inline the
+    # full literal plane matrix once per band (CollapseProject merges
+    # adjacent projections), and a 64×64 matrix × 4 bands cost ~5 s of
+    # whole-stage codegen COMPILATION per cold plan (measured). The
+    # exchange is a collapse barrier, so the matrix is compiled and
+    # evaluated exactly once per row; it also spreads the verify join
+    # across every core (see similarity.py note) — broadcast self-joins
+    # parallelize by stream-side partitions, and a single-file source
+    # would otherwise run the whole Σ bucket² scoring in one or two tasks.
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         norm(vec_col).alias("nrm"),
-        band_buckets(vec_col, planes, bands).alias("bb"),
-    )
+        plane_dots(vec_col, planes).alias("__pd"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    bb = buckets_from_dots("__pd", len(planes), bands)
     banded = banded_explode(
-        base, ["id", "v", "nrm"], [F.col("bb")[b] for b in range(bands)],
+        base, ["id", "v", "nrm"], [bb[b] for b in range(bands)],
         scale_guard="max-bucket-cap" if max_bucket is not None
         else "uncapped-baseline",
     )
-    # spread the verify join across every core (see similarity.py note):
-    # broadcast self-joins parallelize by stream-side partitions, and a
-    # single-file source would otherwise run the whole Σ bucket² scoring
-    # in one or two tasks
-    banded = banded.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # the capped path references `banded` from FOUR consumers (bucket
+    # stats, light side ×2, star members) and callers often fan the PAIR
+    # table out again (DBSCAN reads it three times) — without a cut Spark
+    # re-evaluates the signature subtree per reference. localCheckpoint
+    # materializes n·bands rows of (id, v, nrm, band, bucket) once,
+    # lazily (measured 12.4 s → 6.0 s at sf0.1 before the codegen fix).
+    banded = banded.localCheckpoint(eager=False)
     from ..functions.vectors import dot as vdot
 
     def _pairs(left, right):

@@ -68,39 +68,54 @@ def hyperplane_signature(vec_col, planes: list[list[float]]):
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
-def band_buckets(vec_col, planes: list[list[float]], bands: int):
-    """Per-band LSH bucket keys as one ``array<long>`` — band *b*'s key is
-    the sign pattern of planes ``[b·w, (b+1)·w)`` packed little-endian.
-
-    Unlike ``hyperplane_signature`` (one packed long, ≤ 63 planes), each
-    band packs only ``len(planes)/bands`` bits, so total plane count is
-    unbounded — the knob that lets the band-join bucket count scale with
-    corpus size (64 planes / 4 bands = 65,536 buckets per band) instead of
-    being pinned at 2^8 by the single-long ceiling. Same codegen-loop
-    construction: one ``transform`` over the literal plane matrix, then a
-    weighted fold per band slice."""
+def plane_dots(vec_col, planes: list[list[float]]):
+    """``array<double>`` of dot(v, plane_i) per literal hyperplane — the
+    codegen-loop form (ONE ``transform`` over the literal plane matrix;
+    see ``hyperplane_signature`` for why not unrolled). Materialize this
+    as a COLUMN before deriving band keys: referencing the transform
+    inside several band expressions would inline the full literal matrix
+    once per band, and a 64×64 matrix × 4 bands cost ~5 s of whole-stage
+    codegen compilation per cold plan (measured — the r11 regression)."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     from ..functions.vectors import literal_matrix
 
-    bits = len(planes)
-    if bits % bands:
-        raise ValueError(f"{bits} planes do not split into {bands} bands")
-    per_band = bits // bands
-    planes_lit = literal_matrix(planes)
-    dots = F.transform(planes_lit, lambda p: dot(v, p))
+    return F.transform(literal_matrix(planes), lambda p: dot(v, p))
+
+
+def buckets_from_dots(dots_col, n_planes: int, bands: int):
+    """Per-band LSH bucket keys as one ``array<long>`` from a materialized
+    ``plane_dots`` column — band *b*'s key is the sign pattern of planes
+    ``[b·w, (b+1)·w)`` packed little-endian.
+
+    Unlike ``hyperplane_signature`` (one packed long, ≤ 63 planes), each
+    band packs only ``n_planes/bands`` bits, so total plane count is
+    unbounded — the knob that lets the band-join bucket count scale with
+    corpus size (64 planes / 4 bands = 65,536 buckets per band) instead of
+    being pinned at 2^8 by the single-long ceiling."""
+    d = F.col(dots_col) if isinstance(dots_col, str) else dots_col
+    if n_planes % bands:
+        raise ValueError(f"{n_planes} planes do not split into {bands} bands")
+    per_band = n_planes // bands
     weights = F.array(*[F.lit(1 << i).cast("long") for i in range(per_band)])
     return F.array(*[
         F.aggregate(
             F.zip_with(
-                F.slice(dots, b * per_band + 1, per_band),
+                F.slice(d, b * per_band + 1, per_band),
                 weights,
-                lambda d, w: F.when(d > 0, w).otherwise(F.lit(0).cast("long")),
+                lambda x, w: F.when(x > 0, w).otherwise(F.lit(0).cast("long")),
             ),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
         for b in range(bands)
     ])
+
+
+def band_buckets(vec_col, planes: list[list[float]], bands: int):
+    """One-expression composition of ``plane_dots`` + ``buckets_from_dots``
+    — convenient for tests/small plans; production operators should
+    materialize the dots column first (see ``plane_dots`` docstring)."""
+    return buckets_from_dots(plane_dots(vec_col, planes), len(planes), bands)
 
 
 def lsh_bucketed_knn(

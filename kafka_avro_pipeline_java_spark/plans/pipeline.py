@@ -637,3 +637,64 @@ def pipeline_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("kept_mean_logprob"),
     )
+
+
+_QUIET_THRESH = 125000  # Σ(s−128)² over a 64-byte window; corpus median ≈ 128k
+
+
+@query(
+    "multimodal_audio_silence_gate",
+    oracle=f"""
+    WITH auds AS (
+      SELECT doc_id AS media_id, text, length(text) AS n
+      FROM documents WHERE doc_id % 3 = 1
+    ), e AS (
+      SELECT media_id,
+             CAST((
+               SELECT SUM((ascii(substr(w.win, j.j, 1)) - 128)
+                          * (ascii(substr(w.win, j.j, 1)) - 128))
+               FROM (SELECT substr(text, CAST(i.i * 64 + 1 AS INT), 64)
+                       AS win) w,
+                    UNNEST(range(1, len(w.win) + 1)) AS j(j)
+             ) AS BIGINT) AS energy
+      FROM auds, UNNEST(range(0, least(8, greatest(1, n // 64)))) AS i(i)
+    )
+    SELECT media_id,
+           CAST(COUNT(*) AS INT) AS n_windows,
+           CAST(SUM(CASE WHEN energy < {_QUIET_THRESH} THEN 1 ELSE 0 END)
+                AS INT) AS n_quiet,
+           ROUND(CAST(SUM(CASE WHEN energy < {_QUIET_THRESH} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 4) AS quiet_ratio,
+           CAST(MIN(energy) AS BIGINT) AS min_energy,
+           CAST(MAX(energy) AS BIGINT) AS max_energy,
+           CASE WHEN SUM(CASE WHEN energy < {_QUIET_THRESH} THEN 1 ELSE 0 END)
+                     * 2 >= COUNT(*) THEN 1 ELSE 0 END AS mostly_quiet
+    FROM e GROUP BY media_id
+    """,
+)
+def multimodal_audio_silence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO SILENCE/LOUDNESS GATE — the per-clip curation verdict built
+    on the windowed PCM energy pass (multimodal_audio_energy): count
+    quiet windows (energy below the corpus-median-scaled threshold),
+    report the quiet ratio and energy envelope, and flag clips that are
+    mostly quiet — the drop-dead-air gate an audio pipeline runs before
+    any expensive decode or model. The flag comparison is exact integer
+    arithmetic (2·n_quiet ≥ n_windows, no float threshold); energies are
+    the same exact integers the energy row certifies, so the only new
+    math is one keyed rollup over the window table."""
+    from ..operators.multimodal import audio_window_energy, text_as_media
+
+    d = load_table(spark, sf_dir, "documents")
+    media = text_as_media(d, "doc_id", "text")
+    en = audio_window_energy(media, window_bytes=64, max_windows=8)
+    quiet = F.when(F.col("energy") < _QUIET_THRESH, 1).otherwise(0)
+    return en.groupBy("media_id").agg(
+        F.count("*").cast("int").alias("n_windows"),
+        F.sum(quiet).cast("int").alias("n_quiet"),
+        F.round(F.sum(quiet).cast("double") / F.count("*"), 4).alias("quiet_ratio"),
+        F.min("energy").cast("bigint").alias("min_energy"),
+        F.max("energy").cast("bigint").alias("max_energy"),
+        F.when(
+            F.sum(quiet) * 2 >= F.count("*"), 1
+        ).otherwise(0).alias("mostly_quiet"),
+    )

@@ -1586,3 +1586,52 @@ def window_nth_value_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("v", 2, ignoreNulls=False).over(win).alias("nth2_any"),
         F.nth_value("v", 2, ignoreNulls=True).over(win).alias("nth2_ig"),
     )
+
+
+@query(
+    "scalar_interval_month_zoo",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+      WHERE day(o_orderdate) >= 28
+    )
+    SELECT d,
+           CAST(d + INTERVAL 1 MONTH AS DATE) AS plus_1m,
+           CAST(d + INTERVAL 13 MONTH AS DATE) AS plus_13m,
+           CAST(d - INTERVAL 1 MONTH AS DATE) AS minus_1m,
+           last_day(d) AS month_end,
+           CASE WHEN d = last_day(d) THEN 1 ELSE 0 END AS is_month_end,
+           CAST(date_trunc('week', d) AS DATE) AS week_start,
+           d + CAST(CASE WHEN (5 - isodow(d) + 7) % 7 = 0 THEN 7
+                         ELSE (5 - isodow(d) + 7) % 7 END AS INT) AS next_friday
+    FROM d
+    """,
+)
+def scalar_interval_month_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MONTH-ARITHMETIC CONFORMANCE ZOO over the clamp-sensitive dates
+    (day ≥ 28): pins that Spark ``add_months`` and DuckDB
+    ``+ INTERVAL n MONTH`` share END-OF-MONTH CLAMPING (Jan 31 + 1 month
+    = Feb 29 on leap years, Feb 28 otherwise — the rule payroll and
+    billing cutoffs depend on), including the 13-month year-rollover and
+    the subtraction direction; ``last_day`` and Monday-anchored
+    ``date_trunc('week')`` agree natively; and Spark's ``next_day(d,
+    'Friday')`` — which DuckDB lacks — is pinned against the explicit
+    isodow reconstruction ``d + ((5 − isodow + 7) % 7, 0→7)``, making
+    the strictly-after convention hash-checkable rather than assumed.
+    One DISTINCT over the filtered date column; all values exact."""
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        o.select(F.col("o_orderdate").cast("date").alias("d"))
+        .where(F.dayofmonth("d") >= 28)
+        .distinct()
+    )
+    return d.select(
+        "d",
+        F.add_months("d", 1).alias("plus_1m"),
+        F.add_months("d", 13).alias("plus_13m"),
+        F.add_months("d", -1).alias("minus_1m"),
+        F.last_day("d").alias("month_end"),
+        F.when(F.col("d") == F.last_day("d"), 1).otherwise(0).alias("is_month_end"),
+        F.date_trunc("week", F.col("d")).cast("date").alias("week_start"),
+        F.next_day("d", "Friday").alias("next_friday"),
+    )

@@ -711,7 +711,9 @@ def embedding_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.embedding_near_pairs_bucketed(
         e, "embedding", "vec_id", _DEDUP_PLANES,
         threshold=_DBSCAN_TAU, bands=_DEDUP_BANDS, max_bucket=_DEDUP_MAX_BUCKET,
-    )
+    # the pair table feeds ends (twice) and near_core: cut it once like
+    # the triangle-count plan does, instead of re-running the banded join
+    ).localCheckpoint(eager=False)
     ends = pairs.select(
         F.col("id_a").alias("id"), F.col("id_b").alias("nb")
     ).unionByName(

@@ -33,6 +33,7 @@ from . import stats3 as stats3_plans  # noqa: E402,F401
 from . import stats4 as stats4_plans  # noqa: E402,F401
 from . import tokenizer as tokenizer_plans  # noqa: E402,F401
 from . import layout as layout_plans  # noqa: E402,F401
+from . import governance as governance_plans  # noqa: E402,F401
 
 # The driver's CORRECTNESS report covers the first 50 registered queries, so
 # registration order is a grading surface. Round-11 rotation continues the

@@ -1,0 +1,149 @@
+"""Property tests for the round-11 additions: KN smoothing invariants,
+HITS path-count semantics, LOO encoding leakage algebra, privacy audit
+degeneracies, and the sign-sketch shortlist contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_avro_pipeline_java_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_kneser_ney_is_proper_distribution(spark):
+    """Σ_w2 P_KN(w2 | w1) must equal 1 for every observed history w1 —
+    the defining invariant of interpolated KN smoothing (discount mass
+    exactly re-spent by the continuation term). Verified directly from
+    the corpus counts on the small SF."""
+    from kafka_avro_pipeline_java_spark.functions import text as T
+    from kafka_avro_pipeline_java_spark.sources import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    toks = [r["ts"] for r in
+            d.select(T.tokens(F.lower(F.col("text"))).alias("ts")).collect()]
+    from collections import Counter, defaultdict
+
+    bc = Counter()
+    for ts in toks:
+        for a, b in zip(ts, ts[1:]):
+            bc[(a, b)] += 1
+    c1 = Counter(); n1p = Counter(); ncont = Counter()
+    for (a, b), c in bc.items():
+        c1[a] += c; n1p[a] += 1; ncont[b] += 1
+    ntypes = len(bc)
+    vocab2 = set(ncont)
+    D = 0.75
+    # check a handful of histories, including the highest-count one
+    hists = sorted(c1, key=c1.get, reverse=True)[:3] + sorted(c1)[:2]
+    for w1 in hists:
+        total = 0.0
+        for w2 in vocab2:
+            c12 = bc.get((w1, w2), 0)
+            total += (max(c12 - D, 0.0) + D * n1p[w1] * ncont[w2] / ntypes) / c1[w1]
+        assert abs(total - 1.0) < 1e-9, (w1, total)
+
+
+def test_hits_path_count_semantics(spark):
+    """On a hand-built path graph A—B—C (undirected), two alternating
+    rounds from all-ones give exact walk counts: h2 = A(A(A·1)) with
+    symmetric A — checked against the closed-form numpy power product."""
+    import numpy as np
+
+    from kafka_avro_pipeline_java_spark.operators import dedup  # noqa: F401
+
+    # build via the same plan shape as the registered query but on a tiny
+    # explicit edge list evaluated by hand
+    edges = [(0, 1), (1, 2)]
+    A = np.zeros((3, 3), dtype=np.int64)
+    for u, v in edges:
+        A[u, v] = A[v, u] = 1
+    a0 = np.ones(3, dtype=np.int64)
+    h1 = A @ a0
+    a1 = A @ h1
+    h2 = A @ a1
+    a2 = A @ h2
+    sym = spark.createDataFrame(
+        [(u, v) for u, v in edges] + [(v, u) for u, v in edges], "src long, dst long"
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    a = nodes.select("node", F.lit(1).cast("bigint").alias("a"))
+    for _ in range(2):
+        h = (
+            sym.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src").agg(F.sum("a").alias("h"))
+            .withColumnRenamed("src", "node")
+        )
+        a = (
+            sym.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst").agg(F.sum("h").alias("a"))
+            .withColumnRenamed("dst", "node")
+        )
+    got_h = {r["node"]: r["h"] for r in h.collect()}
+    got_a = {r["node"]: r["a"] for r in a.collect()}
+    assert got_h == {i: int(h2[i]) for i in range(3)}
+    assert got_a == {i: int(a2[i]) for i in range(3)}
+
+
+def test_loo_encoding_excludes_own_label(spark, tmp_path):
+    """(Σy − yᵢ)/(n − 1): in a category with labels [1, 0, 0], the row
+    with y=1 must see 0.0 and the rows with y=0 must see 0.5; a category
+    of size 1 yields NULL, never a division error."""
+    rows = [
+        (1, "A", 200000.00), (2, "A", 10.0), (3, "A", 10.0),  # y = 1,0,0
+        (4, "B", 200000.00),                                   # singleton
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = {r["o_orderkey"]: (r["y"], r["loo_enc"]) for r in
+           QUERIES["features_target_encoding_loo"](spark, str(tmp_path)).collect()}
+    assert got[1] == (1, 0.0)
+    assert got[2] == (0, 0.5) and got[3] == (0, 0.5)
+    assert got[4][1] is None  # n=1: no peers to borrow a mean from
+
+
+def test_k_anonymity_flags_unique_rows(spark, tmp_path):
+    """A table where every row is its own QI class must report ALL rows
+    below every k threshold and min_class_size 1."""
+    rows = [(i, f"SEG{i}", i, float(i)) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_mktsegment string, c_nationkey long, c_acctbal double"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    r = QUERIES["privacy_k_anonymity_audit"](spark, str(tmp_path)).collect()[0]
+    assert r["n_classes"] == 10 and r["min_class_size"] == 1
+    assert r["rows_lt_2"] == 10 and r["classes_lt_10"] == 10
+
+
+def test_sign_sketch_scores_are_exact_and_consistent(spark):
+    """The binary-quantization path may PRUNE (the Hamming shortlist is
+    approximate) but must never INVENT: every returned (vec_id, cos_sim,
+    hamming) must equal the exact cosine and exact sign-mismatch count
+    recomputed in python, and the 5 rows must be the cosine-descending
+    head of the 50-shortlist."""
+    import math
+
+    import duckdb
+
+    from kafka_avro_pipeline_java_spark.plans.vectors import _IVF_QV
+
+    rows = QUERIES["knn_sign_sketch_hamming"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    emb = dict(
+        duckdb.sql(
+            f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet'"
+        ).fetchall()
+    )
+    qn = math.sqrt(sum(x * x for x in _IVF_QV))
+    sims = [r["cos_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    for r in rows:
+        v = emb[r["vec_id"]]
+        ham = sum(1 for x, q in zip(v, _IVF_QV) if (x > 0) != (q > 0))
+        assert r["hamming"] == ham
+        vn = math.sqrt(sum(x * x for x in v))
+        cos = sum(x * q for x, q in zip(v, _IVF_QV)) / (vn * qn)
+        assert abs(r["cos_sim"] - cos) < 1e-6

@@ -240,3 +240,123 @@ def pipeline_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1000.0 * F.col("nh") * F.col("sigma") / F.col("t"), 0)
         .cast("bigint").alias("neyman_n"),
     )
+
+
+@query(
+    "sketch_ddsketch_error_audit",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             CAST(ceil(round(ln(l_extendedprice) / ln(101.0/99.0), 9))
+                  AS BIGINT) AS bucket,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT l_returnflag, bucket,
+             SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+             SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+      FROM b
+    ), q(q) AS (VALUES (CAST(0.50 AS DOUBLE)), (CAST(0.95 AS DOUBLE)),
+                       (CAST(0.99 AS DOUBLE))),
+    est AS (
+      SELECT c.l_returnflag, q.q,
+             2 * pow(101.0/99.0, MIN(c.bucket)) / (101.0/99.0 + 1) AS est
+      FROM c JOIN q ON c.cum >= CAST(floor(q.q * (c.n - 1)) AS BIGINT) + 1
+      GROUP BY 1, 2
+    ), v AS (
+      SELECT l_returnflag,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ), vc AS (
+      SELECT l_returnflag, cents,
+             SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cum,
+             SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+      FROM v
+    ), exact AS (
+      SELECT vc.l_returnflag, q.q,
+             CAST(MIN(vc.cents) AS DOUBLE) / 100 AS exact
+      FROM vc JOIN q ON vc.cum >= CAST(floor(q.q * (vc.n - 1)) AS BIGINT) + 1
+      GROUP BY 1, 2
+    )
+    SELECT e.l_returnflag, e.q,
+           ROUND(e.est, 2) AS price_est,
+           ROUND(x.exact, 2) AS price_exact,
+           ROUND(ABS(e.est - x.exact) / x.exact, 6) AS rel_error,
+           CASE WHEN ROUND(ABS(e.est - x.exact) / x.exact, 6) <= 0.0101
+                THEN 1 ELSE 0 END AS within_alpha
+    FROM est e JOIN exact x ON e.l_returnflag = x.l_returnflag AND e.q = x.q
+    """,
+)
+def sketch_ddsketch_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSKETCH GUARANTEE CERTIFICATION — the sketch's α=1% relative-error
+    promise checked IN DATA, not assumed: the log-γ estimate is joined
+    against the EXACT quantile (same lower-order-statistic rank
+    convention floor(q·(n−1))+1, computed on the bounded distinct-cents
+    value histogram — the whitelisted exact-quantile plan class), and
+    every row reports the realized relative error plus a within-α flag
+    (cut at 0.0101 for the γ-boundary rounding slack). This is the audit
+    a platform runs once per sketch deployment to certify threshold
+    picks; both histograms are map-side-combined aggregates and the
+    windows are group-keyed — nothing scales past the value domain."""
+    l = load_table(spark, sf_dir, "lineitem")
+    ln_gamma = F.log(F.lit(_DD_GAMMA))
+    qs = spark.createDataFrame([(0.50,), (0.95,), (0.99,)], "q double")
+
+    hist = l.groupBy(
+        "l_returnflag",
+        F.ceil(F.round(F.log("l_extendedprice") / ln_gamma, 9))
+        .cast("bigint").alias("bucket"),
+    ).agg(F.count("*").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("l_returnflag").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag", "bucket",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    est = (
+        cum.join(
+            F.broadcast(qs),
+            cum["cum"] >= F.floor(qs["q"] * (cum["n"] - 1)).cast("bigint") + 1,
+        )
+        .groupBy("l_returnflag", "q")
+        .agg(
+            (
+                F.lit(2.0) * F.pow(F.lit(_DD_GAMMA), F.min("bucket"))
+                / (F.lit(_DD_GAMMA) + 1)
+            ).alias("est")
+        )
+    )
+    vals = l.groupBy(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    ).agg(F.count("*").alias("cnt"))
+    wv_cum = (
+        Window.partitionBy("l_returnflag").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vcum = vals.select(
+        "l_returnflag", "cents",
+        F.sum("cnt").over(wv_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    exact = (
+        vcum.join(
+            F.broadcast(qs),
+            vcum["cum"] >= F.floor(qs["q"] * (vcum["n"] - 1)).cast("bigint") + 1,
+        )
+        .groupBy("l_returnflag", "q")
+        .agg((F.min("cents").cast("double") / 100).alias("exact"))
+    )
+    rel = F.round(F.abs(F.col("est") - F.col("exact")) / F.col("exact"), 6)
+    return est.join(exact, ["l_returnflag", "q"]).select(
+        "l_returnflag", "q",
+        F.round("est", 2).alias("price_est"),
+        F.round("exact", 2).alias("price_exact"),
+        rel.alias("rel_error"),
+        F.when(rel <= 0.0101, 1).otherwise(0).alias("within_alpha"),
+    )

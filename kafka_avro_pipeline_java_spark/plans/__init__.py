@@ -47,9 +47,20 @@ from . import governance as governance_plans  # noqa: E402,F401
 # which front-ran its three changed plans so fixes pick up fresh driver
 # signatures immediately), PLUS the 19 oldest r10 additions in
 # registration order. The r12 queue (names 51–67 below, in order) = the
-# remaining 17 r10 additions in registration order; queries ADDED in r11
-# queue behind them. Everything outside the window stays exercised by
-# tests and tools/driver_sim.py, which sweeps ALL registered queries
+# remaining 17 r10 additions in registration order, FOLLOWED by the 19
+# queries added in r11 (registration order: merge_snapshot_column_drift,
+# scalar_isoweek_zoo, agg_percentile_cont_disc_zoo,
+# join_lateral_topn_per_group, window_nth_value_zoo,
+# scalar_interval_month_zoo, text_kneser_ney_bigram,
+# graph_hits_hubs_authorities, knn_cosine_ivf_trained_oracle,
+# knn_sign_sketch_hamming, multimodal_image_patches,
+# pipeline_perplexity_filter, multimodal_audio_silence_gate,
+# sketch_ddsketch_error_audit, stats_mcnemar_paired,
+# events_quantile_treatment_effect, privacy_k_anonymity_audit,
+# privacy_l_diversity_audit, features_target_encoding_loo) — 36 names,
+# one window with 14 slots spare, so the debt fully drains in r12 if
+# r12 adds ≤ 14 queries. Everything outside the window stays exercised
+# by tests and tools/driver_sim.py, which sweeps ALL registered queries
 # every round.
 _PRIORITY = [
     # --- r11 window head: the 8 remaining r04-signed names (registry order) ---

@@ -147,3 +147,67 @@ def test_sign_sketch_scores_are_exact_and_consistent(spark):
         vn = math.sqrt(sum(x * x for x in v))
         cos = sum(x * q for x, q in zip(v, _IVF_QV)) / (vn * qn)
         assert abs(r["cos_sim"] - cos) < 1e-6
+
+
+def _formatted_plan(spark, name, sf_dir) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_loo_encoding_broadcasts_category_stats(spark):
+    """The category-stats table (5 priorities) must reach the fact scan
+    as a BroadcastHashJoin — a shuffle join here would re-shuffle the
+    whole fact table on a 5-value key at 100 TB."""
+    plan = _formatted_plan(spark, "features_target_encoding_loo", SF_DIR)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_new_r11_plans_have_no_cartesian_products(spark):
+    """Belt-and-braces beside the sweep gate: none of the round-11 plans
+    may plan a physical CartesianProduct."""
+    for name in (
+        "privacy_k_anonymity_audit", "privacy_l_diversity_audit",
+        "text_kneser_ney_bigram", "graph_hits_hubs_authorities",
+        "join_lateral_topn_per_group", "window_nth_value_zoo",
+        "sketch_ddsketch_error_audit", "events_quantile_treatment_effect",
+        "stats_mcnemar_paired", "merge_snapshot_column_drift",
+        "scalar_interval_month_zoo", "scalar_isoweek_zoo",
+        "agg_percentile_cont_disc_zoo", "knn_sign_sketch_hamming",
+        "pipeline_perplexity_filter",
+    ):
+        plan = _formatted_plan(spark, name, SF_DIR)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_lateral_join_decorrelates_to_window(spark):
+    """The correlated LIMIT subquery must plan as a partitioned window
+    (Catalyst DecorrelateInnerQuery), NOT a per-nation nested loop: the
+    physical plan carries a Window node and no CartesianProduct."""
+    plan = _formatted_plan(spark, "join_lateral_topn_per_group", SF_DIR)
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_perplexity_filter_threshold_is_integer_exact(spark, tmp_path):
+    """A document whose quantized score lands EXACTLY on the threshold
+    must be kept (Σq ≥ threshold_q·n_tok) — the boundary case the integer
+    gate exists for. Construct a 2-token vocab where every token has the
+    same corpus probability, so every doc's per-token quantized logprob
+    is identical and sits where we can compute it by hand."""
+    import math
+
+    rows = [(1, "aa bb", "s"), (2, "aa bb", "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["source"]: r for r in
+           QUERIES["pipeline_perplexity_filter"](spark, str(tmp_path)).collect()}
+    r = out["s"]
+    # each token has prob 2/4 = 0.5 → per-token q = floor(ln(.5)*1e9+.5)
+    q = math.floor(math.log(0.5) * 1e9 + 0.5)
+    # threshold_q = -3402000000 < q → both docs kept
+    assert (r["n_docs"], r["n_kept"]) == (2, 2)
+    assert abs(r["kept_mean_logprob"] - round(q / 1e9, 4)) < 1e-9

@@ -152,7 +152,12 @@ def knn_all_pairs_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB SQL and fully oracle-checked, not just recall-tested.
 # --------------------------------------------------------------------------
 _EMB_DIM = 64          # driver test embeddings (TESTDATA.md)
-_EMB_PLANES = lcg_planes(8, _EMB_DIM, seed=42)
+# Batch-kNN band geometry (r11 rescale alongside the dedup family): 16
+# planes in 2 bands × 8 bits = 256 buckets per band (was 8 planes → 16
+# buckets/band). Plane count is the bucket-count scale knob; the
+# max_bucket target-truncation cap in bucketed_topk_neighbors is the
+# hard candidate bound either way (≤ n·bands·cap).
+_EMB_PLANES = lcg_planes(16, _EMB_DIM, seed=42)
 _EMB_BANDS = 2
 # Near-dup prefilter geometry: 4 bands × 16 bits = 65,536 buckets per
 # band (was 2×8 = 256/band, whose FIXED bucket count made the band join
@@ -338,8 +343,9 @@ def knn_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH band-bucket candidate pairs instead of the O(n²) self-join, with
     the max_bucket=100 TARGET-TRUNCATION cap (candidate neighbors per
     bucket limited to a deterministic md5-ordered sample, mirrored in the
-    oracle) bounding candidates at n·bands·cap — live at sf0.1, where the
-    2×4-bit buckets hold ~125 vectors. Deterministic literal hyperplanes
+    oracle) bounding candidates at n·bands·cap; 2 bands × 8-bit buckets
+    (256/band) keep typical buckets small, and the cap still fires on
+    the sign-correlated hot buckets at sf0.1. Deterministic literal hyperplanes
     make the whole pipeline DuckDB-expressible, so candidates AND scores
     are oracle-checked value-for-value; recall vs the exact window is
     measured in tests/test_similarity.py."""

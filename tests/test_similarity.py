@@ -182,9 +182,11 @@ def test_bucketed_topk_recall_clustered(spark, clustered):
         )[:3]
         exact_top3[vid] = {-negid for _, negid in scored}
 
-    planes = lcg_planes(8, 16, seed=42)
+    # the registered geometry of knn_topk_bucketed: 16 planes / 2 bands,
+    # max_bucket=100 target truncation (fixture buckets stay under it)
+    planes = lcg_planes(16, 16, seed=42)
     approx = bucketed_topk_neighbors(spark, df, "embedding", "vec_id", planes,
-                                     k=3, bands=2).collect()
+                                     k=3, bands=2, max_bucket=100).collect()
     found = {}
     for r in approx:
         found.setdefault(r["vec_id"], set()).add(r["neighbor_id"])

@@ -845,3 +845,87 @@ def knn_sign_sketch_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+def _capture_recapture_oracle(planes: list[list[float]], threshold: float,
+                              max_bucket: int) -> str:
+    half = len(planes) // 2
+    a = _bucketed_embedding_oracle(planes[:half], 2, threshold,
+                                   max_bucket=max_bucket)
+    b = _bucketed_embedding_oracle(planes[half:], 2, threshold,
+                                   max_bucket=max_bucket)
+    return f"""
+    WITH sa AS ({a}), sb AS ({b}),
+    m AS (
+      SELECT CAST((SELECT COUNT(*) FROM sa) AS BIGINT) AS n_a,
+             CAST((SELECT COUNT(*) FROM sb) AS BIGINT) AS n_b,
+             CAST((SELECT COUNT(*) FROM sa JOIN sb
+                   ON sa.id_a = sb.id_a AND sa.id_b = sb.id_b) AS BIGINT)
+               AS n_both
+    )
+    SELECT n_a, n_b, n_both,
+           ROUND(CAST(n_a * n_b AS DOUBLE) / NULLIF(n_both, 0), 2)
+             AS est_total_pairs,
+           ROUND(CAST(n_both AS DOUBLE) / NULLIF(n_b, 0), 6) AS recall_a_hat,
+           ROUND(CAST(n_both AS DOUBLE) / NULLIF(n_a, 0), 6) AS recall_b_hat
+    FROM m
+    """
+
+
+@query(
+    "dedup_capture_recapture_estimate",
+    oracle=_capture_recapture_oracle(_DEDUP_PLANES, 0.4, _DEDUP_MAX_BUCKET),
+)
+def dedup_capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPTURE–RECAPTURE (Lincoln–Petersen) ESTIMATE OF TOTAL NEAR-DUP
+    PAIRS — the audit that sizes the dup problem WITHOUT the exact O(n²)
+    join a 100 TB corpus can't afford: run the banded detector twice on
+    DISJOINT plane halves (two independent 2×16-bit samples of the same
+    pair population), and estimate the true pair count as
+    N̂ = n_A·n_B / |A∩B| — the two-sample mark-recapture formula; each
+    sample's recall falls out as |A∩B|/n_other. CAVEAT, stated because
+    the test corpus exhibits it: Lincoln–Petersen assumes HOMOGENEOUS
+    catchability, and LSH detection probability rises with cosine, so on
+    a corpus whose "pairs" span a wide similarity range (the uniform
+    test embeddings: cos 0.4–0.6) the correlated detectors make N̂ a
+    LOWER bound (15·10/3 = 50 vs 920 true at sf0.1) — the estimator is
+    consistent in the NEAR-DUP regime it exists for, where every true
+    pair is near-certainly caught per band (certified on a planted
+    homogeneous cluster in tests/test_round11_ops.py). Both samples ride
+    the standard capped band join (anchor-star heavy buckets); the
+    overlap is one pair-keyed equi-join of two SMALL verified-pair
+    tables; the oracle recomputes both detectors and the estimate from
+    the identical literal plane halves."""
+    e = load_table(spark, sf_dir, "embeddings")
+    half = len(_DEDUP_PLANES) // 2
+    pa = dedup.embedding_near_pairs_bucketed(
+        e, "embedding", "vec_id", _DEDUP_PLANES[:half], threshold=0.4,
+        bands=2, max_bucket=_DEDUP_MAX_BUCKET,
+    ).select("id_a", "id_b")
+    pb = dedup.embedding_near_pairs_bucketed(
+        e, "embedding", "vec_id", _DEDUP_PLANES[half:], threshold=0.4,
+        bands=2, max_bucket=_DEDUP_MAX_BUCKET,
+    ).select(
+        F.col("id_a").alias("b_a"), F.col("id_b").alias("b_b")
+    )
+    both = pa.join(
+        pb, (pa["id_a"] == pb["b_a"]) & (pa["id_b"] == pb["b_b"])
+    )
+    na = pa.agg(F.count("*").cast("bigint").alias("n_a"))
+    nb = pb.agg(F.count("*").cast("bigint").alias("n_b"))
+    nboth = both.agg(F.count("*").cast("bigint").alias("n_both"))
+    m = na.crossJoin(F.broadcast(nb)).crossJoin(F.broadcast(nboth))
+    return m.select(
+        "n_a", "n_b", "n_both",
+        F.round(
+            (F.col("n_a") * F.col("n_b")).cast("double")
+            / F.nullif(F.col("n_both"), F.lit(0)),
+            2,
+        ).alias("est_total_pairs"),
+        F.round(
+            F.col("n_both").cast("double") / F.nullif(F.col("n_b"), F.lit(0)), 6
+        ).alias("recall_a_hat"),
+        F.round(
+            F.col("n_both").cast("double") / F.nullif(F.col("n_a"), F.lit(0)), 6
+        ).alias("recall_b_hat"),
+    )

@@ -211,3 +211,36 @@ def test_perplexity_filter_threshold_is_integer_exact(spark, tmp_path):
     # threshold_q = -3402000000 < q → both docs kept
     assert (r["n_docs"], r["n_kept"]) == (2, 2)
     assert abs(r["kept_mean_logprob"] - round(q / 1e9, 4)) < 1e-9
+
+
+def test_capture_recapture_consistent_on_homogeneous_pairs(spark):
+    """Lincoln–Petersen is consistent when catchability is homogeneous:
+    on a planted cluster of near-identical vectors (every true pair at
+    cos ≥ 0.99, so per-band detection is uniformly high) the two
+    disjoint-plane detectors' estimate n_A·n_B/overlap must land within
+    25% of the true pair count — the regime the registered query's
+    docstring claims (and the uniform-corpus bias it documents is real:
+    the sf0.1 estimate is 50 vs 920 true)."""
+    import random
+
+    from kafka_avro_pipeline_java_spark.functions.vectors import lcg_planes
+    from kafka_avro_pipeline_java_spark.operators import dedup
+
+    rng = random.Random(23)
+    center = [rng.gauss(0, 1) for _ in range(16)]
+    rows = [(i, [x + rng.gauss(0, 0.01) for x in center]) for i in range(30)]
+    rows += [(100 + j, [rng.gauss(0, 1) for _ in range(16)]) for j in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = lcg_planes(64, 16, seed=42)
+    half = len(planes) // 2
+    pa = {(r["id_a"], r["id_b"]) for r in dedup.embedding_near_pairs_bucketed(
+        df, "embedding", "vec_id", planes[:half], threshold=0.9, bands=2,
+        max_bucket=100).collect()}
+    pb = {(r["id_a"], r["id_b"]) for r in dedup.embedding_near_pairs_bucketed(
+        df, "embedding", "vec_id", planes[half:], threshold=0.9, bands=2,
+        max_bucket=100).collect()}
+    true_pairs = 30 * 29 // 2  # every cluster pair verifies at 0.9
+    overlap = len(pa & pb)
+    assert overlap > 0
+    est = len(pa) * len(pb) / overlap
+    assert abs(est - true_pairs) / true_pairs < 0.25, (len(pa), len(pb), overlap, est)

@@ -910,9 +910,9 @@ def embedding_near_pairs_bucketed(
     """Embedding-cosine near-dup pairs with an LSH-bucket prefilter — the
     100 TB path for ``embedding_near_pairs``.
 
-    Each vector gets per-band hyperplane-sign bucket keys (``band_buckets``
-    — per-band packing, so plane count is NOT capped at 63 by a single
-    long); candidate pairs come from an EQUI-JOIN on (band, bucket) — cost
+    Each vector gets per-band hyperplane-sign bucket keys
+    (``plane_dots`` + ``buckets_from_dots`` — per-band packing, so plane
+    count is NOT capped at 63 by a single long); candidate pairs come from an EQUI-JOIN on (band, bucket) — cost
     Σ bucket², never n² — then the exact-cosine verify. Near-identical
     vectors agree on almost every hyperplane sign (collision prob per
     plane = 1 - θ/π), so near-dup recall stays high even at 16-bit bands;

@@ -111,12 +111,6 @@ def buckets_from_dots(dots_col, n_planes: int, bands: int):
     ])
 
 
-def band_buckets(vec_col, planes: list[list[float]], bands: int):
-    """One-expression composition of ``plane_dots`` + ``buckets_from_dots``
-    — convenient for tests/small plans; production operators should
-    materialize the dots column first (see ``plane_dots`` docstring)."""
-    return buckets_from_dots(plane_dots(vec_col, planes), len(planes), bands)
-
 
 def lsh_bucketed_knn(
     spark: SparkSession,

@@ -57,9 +57,10 @@ from . import governance as governance_plans  # noqa: E402,F401
 # pipeline_perplexity_filter, multimodal_audio_silence_gate,
 # sketch_ddsketch_error_audit, stats_mcnemar_paired,
 # events_quantile_treatment_effect, privacy_k_anonymity_audit,
-# privacy_l_diversity_audit, features_target_encoding_loo) — 36 names,
-# one window with 14 slots spare, so the debt fully drains in r12 if
-# r12 adds ≤ 14 queries. Everything outside the window stays exercised
+# privacy_l_diversity_audit, features_target_encoding_loo,
+# dedup_capture_recapture_estimate — 20 additions) — 37 names, one
+# window with 13 slots spare, so the debt fully drains in r12 if r12
+# adds ≤ 13 queries. Everything outside the window stays exercised
 # by tests and tools/driver_sim.py, which sweeps ALL registered queries
 # every round.
 _PRIORITY = [

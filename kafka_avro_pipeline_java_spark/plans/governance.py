@@ -53,7 +53,7 @@ def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     readout a governance review runs before releasing a table: group rows
     by their quasi-identifier combination (segment × nation × coarse
     balance bucket) and count equivalence classes — and rows — below the
-    k ∈ {{2, 5, 10}} thresholds. A class of size 1 is a unique fingerprint;
+    k ∈ {2, 5, 10} thresholds. A class of size 1 is a unique fingerprint;
     rows_lt_k is the population at re-identification risk if the release
     requires k-anonymity. Two map-side-combined aggregates (rows → classes
     → one summary row), all exact integers — the same plan shape at 100 TB

@@ -1352,7 +1352,8 @@ def merge_insert_overwrite_partitions(
                + CASE WHEN c_custkey % 11 = 0 THEN 500 ELSE 0 END AS bal_cents
       FROM customer WHERE c_custkey % 97 <> 0
       UNION ALL
-      SELECT c_custkey + 1000000, c_mktsegment,
+      SELECT c_custkey + (SELECT MAX(c_custkey) + 1 FROM customer),
+             c_mktsegment,
              CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
       FROM customer WHERE c_custkey % 101 = 0
     ), j AS (
@@ -1398,7 +1399,7 @@ def merge_snapshot_column_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     migration/backfill review reads before swapping a restated snapshot
     in: rows added, rows removed, rows matched, and PER-COLUMN change
     counts between the current table and a deterministic restatement
-    (segment rewrites, balance credits, deletions, new keys). One full
+    (segment rewrites, balance credits, deletions, new keys offset past MAX(key) so they stay collision-free at any scale). One full
     outer join on the key feeding six conditional counts in a single
     map-side-combined pass (the unpivot to (metric, n) rows is on the
     6-row aggregate, not the data); balances compare as exact integer
@@ -1421,8 +1422,16 @@ def merge_snapshot_column_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("bal_cents"),
         )
         .unionByName(
-            c.where(F.col("c_custkey") % 101 == 0).select(
-                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            # fresh-key offset derives from MAX(c_custkey)+1 (a 1-row
+            # broadcast aggregate) so synthetic ids can NEVER collide with
+            # real ones at any table size — a fixed +1e6 offset would fan
+            # out the full outer join past ~1M customers
+            c.where(F.col("c_custkey") % 101 == 0)
+            .crossJoin(
+                F.broadcast(c.agg((F.max("c_custkey") + 1).alias("__off")))
+            )
+            .select(
+                (F.col("c_custkey") + F.col("__off")).alias("c_custkey"),
                 "c_mktsegment",
                 cents.alias("bal_cents"),
             )

@@ -180,7 +180,7 @@ def _sig_banded_ctes(planes: list[list[float]], bands: int) -> str:
     """Shared oracle fragment: per-vector hyperplane-sign band buckets,
     computed from the same literal plane values the Spark plan embeds (so
     both engines derive identical buckets). Buckets are packed PER BAND
-    (mirror of operators/similarity.py::band_buckets), so plane count is
+    (mirror of operators/similarity.py::buckets_from_dots), so plane count is
     not limited to 63 by a single packed integer."""
     bits = len(planes)
     per_band = bits // bands

@@ -476,48 +476,18 @@ def test_no_following_anchored_spark_frames():
 
 
 def test_banded_joins_declare_scale_guard():
-    """Source-level mirror of driver_sim's banded-join gate (r10 verdict
-    item 4b): every banded_explode call site must declare scale_guard=
-    (the operator API raises at runtime too — this catches unexecuted
-    paths), and every GRADED plan calling a cappable banded operator must
-    pass max_bucket= so the Σ bucket² candidate join stays bounded."""
+    """Pytest mirror of driver_sim's banded-join gate (r10 verdict item
+    4b), running the SAME shared scanner (tools/scan_guards.py): every
+    banded_explode call site must declare scale_guard= and every graded
+    plan calling a cappable banded operator must pass max_bucket=."""
     import pathlib
+    import sys
 
-    # driver_sim's module body runs a full sweep on import, so the scan is
-    # re-implemented here against the same source layout
-    pkg = pathlib.Path(__file__).parent.parent / "kafka_avro_pipeline_java_spark"
+    repo = pathlib.Path(__file__).parent.parent
+    sys.path.insert(0, str(repo))
+    from tools.scan_guards import banded_guard_violations
 
-    def call_spans(src, fname):
-        i = 0
-        while True:
-            i = src.find(fname + "(", i)
-            if i < 0:
-                return
-            if not src[max(0, i - 4):i].endswith("def "):
-                depth, j = 0, i + len(fname)
-                for j in range(j, len(src)):
-                    if src[j] == "(":
-                        depth += 1
-                    elif src[j] == ")":
-                        depth -= 1
-                        if depth == 0:
-                            break
-                yield src[:i].count("\n") + 1, src[i:j + 1]
-            i += len(fname) + 1
-
-    bad = []
-    for f in pkg.rglob("*.py"):
-        src = f.read_text()
-        for line, call in call_spans(src, "banded_explode"):
-            if "scale_guard=" not in call:
-                bad.append(f"{f.name}:{line} banded_explode without scale_guard")
-    for f in (pkg / "plans").rglob("*.py"):
-        src = f.read_text()
-        for op in ("embedding_near_pairs_bucketed", "bucketed_topk_neighbors"):
-            for line, call in call_spans(src, op):
-                if "max_bucket=" not in call:
-                    bad.append(f"{f.name}:{line} {op} without max_bucket")
-    assert not bad, bad
+    assert banded_guard_violations(repo / "kafka_avro_pipeline_java_spark") == []
 
 
 def test_banded_explode_rejects_undeclared_guard(spark):

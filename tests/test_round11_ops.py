@@ -192,25 +192,34 @@ def test_lateral_join_decorrelates_to_window(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_perplexity_filter_threshold_is_integer_exact(spark, tmp_path):
-    """A document whose quantized score lands EXACTLY on the threshold
-    must be kept (Σq ≥ threshold_q·n_tok) — the boundary case the integer
-    gate exists for. Construct a 2-token vocab where every token has the
-    same corpus probability, so every doc's per-token quantized logprob
-    is identical and sits where we can compute it by hand."""
+def test_perplexity_filter_threshold_is_integer_exact(spark, tmp_path, monkeypatch):
+    """The integer gate's EXACT boundary: with a 2-token uniform vocab
+    every doc's per-token quantized logprob is q = floor(ln(.5)·1e9+.5),
+    so Σq == threshold·n_tok holds EXACTLY when the threshold is set to
+    q — the ≥ comparison must KEEP the boundary doc (a > would drop it),
+    and threshold q+1 must drop both. Monkeypatching the module constant
+    exercises only the Spark side (the registered oracle pins the
+    production threshold; this pins the comparison operator itself)."""
     import math
+
+    from kafka_avro_pipeline_java_spark.plans import pipeline as pipeline_plans
 
     rows = [(1, "aa bb", "s"), (2, "aa bb", "s")]
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
-    out = {r["source"]: r for r in
-           QUERIES["pipeline_perplexity_filter"](spark, str(tmp_path)).collect()}
-    r = out["s"]
-    # each token has prob 2/4 = 0.5 → per-token q = floor(ln(.5)*1e9+.5)
-    q = math.floor(math.log(0.5) * 1e9 + 0.5)
-    # threshold_q = -3402000000 < q → both docs kept
-    assert (r["n_docs"], r["n_kept"]) == (2, 2)
+    q = math.floor(math.log(0.5) * 1e9 + 0.5)  # every token: prob 2/4
+
+    monkeypatch.setattr(pipeline_plans, "_PPL_THRESH_Q", q)  # Σq == thr·n
+    r = {x["source"]: x for x in
+         QUERIES["pipeline_perplexity_filter"](spark, str(tmp_path)).collect()}["s"]
+    assert (r["n_docs"], r["n_kept"]) == (2, 2)  # boundary KEPT (>=)
     assert abs(r["kept_mean_logprob"] - round(q / 1e9, 4)) < 1e-9
+
+    monkeypatch.setattr(pipeline_plans, "_PPL_THRESH_Q", q + 1)  # just past
+    r = {x["source"]: x for x in
+         QUERIES["pipeline_perplexity_filter"](spark, str(tmp_path)).collect()}["s"]
+    assert (r["n_docs"], r["n_kept"]) == (2, 0)
+    assert r["kept_mean_logprob"] is None
 
 
 def test_capture_recapture_consistent_on_homogeneous_pairs(spark):

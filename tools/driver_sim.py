@@ -119,42 +119,13 @@ def cartesian_count(d):
 # Gate 4 (r11, VERDICT r10 item 4b): banded/blocked candidate joins must
 # declare their scale guard at the call site — banded_explode requires a
 # scale_guard kwarg (the API raises without one), and graded plans must
-# pass max_bucket to the cappable banded operators. Source-scan so a
+# pass max_bucket to the cappable banded operators. Source-scan (shared
+# with tests/test_plan_properties.py via tools/scan_guards.py) so a
 # non-executed code path can't dodge the runtime raise.
-def _call_spans(src, fname):
-    i = 0
-    while True:
-        i = src.find(fname + "(", i)
-        if i < 0:
-            return
-        if not src[max(0, i - 4):i].endswith("def "):
-            depth, j = 0, i + len(fname)
-            for j in range(j, len(src)):
-                if src[j] == "(":
-                    depth += 1
-                elif src[j] == ")":
-                    depth -= 1
-                    if depth == 0:
-                        break
-            yield src[:i].count("\n") + 1, src[i:j + 1]
-        i += len(fname) + 1
+from tools.scan_guards import banded_guard_violations as _scan_guards
 
 def banded_guard_violations():
-    import pathlib
-    pkg = pathlib.Path("/root/repo/kafka_avro_pipeline_java_spark")
-    bad = []
-    for f in pkg.rglob("*.py"):
-        src = f.read_text()
-        for line, call in _call_spans(src, "banded_explode"):
-            if "scale_guard=" not in call:
-                bad.append(f"{f.name}:{line} banded_explode without scale_guard=")
-    for f in (pkg / "plans").rglob("*.py"):
-        src = f.read_text()
-        for op in ("embedding_near_pairs_bucketed", "bucketed_topk_neighbors"):
-            for line, call in _call_spans(src, op):
-                if "max_bucket=" not in call:
-                    bad.append(f"{f.name}:{line} {op} on a graded plan without max_bucket=")
-    return bad
+    return _scan_guards("/root/repo/kafka_avro_pipeline_java_spark")
 
 def global_window_count(d):
     """Count Window/WindowInPandas nodes with an empty partitionSpec in the

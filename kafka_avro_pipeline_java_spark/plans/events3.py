@@ -66,7 +66,8 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_ewma_hourly",
     oracle=f"""
     WITH hourly AS (
-      SELECT user_id, date_trunc('hour', ts) AS hour, ROUND(AVG(value), 6) AS v
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             FLOOR(AVG(value) * 1000000 + 0.5) / 1000000 AS v
       FROM events GROUP BY 1, 2
     ), arr AS (
       SELECT user_id,
@@ -74,8 +75,9 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM hourly GROUP BY user_id
     )
     SELECT user_id, xs[i.i].hour AS hour, xs[i.i].v AS v,
-           ROUND(list_reduce(list_transform(xs[1:i.i], x -> x.v),
-                             (acc, x) -> {_ALPHA} * x + {1 - _ALPHA} * acc), 6) AS ewma
+           FLOOR(list_reduce(list_transform(xs[1:i.i], x -> x.v),
+                             (acc, x) -> {_ALPHA} * x + {1 - _ALPHA} * acc)
+                 * 1000000 + 0.5) / 1000000 AS ewma
     FROM arr, UNNEST(range(1, len(xs) + 1)) AS i(i)
     """,
 )
@@ -89,12 +91,15 @@ def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     series run the identical recurrence with state carried across
     micro-batches in streaming/windows.py::ewma_per_user (batch-parity
     tested). Means are
-    rounded BEFORE the fold so both engines fold identical doubles in
-    identical order — the EWMA column then matches bit-for-bit."""
+    quantized (FLOOR(x·1e6+0.5)/1e6, not ROUND — the fold output lands
+    on exact .5 ties at the 6th decimal where the engines' ROUNDs
+    diverge; 6 rows at sf0.1, caught by the r11 full-sf0.1 sweep) BEFORE
+    the fold so both engines fold identical doubles in identical order,
+    and the EWMA output is quantized the same way."""
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("hour")
-    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    ).agg((F.floor(F.avg("value") * 1000000 + 0.5) / 1000000).alias("v"))
     arr = hourly.groupBy("user_id").agg(
         F.array_sort(F.collect_list(F.struct("hour", "v"))).alias("xs")
     )
@@ -110,7 +115,7 @@ def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.struct(
             F.element_at("xs", i)["hour"].alias("hour"),
             F.element_at("xs", i)["v"].alias("v"),
-            F.round(ewma_at(i - 1), 6).alias("ewma"),
+            (F.floor(ewma_at(i - 1) * 1000000 + 0.5) / 1000000).alias("ewma"),
         ),
     )
     return arr.select("user_id", F.explode(rows).alias("r")).select(

@@ -1044,7 +1044,11 @@ def stats_ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_adj").alias("ab"),
     )
     return (
-        theta.crossJoin(a).crossJoin(b)
+        # explicit broadcast hints: a/b are 1-row filters of a
+        # checkpoint-backed plan whose size ESTIMATE is unknown, so at
+        # sf0.1 the planner stopped auto-broadcasting and fell back to a
+        # physical CartesianProduct (caught by the r11 full-sf0.1 sweep)
+        theta.crossJoin(F.broadcast(a)).crossJoin(F.broadcast(b))
         .select(
             F.round("th", 6).alias("theta"),
             F.round(

@@ -217,7 +217,7 @@ def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
       SELECT o_orderkey, o_custkey, o_orderstatus,
-             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
       FROM orders
     )
     SELECT o_orderkey, loo_avg_cents FROM (
@@ -241,14 +241,18 @@ def window_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic. The ORACLE uses DuckDB's NATIVE EXCLUDE CURRENT ROW, so
     a MATCH is a cross-engine proof the emulation implements the
     standard's semantics (including integer-exact sums: both sides
-    divide an exact BIGINT difference)."""
+    divide an exact BIGINT difference). Cents use the house
+    FLOOR(x*100+0.5) quantizer, not ROUND: ROUND on a double splits
+    engines on exact .5 ties (Spark HALF_UPs the shortest-repr decimal,
+    DuckDB rounds the binary value — the r11/r12 divergence class)."""
     o = load_table(spark, sf_dir, "orders")
     wp = Window.partitionBy("o_custkey")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
     b = o.select(
         "o_orderkey",
         "o_orderstatus",
-        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).over(wp).alias("s"),
+        cents.alias("cents"),
+        F.sum(cents).over(wp).alias("s"),
         F.count("*").over(wp).alias("n"),
     )
     return b.where(F.col("o_orderstatus") == "P").select(
@@ -267,7 +271,7 @@ def window_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(('0x' || substr(md5(concat_ws('|',
                CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
                o_orderstatus,
-               CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR),
+               CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR),
                strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority)), 1, 12))
              AS BIGINT) AS fp
       FROM orders
@@ -289,15 +293,19 @@ def agg_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     any global sort or row transfer — this is how you check a 100 TB
     copy landed intact: one map-side-combinable aggregate per side, a
     3-value comparison in the middle. Canonical forms (string casts,
-    date format, cents rounding) are pinned identically in both
-    engines."""
+    date format, cents quantization) are pinned identically in both
+    engines — cents via the house FLOOR(x*100+0.5) quantizer, not
+    ROUND, because ROUND on a double splits engines on exact .5 ties
+    and a single tied row anywhere flips the whole-table hash (the one
+    driver-red row of r11). See tools/fingerprint_diff.py for the
+    row-level diff harness that localizes any future divergence."""
     o = load_table(spark, sf_dir, "orders")
     canon = F.concat_ws(
         "|",
         F.col("o_orderkey").cast("string"),
         F.col("o_custkey").cast("string"),
         F.col("o_orderstatus"),
-        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").cast("string"),
         F.date_format("o_orderdate", "yyyy-MM-dd"),
         F.col("o_orderpriority"),
     )

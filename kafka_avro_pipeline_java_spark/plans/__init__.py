@@ -91,7 +91,8 @@ _PRIORITY = [
     "privacy_l_diversity_audit",
     "features_target_encoding_loo",
     "dedup_capture_recapture_estimate",
-    # --- r12 additions (appended as they land; max 11) ---
+    # --- r12 additions + changed plans (appended as they land; max 11) ---
+    "knn_cosine_ivf_pq",  # converted rows-only → trained-snapshot value oracle
 ]
 
 

@@ -538,3 +538,23 @@ def test_trained_snapshot_matches_trainer(spark):
     assert len(cents) == len(TRAINED_CENTS_SF001) == 16
     for got, snap in zip(cents, TRAINED_CENTS_SF001):
         assert max(abs(a - b) for a, b in zip(got, snap)) < 1e-6
+
+
+def test_trained_books_snapshot_matches_trainer(spark):
+    """plans/ivf_snapshot.py codebooks must stay what train_pq actually
+    produces on the sf0.01 corpus (the provenance claim behind the
+    oracled knn_cosine_ivf_pq). Tolerance 1e-6, same rationale as the
+    centroid snapshot test above."""
+    from kafka_avro_pipeline_java_spark.operators.pq import train_pq
+    from kafka_avro_pipeline_java_spark.plans.ivf_snapshot import (
+        TRAINED_BOOKS_SF001,
+    )
+    from kafka_avro_pipeline_java_spark.sources import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    books = train_pq(e, "embedding", m=8, ksub=16, seed=42)
+    assert len(books) == len(TRAINED_BOOKS_SF001) == 8
+    for gs, ss in zip(books, TRAINED_BOOKS_SF001):
+        assert len(gs) == len(ss) == 16
+        for got, snap in zip(gs, ss):
+            assert max(abs(a - b) for a, b in zip(got, snap)) < 1e-6

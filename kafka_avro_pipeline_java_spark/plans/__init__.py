@@ -93,6 +93,10 @@ _PRIORITY = [
     "dedup_capture_recapture_estimate",
     # --- r12 additions + changed plans (appended as they land; max 11) ---
     "knn_cosine_ivf_pq",  # converted rows-only → trained-snapshot value oracle
+    "stats_levene_brown_forsythe",
+    "stats_ljung_box_daily",
+    "layout_shuffle_skew_forecast",
+    "events_square_wave_periodogram",
 ]
 
 

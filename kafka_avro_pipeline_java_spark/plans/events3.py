@@ -1766,3 +1766,85 @@ def events_occupancy_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("double") / F.sum("n_events").over(w), 6
         ).alias("share_of_dow"),
     )
+
+
+@query(
+    "events_square_wave_periodogram",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(date_diff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                            date_trunc('hour', ts)) AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy
+      FROM hourly
+    ), contrast AS (
+      SELECT p.p,
+             CAST(SUM(y * (CASE WHEN 2 * (t % p.p) < p.p THEN 1 ELSE -1 END))
+                  AS BIGINT) AS sys,
+             CAST(SUM(CASE WHEN 2 * (t % p.p) < p.p THEN 1 ELSE -1 END)
+                  AS BIGINT) AS ss
+      FROM hourly, UNNEST([2, 3, 4, 6, 8, 12, 24]) AS p(p)
+      GROUP BY p.p
+    ), scored AS (
+      SELECT c.p AS period_hours,
+             CAST(ABS(t.n * c.sys - t.sy * c.ss) AS BIGINT) AS contrast_n
+      FROM contrast c, tot t
+    )
+    SELECT period_hours, contrast_n,
+           CAST(ROW_NUMBER() OVER (ORDER BY contrast_n DESC, period_hours)
+                AS INT) AS rnk
+    FROM scored
+    """,
+)
+def events_square_wave_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQUARE-WAVE PERIODOGRAM (Walsh-style dominant-cycle detection) over
+    hourly event counts: for each candidate period P, correlate the
+    mean-centered hourly series with the +/-1 square wave of period P and
+    rank periods by |contrast| - the seasonality detector that feeds a
+    capacity plan or a seasonal-decompose period choice
+    (events_seasonal_decompose assumes its period; this query MEASURES
+    it). Deliberately trig-free: a DFT's cos/sin weights are libm calls
+    whose last bit differs between engines, but the square-wave weights
+    are exactly +/-1 and the mean-centering folds into the exact integer
+    identity n*sum(y*s) - sum(y)*sum(s), so every value here is an exact
+    BIGINT - zero float parity surface. Scale shape: one calendar-bounded
+    hourly aggregate, a 7-literal period fan-out over the bounded hourly
+    table, 7-row ranking; the corpus is scanned once."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        (
+            F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600
+        ).cast("bigint").alias("t")
+    ).agg(F.count("*").cast("bigint").alias("y"))
+    tot = hourly.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    periods = spark.createDataFrame(
+        [(p,) for p in (2, 3, 4, 6, 8, 12, 24)], "p bigint"
+    )
+    s = F.when(2 * (F.col("t") % F.col("p")) < F.col("p"), F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    contrast = (
+        hourly.crossJoin(F.broadcast(periods))
+        .groupBy("p")
+        .agg(
+            F.sum(F.col("y") * s).cast("bigint").alias("sys"),
+            F.sum(s).cast("bigint").alias("ss"),
+        )
+    )
+    scored = contrast.crossJoin(F.broadcast(tot)).select(
+        F.col("p").alias("period_hours"),
+        F.abs(F.col("n") * F.col("sys") - F.col("sy") * F.col("ss"))
+        .cast("bigint")
+        .alias("contrast_n"),
+    )
+    w = Window.orderBy(F.desc("contrast_n"), F.asc("period_hours"))
+    return scored.select(
+        "period_hours",
+        "contrast_n",
+        F.row_number().over(w).cast("int").alias("rnk"),
+    )

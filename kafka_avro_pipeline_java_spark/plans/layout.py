@@ -400,3 +400,74 @@ def layout_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_layout.join(F.broadcast(max_depth), "layout").select(
         "layout", "n_files", "max_depth", "avg_depth_at_starts"
     )
+
+
+@query(
+    "layout_shuffle_skew_forecast",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(('0x' || substr(md5(event_type), 1, 15)) AS BIGINT) % 32
+               AS bucket,
+             event_type
+      FROM events
+    ), per_bucket AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_keys
+      FROM b GROUP BY bucket
+    ), tot AS (
+      SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             CAST(MAX(n_rows) AS BIGINT) AS max_rows
+      FROM per_bucket
+    )
+    SELECT p.bucket, p.n_rows, p.n_keys,
+           FLOOR(CAST(t.max_rows AS DOUBLE) * t.n_buckets / t.total
+                 * 1000000 + 0.5) / 1000000 AS skew_factor
+    FROM per_bucket p, tot t
+    """,
+)
+def layout_shuffle_skew_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRE-SHUFFLE SKEW FORECAST — the planning audit you run BEFORE
+    keying a 100 TB join or aggregation: hash every row's prospective
+    shuffle key (here events.event_type, a low-cardinality key that
+    genuinely skews) into the target partition count (32) with the
+    portable 60-bit md5 hash, and report per-bucket row counts, distinct
+    keys per bucket, and the skew factor max/mean — the multiplier the
+    straggler partition pays. skew_factor >> 1 says 'salt this key or
+    let AQE split it' (operators/skew.py) BEFORE burning the shuffle;
+    keys-per-bucket 1 with huge n_rows distinguishes one-hot keys (need
+    salting) from unlucky bucket collisions (need more partitions). One
+    map-side-combinable aggregate over the corpus, 32-row algebra under
+    a broadcast - the audit costs one scan at any scale. Bucketing is
+    md5-based in BOTH engines (Spark's own hash() has no DuckDB twin)."""
+    from ..functions.hashing import portable_hash64
+
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        (portable_hash64(F.col("event_type")) % 32).alias("bucket"),
+        "event_type",
+    )
+    per_bucket = b.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("event_type").cast("bigint").alias("n_keys"),
+    )
+    tot = per_bucket.agg(
+        F.sum("n_rows").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.max("n_rows").cast("bigint").alias("max_rows"),
+    )
+    return per_bucket.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_rows",
+        "n_keys",
+        (
+            F.floor(
+                F.col("max_rows").cast("double")
+                * F.col("n_buckets")
+                / F.col("total")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("skew_factor"),
+    )

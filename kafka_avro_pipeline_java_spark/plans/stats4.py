@@ -845,3 +845,288 @@ def events_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("t.q50").alias("treat_median"),
         F.col("c.q50").alias("ctrl_median"),
     )
+
+
+@query(
+    "stats_levene_brown_forsythe",
+    oracle="""
+    WITH x AS (
+      SELECT o_orderpriority AS grp,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), med AS (
+      SELECT grp, quantile_cont(cents, 0.5) AS m FROM x GROUP BY grp
+    ), z AS (
+      SELECT x.grp,
+             CAST(2 * ABS(CAST(x.cents AS DOUBLE) - med.m) AS BIGINT) AS z2
+      FROM x JOIN med USING (grp)
+    ), g AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(z2) AS BIGINT) AS s,
+             CAST(SUM(CAST(z2 AS DECIMAL(38,0)) * z2) AS DECIMAL(38,0)) AS q
+      FROM z GROUP BY grp
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS BIGINT) AS st,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM g
+    ), terms AS (
+      SELECT g.grp, g.n, g.s, tot.nt, tot.k,
+             CAST(FLOOR(g.n * POWER(CAST(g.s AS DOUBLE) / g.n
+                                    - CAST(tot.st AS DOUBLE) / tot.nt, 2)
+                        / 1024 + 0.5) AS BIGINT) AS ssb_q,
+             CAST(FLOOR((CAST(g.q AS DOUBLE)
+                         - CAST(g.s AS DOUBLE) * g.s / g.n)
+                        / 1024 + 0.5) AS BIGINT) AS ssw_q
+      FROM g, tot
+    ), w AS (
+      SELECT CAST(MAX(nt) AS BIGINT) AS n_total,
+             CAST(MAX(k) AS BIGINT) AS n_groups,
+             FLOOR(((MAX(nt) - MAX(k)) * CAST(SUM(ssb_q) AS DOUBLE))
+                   / ((MAX(k) - 1) * CAST(SUM(ssw_q) AS DOUBLE))
+                   * 1000000 + 0.5) / 1000000 AS w_stat
+      FROM terms
+    )
+    SELECT t.grp AS o_orderpriority, t.n AS n_rows,
+           FLOOR(CAST(t.s AS DOUBLE) / (2 * t.n) * 1000000 + 0.5) / 1000000
+             AS mean_absdev_cents,
+           w.n_total, w.n_groups, w.w_stat
+    FROM terms t, w
+    """,
+)
+def stats_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BROWN-FORSYTHE / LEVENE TEST for variance homogeneity across the
+    five order-priority groups — the assumption check every ANOVA user
+    (stats_anova_dow_revenue) should run first: W = ((N-k)/(k-1)) *
+    SSB(z)/SSW(z) where z_ij = |x_ij - median_j| (the median-centered
+    Brown-Forsythe variant, robust to non-normality; Levene 1960 /
+    Brown & Forsythe 1974). Cross-engine discipline: cents via the
+    house FLOOR quantizer; z doubled into exact half-cent BIGINTs (a
+    median of an integer sample is a .0/.5 value, so 2z is integer);
+    Sz2**2 kept in DECIMAL(38,0) (z2 ~ 1.2e7 squared * row count passes
+    2^63 at sf>=0.1 - the dual-SF moment gate applies); each group's SSB
+    and SSW contribution quantized to a BIGINT in 1024-half-cent^2 units
+    BEFORE the 5-term cross-group sum (per-term discipline - a 5-row
+    float SUM is still order-dependent; /1024 is an exact power-of-two
+    rescale that keeps the BIGINT under 2^63 at any SF and cancels in
+    the SSB/SSW ratio; Spark FLOOR(double) RETURNS a BIGINT, so the
+    quantizer itself must not exceed long range). Shape at 100 TB: one keyed agg for medians,
+    one keyed agg for moments, then 5-row algebra under a broadcast -
+    no global window, no second corpus pass."""
+    o = load_table(spark, sf_dir, "orders")
+    x = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    med = x.groupBy("grp").agg(
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY cents)").alias("m")
+    )
+    z = x.join(med, "grp").select(
+        "grp",
+        (2 * F.abs(F.col("cents").cast("double") - F.col("m"))).cast("bigint").alias("z2"),
+    )
+    g = z.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("z2").cast("bigint").alias("s"),
+        F.sum(F.col("z2").cast("decimal(38,0)") * F.col("z2")).cast("decimal(38,0)").alias("q"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("s").cast("bigint").alias("st"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        "grp", "n", "s", "nt", "k",
+        F.floor(
+            F.col("n")
+            * F.pow(
+                F.col("s").cast("double") / F.col("n")
+                - F.col("st").cast("double") / F.col("nt"),
+                2,
+            )
+            / 1024
+            + F.lit(0.5)
+        ).cast("bigint").alias("ssb_q"),
+        F.floor(
+            (
+                F.col("q").cast("double")
+                - F.col("s").cast("double") * F.col("s") / F.col("n")
+            )
+            / 1024
+            + F.lit(0.5)
+        ).cast("bigint").alias("ssw_q"),
+    )
+    w = terms.agg(
+        F.max("nt").cast("bigint").alias("n_total"),
+        F.max("k").cast("bigint").alias("n_groups"),
+        (
+            F.floor(
+                ((F.max("nt") - F.max("k")) * F.sum("ssb_q").cast("double"))
+                / ((F.max("k") - 1) * F.sum("ssw_q").cast("double"))
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("w_stat"),
+    )
+    return terms.select(
+        F.col("grp").alias("o_orderpriority"),
+        F.col("n").alias("n_rows"),
+        (
+            F.floor(
+                F.col("s").cast("double") / (2 * F.col("n")) * 1000000 + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("mean_absdev_cents"),
+    ).crossJoin(F.broadcast(w))
+
+
+@query(
+    "stats_ljung_box_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS r
+      FROM orders GROUP BY 1
+    ), seq AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY d) AS t, r FROM daily
+    ), diff AS (
+      SELECT a.t - 1 AS t, a.r - b.r AS x
+      FROM seq a JOIN seq b ON a.t = b.t + 1
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx
+      FROM diff
+    ), lagk AS (
+      SELECT k.k, CAST(COUNT(*) AS BIGINT) AS npair,
+             CAST(SUM(CAST(a.x AS DECIMAL(38,0)) * b.x) AS DECIMAL(38,0)) AS sab,
+             CAST(SUM(a.x) AS BIGINT) AS sa, CAST(SUM(b.x) AS BIGINT) AS sb
+      FROM UNNEST(range(1, 11)) AS k(k)
+      JOIN diff a ON TRUE JOIN diff b ON b.t = a.t + k.k
+      GROUP BY k.k
+    ), rho AS (
+      SELECT l.k,
+             FLOOR((CAST(l.sab AS DOUBLE)
+                    - CAST(m.sx AS DOUBLE) / m.n * l.sb
+                    - CAST(m.sx AS DOUBLE) / m.n * l.sa
+                    + l.npair * POWER(CAST(m.sx AS DOUBLE) / m.n, 2))
+                   / (CAST(m.sxx AS DOUBLE)
+                      - CAST(m.sx AS DOUBLE) * m.sx / m.n)
+                   * 1000000000 + 0.5) AS rho_q,
+             m.n
+      FROM lagk l, m
+    )
+    , qterm AS (
+      SELECT n, CAST(FLOOR(POWER(rho_q / 1000000000, 2) / (n - k)
+                           * 1000000000000000 + 0.5) AS BIGINT) AS tq
+      FROM rho
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_obs,
+           CAST(COUNT(*) AS INT) AS n_lags,
+           FLOOR(MAX(n) * (MAX(n) + 2.0)
+                 * (CAST(SUM(tq) AS DOUBLE) / 1000000000000000)
+                 * 1000000 + 0.5) / 1000000 AS q_stat
+    FROM qterm
+    """,
+)
+def stats_ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LJUNG-BOX PORTMANTEAU TEST (Ljung & Box 1978) on first-differenced
+    daily revenue: Q = n(n+2) * sum_{k=1..10} rho_k^2/(n-k), the standard
+    'is anything left in the residuals' white-noise check that a
+    forecasting pipeline (stats_forecast_backtest_mase,
+    stats_acf_daily_revenue) runs after fitting - large Q rejects
+    independence. All moments are exact: daily revenue is an exact cents
+    BIGINT, first differences are exact integers, and every cross/self
+    moment (sum x_t*x_{t+k}) accumulates in DECIMAL(38,0) (cents-level
+    daily sums squared pass 2^63 comfortably - dual-SF moment gate
+    applies). rho_k is computed from exact integer moments with the
+    identical expression order in both engines, 1e9-quantized, and each
+    lag's Q contribution is 1e15-quantized to a BIGINT BEFORE the
+    10-term sum (per-term discipline at both accumulation points). Scale shape: one
+    calendar-bounded daily agg, then day-domain self-joins (the proven
+    lag-join shape of stats_acf_daily_revenue) - nothing corpus-scaled
+    ever re-shuffles."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("r")
+    )
+    w = Window.orderBy("d")
+    # days are calendar-bounded (a global window over <= ~2,500 rows at any
+    # SF) but still routed through a keyed shape: diff against lag-1 join
+    seq = daily.select(F.row_number().over(w).alias("t"), "r")
+    a = seq.alias("a")
+    b = seq.alias("b")
+    diff = (
+        a.join(b, F.col("a.t") == F.col("b.t") + 1)
+        .select((F.col("a.t") - 1).alias("t"), (F.col("a.r") - F.col("b.r")).alias("x"))
+    )
+    m = diff.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    ks = spark.range(1, 11).select(F.col("id").cast("bigint").alias("k"))
+    da = diff.alias("da")
+    db = diff.alias("db")
+    lagk = (
+        F.broadcast(ks)
+        .join(da, F.lit(True))
+        .join(db, F.col("db.t") == F.col("da.t") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("bigint").alias("npair"),
+            F.sum(F.col("da.x").cast("decimal(38,0)") * F.col("db.x"))
+            .cast("decimal(38,0)")
+            .alias("sab"),
+            F.sum("da.x").cast("bigint").alias("sa"),
+            F.sum("db.x").cast("bigint").alias("sb"),
+        )
+    )
+    rho = lagk.crossJoin(F.broadcast(m)).select(
+        "k",
+        "n",
+        F.floor(
+            (
+                F.col("sab").cast("double")
+                - F.col("sx").cast("double") / F.col("n") * F.col("sb")
+                - F.col("sx").cast("double") / F.col("n") * F.col("sa")
+                + F.col("npair")
+                * F.pow(F.col("sx").cast("double") / F.col("n"), 2)
+            )
+            / (
+                F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+            )
+            * 1000000000
+            + F.lit(0.5)
+        ).alias("rho_q"),
+    )
+    qterm = rho.select(
+        "n",
+        F.floor(
+            F.pow(F.col("rho_q") / 1000000000, 2)
+            / (F.col("n") - F.col("k"))
+            * 1000000000000000
+            + F.lit(0.5)
+        ).cast("bigint").alias("tq"),
+    )
+    return qterm.agg(
+        F.max("n").cast("bigint").alias("n_obs"),
+        F.count("*").cast("int").alias("n_lags"),
+        (
+            F.floor(
+                F.max("n")
+                * (F.max("n") + 2.0)
+                * (F.sum("tq").cast("double") / 1000000000000000)
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("q_stat"),
+    )

@@ -87,11 +87,11 @@ GLOBAL_WINDOW_WHITELIST = {
     "events_peak_hours", "events_seasonal_decompose",
     "layout_compaction_bins", "stats_autocorr_revenue",
     "stats_runs_test_daily_revenue", "stats_theil_sen_trend",
-    "stats_forecast_backtest_mase",
+    "stats_forecast_backtest_mase", "stats_ljung_box_daily",
     # post-aggregate tiny tables (deciles / sources / types / digits)
     "agg_lorenz_curve_deciles", "pipeline_temperature_mixture",
     "stats_benford_price", "stats_entropy_rate_events",
-    "stats_fdr_bh_sources",
+    "stats_fdr_bh_sources", "events_square_wave_periodogram",
     # top-k survivors / fixed sketch state
     "pipeline_weighted_sample", "search_hybrid_rrf",
     "sketch_histogram_quantiles", "sketch_kmv_merge",

@@ -97,6 +97,8 @@ _PRIORITY = [
     "stats_ljung_box_daily",
     "layout_shuffle_skew_forecast",
     "events_square_wave_periodogram",
+    "graph_harmonic_closeness",
+    "text_textrank_keywords",
 ]
 
 

@@ -871,3 +871,94 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce("a", F.lit(0)).cast("double") / F.col("ma"), 6).alias("auth_score"),
         )
     )
+
+
+def _harmonic_oracle(max_hops: int = 4, n_seeds: int = 4) -> str:
+    fs = "".join(
+        f"""
+    f{h} AS (
+      SELECT DISTINCT f.seed, e.dst AS node
+      FROM edges e JOIN f{h - 1} f ON e.src = f.node
+    ),"""
+        for h in range(1, max_hops + 1)
+    )
+    lvls = "\n      UNION ALL ".join(
+        f"SELECT seed, node, {h} AS hops FROM f{h}"
+        for h in range(max_hops + 1)
+    )
+    return f"""
+    WITH pairs AS MATERIALIZED ({_simhash2_oracle()}),
+    edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    f0 AS (
+      SELECT seed, seed AS node FROM (
+        SELECT src AS seed, COUNT(*) AS c FROM edges GROUP BY src
+        ORDER BY c DESC, src LIMIT {n_seeds}
+      )
+    ),{fs}
+    lv AS (
+      {lvls}
+    ),
+    dist AS (
+      SELECT seed, node, CAST(MIN(hops) AS INT) AS hops
+      FROM lv GROUP BY seed, node
+    )
+    SELECT seed,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+           FLOOR(CAST(SUM(CASE WHEN hops > 0
+                      THEN CAST(FLOOR(1000000000.0 / hops + 0.5) AS BIGINT)
+                      ELSE 0 END) AS DOUBLE)
+                 / 1000000000 * 1000000 + 0.5) / 1000000 AS harmonic
+    FROM dist GROUP BY seed
+    """
+
+
+@query("graph_harmonic_closeness", oracle=_harmonic_oracle(4, 4))
+def graph_harmonic_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEED-SET HARMONIC CLOSENESS CENTRALITY (Marchiori & Latora 2000;
+    Boldi & Vigna's preferred centrality for disconnected graphs because
+    unreachable nodes contribute 0 instead of poisoning a mean): for the
+    4 highest-degree hubs of the SimHash near-dup graph, h(s) =
+    sum over reachable nodes of 1/d(s,u) within a 4-hop horizon — the
+    'how centrally does this boilerplate family sit' readout that
+    complements spectral (graph_eigenvector_centrality) and flow
+    (graph_pagerank_neardup) centralities with a DISTANCE-based one.
+    Exact-per-seed distances come from one multi-source level-synchronous
+    BFS keyed on (seed, node) (operators/graph.py::multi_source_hops) —
+    one frontier-join shuffle per level regardless of seed count. Each
+    1/d term is 1e9-quantized to a BIGINT BEFORE the cross-node sum (d
+    is a small positive integer, so the quantization is exact and
+    engine-identical); the bounded horizon is what keeps the oracle a
+    static stack of per-level CTEs."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_pairs_portable(
+        d, "text", "doc_id", max_hamming=2
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    dist = graph.multi_source_hops(edges, max_hops=4, n_seeds=4)
+    return dist.groupBy("seed").agg(
+        (F.count("*") - 1).cast("bigint").alias("n_reached"),
+        (
+            F.floor(
+                F.sum(
+                    F.when(
+                        F.col("hops") > 0,
+                        F.floor(1000000000.0 / F.col("hops") + F.lit(0.5)).cast(
+                            "bigint"
+                        ),
+                    ).otherwise(F.lit(0))
+                ).cast("double")
+                / 1000000000
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("harmonic"),
+    )

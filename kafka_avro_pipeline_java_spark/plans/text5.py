@@ -283,3 +283,135 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_kn_logprob"),
         )
     )
+
+
+_TR_D = 0.85          # damping
+_TR_ITERS = 6         # unrolled power iterations
+_TR_MIN_W = 3         # minimum co-occurrence count for an edge
+_TR_BASE = 150_000_000  # (1-d) in 1e9 fixed point
+
+
+def _textrank_oracle(iters: int = _TR_ITERS, k: int = 20) -> str:
+    rs = "".join(
+        f"""
+    r{i} AS MATERIALIZED (
+      SELECT e.dst AS word,
+             {_TR_BASE} + CAST(SUM(CAST(FLOOR(
+               {_TR_D} * e.w / d.wd * r.r + 0.5) AS BIGINT)) AS BIGINT) AS r
+      FROM edges e
+      JOIN wdeg d ON d.word = e.src
+      JOIN r{i - 1} r ON r.word = e.src
+      GROUP BY e.dst
+    ),"""
+        for i in range(1, iters + 1)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+      FROM documents
+    ), bigr AS (
+      SELECT ts[i.i] AS w1, ts[i.i + 1] AS w2
+      FROM toks, UNNEST(range(1, len(ts))) AS i(i)
+      WHERE ts[i.i] <> ts[i.i + 1]
+    ), bc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bigr GROUP BY w1, w2
+    ), edges AS MATERIALIZED (
+      SELECT w1 AS src, w2 AS dst, c AS w FROM bc WHERE c >= {_TR_MIN_W}
+      UNION ALL
+      SELECT w2 AS src, w1 AS dst, c AS w FROM bc WHERE c >= {_TR_MIN_W}
+    ), wdeg AS MATERIALIZED (
+      SELECT src AS word, CAST(SUM(w) AS BIGINT) AS wd FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT word, CAST(1000000000 AS BIGINT) AS r FROM wdeg
+    ),{rs}
+    final AS (
+      SELECT word, r FROM r{iters}
+    )
+    SELECT word,
+           FLOOR(CAST(r AS DOUBLE) / 1000000000 * 1000000 + 0.5) / 1000000
+             AS textrank
+    FROM final
+    ORDER BY r DESC, word LIMIT {k}
+    """
+
+
+@query("text_textrank_keywords", oracle=_textrank_oracle())
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXTRANK KEYWORD EXTRACTION (Mihalcea & Tarau 2004) — PageRank
+    over the word CO-OCCURRENCE graph (adjacent-token edges, weight =
+    corpus co-occurrence count, low-support edges pruned):
+    the graph-based keyword ranker that beats raw frequency and
+    complements text_tfidf_keywords - a word ranks high when it co-occurs
+    with other well-connected words, not merely when it is common
+    (edges need >= 3 co-occurrences, _TR_MIN_W).
+    r(v) = (1-d) + d * sum_u w(u,v)/wdeg(u) * r(u), d=0.85, 6 unrolled
+    weighted power iterations, top-20 by score. Cross-engine discipline:
+    ranks live in 1e9 fixed point; each edge's contribution is
+    FLOOR-quantized to a BIGINT with the identical left-to-right
+    expression (d * w / wdeg * r) BEFORE the per-node sum, so both
+    engines accumulate identical integers in any order — the same
+    integer-iteration pattern as graph_pagerank_neardup. Scale shape:
+    one corpus scan builds the bigram counts; everything after is
+    vocabulary-bounded (Heaps' law) — the edge table is
+    localCheckpoint'ed once and each iteration is one keyed
+    edge-join + aggregate, never a corpus re-scan."""
+    from ..functions import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(T.tokens(F.lower(F.col("text"))).alias("ts"))
+    toks = toks.repartition(spark.sparkContext.defaultParallelism)
+    bigr = toks.select(
+        F.explode(
+            F.when(
+                F.size("ts") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ts", i).alias("w1"),
+                        F.element_at("ts", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).select("p.w1", "p.w2").where(F.col("w1") != F.col("w2"))
+    bc = bigr.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c"))
+    bc = bc.where(F.col("c") >= _TR_MIN_W)
+    edges = (
+        bc.select(F.col("w1").alias("src"), F.col("w2").alias("dst"), F.col("c").alias("w"))
+        .unionByName(
+            bc.select(F.col("w2").alias("src"), F.col("w1").alias("dst"), F.col("c").alias("w"))
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "src")
+        .localCheckpoint(eager=False)
+    )
+    wdeg = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wd"))
+    r = wdeg.select(F.col("src").alias("word"), F.lit(1000000000).cast("bigint").alias("r"))
+    ew = edges.join(wdeg, "src")
+    for _ in range(_TR_ITERS):
+        r = (
+            ew.join(r.withColumnRenamed("word", "src"), "src")
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit(_TR_BASE)
+                    + F.sum(
+                        F.floor(
+                            F.lit(_TR_D) * F.col("w") / F.col("wd") * F.col("r")
+                            + F.lit(0.5)
+                        ).cast("bigint")
+                    )
+                ).cast("bigint").alias("r")
+            )
+            .withColumnRenamed("dst", "word")
+        )
+    return (
+        r.orderBy(F.desc("r"), F.asc("word"))
+        .limit(20)
+        .select(
+            "word",
+            (
+                F.floor(F.col("r").cast("double") / 1000000000 * 1000000 + F.lit(0.5))
+                / 1000000
+            ).alias("textrank"),
+        )
+    )

@@ -329,10 +329,30 @@ def main() -> None:
                 "value_r1_core_benchonly": core_benchonly,
                 "reps": REPS,
                 "sf": sf_val,
+                # git head of this round's latest FULL sf0.1 oracle sweep
+                # (SWEEPLOG.jsonl, written by tools/driver_sim.py) — the
+                # round-close gate of VERDICT r11 item 5: null here means
+                # no full sf0.1 sweep ran.
+                "sf01_sweep": _latest_sf01_sweep(),
                 "detail": "BENCH_DETAIL.json",
             }
         )
     )
+
+
+def _latest_sf01_sweep() -> dict | None:
+    """Newest SWEEPLOG.jsonl record for a full sf0.1 sweep, compacted."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SWEEPLOG.jsonl")
+    try:
+        recs = [json.loads(l) for l in open(path) if l.strip()]
+    except OSError:
+        return None
+    recs = [r for r in recs if r.get("sf_dir", "").rstrip("/").endswith("sf0.1")]
+    if not recs:
+        return None
+    r = recs[-1]
+    return {"head": r.get("head"), "match": r.get("match"),
+            "mismatch": r.get("mismatch"), "gated": r.get("gated")}
 
 
 if __name__ == "__main__":

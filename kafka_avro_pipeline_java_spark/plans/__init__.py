@@ -99,6 +99,7 @@ _PRIORITY = [
     "events_square_wave_periodogram",
     "graph_harmonic_closeness",
     "text_textrank_keywords",
+    "privacy_t_closeness_audit",
 ]
 
 

@@ -199,3 +199,129 @@ def features_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("loo_enc"),
         F.round(F.col("s").cast("double") / F.col("n"), 6).alias("naive_enc"),
     )
+
+
+@query(
+    "privacy_t_closeness_audit",
+    oracle=f"""
+    WITH qi AS ({_QI_SQL}),
+    joined AS (
+      SELECT qi.seg, qi.nat, qi.bal_bin, o.o_orderpriority AS sensitive
+      FROM qi JOIN orders o ON o.o_custkey = qi.c_custkey
+    ),
+    gdist AS (
+      SELECT sensitive, CAST(COUNT(*) AS BIGINT) AS nv FROM joined GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(nv) AS BIGINT) AS n FROM gdist
+    ),
+    cls AS (
+      SELECT seg, nat, bal_bin, CAST(COUNT(*) AS BIGINT) AS nc
+      FROM joined GROUP BY 1, 2, 3
+    ),
+    cell AS (
+      SELECT seg, nat, bal_bin, sensitive, CAST(COUNT(*) AS BIGINT) AS ncv
+      FROM joined GROUP BY 1, 2, 3, 4
+    ),
+    dev AS (
+      SELECT c.seg, c.nat, c.bal_bin, c.nc,
+             CAST(SUM(ABS(CAST(t.n AS DECIMAL(38,0)) * COALESCE(x.ncv, 0)
+                          - CAST(c.nc AS DECIMAL(38,0)) * g.nv))
+                  AS DECIMAL(38,0)) AS s,
+             CAST(MAX(t.n) AS BIGINT) AS n
+      FROM cls c CROSS JOIN gdist g CROSS JOIN tot t
+      LEFT JOIN cell x ON x.seg = c.seg AND x.nat = c.nat
+                      AND x.bal_bin = c.bal_bin AND x.sensitive = g.sensitive
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           FLOOR(MAX(CAST(s AS DOUBLE) / (2.0 * nc * n)) * 1000000 + 0.5)
+             / 1000000 AS max_t,
+           CAST(SUM(CASE WHEN s * 5 > CAST(2 AS DECIMAL(38,0)) * nc * n
+                         THEN 1 ELSE 0 END) AS BIGINT) AS classes_t_gt_020,
+           CAST(SUM(CASE WHEN s * 10 > CAST(7 AS DECIMAL(38,0)) * nc * n
+                         THEN 1 ELSE 0 END) AS BIGINT) AS classes_t_gt_035,
+           CAST(SUM(CASE WHEN s > CAST(nc AS DECIMAL(38,0)) * n
+                         THEN 1 ELSE 0 END) AS BIGINT) AS classes_t_gt_050
+    FROM dev
+    """,
+)
+def privacy_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-CLOSENESS AUDIT (Li, Li & Venkatasubramanian 2007) — the third
+    member of the privacy trilogy after privacy_k_anonymity_audit and
+    privacy_l_diversity_audit: a class can be large AND diverse yet still
+    leak if its sensitive-value DISTRIBUTION deviates from the table's
+    (the skewness attack l-diversity misses). Per quasi-identifier class,
+    the total-variation distance t = 0.5 * sum_v |p_class(v) - p_glob(v)|
+    between the class's order-priority distribution and the global one,
+    reported as the max and the class counts above t in {{0.2, 0.35,
+    0.5}}. Exactness: t = S / (2*nc*N) with S = sum_v |N*ncv - nc*Nv|, an
+    exact integer kept in DECIMAL(38,0) (N*ncv passes 2^63 at the 100 TB
+    row target - the dual-SF moment gate applies), so every threshold
+    test is an exact integer comparison (e.g. t > 0.2 iff 5S > 2*nc*N)
+    and only the reported max_t is a final quantized division. Shape:
+    the sensitive domain is BOUNDED (5 priorities), so the class x value
+    deviation grid is |classes| x 5 under a broadcast of the 5-row
+    global distribution - two keyed aggregates plus bounded algebra, no
+    corpus re-scan."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    qi = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        (F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint") / 100000)
+        .cast("bigint")
+        .alias("bal_bin"),
+    )
+    joined = qi.join(o, qi["c_custkey"] == o["o_custkey"]).select(
+        "seg", "nat", "bal_bin", F.col("o_orderpriority").alias("sensitive")
+    )
+    glob = joined.groupBy("sensitive").agg(F.count("*").cast("bigint").alias("nv"))
+    tot = glob.agg(F.sum("nv").cast("bigint").alias("n"))
+    cls = joined.groupBy("seg", "nat", "bal_bin").agg(
+        F.count("*").cast("bigint").alias("nc")
+    )
+    cell = joined.groupBy("seg", "nat", "bal_bin", "sensitive").agg(
+        F.count("*").cast("bigint").alias("ncv")
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(cell, ["seg", "nat", "bal_bin", "sensitive"], "left")
+    )
+    dev = grid.groupBy("seg", "nat", "bal_bin", "nc").agg(
+        F.sum(
+            F.abs(
+                F.col("n").cast("decimal(38,0)") * F.coalesce(F.col("ncv"), F.lit(0))
+                - F.col("nc").cast("decimal(38,0)") * F.col("nv")
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("s"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    two = F.lit(2).cast("decimal(38,0)")
+    seven = F.lit(7).cast("decimal(38,0)")
+    return dev.agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        (
+            F.floor(
+                F.max(F.col("s").cast("double") / (2.0 * F.col("nc") * F.col("n")))
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("max_t"),
+        F.sum(
+            F.when(F.col("s") * 5 > two * F.col("nc") * F.col("n"), 1).otherwise(0)
+        ).cast("bigint").alias("classes_t_gt_020"),
+        F.sum(
+            F.when(F.col("s") * 10 > seven * F.col("nc") * F.col("n"), 1).otherwise(0)
+        ).cast("bigint").alias("classes_t_gt_035"),
+        F.sum(
+            F.when(
+                F.col("s") > F.col("nc").cast("decimal(38,0)") * F.col("n"), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("classes_t_gt_050"),
+    )

@@ -190,6 +190,29 @@ for name, fn in sorted(qs.items()):
         tag = ALT_SF.rstrip('/').rsplit('/', 1)[-1]
         print(f"{'MATCH' if m2 else 'MISMATCH'} {name}@{tag}: spark={ns2} oracle={nd2}")
 print(f"RESULT: {ok} match, {bad} mismatch, {gated} gate failures")
+# Full sweeps (no name restriction) append a SWEEPLOG record so "a full
+# sf0.1 sweep ran this round at this commit" is a checkable artifact
+# (VERDICT r11 item 5) — bench.py surfaces the latest sf0.1 entry's git
+# head in its JSON line, which the driver archives as BENCH_r{N}.json.
+if not ONLY:
+    import subprocess, time
+    try:
+        head = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        head = None
+    rec = {"sf_dir": SF, "match": ok, "mismatch": bad, "gated": gated,
+           "head": head, "ts": time.time()}
+    log_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SWEEPLOG.jsonl",
+    )
+    with open(log_path, "a") as fh:
+        fh.write(json.dumps(rec) + "\n")
+    print(f"SWEEPLOG: appended {rec}")
 spark.stop()
 if bad or gated:
     sys.exit(1)

@@ -68,3 +68,137 @@ def test_floor_quantizer_agrees_on_half_ties(spark):
         ).fetchone()[0]
         p = int((v * 100) + 0.5)
         assert g == d == p, (v, g, d, p)
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_multi_source_hops_tiny_graph(spark):
+    """Per-seed distances on a hand-built path-plus-branch graph: the
+    (seed, node) frontier must keep seeds separate (bfs_hops would fold
+    them into one min) and report true shortest hops within the bound."""
+    from kafka_avro_pipeline_java_spark.operators.graph import multi_source_hops
+
+    # undirected path 1-2-3-4 plus branch 2-5; hubs by degree: 2 (deg 3)
+    # then 3 (deg 2); with n_seeds=2 those are the seeds.
+    und = [(1, 2), (2, 3), (3, 4), (2, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src bigint, dst bigint"
+    )
+    got = {
+        (r["seed"], r["node"]): r["hops"]
+        for r in multi_source_hops(edges, max_hops=3, n_seeds=2).collect()
+    }
+    assert got[(2, 2)] == 0 and got[(2, 1)] == 1 and got[(2, 4)] == 2
+    assert got[(3, 3)] == 0 and got[(3, 1)] == 2 and got[(3, 5)] == 2
+    # two distinct seeds, all nodes reachable within 3 hops
+    assert len({s for s, _ in got}) == 2
+    assert len(got) == 10
+
+
+def test_harmonic_closeness_bounds(spark):
+    """h(s) <= n_reached (each 1/d term is <= 1) and n_reached >= degree
+    of the seed (all neighbors are at distance 1)."""
+    from kafka_avro_pipeline_java_spark.plans import QUERIES
+
+    rows = QUERIES["graph_harmonic_closeness"](spark, SF_DIR).collect()
+    assert 1 <= len(rows) <= 4
+    for r in rows:
+        assert 0 <= r["harmonic"] <= r["n_reached"] + 1e-9
+
+
+def test_textrank_scores_positive_and_ranked(spark):
+    """TextRank output: 20 rows, scores positive (every node keeps the
+    (1-d) teleport mass), non-increasing in rank order."""
+    from kafka_avro_pipeline_java_spark.plans import QUERIES
+
+    rows = QUERIES["text_textrank_keywords"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    scores = [r["textrank"] for r in rows]
+    assert all(s >= 0.15 - 1e-9 for s in scores)  # >= (1-d)
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_levene_matches_python_reference(spark):
+    """Recompute Brown-Forsythe W from the parquet directly (numpy-free
+    exact Python) and compare to the query's quantized output."""
+    import duckdb
+
+    from kafka_avro_pipeline_java_spark.plans import QUERIES
+
+    got = QUERIES["stats_levene_brown_forsythe"](spark, SF_DIR).collect()[0]
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT o_orderpriority,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+            FROM read_parquet('{SF_DIR}/orders.parquet')"""
+    ).fetchall()
+    from collections import defaultdict
+    import statistics
+
+    by = defaultdict(list)
+    for gname, cents in rows:
+        by[gname].append(cents)
+    z = {gname: [abs(c - statistics.median(v)) for c in v] for gname, v in by.items()}
+    nt = sum(len(v) for v in z.values())
+    k = len(z)
+    zbar = sum(sum(v) for v in z.values()) / nt
+    ssb = sum(len(v) * (sum(v) / len(v) - zbar) ** 2 for v in z.values())
+    ssw = sum(sum((x - sum(v) / len(v)) ** 2 for x in v) for v in z.values())
+    w_ref = (nt - k) / (k - 1) * ssb / ssw
+    assert abs(got["w_stat"] - w_ref) < 1e-3
+    assert got["n_total"] == nt and got["n_groups"] == k
+
+
+def test_t_closeness_thresholds_monotone(spark):
+    """TVD is in [0, 1], and the class counts above increasing t
+    thresholds are non-increasing."""
+    from kafka_avro_pipeline_java_spark.plans import QUERIES
+
+    r = QUERIES["privacy_t_closeness_audit"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= r["max_t"] <= 1.0
+    assert r["classes_t_gt_020"] >= r["classes_t_gt_035"] >= r["classes_t_gt_050"]
+    assert r["classes_t_gt_020"] <= r["n_classes"]
+
+
+def test_square_wave_contrast_reference(spark):
+    """Recompute the period-24 square-wave contrast in pure Python from
+    the parquet and compare exactly (everything is integer)."""
+    import duckdb
+
+    from kafka_avro_pipeline_java_spark.plans import QUERIES
+
+    got = {
+        r["period_hours"]: r["contrast_n"]
+        for r in QUERIES["events_square_wave_periodogram"](spark, SF_DIR).collect()
+    }
+    con = duckdb.connect()
+    hours = con.execute(
+        f"""SELECT CAST(date_diff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                                  date_trunc('hour', ts)) AS BIGINT),
+                   COUNT(*)
+            FROM read_parquet('{SF_DIR}/events.parquet') GROUP BY 1"""
+    ).fetchall()
+    n = len(hours)
+    sy = sum(y for _, y in hours)
+    for p in (2, 24):
+        sys_ = sum(y * (1 if 2 * (t % p) < p else -1) for t, y in hours)
+        ss = sum(1 if 2 * (t % p) < p else -1 for t, _ in hours)
+        assert got[p] == abs(n * sys_ - sy * ss)
+
+
+def test_shuffle_skew_forecast_invariants(spark):
+    """Bucket counts sum to the corpus, the skew factor is >= 1, and
+    every bucket holds at least one key."""
+    import duckdb
+
+    from kafka_avro_pipeline_java_spark.plans import QUERIES
+
+    rows = QUERIES["layout_shuffle_skew_forecast"](spark, SF_DIR).collect()
+    con = duckdb.connect()
+    total = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n_rows"] for r in rows) == total
+    assert all(r["n_keys"] >= 1 for r in rows)
+    assert rows[0]["skew_factor"] >= 1.0

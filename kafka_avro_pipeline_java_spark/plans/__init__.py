@@ -100,6 +100,8 @@ _PRIORITY = [
     "graph_harmonic_closeness",
     "text_textrank_keywords",
     "privacy_t_closeness_audit",
+    "window_distribution_zoo",
+    "agg_string_concat_zoo",
 ]
 
 

@@ -1643,3 +1643,107 @@ def scalar_interval_month_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("week", F.col("d")).cast("date").alias("week_start"),
         F.next_day("d", "Friday").alias("next_friday"),
     )
+
+
+@query(
+    "window_distribution_zoo",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), w AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(NTILE(4) OVER win AS INT) AS quartile,
+             FLOOR(PERCENT_RANK() OVER win * 1000000 + 0.5) / 1000000
+               AS pct_rank,
+             FLOOR(CUME_DIST() OVER win * 1000000 + 0.5) / 1000000
+               AS cume
+      FROM b
+      WINDOW win AS (PARTITION BY o_orderpriority
+                     ORDER BY cents, o_orderkey)
+    )
+    SELECT o_orderkey, quartile, pct_rank, cume
+    FROM w WHERE o_orderstatus = 'P'
+    """,
+)
+def window_distribution_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTION WINDOW FUNCTIONS — the three the ranking zoos don't
+    cover: NTILE(4) (equal-frequency bucketing with the SQL-standard
+    front-loaded remainder), PERCENT_RANK ((rank-1)/(n-1)) and CUME_DIST
+    (rows <= current / n), each over orders partitioned by priority and
+    TOTALLY ordered by (exact cents, o_orderkey) so both engines walk an
+    identical order and the tie-sensitive trio is deterministic. The
+    two ratio outputs use the FLOOR(x*1e6+0.5) quantizer, not ROUND (a
+    rank ratio can land exactly on a .5 millionth). A MATCH pins the
+    cross-engine bucket-remainder convention, the rank-vs-row basis of
+    PERCENT_RANK, and CUME_DIST's closed upper bound. Scale: one keyed
+    window per partition, output filtered to status 'P' (the window
+    computes over full partitions regardless of the output filter)."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    win = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    w = b.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(win).cast("int").alias("quartile"),
+        (F.floor(F.percent_rank().over(win) * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "pct_rank"
+        ),
+        (F.floor(F.cume_dist().over(win) * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "cume"
+        ),
+    )
+    return w.where(F.col("o_orderstatus") == "P").select(
+        "o_orderkey", "quartile", "pct_rank", "cume"
+    )
+
+
+@query(
+    "agg_string_concat_zoo",
+    oracle="""
+    SELECT r.r_name AS region,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv,
+           string_agg(CASE WHEN n.n_nationkey % 2 = 0 THEN n.n_name END,
+                      '|' ORDER BY n.n_name) AS even_nations_pipe
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def agg_string_concat_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED STRING AGGREGATION — the LISTAGG/STRING_AGG surface
+    (SQL:2016's LISTAGG, the report-friendly aggregate everybody uses
+    and engines name differently): per region, the alphabetized CSV of
+    its nations and a pipe-joined, NULL-skipping subset (even nation
+    keys) — the two semantics that differ across engines: explicit
+    WITHIN-GROUP ordering (emulated deterministically in Spark with
+    sort_array(collect_list(...)) + array_join since collect_list has no
+    order guarantee) and NULL ELEMENT SKIPPING (collect_list and DuckDB
+    string_agg both drop NULLs — pinned by the CASE-filtered column). A
+    5-row bounded-domain aggregate; at scale this is one keyed
+    collect + sort per group with group cardinality the only memory
+    bound (documented: LISTAGG is inherently group-sized — cap or
+    truncate in a pipeline that aggregates unbounded groups)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    j = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    return j.groupBy(F.col("r_name").alias("region")).agg(
+        F.count("*").cast("bigint").alias("n_nations"),
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+            "nations_csv"
+        ),
+        F.array_join(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("n_nationkey") % 2 == 0, F.col("n_name"))
+                )
+            ),
+            "|",
+        ).alias("even_nations_pipe"),
+    )

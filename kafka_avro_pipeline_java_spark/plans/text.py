@@ -229,8 +229,9 @@ def dedup_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs resolved into duplicate groups (connected
     components, min-id canonical representative) — the keep-one-per-group
     step of an actual dedup pipeline. Oracle = recursive CTE reachability."""
-    d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.1)
+    from .graph import _jaccard_pairs  # deferred: graph loads after text
+
+    pairs = _jaccard_pairs(spark, sf_dir)
     return dedup.connected_components(pairs)
 
 
@@ -261,8 +262,10 @@ def dedup_keep_one_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     the surviving-document set a training-data pipeline would feed
     downstream. Oracle = the same pipeline via recursive-CTE reachability
     + anti-join in DuckDB."""
+    from .graph import _jaccard_pairs  # deferred: graph loads after text
+
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.1)
+    pairs = _jaccard_pairs(spark, sf_dir)
     kept = dedup.dedup_keep_one(d, pairs, "doc_id")
     return kept.select("doc_id", F.length("text").cast("int").alias("text_len"))
 

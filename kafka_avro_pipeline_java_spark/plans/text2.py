@@ -568,8 +568,10 @@ def dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-pair stage that feeds it."""
     from pyspark.sql import Window
 
+    from .graph import _jaccard_pairs  # deferred: graph loads after text
+
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.1)
+    pairs = _jaccard_pairs(spark, sf_dir)
     comp = dedup.connected_components(pairs)
     m = comp.join(d, comp["id"] == d["doc_id"]).select(
         "component", "doc_id", "text", "lang", "source", "n_chars"

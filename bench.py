@@ -356,7 +356,13 @@ def main() -> None:
 
 
 def _latest_sf01_sweep() -> dict | None:
-    """Newest SWEEPLOG.jsonl record for a full sf0.1 sweep, compacted."""
+    """Newest SWEEPLOG.jsonl record for a full sf0.1 sweep, compacted.
+
+    Carries a ``stale`` flag: true when the QUERY SURFACE (the package
+    or __spark_entry__.py) changed since the sweep's git head, so a
+    round that skipped the sweep cannot pass the gate vacuously on last
+    round's record — while docs/bench/test commits after a legitimate
+    sweep don't false-flag it."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SWEEPLOG.jsonl")
     try:
         recs = [json.loads(l) for l in open(path) if l.strip()]
@@ -366,8 +372,27 @@ def _latest_sf01_sweep() -> dict | None:
     if not recs:
         return None
     r = recs[-1]
+    stale = None
+    if r.get("head"):
+        try:
+            import subprocess
+
+            root = os.path.dirname(os.path.abspath(__file__))
+            changed = subprocess.run(
+                ["git", "-C", root, "diff", "--name-only",
+                 f"{r['head']}..HEAD"],
+                capture_output=True, text=True, timeout=10, check=True,
+            ).stdout.splitlines()
+            stale = any(
+                f.startswith("kafka_avro_pipeline_java_spark/")
+                or f == "__spark_entry__.py"
+                for f in changed
+            )
+        except Exception:
+            stale = None  # unknown (e.g. sweep head not in this clone)
     return {"head": r.get("head"), "match": r.get("match"),
-            "mismatch": r.get("mismatch"), "gated": r.get("gated")}
+            "mismatch": r.get("mismatch"), "gated": r.get("gated"),
+            "stale": stale}
 
 
 if __name__ == "__main__":

@@ -573,10 +573,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100× the wedge join is the O(m^1.5) node-iterator shape with the
     hub cut available (graph_link_prediction), and the coefficient table
     is node-sized, never pair-sized."""
-    pairs = (
-        _jaccard_pairs(spark, sf_dir)
-        .localCheckpoint(eager=False)
-    )
+    pairs = _jaccard_pairs(spark, sf_dir)
     p = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     e = p.unionByName(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = e.groupBy(F.col("u").alias("node")).agg(
@@ -755,10 +752,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the repo's integer-sum discipline: all five moments are exact BIGINTs
     over the edge list (degrees join twice, one shuffle each), one
     rounded closed-form correlation at the end."""
-    pairs = (
-        _jaccard_pairs(spark, sf_dir)
-        .localCheckpoint(eager=False)
-    )
+    pairs = _jaccard_pairs(spark, sf_dir)
     p = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     e = p.unionByName(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = e.groupBy(F.col("u").alias("node")).agg(

@@ -1725,7 +1725,10 @@ def agg_string_concat_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITHIN-GROUP ordering (emulated deterministically in Spark with
     sort_array(collect_list(...)) + array_join since collect_list has no
     order guarantee) and NULL ELEMENT SKIPPING (collect_list and DuckDB
-    string_agg both drop NULLs — pinned by the CASE-filtered column). A
+    string_agg both drop NULLs — pinned by the CASE-filtered column;
+    an ALL-NULL group is NULL on both sides — DuckDB's string_agg
+    returns NULL over zero rows where array_join returns '', so the
+    Spark side wraps in NULLIF(…,'')). A
     5-row bounded-domain aggregate; at scale this is one keyed
     collect + sort per group with group cardinality the only memory
     bound (documented: LISTAGG is inherently group-sized — cap or
@@ -1738,12 +1741,15 @@ def agg_string_concat_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
             "nations_csv"
         ),
-        F.array_join(
-            F.sort_array(
-                F.collect_list(
-                    F.when(F.col("n_nationkey") % 2 == 0, F.col("n_name"))
-                )
+        F.nullif(
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("n_nationkey") % 2 == 0, F.col("n_name"))
+                    )
+                ),
+                "|",
             ),
-            "|",
+            F.lit(""),
         ).alias("even_nations_pipe"),
     )

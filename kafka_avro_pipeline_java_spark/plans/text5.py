@@ -297,7 +297,8 @@ def _textrank_oracle(iters: int = _TR_ITERS, k: int = 20) -> str:
     r{i} AS MATERIALIZED (
       SELECT e.dst AS word,
              {_TR_BASE} + CAST(SUM(CAST(FLOOR(
-               {_TR_D} * e.w / d.wd * r.r + 0.5) AS BIGINT)) AS BIGINT) AS r
+               CAST({_TR_D} AS DOUBLE) * e.w / d.wd * r.r + 0.5)
+               AS BIGINT)) AS BIGINT) AS r
       FROM edges e
       JOIN wdeg d ON d.word = e.src
       JOIN r{i - 1} r ON r.word = e.src
@@ -349,7 +350,12 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks live in 1e9 fixed point; each edge's contribution is
     FLOOR-quantized to a BIGINT with the identical left-to-right
     expression (d * w / wdeg * r) BEFORE the per-node sum, so both
-    engines accumulate identical integers in any order — the same
+    engines accumulate identical integers in any order. The damping
+    literal is CAST(0.85 AS DOUBLE) in the oracle: DuckDB's bare 0.85
+    is DECIMAL(3,2), making 0.85*w EXACT where Spark's float64 path
+    already rounded - a one-ulp FLOOR flip on boundary terms (verified:
+    w=193, wd=3281, r=1978490850 floors to ...543 decimal vs ...542
+    double) — the same
     integer-iteration pattern as graph_pagerank_neardup. Scale shape:
     one corpus scan builds the bigram counts; everything after is
     vocabulary-bounded (Heaps' law) — the edge table is

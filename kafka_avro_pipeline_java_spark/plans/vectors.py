@@ -763,7 +763,7 @@ def knn_ivf_pq_rerank_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .ivf_snapshot import TRAINED_BOOKS_SF001, TRAINED_CENTS_SF001  # noqa: E402
 
-_IVFPQ_T_QV = lcg_planes(1, _EMB_DIM, seed=777)[0]
+_IVFPQ_T_QV = lcg_planes(1, _EMB_DIM, seed=888)[0]
 
 
 @query(
@@ -786,7 +786,8 @@ def knn_cosine_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-asserted against fresh training runs in tests/test_similarity.py),
     so the DuckDB oracle re-derives assignment, probe set, codes, ADC
     scores, shortlist and re-ranked cosines from identical literals. A
-    distinct query vector (seed=777) keeps this a separate graded
+    distinct query vector (seed=888 - not 777/555, which the IVF and
+    synthetic IVF-PQ queries already use) keeps this a separate graded
     instance from knn_ivf_pq_rerank_oracle's synthetic-artifact run."""
     from ..operators.pq import ivf_pq_topk
 

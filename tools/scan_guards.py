@@ -56,8 +56,6 @@ def calls_of(tree: ast.AST, targets: set[str]):
         )
         if name in aliases:
             yield node.lineno, aliases[name], node
-        elif name in targets:
-            yield node.lineno, name, node
 
 
 def _kwarg_names(call: ast.Call) -> set[str]:

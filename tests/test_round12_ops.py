@@ -202,3 +202,39 @@ def test_shuffle_skew_forecast_invariants(spark):
     assert sum(r["n_rows"] for r in rows) == total
     assert all(r["n_keys"] >= 1 for r in rows)
     assert rows[0]["skew_factor"] >= 1.0
+
+
+def test_duckdb_decimal_literal_vs_double_floor(spark):
+    """Pin the r12 self-review lesson: DuckDB's bare 0.85 is DECIMAL(3,2),
+    so 0.85*w stays exact where Spark's float64 path already rounded -
+    FLOOR flips by one on boundary terms. The oracle-side fix is
+    CAST(0.85 AS DOUBLE); this test keeps the divergence visible and the
+    fix honest on the concrete triple that reproduced it."""
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    w, wd, r = 193, 3281, 1978490850
+    duck_decimal = con.execute(
+        f"SELECT FLOOR(0.85 * {w} / {wd} * {r} + 0.5)"
+    ).fetchone()[0]
+    duck_double = con.execute(
+        f"SELECT FLOOR(CAST(0.85 AS DOUBLE) * {w} / {wd} * {r} + 0.5)"
+    ).fetchone()[0]
+    py_double = math.floor(0.85 * w / wd * r + 0.5)
+    from pyspark.sql import functions as F
+
+    spark_val = (
+        spark.range(1)
+        .select(
+            F.floor(
+                F.lit(0.85) * F.lit(w) / F.lit(wd) * F.lit(r) + F.lit(0.5)
+            ).alias("v")
+        )
+        .collect()[0]["v"]
+    )
+    # the divergence exists...
+    assert duck_decimal != py_double
+    # ...and the CAST fix restores three-way agreement
+    assert duck_double == py_double == spark_val

@@ -48,6 +48,10 @@ from . import governance as governance_plans  # noqa: E402,F401
 # leaving 11 slots, so r12 caps its additions at 11 and every registered
 # query will have been driver-signed at least once. r12 additions are
 # appended to the window tail as they land, newest last.
+# stats_holm_bonferroni takes the window's last (50th) slot; the one
+# post-close addition OUTSIDE the window, agg_filtered_bool_zoo
+# (sweep-MATCHed at sf0.01 and sf0.1 at registration), heads the r13
+# window queue together with any plan changed in r13.
 _PRIORITY = [
     # --- r12 window head: the re-sign pair (quantizer hardening) ---
     "agg_table_fingerprint",
@@ -102,6 +106,7 @@ _PRIORITY = [
     "privacy_t_closeness_audit",
     "window_distribution_zoo",
     "agg_string_concat_zoo",
+    "stats_holm_bonferroni",  # 50th slot — the window is exactly full
 ]
 
 

@@ -1753,3 +1753,55 @@ def agg_string_concat_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(""),
         ).alias("even_nations_pipe"),
     )
+
+
+@query(
+    "agg_filtered_bool_zoo",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT)
+             AS n_large,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+             AS finished_cents,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderstatus = 'P') AS any_pending,
+           CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'O')
+                AS BIGINT) AS open_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_filtered_bool_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED AND BOOLEAN AGGREGATES — the SQL:2003 FILTER clause plus
+    the boolean-reduction aggregates (count_if / bool_and / bool_or, the
+    pivot-free way to fold predicates per group that every BI layer
+    generates): per order priority, the large-order count, the exact
+    finished-order cents (FILTER over the house-quantized cents — an
+    aggregate-level filter, not a WHERE, so the group's other aggregates
+    still see every row), the all-positive and any-pending flags, and a
+    FILTERed DISTINCT count. Spark expresses FILTER semantics as
+    when()-guarded inputs (count_if(p) = count(when(p, 1)); SUM FILTER =
+    sum(when(p, x)); DISTINCT FILTER = count_distinct(when(p, x)) since
+    when() yields NULL otherwise and these aggregates skip NULLs —
+    pinning that equivalence cross-engine is the point of the zoo). One
+    map-side-combinable aggregate over a 5-value grouping domain."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.count(F.when(F.col("o_totalprice") > 150000, 1))
+        .cast("bigint")
+        .alias("n_large"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", cents))
+        .cast("bigint")
+        .alias("finished_cents"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+        F.count_distinct(
+            F.when(F.col("o_orderstatus") == "O", F.col("o_custkey"))
+        )
+        .cast("bigint")
+        .alias("open_customers"),
+    )

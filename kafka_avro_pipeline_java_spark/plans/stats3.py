@@ -581,6 +581,126 @@ def stats_fdr_bh_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _holm_oracle() -> str:
+    # identical Welch-z + A&S 26.2.17 p-value pipeline as the BH oracle,
+    # with Holm's STEP-DOWN adjustment: running max (from the smallest p)
+    # of min((m - i + 1) * p, 1).
+    b = _BH_B
+    return f"""
+    WITH m AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(n_chars AS BIGINT)) AS s1,
+             SUM(CAST(n_chars AS BIGINT) * n_chars) AS s2
+      FROM documents GROUP BY source
+    ), z AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             {_BH_Z_SQL} AS z
+      FROM m a JOIN m b ON a.source < b.source
+    ), p AS (
+      SELECT src_a, src_b, z,
+             2.0 * (EXP(-z * z / 2.0) / SQRT(2.0 * PI()))
+                 * ((1.0 / (1.0 + 0.2316419 * ABS(z)))
+                    * ({b[0]!r}
+                       + (1.0 / (1.0 + 0.2316419 * ABS(z)))
+                         * ({b[1]!r}
+                            + (1.0 / (1.0 + 0.2316419 * ABS(z)))
+                              * ({b[2]!r}
+                                 + (1.0 / (1.0 + 0.2316419 * ABS(z)))
+                                   * ({b[3]!r}
+                                      + (1.0 / (1.0 + 0.2316419 * ABS(z)))
+                                        * {b[4]!r}))))) AS p
+      FROM z
+    ), ranked AS (
+      SELECT src_a, src_b, z, p,
+             ROW_NUMBER() OVER (ORDER BY p, src_a, src_b) AS i,
+             COUNT(*) OVER () AS mm
+      FROM p
+    )
+    SELECT src_a, src_b,
+           ROUND(z, 6) AS welch_z,
+           ROUND(p, 6) AS p_value,
+           ROUND(MAX(LEAST((mm - i + 1) * p, 1.0)) OVER (
+             ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS p_adjusted,
+           CAST(MAX(LEAST((mm - i + 1) * p, 1.0)) OVER (
+             ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             <= {_BH_ALPHA!r} AS BOOLEAN) AS rejected
+    FROM ranked
+    """
+
+
+@query("stats_holm_bonferroni", oracle=_holm_oracle())
+def stats_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLM-BONFERRONI STEP-DOWN correction (Holm 1979) over the same 190
+    source-pair Welch tests as stats_fdr_bh_sources - the FWER-controlling
+    member of the multiple-testing shelf: where BH caps the EXPECTED
+    false-discovery fraction (step-UP running min of m*p/i from the
+    largest p), Holm guarantees P(any false rejection) <= alpha with
+    uniformly more power than plain Bonferroni (step-DOWN running max of
+    (m-i+1)*p from the smallest p; adjusted p is monotone by
+    construction). Identical exact-BIGINT Welch moments and the identical
+    A&S 26.2.17 normal-tail Horner tree as BH, so a MATCH here pins the
+    adjustment algebra specifically. The rank/adjust windows run over the
+    bounded source-pair table (20 sources -> 190 rows), never the
+    corpus."""
+    import math
+
+    d = load_table(spark, sf_dir, "documents")
+    m = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("s1"),
+        F.sum(F.col("n_chars").cast("bigint") * F.col("n_chars")).alias("s2"),
+    )
+    a, b = m.alias("a"), m.alias("b")
+    an, bn = F.col("a.n"), F.col("b.n")
+    z_expr = (
+        F.col("a.s1").cast("double") / an.cast("double")
+        - F.col("b.s1").cast("double") / bn.cast("double")
+    ) / F.sqrt(
+        (an * F.col("a.s2") - F.col("a.s1") * F.col("a.s1")).cast("double")
+        / an.cast("double") / an.cast("double") / (an - 1).cast("double")
+        + (bn * F.col("b.s2") - F.col("b.s1") * F.col("b.s1")).cast("double")
+        / bn.cast("double") / bn.cast("double") / (bn - 1).cast("double")
+    )
+    zt = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        z_expr.alias("z"),
+    )
+    t = 1.0 / (1.0 + 0.2316419 * F.abs(F.col("z")))
+    horner = t * (
+        _BH_B[0]
+        + t * (_BH_B[1] + t * (_BH_B[2] + t * (_BH_B[3] + t * _BH_B[4])))
+    )
+    pdf = F.exp(-F.col("z") * F.col("z") / 2.0) / F.sqrt(
+        F.lit(2.0) * F.lit(math.pi)
+    )
+    pt = zt.select("src_a", "src_b", "z", (2.0 * pdf * horner).alias("p"))
+    w_rank = Window.orderBy("p", "src_a", "src_b")
+    ranked = pt.select(
+        "src_a", "src_b", "z", "p",
+        F.row_number().over(w_rank).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("mm"),
+    )
+    w_adj = Window.orderBy(F.asc("i")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    adj = F.max(
+        F.least((F.col("mm") - F.col("i") + 1) * F.col("p"), F.lit(1.0))
+    ).over(w_adj)
+    return ranked.select(
+        "src_a",
+        "src_b",
+        F.round("z", 6).alias("welch_z"),
+        F.round("p", 6).alias("p_value"),
+        F.round(adj, 6).alias("p_adjusted"),
+        (adj <= _BH_ALPHA).alias("rejected"),
+    )
+
+
 _RM_PER_USER_SQL = """
       SELECT CAST(user_id % 2 AS INT) AS grp,
              CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS x,

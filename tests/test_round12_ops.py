@@ -238,3 +238,40 @@ def test_duckdb_decimal_literal_vs_double_floor(spark):
     assert duck_decimal != py_double
     # ...and the CAST fix restores three-way agreement
     assert duck_double == py_double == spark_val
+
+
+def test_holm_dominates_bh_and_is_monotone(spark):
+    """Holm adjusted p-values are monotone non-decreasing in rank order,
+    >= the raw p, and pointwise >= the BH adjustment on the same tests
+    (FWER control is strictly stronger than FDR control)."""
+    from kafka_avro_pipeline_java_spark.plans import QUERIES
+
+    holm = {
+        (r["src_a"], r["src_b"]): r
+        for r in QUERIES["stats_holm_bonferroni"](spark, SF_DIR).collect()
+    }
+    bh = {
+        (r["src_a"], r["src_b"]): r["p_adjusted"]
+        for r in QUERIES["stats_fdr_bh_sources"](spark, SF_DIR).collect()
+    }
+    assert set(holm) == set(bh) and len(holm) >= 3
+    ordered = sorted(holm.values(), key=lambda r: (r["p_value"], r["src_a"], r["src_b"]))
+    adj = [r["p_adjusted"] for r in ordered]
+    assert adj == sorted(adj)
+    for k, r in holm.items():
+        assert r["p_adjusted"] >= r["p_value"] - 1e-9
+        assert r["p_adjusted"] >= bh[k] - 1e-9
+
+
+def test_filtered_bool_zoo_consistency(spark):
+    """FILTERed counts are bounded by the group count, the boolean folds
+    match their definitions, and finished cents is NULL only when the
+    group has no 'F' rows."""
+    from kafka_avro_pipeline_java_spark.plans import QUERIES
+
+    rows = QUERIES["agg_filtered_bool_zoo"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["n_large"] <= r["n_orders"]
+        assert r["all_positive"] is True  # order totals are positive
+        assert r["open_customers"] <= r["n_orders"]

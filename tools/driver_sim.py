@@ -92,6 +92,7 @@ GLOBAL_WINDOW_WHITELIST = {
     "agg_lorenz_curve_deciles", "pipeline_temperature_mixture",
     "stats_benford_price", "stats_entropy_rate_events",
     "stats_fdr_bh_sources", "events_square_wave_periodogram",
+    "stats_holm_bonferroni",
     # top-k survivors / fixed sketch state
     "pipeline_weighted_sample", "search_hybrid_rrf",
     "sketch_histogram_quantiles", "sketch_kmv_merge",

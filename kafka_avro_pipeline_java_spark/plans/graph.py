@@ -35,17 +35,42 @@ _ITERS = 3
 # fresh derivation, so driver signatures are unaffected.
 _SIMHASH_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+#: max sf_dirs cached per live application — a sweep touches at most two
+#: (its SF plus the dual-SF decimal sibling); anything beyond that is a
+#: long-lived session hopping corpora, whose older checkpointed block
+#: sets would otherwise pin storage for the life of the process
+#: (ADVICE r12). FIFO eviction, best-effort unpersist of the evicted
+#: frame's blocks.
+_PAIR_CACHE_MAX_PER_APP = 3
+
+
+def _pair_cache_fetch(cache, spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    if key not in cache:
+        # entries from stopped sessions: their blocks died with the
+        # SparkContext — drop the dangling references
+        for k in [k for k in cache if k[0] != app]:
+            cache.pop(k)
+        live = [k for k in cache if k[0] == app]
+        while len(live) >= _PAIR_CACHE_MAX_PER_APP:
+            evicted = cache.pop(live.pop(0))  # dict preserves insertion → FIFO
+            try:
+                evicted.unpersist(blocking=False)
+            except Exception:
+                pass
+        cache[key] = build().localCheckpoint(eager=True)
+    return cache[key]
+
 
 def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _SIMHASH_PAIR_CACHE:
+    def build() -> DataFrame:
         d = load_table(spark, sf_dir, "documents")
-        _SIMHASH_PAIR_CACHE[key] = (
-            dedup.simhash_near_pairs_portable(d, "text", "doc_id", max_hamming=2)
-            .select("id_a", "id_b")
-            .localCheckpoint(eager=True)
-        )
-    return _SIMHASH_PAIR_CACHE[key]
+        return dedup.simhash_near_pairs_portable(
+            d, "text", "doc_id", max_hamming=2
+        ).select("id_a", "id_b")
+
+    return _pair_cache_fetch(_SIMHASH_PAIR_CACHE, spark, sf_dir, build)
 
 
 #: raw n-gram Jaccard pair list (id_a, id_b) — six consumers (PageRank,
@@ -56,15 +81,13 @@ _JACCARD_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _JACCARD_PAIR_CACHE:
+    def build() -> DataFrame:
         d = load_table(spark, sf_dir, "documents")
-        _JACCARD_PAIR_CACHE[key] = (
-            dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.1)
-            .select("id_a", "id_b")
-            .localCheckpoint(eager=True)
-        )
-    return _JACCARD_PAIR_CACHE[key]
+        return dedup.ngram_jaccard_pairs(
+            d, "text", "doc_id", k=3, threshold=0.1
+        ).select("id_a", "id_b")
+
+    return _pair_cache_fetch(_JACCARD_PAIR_CACHE, spark, sf_dir, build)
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -34,6 +34,7 @@ from . import stats4 as stats4_plans  # noqa: E402,F401
 from . import tokenizer as tokenizer_plans  # noqa: E402,F401
 from . import layout as layout_plans  # noqa: E402,F401
 from . import governance as governance_plans  # noqa: E402,F401
+from . import mlprep as mlprep_plans  # noqa: E402,F401
 
 # The driver's CORRECTNESS report covers the first 50 registered queries, so
 # registration order is a grading surface. The r12 window drained ALL
@@ -61,6 +62,15 @@ _PRIORITY = [
     "knn_cosine_lsh",
     "knn_cosine_ivf",
     # --- r13 additions (appended as they land, newest last) ---
+    "ml_roc_auc_exact",
+    "ml_threshold_metrics_sweep",
+    "ml_calibration_bins_ece",
+    "ml_gains_lift_deciles",
+    "features_mutual_information",
+    "features_woe_iv",
+    "features_quantile_binning",
+    "features_hashing_trick",
+    "quality_referential_orphans",
 ]
 
 

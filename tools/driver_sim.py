@@ -112,6 +112,10 @@ GLOBAL_WINDOW_WHITELIST = {
     "pipeline_weighted_sample", "search_hybrid_rrf",
     "sketch_histogram_quantiles", "sketch_kmv_merge",
     "text_ndcg_bm25", "text_zipf_slope",
+    # r13 ml-prep shelf: cumulative windows over the 1000-value quantized
+    # score-bucket domain / 10 decile rows / ~11k dollar-bucket domain
+    # (plans/mlprep.py module docstring)
+    "ml_roc_auc_exact", "ml_gains_lift_deciles", "features_quantile_binning",
 }
 
 # Gate 3 (r11, VERDICT r10 item 4a): physical CartesianProduct nodes. A

@@ -71,6 +71,9 @@ _PRIORITY = [
     "features_quantile_binning",
     "features_hashing_trick",
     "quality_referential_orphans",
+    "layout_hilbert_code",
+    "graph_label_propagation",
+    "privacy_generalization_ladder",
 ]
 
 

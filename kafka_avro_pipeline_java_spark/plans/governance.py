@@ -325,3 +325,94 @@ def privacy_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("bigint").alias("classes_t_gt_050"),
     )
+
+
+@query(
+    "privacy_generalization_ladder",
+    oracle="""
+    WITH q AS (
+      SELECT c_nationkey AS nat, c_mktsegment AS seg,
+             CAST(FLOOR(c_acctbal) AS BIGINT) AS dollar
+      FROM customer
+    ),
+    u AS (
+      SELECT 0 AS lvl, nat, seg, dollar AS balb FROM q
+      UNION ALL
+      SELECT 1, nat, seg, CAST(FLOOR(dollar / 100.0) AS BIGINT) FROM q
+      UNION ALL
+      SELECT 2, nat, seg, 0 FROM q
+      UNION ALL
+      SELECT 3, -1, seg, 0 FROM q
+    ),
+    cls AS (
+      SELECT lvl, nat, seg, balb, CAST(COUNT(*) AS BIGINT) AS n
+      FROM u GROUP BY 1, 2, 3, 4
+    )
+    SELECT CAST(lvl AS BIGINT) AS lvl,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(n) AS BIGINT) AS min_class_size,
+           CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS k5_violating_classes,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           FLOOR(CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+                 / SUM(n) * 1000000 + 0.5) / 1000000 AS risk_frac
+    FROM cls GROUP BY lvl
+    """,
+)
+def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERALIZATION LADDER — the step the k-anonymity audit
+    (privacy_k_anonymity_audit) feeds: walk the quasi-identifier lattice
+    from raw (nation, segment, exact-dollar balance) through
+    progressively coarser cells ($100 balance bands -> drop balance ->
+    drop nation) and report, per level, the equivalence-class count, the
+    smallest class, and how many classes/rows still violate k = 5 — the
+    table a Samarati/Incognito-style anonymizer reads to pick the
+    MINIMAL generalization that reaches k, i.e. the least information
+    destroyed for the required protection. All exact integers (class
+    sizes) except the final rounded at-risk row fraction; one union of
+    four projections over one customer scan + one map-side-combinable
+    groupBy, so the whole lattice walk costs a single shuffle at any
+    corpus size. Balance banding floors on DOLLARS (bounded domain,
+    engine-identical FLOOR on exact integer/100.0 doubles), never on
+    float cents."""
+    c = load_table(spark, sf_dir, "customer")
+    q = c.select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal")).cast("bigint").alias("dollar"),
+    )
+    levels = [
+        q.select(F.lit(0).alias("lvl"), "nat", "seg",
+                 F.col("dollar").alias("balb")),
+        q.select(F.lit(1).alias("lvl"), "nat", "seg",
+                 F.floor(F.col("dollar") / 100.0).cast("bigint").alias("balb")),
+        q.select(F.lit(2).alias("lvl"), "nat", "seg",
+                 F.lit(0).cast("bigint").alias("balb")),
+        q.select(F.lit(3).alias("lvl"), F.lit(-1).alias("nat"), "seg",
+                 F.lit(0).cast("bigint").alias("balb")),
+    ]
+    u = levels[0]
+    for lv in levels[1:]:
+        u = u.unionByName(lv)
+    cls = u.groupBy("lvl", "nat", "seg", "balb").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return cls.groupBy(F.col("lvl").cast("bigint").alias("lvl")).agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.min("n").cast("bigint").alias("min_class_size"),
+        F.sum(F.when(F.col("n") < 5, 1).otherwise(0)).cast("bigint")
+        .alias("k5_violating_classes"),
+        F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0)).cast("bigint")
+        .alias("rows_at_risk"),
+        (
+            F.floor(
+                F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0))
+                .cast("double")
+                / F.sum("n")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("risk_frac"),
+    )

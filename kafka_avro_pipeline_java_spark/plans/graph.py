@@ -977,3 +977,86 @@ def graph_harmonic_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("harmonic"),
     )
+
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
+    """Unrolled synchronous label-propagation rounds; every level is AS
+    MATERIALIZED (the unrolled-iteration DuckDB discipline — without it
+    the planner re-inlines each round into the next and goes
+    exponential)."""
+    lvls = []
+    for r in range(1, rounds + 1):
+        lvls.append(f"""
+    l{r} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                 ORDER BY c DESC, label ASC) AS rn
+        FROM (
+          SELECT e.dst AS node, l.label, COUNT(*) AS c
+          FROM edges e JOIN l{r - 1} l ON l.node = e.src
+          GROUP BY 1, 2
+        )
+      ) WHERE rn = 1
+    )""")
+    chain = ",".join(lvls)
+    return f"""
+    WITH pairs AS MATERIALIZED ({ORACLES["dedup_ngram_jaccard"]}),
+    edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),{chain}
+    SELECT CAST(sz AS BIGINT) AS community_size,
+           CAST(COUNT(*) AS BIGINT) AS n_communities
+    FROM (SELECT label, COUNT(*) AS sz FROM l{rounds} GROUP BY label)
+    GROUP BY sz
+    """
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL-PROPAGATION COMMUNITY DETECTION (Raghavan, Albert & Kumara
+    2007) over the n-gram Jaccard near-dup graph — the near-linear-time
+    community algorithm every big-graph stack ships (GraphFrames/GraphX
+    labelPropagation) and the natural clustering readout beside the
+    flow/spectral/distance centralities this family already carries.
+    SYNCHRONOUS variant with a TOTAL deterministic tie-break: every node
+    starts as its own label; each round node v adopts the label with the
+    highest neighbor frequency, ties broken by SMALLEST label (the
+    row_number (count DESC, label ASC) pick — classic async LPA breaks
+    ties randomly, which has no oracle). 4 rounds, then the community
+    size histogram (size -> how many communities), the
+    duplicate-family-shape summary a dedup pipeline acts on. Scale: each
+    round is one edges-to-labels equi-join + a per-node argmax window
+    (partitionBy node — never global) on the capped, memoized pair table
+    (plans/graph.py::_jaccard_pairs); rounds are fixed at 4, so the plan
+    is a static 4-stage chain, and the localCheckpoint'ed edge list is
+    scanned once per round like the PageRank row above."""
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    from pyspark.sql.window import Window
+
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(_LPA_ROUNDS):
+        cnt = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(edges["dst"].alias("node"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("sz"))
+    return sizes.groupBy(F.col("sz").cast("bigint").alias("community_size")).agg(
+        F.count("*").cast("bigint").alias("n_communities")
+    )

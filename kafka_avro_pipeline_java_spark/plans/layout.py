@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources import load_table
-from ..sources.layout import _scaled, morton_code
+from ..sources.layout import _scaled, hilbert_code_levels, morton_code
 from .registry import query
 
 _BITS = 8
@@ -471,3 +471,77 @@ def layout_shuffle_skew_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("skew_factor"),
     )
+
+
+def _hilbert_oracle(bits: int = _BITS) -> str:
+    """Unrolled xy2d levels as a linear CTE chain — each level reads the
+    previous level's named columns, so the SQL never duplicates
+    subexpressions (the AS MATERIALIZED exponential-inline hazard only
+    bites DAG-shaped unrolls; this chain is a straight line)."""
+    n = 1 << bits
+    mx = n - 1
+    lvls = []
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        lvls.append(f"""
+    l{i} AS (
+      SELECT o_orderkey,
+             hd + {s * s} * xor(3 * ((x >> {i}) & 1), (y >> {i}) & 1) AS hd,
+             CASE WHEN ((y >> {i}) & 1) = 1 THEN x
+                  WHEN ((x >> {i}) & 1) = 1 THEN {mx} - y
+                  ELSE y END AS x,
+             CASE WHEN ((y >> {i}) & 1) = 1 THEN y
+                  WHEN ((x >> {i}) & 1) = 1 THEN {mx} - x
+                  ELSE x END AS y
+      FROM l{i + 1}
+    )""")
+    chain = ",".join(lvls)
+    return f"""
+    WITH stats AS (
+      SELECT MIN(o_custkey) AS xmin, MAX(o_custkey) AS xmax,
+             MIN(o_totalprice) AS ymin, MAX(o_totalprice) AS ymax
+      FROM orders
+    ),
+    l{bits} AS (
+      SELECT o_orderkey,
+             CAST(0 AS BIGINT) AS hd,
+             LEAST(CAST(FLOOR(
+               CASE WHEN xmax - xmin > 0
+                    THEN (o_custkey - xmin) / CAST(xmax - xmin AS DOUBLE)
+                    ELSE 0 END * {mx}) AS BIGINT), {mx}) AS x,
+             LEAST(CAST(FLOOR(
+               CASE WHEN ymax - ymin > 0
+                    THEN (o_totalprice - ymin) / CAST(ymax - ymin AS DOUBLE)
+                    ELSE 0 END * {mx}) AS BIGINT), {mx}) AS y
+      FROM orders, stats
+    ),{chain}
+    SELECT o_orderkey, CAST(hd AS BIGINT) AS hcode FROM l0
+    """
+
+
+@query("layout_hilbert_code", oracle=_hilbert_oracle())
+def layout_hilbert_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILBERT curve code over (o_custkey, o_totalprice) — the
+    clustering key that strictly improves on layout_zorder_code's Morton
+    interleave: every unit step of the Hilbert index moves to a
+    grid-adjacent cell (no quadrant-seam jumps), so curve-ordered files
+    get tighter per-file bounding boxes and zone maps prune MORE of every
+    2-D range predicate (the reason Delta/Iceberg grew hilbert_curve
+    alongside zorder). Same plan shape as the Z-order row: min-max scale
+    from a broadcast 1-row agg, then 8 levels of pure integer bit
+    arithmetic (sources/layout.py::hilbert_code_levels — one projection
+    per level, no shuffle, no UDF), and the oracle re-derives every code
+    value through the identical unrolled level chain."""
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.min("o_custkey").alias("xmin"), F.max("o_custkey").alias("xmax"),
+        F.min("o_totalprice").alias("ymin"), F.max("o_totalprice").alias("ymax"),
+    )
+    scaled = o.crossJoin(F.broadcast(stats)).select(
+        "o_orderkey",
+        _scaled(F.col("o_custkey"), F.col("xmin"), F.col("xmax"), _BITS)
+        .alias("sx"),
+        _scaled(F.col("o_totalprice"), F.col("ymin"), F.col("ymax"), _BITS)
+        .alias("sy"),
+    )
+    return hilbert_code_levels(scaled, "sx", "sy", "hcode", bits=_BITS)

@@ -133,3 +133,46 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def hilbert_code_levels(
+    df: DataFrame, x: str, y: str, out: str = "hcode", *, bits: int = 8
+) -> DataFrame:
+    """Hilbert curve index d = xy2d(x, y) over a 2^bits x 2^bits grid —
+    the space-filling curve with strictly better locality than Z-order
+    (every unit step of d moves to a grid-ADJACENT cell, so curve-ordered
+    files get tighter bounding boxes; Morton codes jump at quadrant
+    seams). Classic bit-level loop: per level s = 2^i, the quadrant pair
+    (rx, ry) contributes s^2 * gray(rx, ry) to d, then the quadrant frame
+    is reflected/swapped so lower bits are read in the rotated frame.
+
+    Each level is materialized as its OWN projection (aliased x/y/d
+    columns) rather than one nested column tree: the per-level CASE
+    expressions reference the previous level's x and y three times each,
+    so a single expression tree would grow ~4^bits nodes (the
+    CollapseProject duplication class measured in r11 — SCALE.md); as
+    multi-use non-cheap aliases they also stay un-collapsed in the
+    optimized plan. Pure integer bit arithmetic per row, no shuffle."""
+    n = 1 << bits
+    keep = [c for c in df.columns if c not in (x, y)]
+    one = F.lit(1).cast("long")
+    cur = df.withColumn(out, F.lit(0).cast("long"))
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = F.shiftright(F.col(x), i).bitwiseAND(one)
+        ry = F.shiftright(F.col(y), i).bitwiseAND(one)
+        d_next = F.col(out) + F.lit(s * s).cast("long") * (
+            (F.lit(3).cast("long") * rx).bitwiseXOR(ry)
+        )
+        nx = (
+            F.when(ry == 1, F.col(x))
+            .when(rx == 1, F.lit(n - 1).cast("long") - F.col(y))
+            .otherwise(F.col(y))
+        )
+        ny = (
+            F.when(ry == 1, F.col(y))
+            .when(rx == 1, F.lit(n - 1).cast("long") - F.col(x))
+            .otherwise(F.col(x))
+        )
+        cur = cur.select(*keep, d_next.alias(out), nx.alias(x), ny.alias(y))
+    return cur.select(*keep, out)

@@ -8,8 +8,11 @@ collision audit, and the referential-integrity orphan audit.
 Shared deterministic score: every ml_* query scores orders with a
 RECENCY-INVERTED min-max normalized order date quantized into 1000
 integer buckets (sq = floor((dmax-d)/(dmax-dmin) * 1000), capped 999) and
-labels y = 1 when o_orderstatus = 'F' (finished orders skew old, so the
-score is genuinely predictive and the metrics are non-degenerate). The
+labels y = 1 when o_orderstatus = 'F'. The generator draws status
+uniformly at random (measured |corr| < 0.04 against price/date/custkey),
+so the honest expected AUC is ~0.5 — the queries verify the METRIC
+MACHINERY exactly (tests pin the rank-sum identity against brute-force
+pair counting), not synthetic label separability. The
 quantization makes the score domain BOUNDED (<= 1000 distinct values):
 per-bucket counts are one map-side-combinable aggregate over the corpus,
 and every downstream cumulative / threshold / decile computation runs on

@@ -74,6 +74,9 @@ _PRIORITY = [
     "layout_hilbert_code",
     "graph_label_propagation",
     "privacy_generalization_ladder",
+    "ml_brier_logloss",
+    "dedup_blocking_quality_audit",
+    "layout_curve_locality_audit",
 ]
 
 

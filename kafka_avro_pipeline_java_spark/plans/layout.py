@@ -545,3 +545,152 @@ def layout_hilbert_code(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sy"),
     )
     return hilbert_code_levels(scaled, "sx", "sy", "hcode", bits=_BITS)
+
+
+_LOC_ROWS = 256  # rows per simulated file in the locality audit
+
+
+def _curve_locality_oracle(bits: int = _BITS, rows: int = _LOC_ROWS) -> str:
+    n = 1 << bits
+    mx = n - 1
+    lvls = []
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        lvls.append(f"""
+    l{i} AS (
+      SELECT o_orderkey, sx0, sy0,
+             hd + {s * s} * xor(3 * ((x >> {i}) & 1), (y >> {i}) & 1) AS hd,
+             CASE WHEN ((y >> {i}) & 1) = 1 THEN x
+                  WHEN ((x >> {i}) & 1) = 1 THEN {mx} - y
+                  ELSE y END AS x,
+             CASE WHEN ((y >> {i}) & 1) = 1 THEN y
+                  WHEN ((x >> {i}) & 1) = 1 THEN {mx} - x
+                  ELSE x END AS y
+      FROM l{i + 1}
+    )""")
+    chain = ",".join(lvls)
+    zterms = " + ".join(
+        f"(((sx0 >> {i}) & 1) << {2 * i}) + (((sy0 >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    return f"""
+    WITH stats AS (
+      SELECT MIN(o_custkey) AS xmin, MAX(o_custkey) AS xmax,
+             MIN(o_totalprice) AS ymin, MAX(o_totalprice) AS ymax
+      FROM orders
+    ),
+    scaled AS (
+      SELECT o_orderkey,
+             LEAST(CAST(FLOOR(
+               CASE WHEN xmax - xmin > 0
+                    THEN (o_custkey - xmin) / CAST(xmax - xmin AS DOUBLE)
+                    ELSE 0 END * {mx}) AS BIGINT), {mx}) AS sx0,
+             LEAST(CAST(FLOOR(
+               CASE WHEN ymax - ymin > 0
+                    THEN (o_totalprice - ymin) / CAST(ymax - ymin AS DOUBLE)
+                    ELSE 0 END * {mx}) AS BIGINT), {mx}) AS sy0
+      FROM orders, stats
+    ),
+    l{bits} AS (
+      SELECT o_orderkey, sx0, sy0, CAST(0 AS BIGINT) AS hd,
+             sx0 AS x, sy0 AS y
+      FROM scaled
+    ),{chain},
+    codes AS (
+      SELECT o_orderkey, sx0, sy0, hd AS hcode,
+             CAST({zterms} AS BIGINT) AS zcode
+      FROM l0
+    ),
+    ranked AS (
+      SELECT 'hilbert' AS curve, sx0, sy0,
+             (ROW_NUMBER() OVER (ORDER BY hcode, o_orderkey) - 1)
+               // {rows} AS file_id
+      FROM codes
+      UNION ALL
+      SELECT 'zorder', sx0, sy0,
+             (ROW_NUMBER() OVER (ORDER BY zcode, o_orderkey) - 1)
+               // {rows} AS file_id
+      FROM codes
+    ),
+    files AS (
+      SELECT curve, file_id,
+             MAX(sx0) - MIN(sx0) + MAX(sy0) - MIN(sy0) AS halfperim
+      FROM ranked GROUP BY 1, 2
+    )
+    SELECT curve,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           FLOOR(CAST(SUM(halfperim) AS DOUBLE) / COUNT(*)
+                 * 1000000 + 0.5) / 1000000 AS avg_halfperim,
+           CAST(MAX(halfperim) AS BIGINT) AS max_halfperim
+    FROM files GROUP BY curve
+    """
+
+
+@query("layout_curve_locality_audit", oracle=_curve_locality_oracle())
+def layout_curve_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURVE LOCALITY AUDIT — the measurement that justifies picking
+    Hilbert over Z-order for a clustered rewrite: lay the SAME rows out
+    in 256-row files by each curve's order and report the average and
+    worst per-file bounding-box half-perimeter (sx-span + sy-span) in
+    curve grid units. Tighter boxes = tighter per-file min/max zone maps
+    on BOTH columns = more pruning for every 2-D range predicate;
+    Hilbert's unit-step adjacency (tests/test_round13_ops.py) shows up
+    here as a strictly smaller average than Morton's quadrant-seam
+    jumps. Both file assignments use the two-phase distributed rank
+    (operators/ranking.py::attach_global_order_stats) — no
+    single-partition window over the corpus; the oracle's ROW_NUMBER is
+    the same total order (code, orderkey) verbatim."""
+    from ..operators.ranking import attach_global_order_stats
+
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.min("o_custkey").alias("xmin"), F.max("o_custkey").alias("xmax"),
+        F.min("o_totalprice").alias("ymin"), F.max("o_totalprice").alias("ymax"),
+    )
+    scaled = o.crossJoin(F.broadcast(stats)).select(
+        "o_orderkey",
+        _scaled(F.col("o_custkey"), F.col("xmin"), F.col("xmax"), _BITS)
+        .alias("sx0"),
+        _scaled(F.col("o_totalprice"), F.col("ymin"), F.col("ymax"), _BITS)
+        .alias("sy0"),
+    )
+    with_h = hilbert_code_levels(
+        scaled.select(
+            "o_orderkey", "sx0", "sy0",
+            F.col("sx0").alias("hx"), F.col("sy0").alias("hy"),
+        ),
+        "hx", "hy", "hcode", bits=_BITS,
+    )
+    codes = with_h.withColumn(
+        "zcode", morton_code(F.col("sx0"), F.col("sy0"), bits=_BITS)
+    ).localCheckpoint(eager=False)
+
+    def files_for(code_col: str, curve: str) -> DataFrame:
+        ranked = attach_global_order_stats(
+            codes.select("o_orderkey", "sx0", "sy0", code_col),
+            [(code_col, "asc"), ("o_orderkey", "asc")],
+            row_number="__rn",
+        ).select(
+            F.lit(curve).alias("curve"),
+            ((F.col("__rn") - 1) / _LOC_ROWS).cast("bigint").alias("file_id"),
+            "sx0", "sy0",
+        )
+        return ranked.groupBy("curve", "file_id").agg(
+            (
+                F.max("sx0") - F.min("sx0") + F.max("sy0") - F.min("sy0")
+            ).alias("halfperim")
+        )
+
+    files = files_for("hcode", "hilbert").unionByName(
+        files_for("zcode", "zorder")
+    )
+    return files.groupBy("curve").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        (
+            F.floor(
+                F.sum("halfperim").cast("double") / F.count("*")
+                * 1000000 + F.lit(0.5)
+            ) / 1000000
+        ).alias("avg_halfperim"),
+        F.max("halfperim").cast("bigint").alias("max_halfperim"),
+    )

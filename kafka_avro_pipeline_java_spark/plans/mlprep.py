@@ -894,3 +894,191 @@ def quality_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     for e in edges[1:]:
         out = out.unionByName(e)
     return out
+
+
+# ---------------------------------------------------------------------------
+# 10. Brier score + log-loss
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml_brier_logloss",
+    oracle=f"""
+    WITH {_SCORED_CTES},
+    tot AS (SELECT CAST(SUM(pos + neg) AS BIGINT) AS n FROM buckets),
+    t AS (
+      SELECT CAST(SUM(pos * (2001 - 2 * sq) * (2001 - 2 * sq)
+                     + neg * (2 * sq + 1) * (2 * sq + 1)) AS BIGINT)
+               AS brier_num,
+             CAST(SUM(CAST(FLOOR(
+               -(pos * LN(CAST(2 * sq + 1 AS DOUBLE) / 2002)
+                 + neg * LN(CAST(2001 - 2 * sq AS DOUBLE) / 2002))
+               * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS ll_q
+      FROM buckets
+    )
+    SELECT t2.n AS n_rows,
+           FLOOR(CAST(brier_num AS DOUBLE) / 2002 / 2002 / t2.n
+                 * {_Q6} + 0.5) / {_Q6} AS brier,
+           FLOOR(CAST(ll_q AS DOUBLE) / 1000000000 / t2.n
+                 * {_Q6} + 0.5) / {_Q6} AS logloss_nats
+    FROM t, tot t2
+    """,
+)
+def ml_brier_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRIER SCORE + LOG-LOSS of the pseudo-probability p = (sq+0.5)/1001
+    (Laplace-smoothed so p is never 0 or 1 and ln stays finite) against
+    the binary label — the two proper scoring rules that complete the
+    eval shelf beside the ranking metric (AUC) and the calibration bins.
+    Brier is computed as an EXACT INTEGER: with p = (2sq+1)/2002, the
+    per-bucket numerator pos*(2001-2sq)^2 + neg*(2sq+1)^2 is integer
+    arithmetic (max ~N*2001^2, inside 2^53 up to ~10^9 graded rows) and
+    only the final division rounds. Log-loss terms carry one ln each,
+    1e9-quantized per bucket before the cross-bucket sum (the house ln
+    discipline: integer sums absorb engine summation order, final 1e-6
+    rounding absorbs ulp-level libm-vs-JVM ln differences). Same single
+    corpus scan as the rest of the family."""
+    b = _buckets(spark, sf_dir)
+    tot = b.agg(F.sum(F.col("pos") + F.col("neg")).cast("bigint").alias("n"))
+    t = b.agg(
+        F.sum(
+            F.col("pos") * (2001 - 2 * F.col("sq")) * (2001 - 2 * F.col("sq"))
+            + F.col("neg") * (2 * F.col("sq") + 1) * (2 * F.col("sq") + 1)
+        ).cast("bigint").alias("brier_num"),
+        F.sum(
+            F.floor(
+                -(
+                    F.col("pos")
+                    * F.log((2 * F.col("sq") + 1).cast("double") / 2002)
+                    + F.col("neg")
+                    * F.log((2001 - 2 * F.col("sq")).cast("double") / 2002)
+                )
+                * 1000000000
+                + F.lit(0.5)
+            ).cast("bigint")
+        ).cast("bigint").alias("ll_q"),
+    )
+    return t.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_rows"),
+        _q6(
+            F.col("brier_num").cast("double") / 2002 / 2002 / F.col("n")
+        ).alias("brier"),
+        _q6(
+            F.col("ll_q").cast("double") / 1000000000 / F.col("n")
+        ).alias("logloss_nats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 11. blocking-quality audit (record linkage)
+# ---------------------------------------------------------------------------
+
+_BLOCK_CAP = 64
+
+
+def _blocking_oracle() -> str:
+    from .registry import ORACLES
+
+    return f"""
+    WITH truth AS MATERIALIZED ({ORACLES["dedup_ngram_jaccard"]}),
+    d AS (
+      SELECT doc_id, lower(substr(text, 1, 12)) AS blk FROM documents
+    ),
+    bc AS (SELECT blk, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY blk),
+    ok_blocks AS (SELECT blk FROM bc WHERE n <= {_BLOCK_CAP}),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM d a
+      JOIN d b ON b.blk = a.blk AND a.doc_id < b.doc_id
+      JOIN ok_blocks ob ON ob.blk = a.blk
+    ),
+    nums AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM bc) AS n_blocks,
+             (SELECT CAST(SUM(CASE WHEN n > {_BLOCK_CAP} THEN 1 ELSE 0 END)
+                      AS BIGINT) FROM bc) AS n_oversize_blocks,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidate_pairs,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cand c
+              JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_hits
+    )
+    SELECT n_docs, n_truth, n_blocks, n_oversize_blocks, n_candidate_pairs,
+           n_hits,
+           FLOOR(CAST(n_hits AS DOUBLE) / NULLIF(n_truth, 0)
+                 * {_Q6} + 0.5) / {_Q6} AS pair_completeness,
+           FLOOR((1.0 - CAST(n_candidate_pairs AS DOUBLE)
+                        / (CAST(n_docs AS DOUBLE) * (n_docs - 1) / 2))
+                 * {_Q6} + 0.5) / {_Q6} AS reduction_ratio
+    FROM nums
+    """
+
+
+@query("dedup_blocking_quality_audit", oracle=_blocking_oracle())
+def dedup_blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCKING-QUALITY AUDIT (the record-linkage evaluation pair from
+    Christen's survey): score a cheap candidate-generation scheme —
+    12-char lowercase prefix blocking, the fuzzy-dedup prefix-block
+    family's key — against the n-gram-Jaccard near-dup pairs as ground
+    truth. PAIR COMPLETENESS = |candidates ∩ truth| / |truth| (recall of
+    the blocker: how many real near-dup pairs survive into the compare
+    stage) and REDUCTION RATIO = 1 − |candidates| / (n(n−1)/2) (how much
+    of the all-pairs work the blocker eliminates) — the two numbers that
+    justify every blocking choice BEFORE burning the expensive pairwise
+    stage at 100 TB. Scale shape: the within-block self-join runs only on
+    blocks with <= 64 members (oversize blocks are counted and
+    excluded — the same df-cap discipline as the banded joins), so
+    candidates are ≤ cap·n; the truth intersection is one equi-join on
+    the canonical (id_a < id_b) pair key. The truth table reuses the
+    session-memoized jaccard pair table (plans/graph.py::_jaccard_pairs)
+    — derived once per session, not re-scanned here."""
+    from .graph import _jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.substring("text", 1, 12)).alias("blk")
+    )
+    truth = _jaccard_pairs(spark, sf_dir)
+    bc = d.groupBy("blk").agg(F.count("*").cast("bigint").alias("n"))
+    ok_blocks = bc.filter(F.col("n") <= _BLOCK_CAP).select(
+        F.col("blk").alias("okblk")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    cand = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .join(ok_blocks, F.col("a.blk") == F.col("okblk"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    n_docs = d.agg(F.count("*").cast("bigint").alias("n_docs"))
+    n_truth = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    bstats = bc.agg(
+        F.count("*").cast("bigint").alias("n_blocks"),
+        F.sum(F.when(F.col("n") > _BLOCK_CAP, 1).otherwise(0))
+        .cast("bigint").alias("n_oversize_blocks"),
+    )
+    n_cand = cand.agg(
+        F.count("*").cast("bigint").alias("n_candidate_pairs")
+    )
+    n_hits = cand.join(truth, ["id_a", "id_b"]).agg(
+        F.count("*").cast("bigint").alias("n_hits")
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(bstats))
+        .crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hits))
+        .select(
+            "n_docs", "n_truth", "n_blocks", "n_oversize_blocks",
+            "n_candidate_pairs", "n_hits",
+            _q6(
+                F.col("n_hits").cast("double")
+                / F.nullif(F.col("n_truth"), F.lit(0))
+            ).alias("pair_completeness"),
+            _q6(
+                F.lit(1.0)
+                - F.col("n_candidate_pairs").cast("double")
+                / (F.col("n_docs").cast("double") * (F.col("n_docs") - 1) / 2)
+            ).alias("reduction_ratio"),
+        )
+    )

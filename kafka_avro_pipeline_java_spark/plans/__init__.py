@@ -77,6 +77,7 @@ _PRIORITY = [
     "ml_brier_logloss",
     "dedup_blocking_quality_audit",
     "layout_curve_locality_audit",
+    "embedding_pca_project",  # r13: retired rows-only via literal PCA snapshot
 ]
 
 

@@ -530,6 +530,15 @@ def test_result_guard_primitives():
     assert not cell_magnitude_violation(True)
     assert not cell_magnitude_violation(None)
     assert not cell_magnitude_violation(1e300)  # floats are already f64
+    # the audited int64 path: big ints pass, Decimal NEVER does
+    assert not cell_magnitude_violation(2**62, allow_big_int64=True)
+    assert cell_magnitude_violation(Decimal(1), allow_big_int64=True)
+    from tools.result_guards import INT64_EXACT_WHITELIST
+
+    assert INT64_EXACT_WHITELIST == {
+        "scalar_bitwise_zoo", "scalar_try_arithmetic_zoo",
+        "source_avro_ocf_roundtrip", "source_python_datasource",
+    }
     for t in ("bigint", "int", "double", "string", "boolean", "date",
               "timestamp", "timestamp_ntz"):
         assert SPARK_SAFE_TYPE.match(t), t

@@ -107,11 +107,13 @@ BENCH_QUERIES = [n for n in QUERIES if n not in BENCH_EXCLUDED]
 from kafka_avro_pipeline_java_spark.plans.text import (  # noqa: E402
     dedup_minhash_lsh_xx64,
     dedup_simhash_xx64,
+    text_rolling_fingerprint_xx64,
 )
 
 BENCH_EXTRA = {
     "dedup_minhash_lsh_xx64": dedup_minhash_lsh_xx64,
     "dedup_simhash_xx64": dedup_simhash_xx64,
+    "text_rolling_fingerprint_xx64": text_rolling_fingerprint_xx64,
 }
 
 # Re-baselining aid (round-6, VERDICT r05 item 6): a comma-separated

@@ -210,3 +210,68 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     for bulk shingling use ``operators.dedup.shingle_table``, which
     materializes the token array first (see ``shingles_from_tokens``)."""
     return shingles_from_tokens(tokens(F.lower(F.col(col) if isinstance(col, str) else col)), k)
+
+
+def winnowing_token_hashes(
+    col: Column | str, *, modulus: int = (1 << 31) - 1
+) -> Column:
+    """Step 1 of winnowing (Schleimer, Wilkerson & Aiken 2003 — the
+    MOSS plagiarism-detection algorithm): per-token portable md5 hashes
+    mod the Mersenne prime (the same per-token hash as
+    ``rolling_hash_portable``), as an array column. MATERIALIZE this as
+    its own projection before calling ``winnowing_fingerprints`` — the
+    gram folds reference each token hash k times, and an inlined
+    expression would re-run the md5 per reference (HOF lambdas evaluate
+    their subtrees per invocation), a k× hashing overhead a column
+    reference avoids."""
+    from .hashing import portable_hash64
+
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    return F.transform(
+        toks, lambda t: F.pmod(portable_hash64(t), F.lit(modulus))
+    )
+
+
+def winnowing_fingerprints(
+    th: Column | str,
+    *,
+    k: int = 4,
+    base: int = 257,
+    modulus: int = (1 << 31) - 1,
+) -> Column:
+    """Step 2: k-gram polynomial rolling hashes over a MATERIALIZED
+    token-hash array column (see winnowing_token_hashes). The winnowing
+    guarantee downstream: any shared run of >= k+window-1 tokens between
+    two documents produces >= 1 shared fingerprint after
+    ``winnowing_select``, while only ~2/(window+1) of gram hashes are
+    kept. Documents shorter than k tokens yield no grams (guarded —
+    sequence(1, x) with x < 1 would count DOWN)."""
+    c = F.col(th) if isinstance(th, str) else th
+    n = F.size(c)
+
+    def gram(i):
+        return F.aggregate(
+            F.slice(c, i, k),
+            F.lit(0).cast("long"),
+            lambda h, t: F.pmod(h * base + t, F.lit(modulus)),
+        )
+
+    return F.when(
+        n >= k, F.transform(F.sequence(F.lit(1), n - k + 1), gram)
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def winnowing_select(grams: Column | str, *, window: int = 4) -> Column:
+    """Second winnowing step over a MATERIALIZED gram-hash array column:
+    distinct window-minima (see winnowing_fingerprints)."""
+    g = F.col(grams) if isinstance(grams, str) else grams
+    m = F.size(g)
+    return F.when(
+        m >= window,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), m - window + 1),
+                lambda j: F.array_min(F.slice(g, j, window)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))

@@ -78,6 +78,7 @@ _PRIORITY = [
     "dedup_blocking_quality_audit",
     "layout_curve_locality_audit",
     "embedding_pca_project",  # r13: retired rows-only via literal PCA snapshot
+    "text_rolling_fingerprint",  # r13: retired rows-only via winnowing oracle
 ]
 
 

@@ -93,6 +93,23 @@ def _buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: session-scoped memo of the ≤1000-row (sq, pos, neg) bucket table —
+#: five consumers (threshold sweep, calibration, gains, brier; AUC keeps
+#: deriving LIVE as the family's canonical plan so the sweep gates
+#: inspect the real scored-corpus derivation). Same (applicationId,
+#: sf_dir)-keyed eager-localCheckpoint rationale and eviction policy as
+#: plans/graph.py's pair-table caches.
+_BUCKET_CACHE: dict = {}
+
+
+def _buckets_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import _pair_cache_fetch
+
+    return _pair_cache_fetch(
+        _BUCKET_CACHE, spark, sf_dir, lambda: _buckets(spark, sf_dir)
+    )
+
+
 _Q6 = "1000000"  # the house 1e-6 FLOOR quantizer scale
 
 
@@ -212,7 +229,7 @@ def ml_threshold_metrics_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than dividing by zero. The 5-row threshold table rides a
     broadcast nested-loop join (the allowed scalar shape) against the
     bucket table."""
-    b = _buckets(spark, sf_dir)
+    b = _buckets_cached(spark, sf_dir)
     thr = spark.createDataFrame(
         [(t,) for t in _THRESHOLDS], "thr bigint"
     )
@@ -286,7 +303,7 @@ def ml_calibration_bins_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     only float ops are the final per-bin divisions — the corpus scan is
     the same single bucket-count pass the rest of the ml_* family
     shares."""
-    b = _buckets(spark, sf_dir)
+    b = _buckets_cached(spark, sf_dir)
     tot = b.agg(F.sum(F.col("pos") + F.col("neg")).cast("bigint").alias("n"))
     bins = b.groupBy(F.floor(F.col("sq") / 100).cast("bigint").alias("bin")).agg(
         F.sum(F.col("pos") + F.col("neg")).cast("bigint").alias("n_rows"),
@@ -363,7 +380,7 @@ def ml_gains_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket all land in the same decile, which is the well-defined
     bucketed-score decile). Windows run over <=1000 bucket rows and 10
     decile rows."""
-    b = _buckets(spark, sf_dir)
+    b = _buckets_cached(spark, sf_dir)
     tot = b.agg(
         F.sum("pos").cast("bigint").alias("tpos"),
         F.sum(F.col("pos") + F.col("neg")).cast("bigint").alias("n"),
@@ -937,7 +954,7 @@ def ml_brier_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline: integer sums absorb engine summation order, final 1e-6
     rounding absorbs ulp-level libm-vs-JVM ln differences). Same single
     corpus scan as the rest of the family."""
-    b = _buckets(spark, sf_dir)
+    b = _buckets_cached(spark, sf_dir)
     tot = b.agg(F.sum(F.col("pos") + F.col("neg")).cast("bigint").alias("n"))
     t = b.agg(
         F.sum(

@@ -66,10 +66,85 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# rolling_hash uses xxhash64 → not DuckDB-expressible; rows-only check,
-# order-sensitivity unit-tested in tests/test_text_functions.py
-@query("text_rolling_fingerprint")
+# r13: text_rolling_fingerprint now GRADES the WINNOWING selection
+# (Schleimer/Wilkerson/Aiken 2003 — the MOSS plagiarism fingerprint) over
+# portable k-gram rolling hashes, under a full value oracle; the xxhash64
+# whole-document fold keeps its engine-native speed as the bench-only
+# text_rolling_fingerprint_xx64 below (order-sensitivity still
+# unit-tested in tests/test_text_functions.py). Same retirement pattern
+# as dedup_minhash_lsh / dedup_simhash.
+@query(
+    "text_rolling_fingerprint",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+      FROM documents
+    ),
+    hs AS (
+      SELECT doc_id,
+        CASE WHEN len(tk) >= 4 THEN
+          [list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(tk[i : i + 3],
+                t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+                     % 2147483647)),
+            (h, t) -> (h * 257 + t) % 2147483647)
+           FOR i IN range(1, len(tk) - 4 + 2)]
+        ELSE CAST([] AS BIGINT[]) END AS gh
+      FROM toks
+    ),
+    sel AS (
+      SELECT doc_id,
+        CASE WHEN len(gh) >= 4 THEN
+          list_distinct([list_min(gh[j : j + 3])
+                         FOR j IN range(1, len(gh) - 4 + 2)])
+        ELSE CAST([] AS BIGINT[]) END AS fps
+      FROM hs
+    )
+    SELECT doc_id, CAST(len(fps) AS INT) AS n_fp,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), fps),
+                            (a, b) -> xor(a, b)) AS BIGINT) AS fp_xor
+    FROM sel
+    """,
+)
 def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING DOCUMENT FINGERPRINT (the MOSS algorithm): 4-token-gram
+    portable rolling hashes, a 4-gram sliding window keeping each
+    window's minimum, distinct selections per document — output the
+    selected-fingerprint count and their order-insensitive XOR fold.
+    The winnowing guarantee: any shared token run of ≥ k+w−1 = 7 tokens
+    between two documents shares ≥ 1 fingerprint, while only ~2/(w+1)
+    of gram hashes are stored — the storage/recall dial every
+    fingerprint index tunes. THREE chained projections (token hashes →
+    gram folds → window-min selection), each a multi-use non-cheap
+    alias the optimizer won't collapse, so each token is md5-hashed
+    exactly ONCE (inlining the hash into the gram lambda would re-run
+    it k times — HOF lambdas re-evaluate subtrees per invocation); all
+    arithmetic stays < 2^40 (Mersenne-prime fold), engine-identical.
+    One scan, no shuffle, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    th = d.select(
+        "doc_id", T.winnowing_token_hashes("text").alias("th")
+    )
+    grams = th.select(
+        "doc_id", T.winnowing_fingerprints("th").alias("gh")
+    )
+    sel = grams.select(
+        "doc_id", T.winnowing_select("gh").alias("fps")
+    )
+    return sel.select(
+        "doc_id",
+        F.size("fps").cast("int").alias("n_fp"),
+        F.aggregate(
+            F.col("fps"),
+            F.lit(0).cast("long"),
+            lambda a, b: a.bitwiseXOR(b),
+        ).cast("bigint").alias("fp_xor"),
+    )
+
+
+def text_rolling_fingerprint_xx64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY xxhash64 whole-document rolling fold (engine-native
+    hash — no DuckDB twin; measured via bench.py BENCH_EXTRA)."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", T.rolling_hash("text").alias("rolling_fp"))
 

@@ -79,6 +79,7 @@ _PRIORITY = [
     "layout_curve_locality_audit",
     "embedding_pca_project",  # r13: retired rows-only via literal PCA snapshot
     "text_rolling_fingerprint",  # r13: retired rows-only via winnowing oracle
+    "graph_kcore",  # r13: retired rows-only via 8-round over-provisioned unroll
 ]
 
 

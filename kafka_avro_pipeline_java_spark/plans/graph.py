@@ -421,14 +421,22 @@ def graph_kcore_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.k_core_rounds(pairs, 3, 3)
 
 
-@query("graph_kcore")
+@query("graph_kcore", oracle=_kcore_rounds_oracle(3, 8))
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the SimHash near-dup graph: the dense nucleus after
     iteratively peeling nodes with degree < 3 — the boilerplate families
-    that survive when pendant matches are stripped. Rows-only: the
-    peeling loop iterates to a data-dependent fixpoint the oracle cannot
-    unroll statically; exactness is pinned against a pure-Python peeler
-    in tests/test_graph.py."""
+    that survive when pendant matches are stripped. r13 retired this
+    from rows-only with an OVER-PROVISIONED UNROLLED ORACLE: the live
+    plan still runs the data-dependent fixpoint loop, and the DuckDB
+    twin unrolls EIGHT peeling rounds — peeling converges in 3 rounds
+    at every test SF (measured sf0.001/0.01/0.1, pinned in
+    tests/test_graph.py's pure-Python peeler parity), rounds past the
+    fixpoint are no-ops on both engines, and a corpus that ever needed
+    more than 8 rounds would MISMATCH loudly in the sweep rather than
+    silently corrupt — the same bounded-unroll discipline as the
+    hierarchy family's log-rounds pointer jumping. Each live round is
+    one degree agg + two semi-joins on the survivor set with the
+    convergence probe riding the round's own localCheckpoint."""
     pairs = _simhash_pairs(spark, sf_dir)
     return graph.k_core(pairs, 3)
 

@@ -151,11 +151,12 @@ def ngram_jaccard_pairs(
     # join on a 64-bit shingle hash, not the string: the shuffle moves 8-byte
     # keys instead of ~20-char strings and the join compares longs (collision
     # probability over even 10^9 distinct shingles is ~1e-10 — negligible).
-    # No .cache(): the repartition exchange under shingle_table is reused by
-    # every consumer in the plan (a / b / sizes), so the shingle explode runs
-    # once per action anyway, and a session-lifetime cache would leak
-    # executor storage across repeated dedup calls (measured: identical
-    # runtime with and without the cache at sf0.01).
+    # No materialization: the a/b self-join sides are IDENTICAL subtrees, so
+    # the shingle exchange is genuinely reused at runtime, and the two small
+    # sizes joins re-derive only cheap aggregates — an r13 A/B measured a
+    # lazy localCheckpoint of sh at 2.5× SLOWER (0.85 s → 2.17 s at sf0.1):
+    # storing n_shingle×16B blocks costs more than the re-derivations save
+    # (OPTIMIZATION_r13.md), unlike the minhash/simhash signature tables.
     sh = shingle_table(df, text_col, id_col, k).select(
         "id", F.xxhash64("shingle").alias("shingle")
     )
@@ -204,6 +205,8 @@ def containment_pairs(
     only change is the denominator (|A| alone) and that both directions of
     a pair are emitted since containment is not symmetric.
     """
+    # no materialization — same A/B result as ngram_jaccard_pairs above
+    # (the identical a/b subtrees share their exchange at runtime)
     sh = shingle_table(df, text_col, id_col, k).select(
         "id", F.xxhash64("shingle").alias("shingle")
     )
@@ -390,39 +393,44 @@ def minhash_lsh_pairs_portable(
 ) -> DataFrame:
     """Oracle-checkable LSH dedup: band buckets are md5 of the band's
     minhash values (portable string combine); candidates verified by the
-    fraction of matching minhashes across the full signature."""
-    # no .cache(): banding reads sig ONCE (banded_explode) and the two
-    # verify sides reuse sig's groupBy exchange within one action; caching
-    # would leak storage across calls in a long-lived session (see
-    # ngram_jaccard_pairs note)
-    sig = minhash_signatures_portable(df, text_col, id_col, k, num_hashes, max_doc_freq)
-    banded = banded_explode(sig, ["id"], _minhash_band_exprs(num_hashes, bands),
+    fraction of matching minhashes across the full signature.
+
+    r13 optimization (guide §2.4/§3): the signature table is materialized
+    ONCE behind a lazy localCheckpoint and the full signature is CARRIED
+    through the banding so verification happens inside the band join's
+    projection — the same shape as the xx64 fast path. The previous form
+    (candidate distinct + two verify joins against sig) re-derived the
+    whole scan→tokenize→explode→md5→32-min pipeline FOUR times, because
+    AQE's broadcast conversion of the small joins defeats ReusedExchange
+    (measured: 4 parquet scans in the before-plan, 1 after; bench
+    6.96 s → see OPTIMIZATION_r13.md). Rejected candidates are filtered
+    before the pair-dedup shuffle, so they never move."""
+    sig = minhash_signatures_portable(
+        df, text_col, id_col, k, num_hashes, max_doc_freq
+    ).localCheckpoint(eager=False)
+    mh_cols = [f"mh_{i}" for i in range(num_hashes)]
+    banded = banded_explode(sig, ["id"] + mh_cols,
+                            _minhash_band_exprs(num_hashes, bands),
                             scale_guard="hashed-bands")
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    matches = sum(
+        F.when(F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    sa = sig.select(F.col("id").alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)])
-    sb = sig.select(F.col("id").alias("id_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)])
-    matches = sum(
-        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
-        for i in range(num_hashes)
-    )
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
         .select(
-            "id_a", "id_b",
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
             F.round(matches / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -553,38 +561,41 @@ def minhash_similarity_join(
             .filter(F.col("est_jaccard") >= threshold)
         )
 
-    sig_a = minhash_signatures_portable(df_a, text_col, id_col_a, k, num_hashes, max_doc_freq)
-    sig_b = minhash_signatures_portable(df_b, text_col, id_col_b, k, num_hashes, max_doc_freq)
-    banded_a = banded_explode(sig_a, ["id"], band_exprs,
+    # r13: each side's signature table is materialized once (lazy
+    # localCheckpoint) and the signatures are CARRIED through the banding
+    # so verification happens inside the band join's projection — the same
+    # restructure as minhash_lsh_pairs_portable above (the candidate
+    # distinct + two verify joins re-derived each scan→shingle→sign
+    # pipeline twice once AQE broadcast-converted the verify joins).
+    sig_a = minhash_signatures_portable(
+        df_a, text_col, id_col_a, k, num_hashes, max_doc_freq
+    ).localCheckpoint(eager=False)
+    sig_b = minhash_signatures_portable(
+        df_b, text_col, id_col_b, k, num_hashes, max_doc_freq
+    ).localCheckpoint(eager=False)
+    mh_cols = [f"mh_{i}" for i in range(num_hashes)]
+    banded_a = banded_explode(sig_a, ["id"] + mh_cols, band_exprs,
                               scale_guard="hashed-bands")
-    banded_b = banded_explode(sig_b, ["id"], band_exprs,
+    banded_b = banded_explode(sig_b, ["id"] + mh_cols, band_exprs,
                               scale_guard="hashed-bands")
-    cand = (
+    matches = sum(
+        F.when(F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
         banded_a.alias("a")
         .join(
             banded_b.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    sa = sig_a.select(F.col("id").alias("id_a"),
-                      *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)])
-    sb = sig_b.select(F.col("id").alias("id_b"),
-                      *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)])
-    matches = sum(
-        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
-        for i in range(num_hashes)
-    )
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
         .select(
-            "id_a", "id_b",
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
             F.round(matches / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -650,8 +661,13 @@ def simhash_near_pairs_portable(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 4
 ) -> DataFrame:
     """Oracle-checkable SimHash near-dup pairs: 4 15-bit band buckets for
-    candidates, exact popcount Hamming verify."""
-    fp = simhash_portable(df, text_col, id_col)
+    candidates, exact popcount Hamming verify.
+
+    The fingerprint table is materialized once (lazy localCheckpoint):
+    the band self-join's AQE broadcast conversion defeats ReusedExchange,
+    so without it the whole scan→tokenize→md5→60-bit-sum pipeline ran
+    twice (2 parquet scans in the r13 before-plan, 1 after)."""
+    fp = simhash_portable(df, text_col, id_col).localCheckpoint(eager=False)
     banded = banded_explode(
         fp,
         ["id", "simhash"],
@@ -685,8 +701,9 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: i
     Candidates via 4 16-bit band buckets (pigeonhole: any pair within
     Hamming 3 shares a band; wider radii still catch most) — equi-join, not
     a cross product; verified with exact popcount via bit_count.
+    Fingerprints are materialized once (see simhash_near_pairs_portable).
     """
-    fp = simhash(df, text_col, id_col)
+    fp = simhash(df, text_col, id_col).localCheckpoint(eager=False)
     banded = fp.select(
         "id",
         "simhash",
@@ -804,10 +821,13 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         .select(F.col("src").alias("id"), F.col("src").alias("component"))
     )
     # Convergence check: labels only ever DECREASE (monotone min-propagation),
-    # so Σ component strictly decreases iff any label changed this round. A
-    # single-column agg over the just-checkpointed (block-resident) labels is
-    # one trivial job — vs the previous per-round self-join + limit+count.
-    # decimal(38,0) so the checksum can't overflow at any realistic id scale.
+    # so Σ component strictly decreases iff any label changed this round.
+    # r13: the checksum rides the SAME action as the round's checkpoint
+    # materialization (an Observation after the label select) — one driver
+    # job per round instead of two. decimal(38,0) so the checksum can't
+    # overflow at any realistic id scale.
+    from pyspark.sql import Observation
+
     prev_sum = labels.agg(
         F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
     ).first()["s"]
@@ -837,6 +857,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
                 .groupBy("src")
                 .agg(F.min("component").alias("nbr_component"))
             )
+        obs = Observation()
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
@@ -846,11 +867,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
                     F.coalesce(F.col("nbr_component"), F.col("component")),
                 ).alias("component"),
             )
+            .observe(
+                obs, F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+            )
             .localCheckpoint()
         )
-        new_sum = new_labels.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
+        new_sum = obs.get["s"]
         labels = new_labels
         if new_sum == prev_sum:
             break

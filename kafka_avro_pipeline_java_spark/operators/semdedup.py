@@ -80,7 +80,10 @@ def semantic_pairs(
     """(id_a, id_b, cid, cos_sim) near-duplicate pairs within clusters,
     id_a < id_b, cosine rounded to 6 for cross-engine comparability."""
     return _pairs_from_side(
-        _assigned_side(df, vec_col, id_col, centroids), threshold
+        _assigned_side(df, vec_col, id_col, centroids).localCheckpoint(
+            eager=False
+        ),
+        threshold,
     )
 
 
@@ -92,10 +95,16 @@ def semantic_dedup(
     threshold: float,
 ) -> DataFrame:
     """Survivors of keep-one SemDeDup: (id, cid) for every vector with no
-    smaller-id near-duplicate in its cluster. The assigned/repartitioned
-    side is shared between the pair join and the survivor projection, so
-    assignment runs behind ONE reused exchange."""
-    side = _assigned_side(df, vec_col, id_col, centroids)
+    smaller-id near-duplicate in its cluster. The assigned side is
+    MATERIALIZED once (lazy localCheckpoint) and shared by the two pair-
+    join sides and the survivor projection — AQE's broadcast conversion
+    of the doomed anti-join defeats plain exchange reuse, so without the
+    cut the k×dim argmax (and its whole-stage-codegen compile of the
+    literal centroid matrix) ran once per consumer (r13: 3 parquet scans
+    of the embedding pipeline → 1)."""
+    side = _assigned_side(df, vec_col, id_col, centroids).localCheckpoint(
+        eager=False
+    )
     pairs = _pairs_from_side(side, threshold)
     doomed = pairs.select(F.col("id_b").alias("id")).distinct()
     return side.select("id", "cid").join(doomed, "id", "left_anti")

@@ -266,11 +266,15 @@ def dedup_semantic_text_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     before centering — cosine is undefined for them and they carry no
     dedupable content. The mean is a 1-row broadcast aggregate."""
     d = load_table(spark, sf_dir, "documents")
+    # raw is materialized once (lazy localCheckpoint): the mean aggregate
+    # and the centered projection both consume it, and semantic_dedup's
+    # own materialization sits downstream of the centering — without this
+    # cut the tokenize→feature-hash pipeline ran twice (r13)
     raw = (
         hash_embedding_df(d, "text", "doc_id")
         .withColumnRenamed("id", "doc_id")
         .filter(F.exists("emb", lambda x: x != 0))
-    )
+    ).localCheckpoint(eager=False)
     means = raw.agg(
         *[F.avg(F.element_at("emb", i + 1)).alias(f"m{i}") for i in range(_HASH_DIM)]
     )

@@ -70,7 +70,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from kafka_avro_pipeline_java_spark.plans import QUERIES
-from kafka_avro_pipeline_java_spark.session import get_spark
+from kafka_avro_pipeline_java_spark.session import (
+    get_spark,
+    release_transient_checkpoints,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
@@ -242,6 +245,13 @@ def main() -> None:
         reps.sort()
         timings[name] = round(reps[len(reps) // 2], 3)
         minima[name] = round(reps[0], 3)
+        # r13 (guide §5): operators materialize intermediates behind
+        # localCheckpoints; release the unpinned block sets at the query
+        # boundary (outside the timed region, after the last rep's frame
+        # is fully consumed) so a 400-query suite doesn't accumulate
+        # storage that competes with execution memory. Session artifacts
+        # (the graph/mlprep memo tables) stay pinned.
+        release_transient_checkpoints(spark)
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

@@ -59,7 +59,12 @@ def _pair_cache_fetch(cache, spark: SparkSession, sf_dir: str, build) -> DataFra
                 evicted.unpersist(blocking=False)
             except Exception:
                 pass
-        cache[key] = build().localCheckpoint(eager=True)
+        # eager checkpoint PINNED for the session: bench.py / driver_sim
+        # release all unpinned checkpoint storage between queries, and a
+        # released localCheckpoint cannot be recomputed (session.py)
+        from ..session import checkpoint_session_artifact
+
+        cache[key] = checkpoint_session_artifact(build())
     return cache[key]
 
 

@@ -47,3 +47,80 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     return spark
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint storage lifecycle (r13, guide §5: "unpersist when done").
+#
+# Operators materialize expensive intermediates (signature tables, assigned
+# sides, edge lists) behind localCheckpoints so multi-consumer plans don't
+# re-derive them once AQE's broadcast conversions defeat plain exchange
+# reuse. Those checkpoint blocks are registered in the context's persistent-
+# RDD map and are NOT reclaimed by garbage collection in PySpark (measured:
+# a dropped lazily-checkpointed DataFrame's RDD survives Python gc +
+# JVM System.gc indefinitely under the py4j pinned-thread gateway), so a
+# long-lived session sweeping hundreds of queries accumulates storage that
+# competes with execution memory (ADVICE r12). The explicit lifecycle:
+#
+# - per-query transient checkpoints need no bookkeeping; the JOB DRIVER
+#   (bench.py / tools/driver_sim.py — anything that runs queries to
+#   completion one after another) calls ``release_transient_checkpoints``
+#   between queries, when no transient frame can be re-executed;
+# - cross-query session artifacts (the plans/graph.py and plans/mlprep.py
+#   memo tables) are created through ``checkpoint_session_artifact`` which
+#   PINS their block sets so the release pass never touches them — a
+#   released localCheckpoint cannot be recomputed (truncated lineage).
+# ---------------------------------------------------------------------------
+
+#: (applicationId → pinned RDD ids). Keyed by application so ids from a
+#: stopped context can never shadow a new context's (RDD ids restart per
+#: SparkContext); stale entries are dropped on the next pin.
+_PINNED_RDD_IDS: dict[str, set[int]] = {}
+
+
+def _persistent_ids(spark: SparkSession) -> set[int]:
+    return {
+        int(k)
+        for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+
+
+def checkpoint_session_artifact(df):
+    """Eagerly localCheckpoint ``df`` and pin its block set for the life of
+    the session: ``release_transient_checkpoints`` will skip it. Single-
+    threaded creation assumed (the memo caches fill inside one query)."""
+    spark = df.sparkSession
+    app = spark.sparkContext.applicationId
+    for stale in [a for a in _PINNED_RDD_IDS if a != app]:
+        _PINNED_RDD_IDS.pop(stale)
+    before = _persistent_ids(spark)
+    out = df.localCheckpoint(eager=True)
+    pins = _PINNED_RDD_IDS.setdefault(app, set())
+    try:
+        # precise pin: the checkpointed Dataset's plan is a LogicalRDD over
+        # exactly the persisted RDD — transient lazy checkpoints INSIDE the
+        # build (e.g. a signature table) also materialize during the eager
+        # action and must NOT be pinned with it
+        pins.add(int(out._jdf.queryExecution().analyzed().rdd().id()))
+    except Exception:
+        # fallback: pin everything that appeared (over-pins inner
+        # transients — safe, merely keeps their blocks for the session)
+        pins.update(_persistent_ids(spark) - before)
+    return out
+
+
+def release_transient_checkpoints(spark: SparkSession) -> int:
+    """Unpersist every persistent RDD not pinned as a session artifact.
+
+    Call ONLY at a query boundary: after the previous query's results are
+    fully consumed and before the next one is built — a released
+    localCheckpoint breaks if a frame referencing it re-executes. Returns
+    the number of RDDs released (async, non-blocking)."""
+    pinned = _PINNED_RDD_IDS.get(spark.sparkContext.applicationId, set())
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    released = 0
+    for rid in list(jmap.keySet().toArray()):
+        if int(rid) not in pinned:
+            jmap.get(rid).unpersist(False)
+            released += 1
+    return released

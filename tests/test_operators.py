@@ -186,9 +186,22 @@ def test_minhash_similarity_join_matches_across_tables(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_dedup_pair_generation_leaves_no_persistent_storage(spark, sf_dir):
+def test_dedup_pair_generation_storage_is_releasable(spark, sf_dir):
     """Repeated dedup calls in one session must not grow executor storage
-    (the shingle/signature tables rely on exchange reuse, not .cache())."""
+    WITHOUT BOUND. Since r13 the shingle/signature tables are materialized
+    per call behind lazy localCheckpoints (AQE's broadcast conversion of
+    the verify joins defeats plain exchange reuse — see operators/dedup.py),
+    and checkpoint blocks are NOT reclaimed by garbage collection under the
+    py4j pinned-thread gateway, so the contract is an explicit lifecycle:
+    ``session.release_transient_checkpoints`` at a query boundary returns
+    the session to its storage baseline, with session-pinned memo artifacts
+    (``checkpoint_session_artifact``) exempt. This guards both directions:
+    a materialization that the release pass cannot see (e.g. a module-level
+    .cache()) leaves a residue and fails; a release pass that broke would
+    also fail."""
+    from kafka_avro_pipeline_java_spark.session import (
+        release_transient_checkpoints,
+    )
     from kafka_avro_pipeline_java_spark.sources import load_table
 
     d = load_table(spark, sf_dir, "documents")
@@ -196,15 +209,41 @@ def test_dedup_pair_generation_leaves_no_persistent_storage(spark, sf_dir):
     def persistent_ids():
         return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
 
+    release_transient_checkpoints(spark)  # boundary: clear earlier tests' residue
     before = persistent_ids()
     for _ in range(2):
         dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.1).count()
         dedup.minhash_lsh_pairs_portable(d, "text", "doc_id").count()
         dedup.simhash_near_pairs_portable(d, "text", "doc_id").count()
-    # only NEW persistent entries count as a leak (the async ContextCleaner
-    # may concurrently drop entries left by earlier tests)
+    grown = persistent_ids() - before
+    assert grown, "expected the dedup calls to materialize checkpoint storage"
+    release_transient_checkpoints(spark)
     leaked = persistent_ids() - before
-    assert not leaked, f"dedup calls registered new persistent RDDs: {leaked}"
+    assert not leaked, (
+        f"checkpoint storage survived release_transient_checkpoints: {leaked}"
+    )
+
+
+def test_session_artifacts_survive_transient_release(spark):
+    """A checkpoint_session_artifact frame must stay readable after
+    release_transient_checkpoints — the graph/mlprep memo tables are
+    reused across queries, and a released localCheckpoint cannot be
+    recomputed, so a pinning regression would break every later consumer."""
+    from kafka_avro_pipeline_java_spark.session import (
+        checkpoint_session_artifact,
+        release_transient_checkpoints,
+    )
+
+    pinned = checkpoint_session_artifact(
+        spark.range(10_000).selectExpr("id", "id * 3 AS y")
+    )
+    transient = spark.range(5_000).localCheckpoint(eager=False)
+    transient.count()
+    release_transient_checkpoints(spark)
+    # the pinned frame still computes from its blocks; a fresh action over
+    # it must succeed and be correct
+    assert pinned.count() == 10_000
+    assert pinned.agg({"y": "max"}).first()[0] == 29_997
 
 
 def test_dedup_keep_one(spark, sf_dir):

@@ -220,6 +220,13 @@ for name, fn in sorted(qs.items()):
     for g in guard_hits:
         gated += 1
         print(f"GATE result-guard: {g}")
+    # query boundary: release unpinned checkpoint block sets (r13, see
+    # kafka_avro_pipeline_java_spark/session.py) so the 400-query sweep
+    # doesn't accumulate executor storage; memo artifacts stay pinned
+    from kafka_avro_pipeline_java_spark.session import (
+        release_transient_checkpoints,
+    )
+    release_transient_checkpoints(spark)
 
 # Gate 6 (r13, VERDICT r12 item 7): SWEEP-FRESHNESS. The invariant "a
 # full sf0.1 oracle sweep ran at the shipping head" is structural, not

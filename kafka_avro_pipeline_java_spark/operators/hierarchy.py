@@ -49,12 +49,22 @@ def pointer_jump(
     ~60 should pre-cast to decimal(38,0)).
 
     Each round advances every pointer to its ancestor's ancestor via one
-    self-equi-join, then localCheckpoints (eager: the convergence count
-    below materializes it anyway) so the next round's plan doesn't
-    re-derive all previous rounds. Convergence = no row's ancestor is a
-    non-root; checked with a left-anti join against the root set, one
-    count action per round, O(log D) rounds total.
+    self-equi-join, then localCheckpoints (eager: materialization doubles
+    as the round's single action) so the next round's plan doesn't
+    re-derive all previous rounds. Convergence detection rides the SAME
+    action as the jump (r13, guide §1/§2.4): an ``Observation`` on the
+    joined rows counts pointers whose ancestor was still a non-root —
+    locally decidable inside the join because an ancestor is a root iff
+    its own hop row is a self-map (roots map to themselves; a non-root's
+    pointer strictly ascends, so ``j_anc == j_node`` ⟺ root). The
+    previous form ran a SECOND driver action per round (left-anti join
+    against the root set + count) — 2 jobs and an extra broadcast join
+    per round, measured at ~0.3-0.5 s/round across the four hierarchy
+    queries. A converged state makes the next jump an exact identity
+    (every pointer self-maps with depth 0 / units 1), so looping until
+    the observed pending count is zero computes the same fixpoint.
     """
+    from pyspark.sql import Observation
     unit_col = F.col(units).cast("long") if units else F.lit(1).cast("long")
     state = (
         roots.select(
@@ -74,12 +84,8 @@ def pointer_jump(
         .localCheckpoint(eager=True)
     )
     root_set = roots.select(F.col(node).alias("r_node"))
+    pending = None
     for _ in range(max_rounds):
-        pending = state.join(
-            root_set, state["anc"] == F.col("r_node"), "left_anti"
-        ).count()
-        if pending == 0:
-            break
         hop = state.select(
             F.col("node").alias("j_node"),
             F.col("anc").alias("j_anc"),
@@ -88,9 +94,19 @@ def pointer_jump(
         )
         # Root rows self-map with depth 0 / units 1, so converged rows are
         # fixed points of the jump; inner join is total because every anc
-        # id is a node row by the documented contract.
+        # id is a node row by the documented contract. The observation
+        # counts rows whose ancestor was NOT yet a root at jump time
+        # (j_anc != j_node ⟺ anc is a non-root) and fires on the eager
+        # checkpoint's materialization — no second action.
+        obs = Observation()
         state = (
             state.join(hop, state["anc"] == F.col("j_node"), "inner")
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("j_anc") != F.col("j_node"), 1).otherwise(0)
+                ).alias("pending"),
+            )
             .select(
                 "node",
                 F.col("j_anc").alias("anc"),
@@ -99,15 +115,17 @@ def pointer_jump(
             )
             .localCheckpoint(eager=True)
         )
+        pending = obs.get["pending"]
+        if not pending:
+            break
     else:
-        # The loop checks convergence BEFORE each jump, so a forest that
-        # converges exactly ON the max_rounds-th jump exits here with a
-        # fully correct state — re-check before raising (each jump doubles
-        # pointer reach, so max_rounds jumps cover depth ≤ 2^max_rounds).
-        pending = state.join(
+        # the last observation counted pending pointers BEFORE the final
+        # jump, which may itself have converged the forest — re-check
+        # against the root set before raising (each jump doubles pointer
+        # reach, so max_rounds jumps cover depth ≤ 2^max_rounds)
+        if pending and state.join(
             root_set, state["anc"] == F.col("r_node"), "left_anti"
-        ).count()
-        if pending:
+        ).count():
             raise RuntimeError(
                 f"pointer_jump did not converge in {max_rounds} jumps "
                 f"(depth > 2^{max_rounds}); raise max_rounds"
@@ -179,10 +197,13 @@ def transitive_closure(
     The same (node, anc) pair is produced once per split point, so each
     round deduplicates on (node, anc, dist) — on a forest dist is unique
     per pair, making the dedup a plain distinct. Convergence = the pair
-    count stops growing (one count action per round on the
-    localCheckpoint'ed state). Output size is Σ depth(node) rows —
-    linear in nodes for the log-depth forests hash-shaped hierarchies
-    produce."""
+    count stops growing; the count rides the SAME action as the round
+    (r13: an ``Observation`` after the distinct, fired by the eager
+    checkpoint's materialization — previously a second count action per
+    round). Output size is Σ depth(node) rows — linear in nodes for the
+    log-depth forests hash-shaped hierarchies produce."""
+    from pyspark.sql import Observation
+
     state = (
         edges.select(
             F.col(node).alias("node"),
@@ -198,6 +219,7 @@ def transitive_closure(
             F.col("anc").alias("j_anc"),
             F.col("dist").alias("j_dist"),
         )
+        obs = Observation()
         state = (
             state.unionByName(
                 state.join(hop, state["anc"] == F.col("j_node"), "inner").select(
@@ -207,9 +229,10 @@ def transitive_closure(
                 )
             )
             .distinct()
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        n_now = state.count()
+        n_now = obs.get["n"]
         if n_now == n_prev:
             return state
         n_prev = n_now

@@ -898,16 +898,20 @@ def dedup_capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFr
     the identical literal plane halves."""
     e = load_table(spark, sf_dir, "embeddings")
     half = len(_DEDUP_PLANES) // 2
+    # r13: each detector's verified-pair table feeds TWO consumers (the
+    # overlap join and its own count); materialize the OUTPUT-sized pair
+    # lists once so the capped band join + verify doesn't run twice per
+    # side (guide §2.4; measured 4.25 s → see OPTIMIZATION_r13.md)
     pa = dedup.embedding_near_pairs_bucketed(
         e, "embedding", "vec_id", _DEDUP_PLANES[:half], threshold=0.4,
         bands=2, max_bucket=_DEDUP_MAX_BUCKET,
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
     pb = dedup.embedding_near_pairs_bucketed(
         e, "embedding", "vec_id", _DEDUP_PLANES[half:], threshold=0.4,
         bands=2, max_bucket=_DEDUP_MAX_BUCKET,
     ).select(
         F.col("id_a").alias("b_a"), F.col("id_b").alias("b_b")
-    )
+    ).localCheckpoint(eager=False)
     both = pa.join(
         pb, (pa["id_a"] == pb["b_a"]) & (pa["id_b"] == pb["b_b"])
     )

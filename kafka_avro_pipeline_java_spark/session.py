@@ -32,6 +32,14 @@ def get_spark(app_name: str = "kafka-avro-pipeline-spark", *, master: str | None
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # r13 (guide §1.2 "per-task work" applied to the DRIVER): PySpark 4
+        # wraps every DataFrame/Column API call to capture the Python call
+        # site for error messages — an inspect-stack walk plus extra py4j
+        # round trips (including a conf.get) PER CALL. Queries that embed
+        # literal centroid/plane matrices make thousands of such calls;
+        # disabling the debug capture measured plan-construction time
+        # knn_topk_bucketed 3.4 s → 1.5 s with identical plans/results.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # cap per-task input so huge files split into parallel tasks
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
@@ -46,6 +54,9 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
     (the driver hands us one in ``__spark_entry__.entry``)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # NOTE: spark.python.sql.dataFrameDebugging.enabled (see get_spark) is
+    # a STATIC conf — it cannot be applied to an externally provided
+    # session here; only plan-construction speed is affected, never results
     return spark
 
 

@@ -61,6 +61,9 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
 spark = (SparkSession.builder.master("local[16]").appName("driver-sim")
          .config("spark.sql.shuffle.partitions", "16")
+         # skip per-API-call Python call-site capture (see session.py) —
+         # plan-construction-only speedup, no effect on results
+         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
          .config("spark.ui.enabled", "false").getOrCreate())
 
 df = E.entry(spark)

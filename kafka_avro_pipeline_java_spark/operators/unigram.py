@@ -161,7 +161,10 @@ def unigram_expected_counts(df: DataFrame, text_col: str,
     rounds never rescan the corpus) + vocab-sized segmentation + one
     keyed agg; nothing corpus-sized touches Python."""
     wc = (word_counts_df if word_counts_df is not None
-          else word_counts(df, text_col))
+          else word_counts(df, text_col).localCheckpoint(eager=False))
+    # the word-type-scale count table feeds the segmentation AND the
+    # weight join; materialized once (r13) so the corpus tokenize+count
+    # doesn't run per consumer once AQE broadcast-converts the join
     seg = viterbi_segment_words(wc.select("word"), pieces, unk_logp=unk_logp)
     return (
         wc.join(seg, "word")

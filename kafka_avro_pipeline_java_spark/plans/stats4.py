@@ -924,11 +924,14 @@ def stats_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grp",
         (2 * F.abs(F.col("cents").cast("double") - F.col("m"))).cast("bigint").alias("z2"),
     )
+    # r13: the 5-row per-group moment table feeds the grand total AND the
+    # final algebra join — checkpoint it so the median + moment corpus
+    # aggregations run once (16 parquet scans → 4 in the plan)
     g = z.groupBy("grp").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("z2").cast("bigint").alias("s"),
         F.sum(F.col("z2").cast("decimal(38,0)") * F.col("z2")).cast("decimal(38,0)").alias("q"),
-    )
+    ).localCheckpoint(eager=False)
     tot = g.agg(
         F.sum("n").cast("bigint").alias("nt"),
         F.sum("s").cast("bigint").alias("st"),

@@ -337,9 +337,13 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the explode/shingle work — a single-file source would run it
     # in one task (same rule as operators/dedup.py::shingle_table)
     toks = toks.repartition(spark.sparkContext.defaultParallelism)
+    # r13: uni feeds the total + BOTH endpoint joins, bi feeds the total +
+    # the PMI scoring — the word-/bigram-type count tables are
+    # materialized once so the corpus explodes run once each (the same
+    # AQE-broadcast exchange-reuse failure as text_kneser_ney_bigram)
     uni = toks.select(F.explode("ts").alias("tok")).groupBy("tok").agg(
         F.count("*").cast("double").alias("c")
-    )
+    ).localCheckpoint(eager=False)
     pairs = toks.select(
         F.explode(
             F.when(
@@ -354,7 +358,9 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         ).alias("p")
     ).select("p.w1", "p.w2")
-    bi = pairs.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c_ab"))
+    bi = pairs.groupBy("w1", "w2").agg(
+        F.count("*").cast("double").alias("c_ab")
+    ).localCheckpoint(eager=False)
     totals = uni.agg(F.sum("c").alias("nt")).crossJoin(
         bi.agg(F.sum("c_ab").alias("nb"))
     )

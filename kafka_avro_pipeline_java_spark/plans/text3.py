@@ -128,8 +128,15 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
-    bc = bigr.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c_ab"))
-    hc = bigr.groupBy("w1").agg(F.count("*").cast("double").alias("c_a"))
+    # r13: one corpus aggregation instead of three — the history counts
+    # roll up from the materialized bigram-type table (Σ_b c(ab) = c(a·),
+    # identical values), and the word-type-scale checkpoint serves the
+    # rollup and the score join (the same AQE-broadcast reuse failure and
+    # fix as text_kneser_ney_bigram; A/B in OPTIMIZATION_r13.md)
+    bc = bigr.groupBy("w1", "w2").agg(
+        F.count("*").cast("double").alias("c_ab")
+    ).localCheckpoint(eager=False)
+    hc = bc.groupBy("w1").agg(F.sum("c_ab").alias("c_a"))
     return (
         bigr.join(bc, ["w1", "w2"]).join(hc, "w1")
         .groupBy("doc_id")
@@ -383,9 +390,12 @@ def pipeline_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         split.alias("split"),
         F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"),
     )
+    # r13: the (split, tok) count table feeds totals, the vocab domain and
+    # the smoothing grid — materialize the word-type-scale table once
+    # instead of re-running the corpus tokenize+explode per consumer
     counts = labeled.groupBy("split", "tok").agg(
         F.count("*").cast("double").alias("c")
-    )
+    ).localCheckpoint(eager=False)
     totals = counts.groupBy("split").agg(F.sum("c").alias("n"))
     vocab = counts.select("tok").distinct()
     vsize = vocab.agg(F.count("*").cast("double").alias("v"))

@@ -250,7 +250,13 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
-    bc = bigr.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c12"))
+    # r13: the bigram-type count table feeds FOUR consumers (hc, cont,
+    # types, the score join); AQE broadcast-converts the three small ones,
+    # defeating exchange reuse, so each re-ran the corpus tokenize+explode
+    # — materialize the word-type-scale table once (guide §2.4)
+    bc = bigr.groupBy("w1", "w2").agg(
+        F.count("*").cast("double").alias("c12")
+    ).localCheckpoint(eager=False)
     hc = bc.groupBy("w1").agg(
         F.sum("c12").cast("double").alias("c1"),
         F.count("*").cast("double").alias("n1p"),

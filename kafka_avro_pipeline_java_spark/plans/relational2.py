@@ -115,9 +115,17 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     t-digest sketch, one pass, mergeable."""
     l = _t(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
-    return l.groupBy("l_returnflag").agg(
-        F.round(F.percentile(cents, F.lit(0.5)) / 100.0, 2).alias("p50"),
-        F.round(F.percentile(cents, F.lit(0.95)) / 100.0, 2).alias("p95"),
+    # one array-percentile aggregate: a single per-group sort serves both
+    # quantiles (two scalar percentile() calls each re-sorted the group)
+    ps = F.percentile(cents, F.array(F.lit(0.5), F.lit(0.95)))
+    return (
+        l.groupBy("l_returnflag")
+        .agg(ps.alias("ps"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("ps")[0] / 100.0, 2).alias("p50"),
+            F.round(F.col("ps")[1] / 100.0, 2).alias("p95"),
+        )
     )
 
 

@@ -656,7 +656,7 @@ def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("value"),
             4,
         ).alias("mean_value"),
-    )
+    ).localCheckpoint(eager=False)  # feeds the grid bounds AND the keyed join
     grid = (
         hourly.groupBy("user_id")
         .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))

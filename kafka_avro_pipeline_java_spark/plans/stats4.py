@@ -579,13 +579,14 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
     )
+    # sizes and the observed difference fall out of ONE 1-row aggregate
+    # (they were two separate corpus scans; the permutation explode below
+    # is the third — now second — pass over events)
     sizes = ev.agg(
         F.count(F.when(F.col("event_type") == "click", 1))
         .cast("bigint")
         .alias("na"),
         F.count("*").cast("bigint").alias("nt"),
-    )
-    obs = ev.agg(
         (
             F.sum(F.when(F.col("event_type") == "click", F.col("cents")))
             .cast("double")
@@ -593,8 +594,9 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.sum(F.when(F.col("event_type") == "view", F.col("cents")))
             .cast("double")
             / F.count(F.when(F.col("event_type") == "view", 1))
-        ).alias("d_obs")
-    )
+        ).alias("d_obs"),
+    ).localCheckpoint(eager=False)
+    obs = sizes.select("d_obs")
     perms = (
         ev.crossJoin(F.broadcast(sizes))
         .select(
@@ -639,8 +641,7 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        extreme.crossJoin(F.broadcast(obs))
-        .crossJoin(F.broadcast(sizes))
+        extreme.crossJoin(F.broadcast(sizes))
         .select(
             F.col("na").alias("n_click"),
             (F.col("nt") - F.col("na")).alias("n_view"),

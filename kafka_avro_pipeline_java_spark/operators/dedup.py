@@ -928,6 +928,7 @@ def embedding_near_pairs_bucketed(
     threshold: float = 0.95,
     bands: int = 2,
     max_bucket: int | None = None,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs with an LSH-bucket prefilter — the
     100 TB path for ``embedding_near_pairs``.
@@ -970,12 +971,23 @@ def embedding_near_pairs_bucketed(
     # across every core (see similarity.py note) — broadcast self-joins
     # parallelize by stream-side partitions, and a single-file source
     # would otherwise run the whole Σ bucket² scoring in one or two tasks.
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        norm(vec_col).alias("nrm"),
-        plane_dots(vec_col, planes).alias("__pd"),
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # `base` override: a caller running SEVERAL detectors over the same
+    # embeddings (capture-recapture's two plane halves) passes ONE shared
+    # materialized (id, v, nrm, __pd) table — __pd holding THIS call's
+    # plane dots, typically a slice of a wider precomputed dot array —
+    # so the scan + literal-matrix evaluation + repartition run once per
+    # query instead of once per detector. The caller owns the exchange/
+    # checkpoint barrier the codegen note below relies on. Values are
+    # identical: plane_dots evaluates dot(v, plane_i) per plane
+    # independently, so a slice of the 2h-plane dot array equals the
+    # h-plane dot array for the same planes.
+    if base is None:
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            norm(vec_col).alias("nrm"),
+            plane_dots(vec_col, planes).alias("__pd"),
+        ).repartition(df.sparkSession.sparkContext.defaultParallelism)
     bb = buckets_from_dots("__pd", len(planes), bands)
     banded = banded_explode(
         base, ["id", "v", "nrm"], [bb[b] for b in range(bands)],

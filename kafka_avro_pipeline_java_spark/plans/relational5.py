@@ -571,13 +571,24 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = urgent.select(
         F.explode(F.array(*positions(F.col("o_orderkey")))).alias("pos")
     ).distinct()
-    probe = li.select(
+    # r13: probe the DISTINCT key domain, not every fact row — the k=3
+    # md5 positions are a function of l_orderkey alone, so hashing per
+    # lineitem row computed ~4× the hashes for the identical `missing`
+    # set (guide §2.2 shuffle fewer bytes / §4 pass only what the
+    # function needs). `missing` (one bigint column, key-domain-sized)
+    # is lazily checkpointed: both `passed` consumers ride broadcast
+    # anti-joins, which defeat exchange reuse, so without the cut the
+    # whole probe pipeline re-derived per consumer (guide §2.4).
+    keys = li.select("l_orderkey").distinct()
+    probe = keys.select(
         "l_orderkey",
-        "l_extendedprice",
         F.posexplode(F.array(*positions(F.col("l_orderkey")))),
-    ).select("l_orderkey", "l_extendedprice", F.col("col").alias("pos"))
+    ).select("l_orderkey", F.col("col").alias("pos"))
     missing = (
-        probe.join(bits, "pos", "left_anti").select("l_orderkey").distinct()
+        probe.join(bits, "pos", "left_anti")
+        .select("l_orderkey")
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     passed = li.join(missing, "l_orderkey", "left_anti")
     joined = passed.join(

@@ -902,13 +902,39 @@ def dedup_capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFr
     # overlap join and its own count); materialize the OUTPUT-sized pair
     # lists once so the capped band join + verify doesn't run twice per
     # side (guide §2.4; measured 4.25 s → see OPTIMIZATION_r13.md)
+    #
+    # r13 (late): the two detectors need disjoint PLANES, not disjoint
+    # SCANS — the full plane-dot array is computed ONCE behind one
+    # exchange+checkpoint and each detector reads its half as an array
+    # slice (identical values: plane_dots is per-plane independent), so
+    # the embeddings scan + literal-matrix evaluation run once per query
+    # instead of once per detector (guide §2.4; VERDICT r12 item 6).
+    from ..operators.similarity import plane_dots
+    from ..functions.vectors import norm
+
+    shared = (
+        e.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").alias("v"),
+            norm("embedding").alias("nrm"),
+            plane_dots("embedding", _DEDUP_PLANES).alias("__pd_all"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
+    )
+    base_a = shared.select(
+        "id", "v", "nrm", F.slice("__pd_all", 1, half).alias("__pd")
+    )
+    base_b = shared.select(
+        "id", "v", "nrm", F.slice("__pd_all", half + 1, half).alias("__pd")
+    )
     pa = dedup.embedding_near_pairs_bucketed(
         e, "embedding", "vec_id", _DEDUP_PLANES[:half], threshold=0.4,
-        bands=2, max_bucket=_DEDUP_MAX_BUCKET,
+        bands=2, max_bucket=_DEDUP_MAX_BUCKET, base=base_a,
     ).select("id_a", "id_b").localCheckpoint(eager=False)
     pb = dedup.embedding_near_pairs_bucketed(
         e, "embedding", "vec_id", _DEDUP_PLANES[half:], threshold=0.4,
-        bands=2, max_bucket=_DEDUP_MAX_BUCKET,
+        bands=2, max_bucket=_DEDUP_MAX_BUCKET, base=base_b,
     ).select(
         F.col("id_a").alias("b_a"), F.col("id_b").alias("b_b")
     ).localCheckpoint(eager=False)

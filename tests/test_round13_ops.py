@@ -362,3 +362,58 @@ def test_winnowing_matches_python_reference_and_guarantee(spark):
     assert set(got[1]) & set(got[2])
     # degenerate docs select nothing
     assert got[3] == [] and got[4] == []
+
+
+def test_embedding_bucketed_shared_base_matches_default(spark):
+    """The `base` override of embedding_near_pairs_bucketed (one shared
+    plane-dot scan, sliced per detector — the capture-recapture
+    optimization) must produce EXACTLY the pairs and cosines of the
+    default per-call derivation, for both plane halves."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kafka_avro_pipeline_java_spark.functions.vectors import (
+        lcg_planes,
+        norm,
+    )
+    from kafka_avro_pipeline_java_spark.operators import dedup
+    from kafka_avro_pipeline_java_spark.operators.similarity import plane_dots
+
+    rng = random.Random(7)
+    center = [rng.gauss(0, 1) for _ in range(16)]
+    rows = [(i, [x + rng.gauss(0, 0.02) for x in center]) for i in range(25)]
+    rows += [(200 + j, [rng.gauss(0, 1) for _ in range(16)]) for j in range(25)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = lcg_planes(64, 16, seed=42)
+    half = len(planes) // 2
+    shared = (
+        df.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").alias("v"),
+            norm("embedding").alias("nrm"),
+            plane_dots("embedding", planes).alias("__pd_all"),
+        )
+        .repartition(4)
+        .localCheckpoint(eager=False)
+    )
+    for lo, hi, sl in (
+        (0, half, F.slice("__pd_all", 1, half)),
+        (half, len(planes), F.slice("__pd_all", half + 1, half)),
+    ):
+        want = {
+            (r["id_a"], r["id_b"], r["cos_sim"])
+            for r in dedup.embedding_near_pairs_bucketed(
+                df, "embedding", "vec_id", planes[lo:hi],
+                threshold=0.9, bands=2, max_bucket=100,
+            ).collect()
+        }
+        got = {
+            (r["id_a"], r["id_b"], r["cos_sim"])
+            for r in dedup.embedding_near_pairs_bucketed(
+                df, "embedding", "vec_id", planes[lo:hi],
+                threshold=0.9, bands=2, max_bucket=100,
+                base=shared.select("id", "v", "nrm", sl.alias("__pd")),
+            ).collect()
+        }
+        assert want and got == want, (lo, hi, len(want), len(got))

@@ -35,6 +35,22 @@ ALWAYS_BROADCAST = frozenset({"region", "nation"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Base-relation memo per (applicationId, absolute file path) — CATALOG
+#: METADATA, the analogue of what Spark itself keeps for registered tables
+#: (``spark.sql.filesourceTableRelationCacheSize``) and a metastore holds
+#: for a warehouse. ``spark.read.parquet`` re-lists the path and re-reads
+#: footers to infer the schema on EVERY call (~110 ms; ~27 ms with an
+#: explicit schema — the listing; ~0 reusing the immutable DataFrame
+#: handle, all measured at sf0.1). A full bench run makes ~1,400
+#: ``load_table`` calls (405 queries × 3 reps × their tables), so per-call
+#: relation resolution alone costs tens of seconds of pure driver-side
+#: metadata work per run. The memo holds the first call's raw DataFrame —
+#: a LOGICAL PLAN over an InMemoryFileIndex (file names + footer schema),
+#: never rows or query results — so every query still scans the parquet
+#: inputs at execution; a different sf_dir is a different key, and a new
+#: SparkContext (new applicationId) can never see a dead context's plan.
+_RELATION_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, *, hint_broadcast: bool = True
@@ -56,7 +72,14 @@ def load_table(
         # tz is UTC everywhere here, so the wall-clock values are preserved,
         # matching how DuckDB reads the same naive timestamps).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (spark.sparkContext.applicationId, path)
+    df = _RELATION_CACHE.get(key)
+    if df is None:
+        for stale in [k for k in _RELATION_CACHE if k[0] != key[0]]:
+            del _RELATION_CACHE[stale]  # plans of a stopped context
+        df = spark.read.parquet(path)
+        _RELATION_CACHE[key] = df
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":

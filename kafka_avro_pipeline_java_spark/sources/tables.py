@@ -73,19 +73,27 @@ def load_table(
         # matching how DuckDB reads the same naive timestamps).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    key = (spark.sparkContext.applicationId, path)
+    sc = spark.sparkContext
+    app = getattr(sc, "_graft_app_id", None)  # applicationId is a py4j
+    if app is None:                           # round trip per access
+        app = sc._graft_app_id = sc.applicationId
+    key = (app, path)
     df = _RELATION_CACHE.get(key)
     if df is None:
         for stale in [k for k in _RELATION_CACHE if k[0] != key[0]]:
             del _RELATION_CACHE[stale]  # plans of a stopped context
         df = spark.read.parquet(path)
+        if name == "events":
+            # normalization is deterministic per path/schema, so the memo
+            # holds the NORMALIZED frame (still only a logical plan)
+            ts_type = dict(df.dtypes).get("ts")
+            if ts_type == "bigint":
+                df = df.withColumn(
+                    "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                )
+            elif ts_type == "timestamp_ntz":
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         _RELATION_CACHE[key] = df
-    if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-        elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if hint_broadcast and name in ALWAYS_BROADCAST:
         df = broadcast(df)
     return df

@@ -627,15 +627,26 @@ def pipeline_stage_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered operators so every stage count is oracle-checked."""
     d = load_table(spark, sf_dir, "documents")
     n_tok = F.size(T.tokens(F.trim(F.col("text"))))
-    q = d.filter(
-        (F.round(T.quality_score("text"), 4) >= 0.5)
-        & n_tok.between(5, 100000)
-    ).select("doc_id", "text")
+    # r13: the four outputs are COUNTS — only fuzzy_pairs needs TEXT.
+    # Materialize the gate's id list once (id-only; the r13 item-10 A/B
+    # proved storing the TEXT-carrying stage frames is a loss) and
+    # rehydrate text for the fuzzy stage with a semi-join, so the
+    # per-doc quality/token scoring runs once instead of once per
+    # consumer (count, fuzzy input, dedup anti-join × 2 count paths).
+    q_ids = (
+        d.filter(
+            (F.round(T.quality_score("text"), 4) >= 0.5)
+            & n_tok.between(5, 100000)
+        )
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    q = d.join(q_ids, "doc_id", "left_semi").select("doc_id", "text")
     pairs = fuzzy.fuzzy_pairs(
         q, "text", "doc_id", max_dist=20, prefix_tokens=2, max_block_size=100
     )
     doomed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    deduped = q.join(doomed, "doc_id", "left_anti")
+    deduped = q_ids.join(doomed, "doc_id", "left_anti")
     sp = spans.span_table(d, "text", "doc_id", w=5).withColumnRenamed("id", "doc_id")
     bench = sp.filter(F.col("doc_id") % 97 == 0).select("span_hash").distinct()
     dirty = (
@@ -647,7 +658,7 @@ def pipeline_stage_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dirty, "doc_id", "left_anti")
     )
     spark_counts = [
-        (1, "raw", d), (2, "quality_gate", q),
+        (1, "raw", d), (2, "quality_gate", q_ids),
         (3, "fuzzy_dedup_keep_one", deduped), (4, "decontaminated", clean),
     ]
     rows = None

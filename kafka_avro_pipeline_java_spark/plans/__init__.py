@@ -37,49 +37,59 @@ from . import governance as governance_plans  # noqa: E402,F401
 from . import mlprep as mlprep_plans  # noqa: E402,F401
 
 # The driver's CORRECTNESS report covers the first 50 registered queries, so
-# registration order is a grading surface. The r12 window drained ALL
-# signature debt (every registered query driver-signed at least once), so
-# the r13 window starts from a fresh queue (VERDICT r12 item 4): head is
-# the re-signed agg_table_fingerprint (driver-red in r11 AND r12; r13
-# rebuilt its graded output to all-<2^53 BIGINTs — SUM(fp) mod the
-# largest prime under 2^53, epoch-day canonical dates, strpos-parsed hex
-# — after fingerprint forensics proved per-row hashes bit-identical and
-# pointed at driver-side coercion of the old DECIMAL(38,0) output).
-# Slot 2 is agg_filtered_bool_zoo (the one r12 post-close addition, never
-# signed). Then every plan CHANGED in r13 (the four retired rows-only
-# names, which now carry full value oracles: the portable-pipeline
-# operating points that took over dedup_minhash_lsh / dedup_simhash, and
-# the corpus-query-vector LSH/IVF paths oracled via literal planes /
-# sampled-centroid snapshot). r13 additions append after, newest last,
-# capped so the window covers 100% of new/changed names.
+# registration order is a grading surface. The r14 window implements
+# VERDICT r13 "next round" item 2: head every plan the r13 optimizer
+# changed that the r13 50-slot window did NOT re-sign (their correctness
+# so far rests on builder-run driver_sim sweeps, not driver ground
+# truth), then the r14 optimization targets (so every plan changed THIS
+# round is driver-signed at its new shape), then the r13 head names for
+# continuity. Every other registered query has been driver-signed at
+# least once across r10-r13.
 _PRIORITY = [
-    # --- r13 window head: the rebuilt fingerprint + the unsigned r12 tail ---
+    # --- r13-optimizer-changed, never driver-re-signed (VERDICT r13 item 1) ---
+    # semdedup family (operators/semdedup.py assigned-side checkpoint)
+    "dedup_semantic_text_e2e",
+    "dedup_semantic",
+    "pipeline_decontaminate_semantic",
+    # hierarchy convergence loops (one-action-per-round Observation rewrite)
+    "graph_hierarchy_depths",
+    "graph_bom_rollup",
+    "graph_hierarchy_closure",
+    "graph_subtree_sizes",
+    # text LM / collocation type-count checkpoint sites
+    "text_kneser_ney_bigram",
+    "text_unigram_em_counts",
+    "text_bigram_logprob",
+    "text_collocations",
+    # stats / relational / sketch / pipeline checkpoint sites
+    "stats_levene_brown_forsythe",
+    "stats_permutation_test",
+    "agg_percentiles",
+    "join_bloom_runtime_filter",
+    "sketch_histogram_sliding_p95",
+    "pipeline_stage_funnel",
+    "pipeline_split_drift",
+    "events_resample_interpolate",
+    # dedup shared detector base + banded-explode signature carriers
+    "dedup_capture_recapture_estimate",
+    "dedup_embedding_bucketed",
+    "dedup_similarity_join",
+    # knn construction-cost batch (plan identity under debug-capture off)
+    "knn_topk_bucketed",
+    "knn_recall_matrix",
+    "knn_cosine_ivf_pq",
+    "knn_ivf_pq_rerank_oracle",
+    # --- r14 optimization targets (driver-signed at their new shape) ---
+    "stats_spearman_corr",
+    "sketch_hll_sliding_24h",
+    "embedding_dbscan_core",
+    "text_textrank_keywords",
+    # --- r13 window head kept inside the window for continuity ---
     "agg_table_fingerprint",
-    "agg_filtered_bool_zoo",
-    # --- plans changed in r13 (rows-only retirements, VERDICT r12 item 3) ---
     "dedup_minhash_lsh",
     "dedup_simhash",
     "knn_cosine_lsh",
     "knn_cosine_ivf",
-    # --- r13 additions (appended as they land, newest last) ---
-    "ml_roc_auc_exact",
-    "ml_threshold_metrics_sweep",
-    "ml_calibration_bins_ece",
-    "ml_gains_lift_deciles",
-    "features_mutual_information",
-    "features_woe_iv",
-    "features_quantile_binning",
-    "features_hashing_trick",
-    "quality_referential_orphans",
-    "layout_hilbert_code",
-    "graph_label_propagation",
-    "privacy_generalization_ladder",
-    "ml_brier_logloss",
-    "dedup_blocking_quality_audit",
-    "layout_curve_locality_audit",
-    "embedding_pca_project",  # r13: retired rows-only via literal PCA snapshot
-    "text_rolling_fingerprint",  # r13: retired rows-only via winnowing oracle
-    "graph_kcore",  # r13: retired rows-only via 8-round over-provisioned unroll
 ]
 
 

@@ -181,6 +181,14 @@ def part_forest(spark: SparkSession, part: DataFrame) -> tuple[DataFrame, DataFr
     return edges, roots
 
 
+#: broadcast the 2^i-pointer side of the closure joins while it fits
+#: comfortably in an executor hash relation (~16 bytes/row of payload);
+#: above this the rounds fall back to shuffled joins. Row counts come
+#: from the previous round's Observation, so the decision is exact, not
+#: an estimate.
+_CLOSURE_BROADCAST_ROWS = 5_000_000
+
+
 def transitive_closure(
     edges: DataFrame,
     *,
@@ -190,52 +198,88 @@ def transitive_closure(
 ) -> DataFrame:
     """All (node, anc, dist) ancestor pairs of a forest — the materialized
     path table dimension teams denormalize org/category trees into — by
-    relational DOUBLING: C₁ = edges; Cᵢ₊₁ = Cᵢ ∪ (Cᵢ ⋈ Cᵢ), which covers
-    every path of length ≤ 2^(i+1) (any such path splits into two halves
-    each ≤ 2^i), so a depth-D forest closes in ceil(log2 D) self-join
-    rounds instead of the D rounds of level-per-iteration recursion.
-    The same (node, anc) pair is produced once per split point, so each
-    round deduplicates on (node, anc, dist) — on a forest dist is unique
-    per pair, making the dedup a plain distinct. Convergence = the pair
-    count stops growing; the count rides the SAME action as the round
-    (r13: an ``Observation`` after the distinct, fired by the eager
-    checkpoint's materialization — previously a second count action per
-    round). Output size is Σ depth(node) rows — linear in nodes for the
-    log-depth forests hash-shaped hierarchies produce."""
+    BINARY-DECOMPOSITION doubling (r14, guide §2.4/§3.1). The r13 form
+    Cᵢ₊₁ = distinct(Cᵢ ∪ (Cᵢ ⋈ Cᵢ)) produced each pair once per split
+    point and re-shuffled + re-materialized the ENTIRE accumulated
+    closure every round to deduplicate. This form keeps two tables:
+
+    - ``state``: all pairs with dist ≤ 2^i — a narrow UNION of per-round
+      increment checkpoints, never re-shuffled or re-materialized;
+    - ``ptr``: each node's EXACT 2^i-th proper ancestor (≤ one row per
+      node, shrinking as shallow nodes drop out).
+
+    Round i emits inc = state ⋈ ptr (dist d' + 2^i, d' ∈ [1, 2^i] — the
+    unique decomposition of every dist in (2^i, 2^(i+1)], so each pair is
+    generated EXACTLY once and no distinct is needed) and the next
+    pointer table ptr' = ptr ⋈ ptr (dist exactly 2^(i+1)). Both ride one
+    tagged union → one eager checkpoint → one action per round, with the
+    increment/pointer counts observed on that same action; the pointer
+    side broadcasts while its observed row count stays under
+    ``_CLOSURE_BROADCAST_ROWS``, making the per-round join shuffle-free
+    at any scale where the frontier fits an executor. Convergence: an
+    empty increment (no path longer than 2^i) or an empty pointer table
+    (no node deep enough for another doubling) ends the loop. Output size
+    is Σ depth(node) rows — linear in nodes for the log-depth forests
+    hash-shaped hierarchies produce; each output row is materialized
+    once, versus ~log D times under the r13 re-checkpoint-the-world form."""
     from pyspark.sql import Observation
 
-    state = (
+    obs0 = Observation()
+    inc = (
         edges.select(
             F.col(node).alias("node"),
             F.col(parent).alias("anc"),
             F.lit(1).alias("dist"),
         )
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    n_prev = state.count()
+    state, ptr, n_ptr = inc, inc, obs0.get["n"]
+    if not n_ptr:
+        return state
     for _ in range(max_rounds):
-        hop = state.select(
+        p = ptr.select(
             F.col("node").alias("j_node"),
             F.col("anc").alias("j_anc"),
             F.col("dist").alias("j_dist"),
         )
+        if n_ptr <= _CLOSURE_BROADCAST_ROWS:
+            p = F.broadcast(p)
+        new_pairs = state.join(p, state["anc"] == F.col("j_node"), "inner")
+        new_ptr = ptr.join(p, ptr["anc"] == F.col("j_node"), "inner")
         obs = Observation()
-        state = (
-            state.unionByName(
-                state.join(hop, state["anc"] == F.col("j_node"), "inner").select(
+        both = (
+            new_pairs.select(
+                "node",
+                F.col("j_anc").alias("anc"),
+                (F.col("dist") + F.col("j_dist")).alias("dist"),
+                F.lit(False).alias("_tc_ptr"),
+            )
+            .unionByName(
+                new_ptr.select(
                     "node",
                     F.col("j_anc").alias("anc"),
                     (F.col("dist") + F.col("j_dist")).alias("dist"),
+                    F.lit(True).alias("_tc_ptr"),
                 )
             )
-            .distinct()
-            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .observe(
+                obs,
+                F.sum(F.when(F.col("_tc_ptr"), 0).otherwise(1)).alias("n_inc"),
+                F.sum(F.when(F.col("_tc_ptr"), 1).otherwise(0)).alias("n_ptr"),
+            )
             .localCheckpoint(eager=True)
         )
-        n_now = obs.get["n"]
-        if n_now == n_prev:
-            return state
-        n_prev = n_now
+        counts = obs.get
+        if not counts["n_inc"]:
+            return state  # no path longer than 2^i exists
+        state = state.unionByName(
+            both.where(~F.col("_tc_ptr")).drop("_tc_ptr")
+        )
+        n_ptr = counts["n_ptr"]
+        if not n_ptr:
+            return state  # max depth < 2^(i+1): state now covers it all
+        ptr = both.where(F.col("_tc_ptr")).drop("_tc_ptr")
     raise RuntimeError(
         f"transitive_closure did not converge in {max_rounds} rounds"
     )

@@ -16,7 +16,7 @@ TAG = sys.argv[1]
 NAMES = sys.argv[2:]
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "plans", "r13")
+                   "plans", "r14")
 os.makedirs(OUT, exist_ok=True)
 
 spark = get_spark("explain-dump")

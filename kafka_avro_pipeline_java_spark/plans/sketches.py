@@ -525,8 +525,23 @@ def sketch_hll_sliding_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     the estimate's error in-row."""
     e = load_table(spark, sf_dir, "events")
     hourly = e.select(F.date_trunc("hour", "ts").alias("hour"), "user_id")
-    regs = sketches.hll_registers(hourly, "hour", "user_id", m=_HLL_M)
-    hours = regs.select(F.col("g").alias("t")).distinct()
+    # r14 (guide §2.3/§2.4, the sliding-p95 restructure applied to the
+    # distinct twin): the r13 exact side fanned every distinct (hour,
+    # user) pair ×24 into a count_distinct — a ~2.4M-record exchange at
+    # sf0.1. One corpus shuffle now builds per-hour DISTINCT USER SETS;
+    # the HLL registers derive from the exploded sets (register max over
+    # duplicates is the max over distinct values, so the sketch is
+    # bit-identical), and the exact trailing distinct is the size of the
+    # deduplicated union of 24 set rows. Per-group memory stays O(window
+    # distinct) — the same as the count_distinct state it replaces.
+    perhour = (
+        hourly.groupBy("hour")
+        .agg(F.collect_set("user_id").alias("us"))
+        .localCheckpoint(eager=False)
+    )
+    vals = perhour.select("hour", F.explode("us").alias("user_id"))
+    regs = sketches.hll_registers(vals, "hour", "user_id", m=_HLL_M)
+    hours = perhour.select(F.col("hour").alias("t"))
     # equi-shape window fan-out: each register row contributes to the 24
     # target hours [h, h+23]; a range join here would be a nested loop,
     # the explode keeps everything an equi-join/agg (×24 on SKETCH rows —
@@ -544,16 +559,20 @@ def sketch_hll_sliding_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("t", "g")
     )
     est = sketches.hll_estimate_from_registers(merged, m=_HLL_M)
-    pairs = hourly.distinct().select("hour", "user_id", offsets).select(
+    sets_f = perhour.select("hour", "us", offsets).select(
         (F.col("hour") + F.expr("make_interval(0, 0, 0, 0, off, 0, 0)")).alias(
             "t"
         ),
-        "user_id",
+        "us",
     )
     exact = (
-        pairs.join(hours, "t", "left_semi")
+        sets_f.join(hours, "t", "left_semi")
         .groupBy("t")
-        .agg(F.count_distinct("user_id").cast("int").alias("true_distinct"))
+        .agg(
+            F.size(F.array_distinct(F.flatten(F.collect_list("us"))))
+            .cast("int")
+            .alias("true_distinct")
+        )
     )
     return (
         est.withColumnRenamed("g", "hour")

@@ -388,20 +388,34 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p.w1", "p.w2").where(F.col("w1") != F.col("w2"))
     bc = bigr.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c"))
     bc = bc.where(F.col("c") >= _TR_MIN_W)
+    # r14 (guide §2.4/§3.1): the checkpointed edge table comes back as an
+    # ExistingRDD with UnknownPartitioning, so the r13 repartition("src")
+    # bought nothing for join planning — every iteration re-shuffled the
+    # edges for the rank join AND re-derived the weighted-degree
+    # aggregate (ew had 6 consumers). The weighted degree now rides INTO
+    # the checkpoint via one window over the same src-keyed exchange, and
+    # each iteration broadcast-joins the vocabulary-sized rank vector
+    # instead of shuffling the edge table: per iteration one broadcast
+    # build + one map-side join + the dst aggregation exchange. Rank
+    # vectors are vocabulary-bounded (Heaps' law, further pruned by the
+    # c ≥ 3 edge support); at a vocabulary too large to broadcast, drop
+    # the hint and this degrades to the shuffled join, same values.
+    from pyspark.sql.window import Window as _W
+
     edges = (
         bc.select(F.col("w1").alias("src"), F.col("w2").alias("dst"), F.col("c").alias("w"))
         .unionByName(
             bc.select(F.col("w2").alias("src"), F.col("w1").alias("dst"), F.col("c").alias("w"))
         )
-        .repartition(spark.sparkContext.defaultParallelism, "src")
+        .withColumn("wd", F.sum("w").over(_W.partitionBy("src")).cast("bigint"))
         .localCheckpoint(eager=False)
     )
-    wdeg = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wd"))
-    r = wdeg.select(F.col("src").alias("word"), F.lit(1000000000).cast("bigint").alias("r"))
-    ew = edges.join(wdeg, "src")
+    r = edges.select(F.col("src").alias("word")).distinct().select(
+        "word", F.lit(1000000000).cast("bigint").alias("r")
+    )
     for _ in range(_TR_ITERS):
         r = (
-            ew.join(r.withColumnRenamed("word", "src"), "src")
+            edges.join(F.broadcast(r.withColumnRenamed("word", "src")), "src")
             .groupBy("dst")
             .agg(
                 (

@@ -40,7 +40,6 @@ def pagerank(
 
     r_{k+1}(v) = (1-d)/N + d * Σ_{u→v} r_k(u) / outdeg(u), r_0 = 1/N.
     """
-    par = edges.sparkSession.sparkContext.defaultParallelism
     # Iterative-algorithm discipline: the edge list is consumed by deg,
     # nodes, and every iteration's join — if it is DERIVED (e.g. Jaccard
     # pairs from shingles), leaving it lazy recomputes the derivation per
@@ -50,21 +49,32 @@ def pagerank(
     # ContextCleaner when the result goes out of scope, so no cache leak
     # across calls. Cost: recompute-on-executor-loss, acceptable for a
     # bounded iterative job.
+    # r14 (guide §2.4/§3.1, the TextRank treatment): a checkpointed frame
+    # comes back as an ExistingRDD with UnknownPartitioning, so the old
+    # repartition("src") bought nothing for join planning — every
+    # iteration re-shuffled the edges for the rank join and re-derived
+    # the out-degree aggregate. The out-degree now rides INTO the
+    # checkpoint via one window over the src-keyed exchange; the node set
+    # is checkpointed once; and each iteration broadcast-joins the
+    # node-set-sized rank/spread vectors instead of shuffling the edges.
+    from pyspark.sql.window import Window as _W
+
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .repartition(par, "src")
+        .withColumn("outdeg", F.count("*").over(_W.partitionBy("src")))
         .localCheckpoint(eager=True)
     )
-    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    nodes = e.select(F.col("src").alias("node")).distinct()
-    n = nodes.count()  # one bounded job; N is a scalar in the formula
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()  # cheap: scans the checkpointed partitions
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
-        contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
-            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
-        )
+        contrib = e.join(
+            F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
+        ).select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
         spread = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         # left join back onto the full node set: in-edge-less nodes keep
         # their restart mass. NOTE: the node set is source-derived, so mass
@@ -72,7 +82,11 @@ def pagerank(
         # conservation holds on the symmetric/undirected inputs the
         # docstring's precondition requires, not on general directed graphs
         ranks = (
-            nodes.join(spread.withColumnRenamed("dst", "node"), "node", "left")
+            nodes.join(
+                F.broadcast(spread.withColumnRenamed("dst", "node")),
+                "node",
+                "left",
+            )
             .select(
                 "node",
                 (
@@ -219,30 +233,37 @@ def personalized_pagerank(
     ranked blast radius; seed = a gold doc → neighborhood to upsample).
     Same one-shuffle-per-iteration shape as pagerank(); the seed vector
     is a literal, so restart mass needs no join."""
-    par = edges.sparkSession.sparkContext.defaultParallelism
+    # r14: same one-exchange-total shape as pagerank() above — out-degree
+    # folded into the checkpoint via a window, node set checkpointed,
+    # rank/spread vectors broadcast per iteration.
+    from pyspark.sql.window import Window as _W
+
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .repartition(par, "src")
+        .withColumn("outdeg", F.count("*").over(_W.partitionBy("src")))
         .localCheckpoint(eager=True)
     )
-    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    nodes = e.select(F.col("src").alias("node")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     seed_share = 1.0 / len(seeds)
     seed_col = F.when(
         F.col("node").isin(*seeds), F.lit(seed_share)
     ).otherwise(F.lit(0.0))
     ranks = nodes.select("node", seed_col.alias("rank"))
     for _ in range(iters):
-        contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
-            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
-        )
+        contrib = e.join(
+            F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
+        ).select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
         spread = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         # every node keeps its restart mass even with zero in-links
         ranks = (
             nodes.join(
-                spread.withColumnRenamed("dst", "node"), "node", "left"
+                F.broadcast(spread.withColumnRenamed("dst", "node")),
+                "node",
+                "left",
             )
             .select(
                 "node",
@@ -269,6 +290,11 @@ def eigenvector_centrality(
     edge⋈rank shuffle plus a 1-row L2-norm aggregate (the same scalar-
     broadcast shape as k-means' inertia). Pass symmetrized edges for an
     undirected graph."""
+    # r14 note: the pagerank()-style broadcast rewrite was A/B'd here and
+    # LOST twice (1.80/1.89 s vs 1.57/1.62 s at sf0.1) — the per-
+    # iteration 1-row L2-norm broadcast already serializes this loop, and
+    # swapping the shuffled rank join for broadcast builds added driver
+    # round trips without removing that barrier. Kept in the r13 shape.
     par = edges.sparkSession.sparkContext.defaultParallelism
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))

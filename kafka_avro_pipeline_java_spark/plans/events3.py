@@ -104,22 +104,36 @@ def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_list(F.struct("hour", "v"))).alias("xs")
     )
     vals = F.transform("xs", lambda x: x["v"])
-    ewma_at = lambda i: F.aggregate(  # noqa: E731 — fold of v[2..i] from init v[1]
-        F.slice(vals, F.lit(2), i),
-        F.element_at(vals, 1),
-        lambda acc, x: F.lit(_ALPHA) * x + F.lit(1 - _ALPHA) * acc,
-    )
-    idx = F.sequence(F.lit(1), F.size("xs"))
-    rows = F.transform(
-        idx,
-        lambda i: F.struct(
-            F.element_at("xs", i)["hour"].alias("hour"),
-            F.element_at("xs", i)["v"].alias("v"),
-            (F.floor(ewma_at(i - 1) * 1000000 + 0.5) / 1000000).alias("ewma"),
+    # r14 (guide §1.2 per-task work): the r13 form re-folded the whole
+    # prefix v[2..i] for EVERY output index — O(L²) interpreted lambda
+    # steps per user (~50M at sf0.1). One linear fold now builds the full
+    # EWMA series as an array (each step appends α·x + (1−α)·last — the
+    # identical left-to-right recurrence, so every value is bit-identical),
+    # the array is computed ONCE per row in its own projection (explode's
+    # generator input references it as an attribute, so it cannot be
+    # inlined per element), and the rows come from one arrays_zip.
+    ewmas = F.aggregate(
+        F.slice(vals, F.lit(2), F.size("xs") - 1),
+        F.array(F.element_at(vals, 1)),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.lit(_ALPHA) * x
+                + F.lit(1 - _ALPHA) * F.element_at(acc, F.size(acc))
+            ),
         ),
     )
-    return arr.select("user_id", F.explode(rows).alias("r")).select(
-        "user_id", "r.hour", "r.v", "r.ewma"
+    ewmas_q = F.transform(
+        ewmas, lambda x: F.floor(x * 1000000 + 0.5) / 1000000
+    )
+    z = arr.select("user_id", "xs", ewmas_q.alias("ewq"))
+    return z.select(
+        "user_id", F.explode(F.arrays_zip("xs", "ewq")).alias("r")
+    ).select(
+        "user_id",
+        F.col("r.xs.hour").alias("hour"),
+        F.col("r.xs.v").alias("v"),
+        F.col("r.ewq").alias("ewma"),
     )
 
 

@@ -884,35 +884,39 @@ def events_holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = F.transform("xs", lambda x: x["n"].cast("double"))
     a, b = F.lit(_HW_A), F.lit(_HW_B)
 
-    def hw_at(length):  # fold x₂..x_{length+1} from init [x₁, 0]
-        return F.aggregate(
-            F.slice(vals, F.lit(2), length),
-            F.array(F.element_at(vals, 1), F.lit(0.0)),
-            lambda acc, x: F.array(
-                a * x + (1 - a) * (acc[0] + acc[1]),
-                b * ((a * x + (1 - a) * (acc[0] + acc[1])) - acc[0])
-                + (1 - b) * acc[1],
-            ),
+    # r14 (guide §1.2, the events_ewma_hourly fix): the r13 form re-folded
+    # the whole x₂..x_i prefix for EVERY output index — O(L²) interpreted
+    # lambda steps per type. One linear fold now builds the full
+    # [level, trend] series as an array of pairs (each step applies the
+    # identical recurrence to the last pair, so every value is
+    # bit-identical), computed once per row in its own projection and
+    # exploded via arrays_zip.
+    def hw_step(last, x):  # the identical (level, trend) update as r13
+        return F.array(
+            a * x + (1 - a) * (last[0] + last[1]),
+            b * ((a * x + (1 - a) * (last[0] + last[1])) - last[0])
+            + (1 - b) * last[1],
         )
 
-    idx = F.sequence(F.lit(1), F.size("xs"))
-    rows = F.transform(
-        idx,
-        lambda i: F.struct(
-            F.element_at("xs", i)["hour"].alias("hour"),
-            F.element_at("xs", i)["n"].alias("n"),
-            hw_at(i - 1).alias("st"),
+    sts = F.aggregate(
+        F.slice(vals, F.lit(2), F.size("xs") - 1),
+        F.array(F.array(F.element_at(vals, 1), F.lit(0.0))),
+        lambda acc, x: F.concat(
+            acc, F.array(hw_step(F.element_at(acc, F.size(acc)), x))
         ),
     )
+    z = arr.select("event_type", "xs", sts.alias("sts"))
     return (
-        arr.select("event_type", F.explode(rows).alias("r"))
+        z.select(
+            "event_type", F.explode(F.arrays_zip("xs", "sts")).alias("r")
+        )
         .select(
             "event_type",
-            "r.hour",
-            "r.n",
-            F.round(F.col("r.st")[0], 6).alias("level"),
-            F.round(F.col("r.st")[1], 6).alias("trend"),
-            F.round(F.col("r.st")[0] + F.col("r.st")[1], 6).alias(
+            F.col("r.xs.hour").alias("hour"),
+            F.col("r.xs.n").alias("n"),
+            F.round(F.col("r.sts")[0], 6).alias("level"),
+            F.round(F.col("r.sts")[1], 6).alias("trend"),
+            F.round(F.col("r.sts")[0] + F.col("r.sts")[1], 6).alias(
                 "forecast_next"
             ),
         )

@@ -177,6 +177,27 @@ COLLECT_THRESHOLD_QUERIES = {
 }
 
 
+def _peak_tasks_for_group(sc, group: str) -> int | None:
+    """Max task count over every stage of the jobs in ``group`` — read
+    right after the query's reps, before the status store's retention
+    window (spark.ui.retainedJobs/Stages) can evict them. None on any
+    tracker hiccup: the measurement is evidence, never a gate."""
+    try:
+        tracker = sc.statusTracker()
+        peaks = []
+        for jid in tracker.getJobIdsForGroup(group):
+            info = tracker.getJobInfo(jid)
+            if not info:
+                continue
+            for sid in info.stageIds:
+                sinfo = tracker.getStageInfo(sid)
+                if sinfo:
+                    peaks.append(sinfo.numTasks)
+        return max(peaks) if peaks else 0
+    except Exception:
+        return None
+
+
 def _family(name: str) -> str:
     """Bucket a query name into its operator family for the compact line."""
     import re
@@ -225,11 +246,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     minima: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
+    peak_tasks: dict[str, int | None] = {}
     bench_fns = {n: QUERIES[n] for n in BENCH_QUERIES}
     for n, f in BENCH_EXTRA.items():
         if not _ONLY or n in _only_set:
             bench_fns[n] = f
+    sc = spark.sparkContext
     for name, fn in bench_fns.items():
+        # job-group per query so its peak stage task count can be read
+        # back from the status tracker (r14, VERDICT r13 item 1: make it
+        # legible WHY 8-vs-32-core ratios are ≈1 at sf0.1 — nearly every
+        # stage runs 1-3 tasks, so cores cannot matter)
+        sc.setJobGroup(f"bench:{name}", name)
         reps: list[float] = []
         for _ in range(REPS):
             t0 = time.perf_counter()
@@ -245,6 +273,7 @@ def main() -> None:
         reps.sort()
         timings[name] = round(reps[len(reps) // 2], 3)
         minima[name] = round(reps[0], 3)
+        peak_tasks[name] = _peak_tasks_for_group(sc, f"bench:{name}")
         # r13 (guide §5): operators materialize intermediates behind
         # localCheckpoints; release the unpinned block sets at the query
         # boundary (outside the timed region, after the last rep's frame
@@ -255,6 +284,41 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # One-time session-memo build cost (r14, VERDICT r13 item 7): the
+    # graph/mlprep pair-table memos build inside the first consumer's
+    # FIRST rep, which median-of-REPS then drops — report the build
+    # seconds as their own field so the headline cannot hide them.
+    from kafka_avro_pipeline_java_spark.plans.graph import PAIR_MEMO_BUILD_SEC
+
+    memo_build_sec = round(sum(s for _, s in PAIR_MEMO_BUILD_SEC), 3)
+
+    # Compute-bound scaling probe (r14, VERDICT r13 item 1): FIXED total
+    # work (independent of cores and SF — a synthetic xxhash64 chain over
+    # range(), never the test data) split into 4×defaultParallelism
+    # tasks, so its wall-clock tracks the host's usable parallelism where
+    # the sf0.1 suite's 1-3-task stages cannot. The 8-vs-32-core ratio of
+    # THIS number is the scaling evidence the driver's suspect heuristic
+    # needs; it is reported outside `value`/`queries` so suite totals
+    # stay comparable across rounds.
+    sc.setJobGroup("bench:scaling_probe", "scaling probe")
+    probe_tasks = 4 * sc.defaultParallelism
+    probe_expr = "sum(cast(" + "xxhash64(" * 64 + "id" + ")" * 64 + " as double))"
+    t0 = time.perf_counter()
+    spark.range(0, 12_800_000, 1, probe_tasks).selectExpr(probe_expr).collect()
+    scaling_probe_sec = round(time.perf_counter() - t0, 3)
+    scaling = {
+        "master": sc.master,
+        "defaultParallelism": sc.defaultParallelism,
+        "probe_sec": scaling_probe_sec,
+        "probe_tasks": probe_tasks,
+        "peak_tasks_max": max(
+            (p for p in peak_tasks.values() if p), default=0
+        ),
+        "n_queries_peak_ge_cpus": sum(
+            1 for p in peak_tasks.values() if p and p >= sc.defaultParallelism
+        ),
+    }
     spark.stop()
     # spark.stop() ends the SparkContext but the py4j gateway JVM stays
     # resident with its (tens-of-GiB) heap, inflating the "fresh-JVM"
@@ -346,6 +410,9 @@ def main() -> None:
                 "queries_raw": raw,
                 "value_r1_core_benchonly": core_benchonly,
                 "core_benchonly_queries": core_benchonly_queries,
+                "peak_tasks": peak_tasks,
+                "scaling": scaling,
+                "memo_build_sec": memo_build_sec,
             },
             fh,
             indent=1,
@@ -401,6 +468,17 @@ def main() -> None:
                 # never-changed TPC-H subset vs its r1 record — the
                 # host-speed control for cross-round per-query diffs
                 "tpch_control_ratio": tpch_control_ratio,
+                # scaling evidence (r14): master + defaultParallelism
+                # prove $SPARK_GRAFT_CPUS is honored; probe_sec is a
+                # fixed-work compute-bound job over 4×parallelism tasks
+                # whose 8-vs-32 ratio tracks the host's real parallel
+                # capacity; peak_tasks_max / n_queries_peak_ge_cpus show
+                # how few sf0.1 stages can even use the cores (full
+                # per-query peak task counts in BENCH_DETAIL.json)
+                "scaling": scaling,
+                # one-time session-memo build cost, paid in the first
+                # consumer's first rep and dropped by median-of-reps
+                "memo_build_sec": memo_build_sec,
                 "reps": REPS,
                 "sf": sf_val,
                 # git head of this round's latest FULL sf0.1 oracle sweep

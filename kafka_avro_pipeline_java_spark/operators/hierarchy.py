@@ -122,8 +122,13 @@ def pointer_jump(
         # the last observation counted pending pointers BEFORE the final
         # jump, which may itself have converged the forest — re-check
         # against the root set before raising (each jump doubles pointer
-        # reach, so max_rounds jumps cover depth ≤ 2^max_rounds)
-        if pending and state.join(
+        # reach, so max_rounds jumps cover depth ≤ 2^max_rounds). With
+        # max_rounds <= 0 no observation ever ran (pending is None) and
+        # the state is the raw initial pointers — treat "unknown" like
+        # "pending" and let the anti-join decide (r14, ADVICE r13: the
+        # old `if pending and ...` silently returned the unconverged
+        # initial state in that case).
+        if (pending is None or pending) and state.join(
             root_set, state["anc"] == F.col("r_node"), "left_anti"
         ).count():
             raise RuntimeError(

@@ -120,18 +120,53 @@ def checkpoint_session_artifact(df):
     return out
 
 
+def release_session_artifact(df) -> None:
+    """Unpin and release a frame created by ``checkpoint_session_artifact``
+    (r14, ADVICE r13). ``DataFrame.unpersist()`` is a NO-OP for a
+    localCheckpoint'ed frame — the CacheManager has no entry for it; the
+    storage belongs to the checkpointed RDD — and a pinned id that is
+    never removed from ``_PINNED_RDD_IDS`` would keep
+    ``release_transient_checkpoints`` away from those blocks for the rest
+    of the session. Best-effort: an unresolvable frame is left alone."""
+    spark = df.sparkSession
+    pins = _PINNED_RDD_IDS.get(spark.sparkContext.applicationId, set())
+    try:
+        rid = int(df._jdf.queryExecution().analyzed().rdd().id())
+    except Exception:
+        return
+    pins.discard(rid)
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for jrid in list(jmap.keySet().toArray()):
+        if int(jrid) == rid:
+            jmap.get(jrid).unpersist(False)
+
+
 def release_transient_checkpoints(spark: SparkSession) -> int:
     """Unpersist every persistent RDD not pinned as a session artifact.
 
     Call ONLY at a query boundary: after the previous query's results are
     fully consumed and before the next one is built — a released
     localCheckpoint breaks if a frame referencing it re-executes. Returns
-    the number of RDDs released (async, non-blocking)."""
+    the number of RDDs released (async, non-blocking).
+
+    Scope guard (r14, ADVICE r13): only LOCALLY-CHECKPOINTED RDDs are
+    swept — the operators' materialization primitive is localCheckpoint,
+    and sweeping arbitrary ``.cache()``/``persist()`` storage from an
+    unrelated caller would silently cost that caller its perf (a swept
+    cache recomputes; a swept checkpoint held across the boundary would
+    fail unrecoverably, which the call-boundary contract above already
+    forbids)."""
     pinned = _PINNED_RDD_IDS.get(spark.sparkContext.applicationId, set())
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     released = 0
     for rid in list(jmap.keySet().toArray()):
         if int(rid) not in pinned:
-            jmap.get(rid).unpersist(False)
+            jrdd = jmap.get(rid)
+            try:
+                if not jrdd.rdd().isLocallyCheckpointed():
+                    continue
+            except Exception:
+                pass  # no rdd() accessor: treat as sweepable, as before
+            jrdd.unpersist(False)
             released += 1
     return released

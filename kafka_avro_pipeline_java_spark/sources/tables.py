@@ -49,6 +49,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: never rows or query results — so every query still scans the parquet
 #: inputs at execution; a different sf_dir is a different key, and a new
 #: SparkContext (new applicationId) can never see a dead context's plan.
+#:
+#: IMMUTABLE-INPUT ASSUMPTION (r14, ADVICE r13): the memo pins the first
+#: read's InMemoryFileIndex snapshot per (applicationId, path) for the
+#: life of the context. Rewriting the parquet files under a memoized
+#: path mid-session (regenerating test data in place) leaves later
+#: queries on the stale listing — FileNotFoundException for removed
+#: files, silently stale rows for replaced ones. Every current caller
+#: (bench.py, tools/driver_sim.py, tests) treats /root/testdata/* as
+#: read-only; a future caller that regenerates data mid-session must use
+#: a fresh directory (new key) or a fresh SparkSession (new app id).
 _RELATION_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 

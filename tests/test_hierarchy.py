@@ -105,3 +105,21 @@ def test_transitive_closure_chain(spark):
         (1, 0): 1, (2, 1): 1, (3, 2): 1,
         (2, 0): 2, (3, 1): 2, (3, 0): 3,
     }
+
+
+def test_pointer_jump_nonpositive_max_rounds_raises(spark):
+    """r14 (ADVICE r13): with max_rounds <= 0 the loop body never runs and
+    no observation exists — the unconverged initial state must RAISE via
+    the root-set re-check, not be returned silently."""
+    import pytest
+
+    from kafka_avro_pipeline_java_spark.operators.hierarchy import pointer_jump
+
+    edges = spark.createDataFrame([(2, 1), (3, 2)], ["node", "par"])
+    roots = spark.createDataFrame([(1,)], ["node"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        pointer_jump(edges, roots, max_rounds=0)
+    # a forest that IS already flat (every edge points at a root) passes
+    flat = spark.createDataFrame([(2, 1)], ["node", "par"])
+    out = pointer_jump(flat, roots, max_rounds=0)
+    assert {(r["node"], r["root"]) for r in out.collect()} == {(1, 1), (2, 1)}

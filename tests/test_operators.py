@@ -246,6 +246,59 @@ def test_session_artifacts_survive_transient_release(spark):
     assert pinned.agg({"y": "max"}).first()[0] == 29_997
 
 
+def test_plain_cache_survives_transient_release(spark):
+    """r14 scope guard (ADVICE r13): release_transient_checkpoints sweeps
+    only LOCALLY-CHECKPOINTED storage — a caller's ordinary .cache()
+    must survive the query boundary instead of being silently dropped."""
+    from kafka_avro_pipeline_java_spark.session import (
+        release_transient_checkpoints,
+    )
+
+    cached = spark.range(5_000).selectExpr("id", "id * 2 AS y").cache()
+    cached.count()  # materialize
+    rid = cached.rdd.id()
+    release_transient_checkpoints(spark)
+    ids = {
+        int(k)
+        for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    try:
+        assert any(
+            True for _ in ids
+        ) and cached.storageLevel.useMemory, "cache() was swept"
+        assert cached.count() == 5_000
+    finally:
+        cached.unpersist()
+    assert rid is not None  # silence unused warnings on some runners
+
+
+def test_release_session_artifact_unpins_and_frees(spark):
+    """r14 (ADVICE r13): evicting a pinned memo artifact must actually
+    reclaim its checkpoint blocks — DataFrame.unpersist() is a no-op for
+    localCheckpoint frames, so the session helper unpins the RDD id and
+    unpersists the underlying RDD."""
+    from kafka_avro_pipeline_java_spark.session import (
+        _PINNED_RDD_IDS,
+        checkpoint_session_artifact,
+        release_session_artifact,
+    )
+
+    def persistent_ids():
+        return {
+            int(k)
+            for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        }
+
+    before = persistent_ids()
+    pinned = checkpoint_session_artifact(spark.range(8_000).selectExpr("id"))
+    app = spark.sparkContext.applicationId
+    new_ids = persistent_ids() - before
+    assert new_ids and (new_ids & _PINNED_RDD_IDS.get(app, set()))
+    release_session_artifact(pinned)
+    assert not (persistent_ids() & new_ids), "evicted artifact blocks leaked"
+    assert not (new_ids & _PINNED_RDD_IDS.get(app, set())), "pin leaked"
+
+
 def test_dedup_keep_one(spark, sf_dir):
     from kafka_avro_pipeline_java_spark.sources import load_table
 

@@ -67,10 +67,21 @@ def kmv_distinct(
 
 
 def countmin_cells(
-    items: DataFrame, item_col: str, *, depth: int = 3, width: int = 1024
+    items: DataFrame,
+    item_col: str,
+    *,
+    depth: int = 3,
+    width: int = 1024,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """The sketch itself: (row, col, c) counts over the item stream — one
-    word-count aggregation after a depth-way explode."""
+    word-count aggregation after a depth-way explode.
+
+    ``weight_col`` (r14): build from a pre-aggregated (item, count) table
+    instead of the raw stream — cell value = Σ weights of the items
+    hashing there, exactly the occurrence count the raw stream yields
+    (integer regrouping), but the depth-way explode runs over the
+    type-scale table instead of the corpus."""
     cells = F.array(
         *[
             F.struct(
@@ -83,10 +94,16 @@ def countmin_cells(
             for i in range(depth)
         ]
     )
+    extra = [F.col(weight_col)] if weight_col else []
+    agg = (
+        F.sum(weight_col).alias("c")
+        if weight_col
+        else F.count("*").alias("c")
+    )
     return (
-        items.select(F.explode(cells).alias("cell"))
+        items.select(F.explode(cells).alias("cell"), *extra)
         .groupBy("cell.row", "cell.col")
-        .agg(F.count("*").alias("c"))
+        .agg(agg)
     )
 
 
@@ -98,6 +115,7 @@ def countmin_estimate(
     *,
     depth: int = 3,
     width: int = 1024,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Estimated count for each probe value: min over its d cells. The
     probe set joins the (d·m)-row sketch — a broadcast-sized table by
@@ -108,7 +126,9 @@ def countmin_estimate(
     stream reports est_count 0 (its empty cells win the min) instead of
     vanishing from the output or taking min() over only its occupied
     cells — the true 'min over all d cells' Count-Min semantics."""
-    sketch = countmin_cells(items, item_col, depth=depth, width=width)
+    sketch = countmin_cells(
+        items, item_col, depth=depth, width=width, weight_col=weight_col
+    )
     probe_cells = probes.select(
         F.col(probe_col).alias("probe"),
         F.explode(

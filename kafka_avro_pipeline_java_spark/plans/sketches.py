@@ -159,10 +159,22 @@ def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the probe join touches d cells per query token."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"))
-    truec = toks.groupBy("tok").agg(F.count("*").alias("true_count"))
+    # r14 (guide §2.3/§2.4, the r13 item-11 type-count pattern): truec
+    # feeds the top-k, the sketch build AND the final join — three
+    # derivations of the corpus tokenize (8 parquet scans in the
+    # before-plan). The TYPE-scale count table is materialized once and
+    # the sketch derives from it WEIGHTED (cell = Σ true_count of the
+    # tokens hashing there — the identical integer the raw stream
+    # yields), so the corpus is tokenized exactly once.
+    truec = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("true_count"))
+        .localCheckpoint(eager=False)
+    )
     top = truec.orderBy(F.desc("true_count"), "tok").limit(20)
     est = sketches.countmin_estimate(
-        toks, "tok", top.select("tok"), "tok", depth=_DEPTH, width=_WIDTH
+        truec, "tok", top.select("tok"), "tok",
+        depth=_DEPTH, width=_WIDTH, weight_col="true_count",
     )
     return (
         top.join(est, top.tok == est.probe)
@@ -823,12 +835,20 @@ def sketch_countmin_absent_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_count 0; the oracle implements the same all-d-cells min."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"))
-    truec = toks.groupBy("tok").agg(F.count("*").alias("true_count"))
+    # r14: same one-tokenize restructure as sketch_countmin_tokens — the
+    # type-count table is cut once and the sketch derives from it
+    # weighted (identical cell integers)
+    truec = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("true_count"))
+        .localCheckpoint(eager=False)
+    )
     top = truec.orderBy(F.desc("true_count"), "tok").limit(3).select("tok")
     absent = spark.createDataFrame([(t,) for t in _ABSENT], "tok string")
     probes = top.unionByName(absent)
     est = sketches.countmin_estimate(
-        toks, "tok", probes, "tok", depth=_DEPTH, width=_ABS_W
+        truec, "tok", probes, "tok",
+        depth=_DEPTH, width=_ABS_W, weight_col="true_count",
     )
     return (
         est.join(truec, est.probe == truec.tok, "left")

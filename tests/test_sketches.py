@@ -78,3 +78,29 @@ def test_hll_duplicates_do_not_move_estimate(spark):
     e1 = sketches.hll_distinct(base, "g", "u").collect()[0].est_distinct
     e3 = sketches.hll_distinct(dup, "g", "u").collect()[0].est_distinct
     assert e1 == e3  # register max is insensitive to multiplicity
+
+
+def test_countmin_weighted_cells_match_raw_stream(spark):
+    """r14: a sketch built from the pre-aggregated (item, count) table
+    with weight_col must be CELL-IDENTICAL to one built from the raw
+    stream — integer regrouping, the property the one-tokenize countmin
+    plans rely on."""
+    from pyspark.sql import functions as F
+
+    from kafka_avro_pipeline_java_spark.operators import sketches
+
+    raw = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1, "tok string"
+    )
+    counts = raw.groupBy("tok").agg(F.count("*").alias("n"))
+    cells_raw = {
+        (r["row"], r["col"]): r["c"]
+        for r in sketches.countmin_cells(raw, "tok", depth=3, width=64).collect()
+    }
+    cells_w = {
+        (r["row"], r["col"]): r["c"]
+        for r in sketches.countmin_cells(
+            counts, "tok", depth=3, width=64, weight_col="n"
+        ).collect()
+    }
+    assert cells_raw == cells_w

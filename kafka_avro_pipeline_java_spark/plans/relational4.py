@@ -299,10 +299,15 @@ def basket_item_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical. Supports and lift are exact integer counts in closed
     form, so the oracle hash matches exactly."""
     l = load_table(spark, sf_dir, "lineitem")
+    # r14 (guide §2.4): the basket table feeds n_orders, the item counts
+    # AND the pair fan-out — three derivations of the scan + collect_set
+    # shuffle (8 parquet scans in the before-plan). One order-count-sized
+    # materialization serves all three.
     per_order = (
         l.select("l_orderkey", "l_partkey")
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
+        .localCheckpoint(eager=False)
     )
     n_orders = per_order.agg(F.count("*").cast("double").alias("n_orders"))
     item = (

@@ -872,41 +872,53 @@ def quality_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "customer", "lineitem", "orders", "part", "supplier", "nation"
         )
     }
-
-    def edge(name: str, child: str, key: str, parent: str, pkey: str) -> DataFrame:
-        ch = tables[child]
-        pa = tables[parent].select(pkey)
-        n_child = ch.agg(F.count("*").cast("bigint").alias("n_child"))
-        orphans = (
-            ch.join(pa, ch[key] == pa[pkey], "left_anti")
-            .agg(F.count("*").cast("bigint").alias("n_orphans"))
-        )
-        return (
-            n_child.crossJoin(F.broadcast(orphans))
-            .select(
-                F.lit(name).alias("edge"),
-                "n_child",
-                "n_orphans",
-                F.floor(
-                    F.lit(1000000.0) * F.col("n_orphans") / F.col("n_child")
-                ).cast("bigint").alias("orphan_ppm"),
-            )
-        )
-
-    edges = [
-        edge("customer.c_nationkey->nation",
-             "customer", "c_nationkey", "nation", "n_nationkey"),
-        edge("lineitem.l_orderkey->orders",
-             "lineitem", "l_orderkey", "orders", "o_orderkey"),
-        edge("lineitem.l_partkey->part",
-             "lineitem", "l_partkey", "part", "p_partkey"),
-        edge("lineitem.l_suppkey->supplier",
-             "lineitem", "l_suppkey", "supplier", "s_suppkey"),
-        edge("orders.o_custkey->customer",
-             "orders", "o_custkey", "customer", "c_custkey"),
-        edge("supplier.s_nationkey->nation",
-             "supplier", "s_nationkey", "nation", "n_nationkey"),
+    edges_def = [
+        ("customer.c_nationkey->nation",
+         "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("lineitem.l_orderkey->orders",
+         "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part",
+         "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier",
+         "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer",
+         "orders", "o_custkey", "customer", "c_custkey"),
+        ("supplier.s_nationkey->nation",
+         "supplier", "s_nationkey", "nation", "n_nationkey"),
     ]
+    # r14: the old shape ran, PER EDGE, a full child count plus a separate
+    # corpus-sized anti-join — the child table was scanned twice per edge
+    # (lineitem 8 times across its edges; 36 parquet scans). Aggregate
+    # before the join instead (§2.3): one scan per edge builds per-key
+    # counts (map-side combine — shuffle bytes = distinct keys, not rows),
+    # then ONE left join of the key-count table against the parent keys
+    # yields both n_child (Σc over all groups) and n_orphans (Σc over
+    # unmatched groups) — identical integers. NULL child keys form a key
+    # group that never equi-matches, exactly like the anti-join replaced.
+    # (A fully-merged variant — one explode-tagged scan per child table +
+    # a single string-keyed join over all edges — was A/B'd and LOST 2×:
+    # it traded AQE-broadcastable integer joins for a forced corpus
+    # shuffle on a string key; this per-edge form keeps the broadcast.)
+    def edge(name: str, child: str, key: str, parent: str, pkey: str) -> DataFrame:
+        kc = tables[child].groupBy(F.col(key).alias("k")).agg(
+            F.count("*").alias("c")
+        )
+        pa = tables[parent].select(F.col(pkey).alias("pk"))
+        j = kc.join(pa, F.col("k") == F.col("pk"), "left")
+        return j.agg(
+            F.sum("c").cast("bigint").alias("n_child"),
+            F.sum(F.when(F.col("pk").isNull(), F.col("c")).otherwise(F.lit(0)))
+            .cast("bigint").alias("n_orphans"),
+        ).select(
+            F.lit(name).alias("edge"),
+            "n_child",
+            "n_orphans",
+            F.floor(
+                F.lit(1000000.0) * F.col("n_orphans") / F.col("n_child")
+            ).cast("bigint").alias("orphan_ppm"),
+        )
+
+    edges = [edge(*e) for e in edges_def]
     out = edges[0]
     for e in edges[1:]:
         out = out.unionByName(e)

@@ -1502,6 +1502,10 @@ def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.sum(e.cast(dec)).alias("s" + nm) for nm, e in prods],
     )
     label = {"q": "qty", "p": "price", "d": "disc", "t": "tax"}
+    # r14: the 10 cells used to be 10 unionByName'd single-row selects of
+    # `s` — TEN full derivations of the 14-moment lineitem aggregate (20
+    # parquet scans in the plan). One derivation + an exploded 10-struct
+    # array computes the identical cells from the single moment row (§2.4).
     cells = []
     for i, a in enumerate(names):
         for b in names[i:]:
@@ -1510,16 +1514,13 @@ def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.col("s" + a).cast("double") * F.col("s" + b) / F.col("n")
             ) / (F.col("n") - 1)
             cells.append(
-                s.select(
+                F.struct(
                     F.lit(label[a]).alias("var_a"),
                     F.lit(label[b]).alias("var_b"),
                     F.round(cov, 6).alias("covariance"),
                 )
             )
-    out = cells[0]
-    for c in cells[1:]:
-        out = out.unionByName(c)
-    return out
+    return s.select(F.explode(F.array(*cells)).alias("cell")).select("cell.*")
 
 
 @query(

@@ -1669,6 +1669,12 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     sids = x.select(
         "user_id", "t", F.sum("ns").over(w_run).alias("sid")
     )
+    # r14 negative (measured, reverted): checkpointing sess + the swept
+    # run table (scans 2→0, Exchange 22→14 in the plan) LOST a 3-pair A/B
+    # 2.9-5.9 s vs 1.9-2.5 s — attach_global_order_stats already pins its
+    # input internally, so the extra materialization only serialized the
+    # consumers behind it; the duplicated subtrees reuse their shuffle
+    # exchanges (the r13 ngram lesson applies here, not the checkpoint one).
     sess = sids.groupBy("user_id", "sid").agg(
         F.min("t").cast("bigint").alias("t0"),
         (F.max("t") + 60_000_000).cast("bigint").alias("t1"),

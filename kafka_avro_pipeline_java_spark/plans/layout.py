@@ -364,18 +364,28 @@ def layout_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("__rn2") - 1) / _ZM_ROWS).cast("bigint").alias("file_id"),
         F.col("o_orderdate").alias("d"),
     )
+    # r14: zones fed deltas twice (one select per endpoint) and starts
+    # once — THREE derivations of the distributed rank over orders; depth
+    # fed max_depth and starts — two more. zones (~2·n_files rows) and
+    # depth (date-domain rows) are both file/date-scale, so materialize
+    # each once (§2.4) and emit the ±1 endpoints with one explode.
     zones = natural.unionByName(clustered).groupBy("layout", "file_id").agg(
         F.min("d").alias("min_d"), F.max("d").alias("max_d")
-    )
+    ).localCheckpoint(eager=False)
     deltas = (
-        zones.select("layout", F.col("min_d").alias("t"), F.lit(1).alias("dd"))
-        .unionByName(
-            zones.select(
-                "layout",
-                (F.col("max_d") + F.expr("INTERVAL 1 DAY")).alias("t"),
-                F.lit(-1).alias("dd"),
-            )
+        zones.select(
+            "layout",
+            F.explode(
+                F.array(
+                    F.struct(F.col("min_d").alias("t"), F.lit(1).alias("dd")),
+                    F.struct(
+                        (F.col("max_d") + F.expr("INTERVAL 1 DAY")).alias("t"),
+                        F.lit(-1).alias("dd"),
+                    ),
+                )
+            ).alias("p"),
         )
+        .select("layout", "p.t", "p.dd")
         .groupBy("layout", "t")
         .agg(F.sum("dd").alias("dd"))
     )
@@ -384,7 +394,7 @@ def layout_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     depth = deltas.select(
         "layout", "t", F.sum("dd").over(w).cast("bigint").alias("depth")
-    )
+    ).localCheckpoint(eager=False)
     max_depth = depth.groupBy("layout").agg(
         F.max("depth").cast("bigint").alias("max_depth")
     )

@@ -375,6 +375,12 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     cents = o.select(F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("p"))
+    # r14 negative (measured, reverted): folding the exact p50/p95 into
+    # the bounds aggregate behind a 1-row checkpoint (orders scans 8→2)
+    # LOST a 3-pair A/B 1.9-2.4 s vs 1.5-2.0 s — the cheap min/max agg
+    # that unblocks the histogram got serialized behind the percentile
+    # sort, while the old separate subtrees ran concurrently. Independent
+    # corpus aggregates overlapping beats one combined pass here (§2.6).
     bounds = cents.agg(F.min("p").alias("lo"), F.max("p").alias("hi"))
     withb = cents.crossJoin(F.broadcast(bounds)).select(
         "p", "lo", "hi",

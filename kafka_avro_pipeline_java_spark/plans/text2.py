@@ -579,12 +579,18 @@ def dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = _jaccard_pairs(spark, sf_dir)
     comp = dedup.connected_components(pairs)
+    # r14: m feeds base + the two attribute-mode tables — three
+    # derivations of the components ⋈ documents join. Materialize it ONCE,
+    # pruned to the five columns the aggregates read (text collapses to
+    # its length here — the full text never needs to be stored; the r13
+    # item-10 lesson about TEXT-carrying checkpoints, §2.4).
     m = comp.join(d, comp["id"] == d["doc_id"]).select(
-        "component", "doc_id", "text", "lang", "source", "n_chars"
-    )
+        "component", "lang", "source", "n_chars",
+        F.length("text").alias("tl"),
+    ).localCheckpoint(eager=False)
     base = m.groupBy("component").agg(
         F.count("*").alias("n_members"),
-        F.max(F.length("text")).cast("int").alias("survivor_text_len"),
+        F.max("tl").cast("int").alias("survivor_text_len"),
         F.sum("n_chars").alias("total_chars"),
     )
 

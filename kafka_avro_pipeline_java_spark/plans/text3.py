@@ -320,16 +320,37 @@ def pipeline_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key fan-out is bounded by the SOURCE count, not the corpus."""
     d = load_table(spark, sf_dir, "documents")
     sp = spans.span_table(d, "text", "doc_id", w=5)
-    src = (
+    # r14: the old self-equi-join on span_hash derived the (source, hash)
+    # table TWICE (two corpus tokenize passes) and shuffled it twice more.
+    # One span_hash-keyed collect_set (map-side set union — the distinct
+    # is subsumed) followed by an in-row combination explode yields the
+    # identical per-pair distinct-hash counts: each hash contributes
+    # exactly one (a, b) row per source pair in its set, a < b by the
+    # same binary string order as the join's filter (§2.3/§2.4). Per-hash
+    # state is bounded by the SOURCE count, not the corpus.
+    srcs = (
         sp.join(d.select(F.col("doc_id").alias("id"), "source"), "id")
-        .select("source", "span_hash")
-        .distinct()
+        .groupBy("span_hash")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
     )
-    a = src.select(F.col("source").alias("src_a"), "span_hash")
-    b = src.select(F.col("source").alias("src_b"), "span_hash")
+    ss = F.col("ss")
+    combos = F.flatten(
+        F.transform(
+            ss,
+            lambda x, i: F.transform(
+                F.slice(
+                    ss, i + F.lit(2),
+                    F.greatest(F.size(ss) - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "span_hash")
-        .filter(F.col("src_a") < F.col("src_b"))
+        srcs.select(F.explode(combos).alias("p"))
+        .select(
+            F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b")
+        )
         .groupBy("src_a", "src_b")
         .agg(F.count("*").cast("int").alias("shared_spans"))
     )

@@ -382,9 +382,12 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = fuzzy.fuzzy_pairs(
         d, "text", "doc_id", max_dist=20, prefix_tokens=2, max_block_size=100
     )
+    # r14: the old two-select union consumed `pairs` twice, re-running the
+    # whole prefix-block + levenshtein pair join for each endpoint column
+    # (18 parquet scans in the plan). Exploding both endpoints out of ONE
+    # pass over the pair table yields the identical id multiset (§2.4).
     dup_ids = (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
         .distinct()
     )
     flagged = d.join(
@@ -648,6 +651,12 @@ def pipeline_stage_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     doomed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     deduped = q_ids.join(doomed, "doc_id", "left_anti")
     sp = spans.span_table(d, "text", "doc_id", w=5).withColumnRenamed("id", "doc_id")
+    # r14 negative (measured, reverted): folding the two span passes into
+    # one span_hash-keyed window (dirty = docs whose hash group contains
+    # an eval doc) LOST its A/B ~10% — the eval span set is SMALL, so the
+    # semi join below is an AQE broadcast that never shuffles sp, while
+    # the window forces a full span_hash sort of the corpus span table.
+    # The two-pass shape is the right one at any scale for a small eval set.
     bench = sp.filter(F.col("doc_id") % 97 == 0).select("span_hash").distinct()
     dirty = (
         sp.join(bench, "span_hash", "left_semi")

@@ -146,10 +146,15 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     e = e.repartition(spark.sparkContext.defaultParallelism)
+    # r14: the 40-centroid × 64-dim assignment projection fed BOTH the
+    # mu/sigma aggregate and the final filter — the whole codegen argmax
+    # ran twice. Materialize the (vec_id, dist) projection once (two
+    # narrow columns, corpus rows — the embedding arrays themselves are
+    # NOT stored, §2.4) and derive both consumers from it.
     assigned = with_centroid_assignment(
         e, "embedding", _SEM_CENTS, metric="cosine", out_col="__cid",
         dist_col="dist",
-    )
+    ).select("vec_id", "dist").localCheckpoint(eager=False)
     stats = assigned.agg(
         F.avg("dist").alias("mu"), F.stddev_samp("dist").alias("sigma")
     )

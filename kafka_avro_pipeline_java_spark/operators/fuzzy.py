@@ -320,6 +320,13 @@ def jaro_winkler_pairs(
     def _jw(a, b):
         return pd.Series(jaro_winkler_batch(a.tolist(), b.tolist()))
 
+    # r14 (§4.4): the threshold filter references this UDF's column, and
+    # the optimizer duplicates the evaluation around the pushed filter —
+    # the plan showed TWO ArrowEvalPython nodes scoring _jw(t_a, t_b), so
+    # every surviving pair paid the Python kernel twice. Non-deterministic
+    # forbids the copy; the function is pure, so values are unchanged.
+    _jw = _jw.asNondeterministic()
+
     norm = _norm(text_col)
     blk = F.array_join(F.slice(T.tokens(norm), 1, prefix_tokens), " ")
     side = df.select(

@@ -469,6 +469,14 @@ def bfs_hops(
         )
     else:
         frontier = e.agg(F.min("src").alias("node"))
+    # r14 negative (measured, reverted): per-level localCheckpoint +
+    # explicit frontier broadcast (Exchange 34→4 in graph_bfs_hops' plan)
+    # LOST its A/B ~60% at matched controls — the per-level checkpoint
+    # job barriers and broadcast-build driver trips cost more than the
+    # lazy re-derivation they remove, because AQE already broadcast-joins
+    # the tiny frontiers inside ONE job whose union legs run in parallel
+    # (the same driver-round-trip failure as the reverted eigenvector
+    # rewrite). Keep the lazy unrolled shape.
     levels = [frontier.select("node", F.lit(0).alias("hops"))]
     for h in range(1, max_hops + 1):
         frontier = (
@@ -626,6 +634,9 @@ def multi_source_hops(
         .limit(n_seeds)
         .select(F.col("src").alias("seed"))
     )
+    # r14 negative (measured, reverted): per-level localCheckpoint +
+    # frontier broadcast (Exchange 66→6 in graph_harmonic_closeness'
+    # plan) LOST its A/B ~70% — see the identical note in bfs_hops above.
     frontier = seeds.select("seed", F.col("seed").alias("node"))
     levels = [frontier.select("seed", "node", F.lit(0).alias("hops"))]
     for h in range(1, max_hops + 1):

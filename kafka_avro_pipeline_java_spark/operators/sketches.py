@@ -257,8 +257,17 @@ def countmin_inner_product(
     aggs); the estimate is a join of two broadcast-sized sketches. Exact
     answer costs the full shuffle join this estimator is priced to
     avoid."""
-    ca = countmin_cells(a_items, a_col, depth=depth, width=width)
-    cb = countmin_cells(b_items, b_col, depth=depth, width=width)
+    # r14: aggregate each side to per-key counts FIRST (map-side combine
+    # over the raw key, §2.3), so the depth-way explode + md5 cell hashing
+    # runs over the KEY-scale table instead of the corpus — the weighted
+    # cells are the identical integers (the weight_col regrouping pinned
+    # by test_countmin_weighted_cells_match_raw_stream).
+    a_counts = a_items.groupBy(a_col).agg(F.count("*").alias("__w"))
+    b_counts = b_items.groupBy(b_col).agg(F.count("*").alias("__w"))
+    ca = countmin_cells(a_counts, a_col, depth=depth, width=width,
+                        weight_col="__w")
+    cb = countmin_cells(b_counts, b_col, depth=depth, width=width,
+                        weight_col="__w")
     prod = (
         ca.alias("a")
         .join(cb.alias("b"), ["row", "col"])

@@ -110,6 +110,25 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pair_cache_fetch(_JACCARD_PAIR_CACHE, spark, sf_dir, build)
 
 
+#: connected components OF THE MEMOIZED JACCARD PAIR TABLE — four
+#: registered consumers (dedup_near_dup_groups, dedup_golden_record,
+#: graph_component_sizes, graph_modularity) each re-ran the pointer-jump
+#: resolver loop (3-4 driver rounds of jobs) on the identical pinned
+#: input. The result is a deterministic function of the pair table, so
+#: it gets the same per-(session, sf_dir) memo treatment; the build cost
+#: lands in PAIR_MEMO_BUILD_SEC → bench.py's memo_build_sec field like
+#: every other session memo. Only call sites whose input is EXACTLY
+#: _jaccard_pairs(spark, sf_dir) may use this.
+_CC_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pair_cache_fetch(
+        _CC_CACHE, spark, sf_dir,
+        lambda: dedup.connected_components(_jaccard_pairs(spark, sf_dir)),
+    )
+
+
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _jaccard_pairs(spark, sf_dir)
     a = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -299,8 +318,7 @@ def graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     scrub. Two word-count aggs over the component assignment
     (dedup_near_dup_groups' hybrid union-find / label-propagation
     resolver)."""
-    pairs = _jaccard_pairs(spark, sf_dir)
-    comp = dedup.connected_components(pairs)
+    comp = _components(spark, sf_dir)
     sizes = comp.groupBy("component").agg(F.count("*").alias("sz"))
     return sizes.groupBy("sz").agg(
         F.count("*").cast("int").alias("n_components")
@@ -722,7 +740,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard pairs + resolver the component queries use; everything after
     is component-keyed aggregation, never pair-space."""
     pairs = _jaccard_pairs(spark, sf_dir)
-    comp = dedup.connected_components(pairs)
+    comp = _components(spark, sf_dir)
     p = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     m_df = p.agg(F.count("*").cast("bigint").alias("m"))
     ca = comp.select(
@@ -888,6 +906,13 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     1000-executor HITS runs; counts stay ≤ m³ (BIGINT-safe to ~2M edges;
     the decimal(38,0) upgrade path is one cast). Oracle: the identical
     unrolled iterations in SQL over the identical jaccard-pair graph."""
+    # r14 negative (measured, reverted): the pagerank item-5 treatment
+    # (per-iteration score-vector broadcasts + final h/a checkpoints;
+    # Exchange 74→14, SMJ 32→4 in the plan) LOST its A/B ~70% at matched
+    # controls — unlike pagerank, every consumer here re-derives CHEAP
+    # node-scale vectors inside one job whose branches run in parallel,
+    # and the broadcast builds + checkpoint barriers only serialize it
+    # (the reverted eigenvector lesson). Keep the lazy unrolled shape.
     edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     a = nodes.select("node", F.lit(1).cast("bigint").alias("a"))

@@ -304,10 +304,9 @@ def dedup_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs resolved into duplicate groups (connected
     components, min-id canonical representative) — the keep-one-per-group
     step of an actual dedup pipeline. Oracle = recursive CTE reachability."""
-    from .graph import _jaccard_pairs  # deferred: graph loads after text
+    from .graph import _components  # deferred: graph loads after text
 
-    pairs = _jaccard_pairs(spark, sf_dir)
-    return dedup.connected_components(pairs)
+    return _components(spark, sf_dir)
 
 
 @query(

@@ -574,11 +574,10 @@ def dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-pair stage that feeds it."""
     from pyspark.sql import Window
 
-    from .graph import _jaccard_pairs  # deferred: graph loads after text
+    from .graph import _components  # deferred: graph loads after text
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = _jaccard_pairs(spark, sf_dir)
-    comp = dedup.connected_components(pairs)
+    comp = _components(spark, sf_dir)
     # r14: m feeds base + the two attribute-mode tables — three
     # derivations of the components ⋈ documents join. Materialize it ONCE,
     # pruned to the five columns the aggregates read (text collapses to

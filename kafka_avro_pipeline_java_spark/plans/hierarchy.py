@@ -23,6 +23,39 @@ from ..operators.hierarchy import part_forest, pointer_jump, transitive_closure
 from ..sources import load_table
 from .registry import query
 
+#: session memos for the two loop-built hierarchy intermediates — both
+#: are deterministic functions of the part table, and each previously
+#: re-ran its multi-round join loop once per consumer: the units walk
+#: feeds graph_hierarchy_depths (units projected away — identical
+#: root/depth values) AND graph_bom_rollup; the transitive closure feeds
+#: graph_hierarchy_closure AND graph_subtree_sizes. Same
+#: per-(applicationId, sf_dir) eager-checkpoint mechanism, eviction
+#: policy and memo_build_sec accounting as plans/graph.py's pair caches.
+_WALK_CACHE: dict = {}
+_CLOSURE_CACHE: dict = {}
+
+
+def _forest_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import _pair_cache_fetch
+
+    def build() -> DataFrame:
+        part = load_table(spark, sf_dir, "part")
+        edges, roots = part_forest(spark, part)
+        return pointer_jump(edges, roots, units="q")
+
+    return _pair_cache_fetch(_WALK_CACHE, spark, sf_dir, build)
+
+
+def _forest_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import _pair_cache_fetch
+
+    def build() -> DataFrame:
+        part = load_table(spark, sf_dir, "part")
+        edges, _roots = part_forest(spark, part)
+        return transitive_closure(edges.drop("q"))
+
+    return _pair_cache_fetch(_CLOSURE_CACHE, spark, sf_dir, build)
+
 # Shared DuckDB CTEs: rebuild the same forest and walk it recursively.
 _WALK_CTE = """
 WITH RECURSIVE child AS (
@@ -65,9 +98,7 @@ def graph_hierarchy_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-checking the distributed one. 100 TB: each round is one
     equi-join on the ancestor pointer; a 2e11-node random recursive
     tree (expected depth ≈ 71) converges in 7 rounds."""
-    part = load_table(spark, sf_dir, "part")
-    edges, roots = part_forest(spark, part)
-    walk = pointer_jump(edges, roots)
+    walk = _forest_walk(spark, sf_dir)
     return (
         walk.groupBy("root")
         .agg(
@@ -108,8 +139,8 @@ def graph_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     LongType (q ≤ 2, depth ≤ ~60 at any realistic scale — the operator
     docstring records the decimal(38,0) upgrade path)."""
     part = load_table(spark, sf_dir, "part")
-    edges, roots = part_forest(spark, part)
-    walk = pointer_jump(edges, roots, units="q")
+    edges, _roots = part_forest(spark, part)
+    walk = _forest_walk(spark, sf_dir)
     leaves = walk.join(
         edges.select(F.col("par").alias("p_node")).distinct(),
         walk["node"] == F.col("p_node"),
@@ -154,9 +185,7 @@ def graph_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distributed and the sequential algorithm must agree pair for
     pair. Output is Σ depth rows (~5.5 per node on this hash-shaped
     forest), linear in nodes."""
-    part = load_table(spark, sf_dir, "part")
-    edges, _roots = part_forest(spark, part)
-    closure = transitive_closure(edges.drop("q"))
+    closure = _forest_closure(spark, sf_dir)
     return closure.select("node", "anc", F.col("dist").cast("int").alias("dist"))
 
 
@@ -192,9 +221,7 @@ def graph_subtree_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     read-side payoff of materializing the closure: ANY ancestor-scoped
     aggregate becomes a plain keyed groupBy instead of a recursive
     traversal per question."""
-    part = load_table(spark, sf_dir, "part")
-    edges, _roots = part_forest(spark, part)
-    closure = transitive_closure(edges.drop("q"))
+    closure = _forest_closure(spark, sf_dir)
     return (
         closure.groupBy(F.col("anc").alias("node"))
         .agg(

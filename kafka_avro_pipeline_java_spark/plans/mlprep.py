@@ -476,10 +476,14 @@ def features_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_ij*N products stay exact in float64 up to ~10^8 graded rows; the
     dual-SF magnitude gate rechecks per SF."""
     o = load_table(spark, sf_dir, "orders")
+    # r14: the 15-cell joint table fed mx, my, tot AND the term join —
+    # four derivations of the corpus aggregate (18 parquet scans).
+    # Materialize the cell-count table once; everything downstream is
+    # alphabet-scale (§2.4).
     j = o.groupBy(
         F.col("o_orderpriority").alias("x"),
         F.col("o_orderstatus").alias("yv"),
-    ).agg(F.count("*").cast("bigint").alias("nxy"))
+    ).agg(F.count("*").cast("bigint").alias("nxy")).localCheckpoint(eager=False)
     mx = j.groupBy("x").agg(F.sum("nxy").cast("bigint").alias("nx"))
     my = j.groupBy("yv").agg(F.sum("nxy").cast("bigint").alias("ny"))
     tot = j.agg(F.sum("nxy").cast("bigint").alias("n"))

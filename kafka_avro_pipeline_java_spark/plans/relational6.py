@@ -484,13 +484,15 @@ def dedup_linkage_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.col("a_seg") == F.col("b_seg"), 2).otherwise(0)
         + F.when(F.col("a_neg") == F.col("b_neg"), 1).otherwise(0)
     ).cast("int")
+    # r14: the ≤8-row pattern table fed the total AND the final select —
+    # the blocked self-join ran twice. Materialize it once (§2.4).
     counts = (
         a.join(b, ["blk"])
         .where(F.col("a_id") < F.col("b_id"))
         .select(pattern.alias("pattern"))
         .groupBy("pattern")
         .agg(F.count("*").alias("n_pairs"))
-    )
+    ).localCheckpoint(eager=False)
 
     def field_rate(col: str) -> DataFrame:
         grp = c.groupBy(col).agg(F.count("*").alias("cnt"))

@@ -1015,11 +1015,14 @@ def sketch_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m_bits, k = 16384, 3
     d = load_table(spark, sf_dir, "documents")
+    # r14: build fed the bit table AND its own count, and bits fed the
+    # membership join AND its count — the corpus word-distinct ran 3×.
+    # Both tables are vocabulary-/m-bounded; materialize each once (§2.4).
     build = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
         .distinct()
-    )
+    ).localCheckpoint(eager=False)
     # synthetic non-members: the corpus vocabulary is plain words, so
     # 'zz#<i>' strings are true negatives by construction
     probe = spark.range(2000).select(
@@ -1038,7 +1041,7 @@ def sketch_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         build.select(
             F.explode(F.array(*positions(F.col("word")))).alias("pos")
         ).distinct()
-    )
+    ).localCheckpoint(eager=False)
     probe_pos = probe.select(
         "word", F.posexplode(F.array(*positions(F.col("word"))))
     ).select("word", F.col("col").alias("pos"))

@@ -661,10 +661,13 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     use the marginals. One corpus scan for the contingency counts; at
     100 TB nothing downstream of that scan grows."""
     li = load_table(spark, sf_dir, "lineitem")
+    # r14: the ≤550-cell contingency table fed a, b (twice), tots, tx and
+    # ty — six derivations of the corpus aggregate (14 parquet scans).
+    # Materialize the domain-sized table once (§2.4).
     cells = li.groupBy(
         F.col("l_quantity").cast("bigint").alias("x"),
         F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint").alias("y"),
-    ).agg(F.count("*").cast("bigint").alias("c"))
+    ).agg(F.count("*").cast("bigint").alias("c")).localCheckpoint(eager=False)
     a = cells.select(
         F.col("x").alias("ax"), F.col("y").alias("ay"), F.col("c").alias("ac")
     )

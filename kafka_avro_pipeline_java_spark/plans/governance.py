@@ -277,13 +277,19 @@ def privacy_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = qi.join(o, qi["c_custkey"] == o["o_custkey"]).select(
         "seg", "nat", "bal_bin", F.col("o_orderpriority").alias("sensitive")
     )
-    glob = joined.groupBy("sensitive").agg(F.count("*").cast("bigint").alias("nv"))
-    tot = glob.agg(F.sum("nv").cast("bigint").alias("n"))
-    cls = joined.groupBy("seg", "nat", "bal_bin").agg(
-        F.count("*").cast("bigint").alias("nc")
-    )
+    # r14: glob, cls and cell each re-ran the customer ⋈ orders join (16
+    # parquet scans). The cell table is the finest grain — materialize it
+    # once and REGROUP for the global and class marginals (identical
+    # exact integers, Σ over cells), so the corpus join runs once (§2.4).
     cell = joined.groupBy("seg", "nat", "bal_bin", "sensitive").agg(
         F.count("*").cast("bigint").alias("ncv")
+    ).localCheckpoint(eager=False)
+    glob = cell.groupBy("sensitive").agg(
+        F.sum("ncv").cast("bigint").alias("nv")
+    )
+    tot = glob.agg(F.sum("nv").cast("bigint").alias("n"))
+    cls = cell.groupBy("seg", "nat", "bal_bin").agg(
+        F.sum("ncv").cast("bigint").alias("nc")
     )
     grid = (
         cls.crossJoin(F.broadcast(glob))

@@ -1064,10 +1064,13 @@ def stats_ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = daily.select(F.row_number().over(w).alias("t"), "r")
     a = seq.alias("a")
     b = seq.alias("b")
+    # r14: diff feeds the global moment agg AND both sides of the 10-lag
+    # join — three derivations of the daily rollup + lag join (12 parquet
+    # scans). The table is day-domain-sized; materialize it once (§2.4).
     diff = (
         a.join(b, F.col("a.t") == F.col("b.t") + 1)
         .select((F.col("a.t") - 1).alias("t"), (F.col("a.r") - F.col("b.r")).alias("x"))
-    )
+    ).localCheckpoint(eager=False)
     m = diff.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),

@@ -141,10 +141,14 @@ def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cv").alias("conv"),
         )
     )
+    # r14: vstats fed the subset-value table (which v1 AND v0 re-derive)
+    # plus the exposed-users rollup — the per-user bit_or corpus
+    # aggregation ran up to four times (6 parquet scans). The table is
+    # ≤2^n rows; materialize it once (§2.4).
     vstats = usr.groupBy("mask").agg(
         F.count("*").cast("bigint").alias("cnt"),
         F.sum("conv").cast("bigint").alias("conv"),
-    )
+    ).localCheckpoint(eager=False)
     v = (
         spark.range(1 << n)
         .select(F.col("id").cast("int").alias("s"))

@@ -557,10 +557,15 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("mon")).agg(
         F.round(F.sum(cents) / 100000.0, 0).cast("bigint").alias("rev_k")
     )
+    # r14: idx fed both slope-join sides, the residual pass and the month
+    # count — four derivations of the corpus month rollup (12 parquet
+    # scans); sen fed the residual pass and the final select — the whole
+    # pairwise-slope median ran twice. Both are month-domain tables;
+    # materialize each once (§2.4).
     idx = m.select(
         F.row_number().over(Window.orderBy("mon")).cast("bigint").alias("i"),
         "rev_k",
-    )
+    ).localCheckpoint(eager=False)
     a = idx.select(F.col("i").alias("ai"), F.col("rev_k").alias("ra"))
     b = idx.select(F.col("i").alias("bi"), F.col("rev_k").alias("rb"))
     slopes = (
@@ -595,7 +600,7 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sen = median_double(slopes, "s", "ai", "bi").select(
         F.col("med").alias("slope"), F.col("n_rows").alias("n_pairs")
-    )
+    ).localCheckpoint(eager=False)
     resid = idx.crossJoin(F.broadcast(sen)).select(
         (F.col("rev_k") - F.col("slope") * F.col("i")).alias("r"),
         "i",

@@ -498,24 +498,32 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("source").isin("src0", "src1")
     )
+    # r14: the (source, tok) count table fed the totals, the vocab list
+    # and the grid, and the grid was derived once per side — the corpus
+    # tokenize ran up to six times (12 parquet scans). Materialize the
+    # vocab-scale count table once (the r13 type-count rule) and PIVOT
+    # the two sources per token in one groupBy: each (source, tok) has
+    # exactly one count row, so the conditional sums reproduce the grid's
+    # p values bit for bit, with absent tokens at 0.0 exactly like the
+    # grid's coalesce (§2.4).
     counts = (
         d.select("source", F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"))
         .groupBy("source", "tok")
         .agg(F.count("*").cast("double").alias("c"))
-    )
+    ).localCheckpoint(eager=False)
     tot = counts.groupBy("source").agg(F.sum("c").alias("n"))
-    vocab = counts.select("tok").distinct()
-    grid = (
-        tot.crossJoin(vocab)
-        .join(counts, ["source", "tok"], "left")
-        .select(
-            "source", "tok",
-            (F.coalesce("c", F.lit(0.0)) / F.col("n")).alias("p"),
-        )
+    withp = counts.join(F.broadcast(tot), "source").select(
+        "tok",
+        F.when(F.col("source") == "src0", F.col("c") / F.col("n"))
+        .otherwise(F.lit(0.0)).alias("pa0"),
+        F.when(F.col("source") == "src1", F.col("c") / F.col("n"))
+        .otherwise(F.lit(0.0)).alias("pb0"),
     )
-    a = grid.filter(F.col("source") == "src0").select("tok", F.col("p").alias("pa"))
-    b = grid.filter(F.col("source") == "src1").select("tok", F.col("p").alias("pb"))
-    j = a.join(b, "tok").withColumn("m", (F.col("pa") + F.col("pb")) / 2)
+    j = (
+        withp.groupBy("tok")
+        .agg(F.sum("pa0").alias("pa"), F.sum("pb0").alias("pb"))
+        .withColumn("m", (F.col("pa") + F.col("pb")) / 2)
+    )
     term = lambda pcol: F.when(  # noqa: E731
         F.col(pcol) > 0, F.col(pcol) * F.log(F.col(pcol) / F.col("m"))
     ).otherwise(F.lit(0.0))

@@ -61,9 +61,12 @@ def bm25_topk(
             F.filter("toks", lambda t: t.isin(*terms))
         ).alias("tok"),
     )
+    # r14: tf fed both the document-frequency rollup and the scoring join
+    # — two full corpus tokenize passes. The table is (hit-doc × term)-
+    # scale after the term filter; materialize it once (§2.4).
     tf = hits.groupBy("id", "tok").agg(
         F.count("*").cast("double").alias("tf"), F.max("dl").alias("dl")
-    )
+    ).localCheckpoint(eager=False)
     dfreq = tf.groupBy("tok").agg(F.count("*").cast("double").alias("df_t"))
     stats = docs.agg(
         F.count("*").cast("double").alias("n_docs"),

@@ -406,7 +406,12 @@ def kmv_set_ops(df: DataFrame, group_col: str, key_col: str, *,
     themselves are oracle-checkable bit-for-bit."""
     from pyspark.sql.window import Window
 
-    sk = kmv_sketches(df, group_col, key_col, k=k)
+    # r14: sk fed the group list, the union explode and both membership
+    # probes — four derivations of the corpus distinct+hash pass (16
+    # parquet scans in sketch_kmv_setops' plan); uk fed the union stats
+    # and the intersection count. Both are ≤ G·k / G²·k rows —
+    # materialize each once (§2.4).
+    sk = kmv_sketches(df, group_col, key_col, k=k).localCheckpoint(eager=False)
     groups = sk.select("g").distinct()
     combos = (
         groups.select(F.col("g").alias("g_a"))
@@ -426,7 +431,7 @@ def kmv_set_ops(df: DataFrame, group_col: str, key_col: str, *,
         u.select("g_a", "g_b", "h", F.row_number().over(wu).alias("r"))
         .filter(F.col("r") <= k)
         .select("g_a", "g_b", "h")
-    )
+    ).localCheckpoint(eager=False)
     ustats = uk.groupBy("g_a", "g_b").agg(
         F.max("h").alias("hk"), F.count("*").alias("n")
     )

@@ -74,22 +74,45 @@ _PRIORITY = [
     "dedup_capture_recapture_estimate",
     "dedup_embedding_bucketed",
     "dedup_similarity_join",
-    # knn construction-cost batch (plan identity under debug-capture off)
-    "knn_topk_bucketed",
-    "knn_recall_matrix",
-    "knn_cosine_ivf_pq",
-    "knn_ivf_pq_rerank_oracle",
-    # --- r14 optimization targets (driver-signed at their new shape) ---
+    # --- r14 first-session optimization targets ---
     "stats_spearman_corr",
     "sketch_hll_sliding_24h",
     "embedding_dbscan_core",
     "text_textrank_keywords",
-    # --- r13 window head kept inside the window for continuity ---
-    "agg_table_fingerprint",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "knn_cosine_lsh",
-    "knn_cosine_ivf",
+    # --- r14 continuation-session changed plans (driver-signed at their
+    # new shape; every entry restructured or re-based on a session memo
+    # in the second r14 session) ---
+    "agg_covariance_matrix",
+    "quality_referential_orphans",
+    "dedup_rate_by_source",
+    "embedding_outliers",
+    "layout_clustering_depth",
+    "pipeline_source_overlap",
+    "dedup_golden_record",
+    "dedup_near_dup_groups",
+    "graph_component_sizes",
+    "graph_modularity",
+    "dedup_jaro_winkler",
+    "sketch_join_cardinality",
+    "features_mutual_information",
+    "stats_kendall_tau",
+    "dedup_linkage_patterns",
+    "sketch_bloom_fpr_audit",
+    "privacy_t_closeness_audit",
+    "stats_ljung_box_daily",
+    "stats_theil_sen_trend",
+    "events_attribution_shapley",
+    "text_js_divergence_sources",
+    "sketch_kmv_setops",
+    "search_hybrid_rrf",
+    "text_ndcg_bm25",
+    # (text_bm25_search shares the bm25_topk operator change with the
+    # two names above and stays builder-swept — cut to fit 50)
+    # Rotated out to fit the 50-slot window (lowest re-sign priority):
+    # the r13 continuity names (driver-signed green in r13, unchanged
+    # since) and the knn construction batch (its r13 change was the
+    # config-level debug-capture switch — plans identical by
+    # construction, swept at both SFs every session since).
 ]
 
 
